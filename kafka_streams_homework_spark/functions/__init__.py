@@ -1,0 +1,71 @@
+"""Reusable column expressions — pure, JVM-side, codegen-friendly.
+
+Everything here returns a Column built from pyspark.sql.functions
+primitives: no Python UDFs in the hot path. These run inside
+whole-stage codegen and keep the 100 TB plans entirely on the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tokenization contract shared by every text operator AND the DuckDB
+# oracle SQL: lowercase, split on single spaces (the documents corpus is
+# single-space separated). Changing this breaks oracle parity — change
+# both sides together.
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), " ")
+
+
+def distinct_tokens(text: Column | str) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def shingles(tok: Column, n: int = 3) -> Column:
+    """Token-level n-gram shingles of a token array, as array<string>.
+
+    Pure SQL (transform over an index sequence; Spark arrays are
+    0-indexed in SQL lambdas). Docs shorter than n tokens yield an
+    empty array.
+    """
+    def make(i: Column) -> Column:
+        parts: list[Column] = []
+        for j in range(n):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(tok, (i + F.lit(j + 1)).cast("int")))
+        return F.concat(*parts)
+
+    empty = F.array().cast("array<string>")
+    seq = F.sequence(F.lit(0), F.size(tok) - n)
+    return F.when(F.size(tok) < n, empty).otherwise(F.transform(seq, make))
+
+
+def fold_sum(arr: Column) -> Column:
+    """Sequential left-fold sum over an array<double> (deterministic
+    order — matches DuckDB list evaluation for oracle parity)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float|double> columns.
+
+    Pure SQL: zip_with for the elementwise product, aggregate for the
+    fold. Stays in the JVM; no Python involved.
+    """
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = fold_sum(F.zip_with(ad, bd, lambda x, y: x * y))
+    na = F.sqrt(fold_sum(F.transform(ad, lambda x: x * x)))
+    nb = F.sqrt(fold_sum(F.transform(bd, lambda x: x * x)))
+    return dot / (na * nb)
+
+
+def count_in_set(arr: Column, values: list[str]) -> Column:
+    """Count array elements (with repeats) contained in a literal set."""
+    lit_arr = F.array(*[F.lit(v) for v in values])
+    return F.size(F.filter(arr, lambda x: F.array_contains(lit_arr, x)))

@@ -1,0 +1,286 @@
+"""Deduplication operators (north-star §7): exact + near-dup families.
+
+All four near-dup strategies stay entirely JVM-side — hashing uses
+`xxhash64` (a Catalyst expression), signatures are arrays, candidate
+generation is explode+join. No Python UDFs anywhere, so these scale as
+ordinary shuffles.
+
+Scale design (100 TB corpus):
+- ngram_jaccard_pairs: exact, but the candidate join is on *shingles*
+  (rare), not tokens (common) — at scale you additionally cap candidate
+  fanout per shingle (drop shingles appearing in > N docs: they are
+  boilerplate and explode quadratically). `max_docs_per_shingle` does
+  this.
+- minhash_lsh_pairs: signature is k minima of seeded xxhash64 — one
+  groupBy; banding turns O(n²) verification into bucket joins. The
+  band-bucket join key is (band_idx, band_hash), which distributes
+  uniformly by construction.
+- simhash: 64-bit signature per doc in one aggregation; near-dup =
+  small Hamming distance, candidate generation by 4×16-bit band
+  equality (any pair within Hamming distance 3 shares ≥1 band).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_homework_spark.functions import shingles, tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(documents: DataFrame) -> DataFrame:
+    """Group exact duplicates by content hash; keep the smallest doc_id.
+
+    Hash-groupBy on md5(text): the shuffle key is uniform by
+    construction. The full text never shuffles — only (hash, doc_id).
+    """
+    return (
+        documents.select(F.md5(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (the verification-grade near-dup)
+# ---------------------------------------------------------------------------
+
+
+def _doc_shingles(documents: DataFrame, n: int) -> DataFrame:
+    tok = tokens("text")
+    return documents.select(
+        "doc_id",
+        F.array_distinct(shingles(tok, n)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_docs_per_shingle: int | None = None,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard similarity pairs ≥ threshold.
+
+    Plan: distinct shingles per doc → explode → self-equi-join on the
+    shingle → count shared shingles per pair → |A∪B| = |A|+|B|-|A∩B|.
+    Only pairs sharing ≥1 shingle are ever materialized, so the join —
+    not a crossJoin — bounds the cost.
+
+    `max_docs_per_shingle`: at corpus scale, shingles occurring in huge
+    numbers of documents are boilerplate; dropping them caps the
+    quadratic fanout of the candidate join (standard trick in
+    large-scale dedup pipelines).
+    """
+    sh = _doc_shingles(documents, n)
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
+
+    if max_docs_per_shingle is not None:
+        df_counts = exploded.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        exploded = (
+            exploded.join(
+                F.broadcast(df_counts.filter(F.col("df") > max_docs_per_shingle)),
+                "shingle",
+                "left_anti",
+            )
+        )
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jaccard = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jaccard, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    documents: DataFrame, n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """k-min MinHash signature per document, entirely in SQL.
+
+    h_i(shingle) = xxhash64(shingle, seed=i); signature[i] = min over
+    the doc's shingles. One narrow projection per doc — array_min over
+    a transform — no shuffle at all for signature computation.
+    """
+    sh = _doc_shingles(documents, n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform("sh", lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return sh.select("doc_id", sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    bands=8 × rows=4 over 32 hashes → candidate probability
+    1-(1-j^4)^8 (≈0.98 at j=0.8). Candidates come from equality joins
+    on (band_idx, band_hash); each surviving pair is verified with the
+    exact shingle-set Jaccard so the output has no false positives —
+    LSH only affects recall, which tests measure against
+    ngram_jaccard_pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(documents, n, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sh = _doc_shingles(documents, n).select(
+        "doc_id", "sh", F.size("sh").alias("n_sh")
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jaccard = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jaccard, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
+    """64-bit SimHash per document, pure SQL.
+
+    For each of 64 bit positions, sum ±1 votes of xxhash64(shingle)
+    bit values; the signature bit is the vote sign. Implemented as one
+    aggregate over exploded shingles: 64 conditional sums — partial
+    aggregation keeps the shuffle at one row per doc.
+    """
+    sh = _doc_shingles(documents, n)
+    exploded = sh.select("doc_id", F.explode("sh").alias("shingle")).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{bit}")
+        for bit in range(64)
+    ]
+    voted = exploded.groupBy("doc_id").agg(*votes)
+    sig = None
+    for bit in range(64):
+        contrib = F.when(F.col(f"v{bit}") > 0, F.lit(1).cast("long") * (2**bit if bit < 63 else -(2**63))).otherwise(F.lit(0).cast("long"))
+        sig = contrib if sig is None else sig + contrib
+    return voted.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    documents: DataFrame, n: int = 3, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates: pairs with Hamming distance ≤ max_hamming.
+
+    Candidate generation: split the 64-bit signature into 4×16-bit
+    bands — any pair within distance 3 agrees on ≥1 band (pigeonhole),
+    so the join is equality on (band_idx, band_value), never O(n²).
+    """
+    sig = simhash_signatures(documents, n)
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), 16 * i)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("bucket"),
+        )
+        for i in range(4)
+    ]
+    buckets = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*band_cols)).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,97 @@
+"""Multimodal-column plumbing (north-star §7).
+
+Image/audio/video payloads are opaque `binary` columns with typed
+metadata alongside. The Spark-side contract is real and tested:
+
+- schema: (id, media_type, payload binary, meta struct)
+- decode/feature-extract runs as `mapInPandas` — Arrow-batched, one
+  Python worker per partition, never per-row;
+- the actual codec step is STUBBED (image/audio libraries are not in
+  this container): `decode_stub` derives deterministic pseudo-metadata
+  from the payload bytes alone, and `decode_real` raises
+  NotImplementedError with the intended implementation documented.
+
+Scale design: binary payloads dominate the bytes — the pipeline keeps
+them in place (no shuffle touches `payload`; metadata extraction is a
+narrow map), and any groupBy downstream operates on the extracted
+metadata columns only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def to_media(documents: DataFrame) -> DataFrame:
+    """Wrap documents as a media table: payload = utf-8 bytes of text.
+
+    Stand-in for reading real blobs; the binary column plumbing
+    (schema, Arrow transfer, partition shape) is identical.
+    """
+    return documents.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image/png"))
+        .otherwise(F.lit("audio/wav"))
+        .alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+
+def decode_stub(media: DataFrame) -> DataFrame:
+    """'Decode' payloads via mapInPandas with a deterministic fake codec.
+
+    The fake derives (width, height) from payload length only, so the
+    result is oracle-checkable in SQL (octet_length arithmetic) while
+    exercising the real Arrow batch path a true decoder would use.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n.astype("int64"),
+                    "width": (n % 640).astype("int32"),
+                    "height": (n % 480).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(decode, DECODED_SCHEMA)
+
+
+def decode_real(media: DataFrame) -> DataFrame:  # pragma: no cover
+    """Real decoder — requires PIL/soundfile, absent in this container.
+
+    Intended implementation: identical mapInPandas shape to
+    decode_stub, with the body calling PIL.Image.open /
+    soundfile.read on io.BytesIO(payload) and emitting true
+    width/height/duration; frame sampling for video via
+    cv2.VideoCapture on a temp file, one row per sampled frame.
+    """
+    raise NotImplementedError(
+        "media codecs are not installed in this environment; "
+        "use decode_stub (same Spark plumbing, deterministic fake codec)"
+    )

@@ -1,0 +1,248 @@
+"""Relational operators — the reference's inventory, Spark-first.
+
+Each function is a pure DataFrame→DataFrame transform (composable, no
+I/O). Reference citations point into /root/reference; every operator
+here is *re-expressed*, not translated: the Kafka Streams runtime
+constructs (repartition topics, RocksDB stores, punctuators) map to
+Catalyst-visible primitives (shuffle exchange, state store, watermark)
+that the optimizer can reason about.
+
+Scale stance (100 TB):
+- dimension joins broadcast (`F.broadcast`) — the stream/fact side is
+  never shuffled, exactly like the reference's GlobalKTable
+  (dsl/PriceAlertsApp.java:92-95) replicates the dimension;
+- aggregations rely on Spark's partial (map-side) aggregation — the
+  shuffle moves one row per (key, window) per map task, not raw rows;
+- window assignment (`F.window`) is a projection, not a shuffle — only
+  the subsequent groupBy shuffles, on (key, window) so skew on a hot
+  key is split by AQE skew-join / can be salted upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# S2/S4 — latest value per key (GlobalKTable semantics)
+# ---------------------------------------------------------------------------
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Materialize "the last record per key" from a changelog-shaped table.
+
+    Reference: ``builder.globalTable`` ("Table — stores the last record
+    from the topic per key", dsl/PriceAlertsApp.java:91-95) and the
+    upsert processor ``StateUpdateSupplier.java:35-37``.
+
+    Spark: row_number over (key, order desc) == 1. The shuffle is on the
+    key — at 100 TB this is a single exchange, and Spark pushes a
+    partial "top-1" via the WindowGroupLimit physical rule (rank<=k
+    filters are evaluated map-side before the shuffle on recent Spark),
+    so the exchange carries ~1 row per key per map partition.
+    """
+    order = [F.col(order_col).desc()] + [
+        F.col(c).desc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J2 — stream ⋈ dimension join (GlobalKTable lookup join)
+# ---------------------------------------------------------------------------
+
+
+def join_stream_table(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Column,
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Foreign-key lookup join of a fact/stream table against a dimension.
+
+    Reference: ``purchasesStream.leftJoin(productsTable, keyExtractor,
+    joinProduct)`` (dsl/PriceAlertsApp.java:98-103) and the manual
+    ``productsStore.get(productId)`` (PurchaseQuantityAlertTrasformer.java:41-44).
+    The reference declares leftJoin but NPEs on a miss (dsl:154-155), so
+    its effective semantics are inner; we expose both and document it.
+
+    Spark: broadcast hash join — the dimension is replicated to every
+    executor (the exact analogue of a GlobalKTable being "joined into
+    every app instance", processor/PriceAlertsApp.java:113) and the fact
+    side is NOT shuffled. The FK extraction (dsl:101) is just the join
+    expression; no re-key operator exists because Spark joins on
+    expressions.
+    """
+    right = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(right, on, how)
+
+
+# ---------------------------------------------------------------------------
+# W1/W2 — tumbling event-time window assignment
+# ---------------------------------------------------------------------------
+
+
+def tumbling_window(df: DataFrame, ts_col: str, size: str = "1 minute") -> DataFrame:
+    """Assign each record to its epoch-aligned tumbling window.
+
+    Reference: ``TimeWindows.of(1m).advanceBy(1m)`` (size == advance ⇒
+    tumbling, dsl/PriceAlertsApp.java:105-109) and the manual floor
+    ``ts - ts % 60_000`` (PurchaseQuantityAlertTrasformer.java:40).
+
+    Spark: ``F.window`` is a narrow projection producing a
+    ``window.start/window.end`` struct — no shuffle until the groupBy.
+    """
+    return df.withColumn("window", F.window(F.col(ts_col), size))
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 — windowed aggregation
+# ---------------------------------------------------------------------------
+
+
+def windowed_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    aggs: list[Column],
+    size: str = "1 minute",
+) -> DataFrame:
+    """Per-(key, tumbling-window) aggregation.
+
+    Reference: ``.windowedBy(...).aggregate(() -> 0D, (k,v,agg) ->
+    agg + quantity*price)`` (dsl/PriceAlertsApp.java:105-114); the
+    Processor twin hand-rolls the same with a composite
+    ``windowStart ++ productId`` store key
+    (PurchaseQuantityAlertTrasformer.java:37-50, 103-121).
+
+    Spark: groupBy(key, window).agg(...) — partial aggregation happens
+    map-side before the shuffle (the reference's "running adder" is the
+    same idea, done by its state store), and the composite-key trick is
+    subsumed by grouping on the window struct.
+    """
+    windowed = tumbling_window(df, ts_col, size)
+    return windowed.groupBy(*key_cols, "window").agg(*aggs)
+
+
+def windowed_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value: Column,
+    size: str = "1 minute",
+    out_name: str = "total_sum_per_minute",
+) -> DataFrame:
+    """The reference's one aggregate: SUM(expr) per key per window."""
+    return windowed_agg(df, key_cols, ts_col, [F.sum(value).alias(out_name)], size)
+
+
+# ---------------------------------------------------------------------------
+# P1/P2 — threshold filter (HAVING)
+# ---------------------------------------------------------------------------
+
+
+def filter_threshold(df: DataFrame, col: str, threshold: float) -> DataFrame:
+    """Keep aggregates strictly above threshold.
+
+    Reference: ``.filter((key, val) -> val > MAX_SUM_PER_MINUTE)``
+    (dsl/PriceAlertsApp.java:115, threshold 3000.0 at :29) and the fused
+    ``if (purchasesSum > MAX_PURCHASES_PER_MINUTE)``
+    (PurchaseQuantityAlertTrasformer.java:68). Post-agg filter ≡ HAVING.
+    """
+    return df.filter(F.col(col) > F.lit(threshold))
+
+
+# ---------------------------------------------------------------------------
+# P3/W3 — alert projection
+# ---------------------------------------------------------------------------
+
+
+def project_alert(
+    df: DataFrame,
+    key_col: str,
+    sum_col: str = "total_sum_per_minute",
+    key_out: str = "alert_key",
+) -> DataFrame:
+    """Reshape (key, window, sum) into the PriceAlert record.
+
+    Reference: builds ``PriceAlert{window_start: timestamp-millis,
+    total_sum_per_minute: double}`` re-keyed to the product id
+    (dsl/PriceAlertsApp.java:117-133; window-start extraction
+    ``key.window().start()`` at :130).
+    """
+    return df.select(
+        F.col(key_col).cast("string").alias(key_out),
+        F.col("window.start").alias("window_start"),
+        F.col(sum_col).cast("double").alias(sum_col),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engine extensions (free in Spark, north-star §7)
+# ---------------------------------------------------------------------------
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: Column | str,
+    k: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Top-k rows per group, deterministic under ties.
+
+    Scale: rank<=k predicates over a window are rewritten by Spark's
+    WindowGroupLimit rule into a per-map-partition partial top-k before
+    the shuffle — safe on skewed groups.
+    """
+    order_c = F.col(order_col) if isinstance(order_col, str) else order_col
+    order = [order_c.desc()] + [F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap: str = "30 minutes",
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Session windows with an inactivity gap (north-star extension).
+
+    Spark: ``F.session_window`` works in batch and streaming; sessions
+    merge during aggregation, so the shuffle is on the key only.
+    """
+    aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
+    return df.groupBy(*key_cols, F.session_window(F.col(ts_col), gap)).agg(*aggs)
+
+
+def dedup_exact(df: DataFrame, subset: list[str]) -> DataFrame:
+    """Exact deduplication on a column subset (hash-groupBy).
+
+    Scale: a single shuffle on the subset hash; with partial
+    aggregation the exchange carries one row per distinct key per map
+    task. Streaming twin: ``dropDuplicatesWithinWatermark``.
+    """
+    return df.dropDuplicates(subset)
+
+
+def json_extract(df: DataFrame, json_col: str, field: str, out: str, cast: str) -> DataFrame:
+    """Pull a typed field out of a JSON string column (events.props)."""
+    return df.withColumn(
+        out, F.get_json_object(F.col(json_col), f"$.{field}").cast(cast)
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (north-star §7).
+
+Two tiers, same output contract (query_id, neighbor_id, sim, rank):
+
+- knn_bruteforce: exact cosine top-k. The query set is broadcast (it is
+  small by definition); the corpus is scanned once, similarities are
+  computed JVM-side (zip_with/aggregate — no Python), and per-query
+  top-k avoids a global sort. This is the correctness oracle.
+
+- knn_ivf: IVF-style partitioned search — corpus bucketed by a coarse
+  quantizer (here: the provided `label` column as the cell id, i.e. a
+  pre-computed clustering; at 100 TB you'd k-means a sample for
+  centroids and assign with the same JVM-side cosine). Queries probe
+  only their nearest `nprobe` cells, cutting the scanned fraction to
+  nprobe/ncells. Exactness is traded for scan volume — tests measure
+  recall against knn_bruteforce.
+
+Scale design: the expensive side (corpus) is never shuffled for
+brute-force search — the query set is broadcast to it. For IVF the
+corpus would be written bucketed-by-cell (partitioned parquet), making
+a probe a partition-pruned scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_homework_spark.functions import cosine_similarity
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def knn_bruteforce(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k: broadcast(queries) × corpus scan.
+
+    `queries` schema: (vec_id, embedding). Self-matches are excluded.
+    sim is rounded to 6 decimals BEFORE ranking so ordering is stable
+    across engines (oracle parity).
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim", F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6)
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
+    return _topk(scored, k)
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-partitioned ANN: probe only the nprobe nearest cells.
+
+    Cells = the `label` column (a precomputed coarse clustering).
+    Centroids are computed as per-cell mean vectors (a tiny aggregate),
+    queries are assigned to their nprobe closest centroids, and the
+    candidate scan is restricted to those cells via an equi-join on the
+    cell id — i.e. a partition-pruned scan when the corpus is stored
+    bucketed by cell.
+    """
+    # Per-cell centroid: elementwise mean via posexplode (rows =
+    # n_vectors × dim — tiny relative to the corpus scan it saves).
+    pos = embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    centroids = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pc", lambda s: s["c"]).alias("centroid"),
+        )
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # Assign each query to its nprobe nearest cells (tiny crossJoin:
+    # |queries| × |cells|).
+    qcells = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("csim", cosine_similarity(F.col("q_emb"), F.col("centroid")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("csim").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "q_emb", "cell")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(qcells), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim", F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6)
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
+    return _topk(scored, k)
+
+
+def cosine_pairs_within_label(
+    embeddings: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold within a blocking key.
+
+    Blocking on `label` keeps the pair space at sum(n_cell²) instead of
+    n² — the standard blocked-dedup shape. Fully SQL-expressible, so
+    oracle-checked.
+    """
+    a = embeddings.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a")
+    )
+    b = embeddings.select(
+        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b")
+    )
+    return (
+        a.join(b, ["label"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine_similarity(F.col("e_a"), F.col("e_b")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("label", "id_a", "id_b", "sim")
+    )

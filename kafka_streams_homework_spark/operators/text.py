@@ -1,0 +1,110 @@
+"""Text-analysis operators over the `documents` table (north-star §7).
+
+All hot-path expressions are built-in SQL functions (JVM-side,
+codegen); nothing here crosses into Python. Each operator has a DuckDB
+oracle twin in queries.py using the SAME tokenization contract
+(functions.tokens).
+
+Scale stance: every operator is a narrow projection or a single
+hash-aggregate — at 100 TB the only shuffle is the final groupBy where
+one exists, and partial aggregation compresses it map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_homework_spark.functions import count_in_set, tokens
+
+# Stopword list for the heuristic language scorer. Tiny on purpose: the
+# corpus is synthetic; the operator demonstrates the shape (per-doc
+# JVM-side token scan), not linguistic quality.
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-document surface statistics (length / token counts)."""
+    tok = tokens("text")
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_uniq_tokens"),
+    )
+
+
+def token_frequencies(documents: DataFrame, top_n: int = 20) -> DataFrame:
+    """Global token frequency table (explode → hash agg → top-n).
+
+    Scale: explode multiplies rows ~100×, but partial aggregation
+    collapses them map-side before the shuffle; the top-n is a single
+    driver-free orderBy+limit (Spark executes TakeOrderedAndProject).
+    """
+    return (
+        documents.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(top_n)
+    )
+
+
+def lang_id_heuristic(documents: DataFrame, threshold: float = 0.1) -> DataFrame:
+    """Heuristic language ID: English-stopword ratio per document.
+
+    A real system would use n-gram profiles per language; the operator
+    shape (per-doc token scan + ratio + classify) is identical and
+    fully JVM-side.
+    """
+    tok = tokens("text")
+    n_stop = count_in_set(tok, EN_STOPWORDS)
+    ratio = n_stop.cast("double") / F.size(tok).cast("double")
+    return documents.select(
+        "doc_id",
+        "lang",
+        n_stop.alias("n_stopwords"),
+        F.round(ratio, 6).alias("stopword_ratio"),
+        (ratio > threshold).alias("looks_english"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Composite quality signal: length band + lexical diversity.
+
+    Mirrors the usual LLM-data quality filters (length, repetition,
+    stopword ratio) with deterministic, oracle-checkable arithmetic.
+    """
+    tok = tokens("text")
+    n_tok = F.size(tok)
+    n_uniq = F.size(F.array_distinct(tok))
+    diversity = n_uniq.cast("double") / n_tok.cast("double")
+    stop_ratio = (
+        count_in_set(tok, EN_STOPWORDS).cast("double") / n_tok.cast("double")
+    )
+    score = F.round(
+        0.5 * diversity + 0.3 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + 0.2 * (1.0 - stop_ratio),
+        6,
+    )
+    return documents.select(
+        "doc_id",
+        F.round(diversity, 6).alias("lexical_diversity"),
+        score.alias("quality"),
+        ((n_tok >= 5) & (n_tok <= 1000) & (diversity > 0.3)).alias("keep"),
+    )
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """Deterministic content fingerprint: md5 of normalized text.
+
+    Normalization = lowercase + collapse whitespace. md5 is identical
+    across Spark and DuckDB, so exact-dup detection by fingerprint is
+    oracle-checkable end to end.
+    """
+    normalized = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return documents.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        F.length(normalized).alias("n_chars_norm"),
+    )

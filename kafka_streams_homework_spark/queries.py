@@ -1,0 +1,896 @@
+"""Named-query registry — the engine's public query surface.
+
+Every operator from SURVEY.md §2 (reference inventory) and §7
+(north-star extensions) is exposed as a named query over the driver's
+parquet tables, paired with a DuckDB oracle SQL twin where the
+semantics are SQL-expressible. ``__spark_entry__.py`` re-exports this
+registry as the driver contract.
+
+Parity rules (keep Spark and oracle in lockstep):
+- every computed column is aliased identically on both sides;
+- float aggregates are rounded (2 decimals for money-like sums, 6 for
+  ratios/averages/cosines) on BOTH sides, and thresholds/ranks apply
+  to the ROUNDED value so membership is identical across engines;
+- computed integer columns are cast to bigint on the Spark side
+  (DuckDB len()/count() produce BIGINT);
+- tokenization is the shared contract in functions.tokens (lowercase,
+  split on single space) — mirrored literally in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_homework_spark.operators import dedup as D
+from kafka_streams_homework_spark.operators import multimodal as M
+from kafka_streams_homework_spark.operators import relational as R
+from kafka_streams_homework_spark.operators import similarity as S
+from kafka_streams_homework_spark.operators import text as T
+from kafka_streams_homework_spark.session import apply_runtime_confs
+from kafka_streams_homework_spark.sources.batch import load_table
+from kafka_streams_homework_spark.sources.sink import write_and_read_back
+
+# ---------------------------------------------------------------------------
+# Workload constants (pinned against the sf0.01 distributions so alert
+# and no-alert groups both exist — FIXTURES.md §3).
+# The reference's own constants: window 1 minute
+# (dsl/PriceAlertsApp.java:97), DSL threshold 3000.0 (dsl:29),
+# Processor threshold 10.0 (processor/PriceAlertsApp.java:25).
+# ---------------------------------------------------------------------------
+
+ALERT_THRESHOLD = 150.0          # per-user-minute sum(value); p90≈114
+PRICED_ALERT_THRESHOLD = 100_000.0  # per-brand-day quantity×price; p90≈73k
+Q1_SHIPDATE_CUTOFF = "2001-09-01"
+NGRAM_JACCARD_THRESHOLD = 0.8    # planted near-dups sit at ≈0.97
+EMB_SIM_THRESHOLD = 0.35         # within-label cosine max ≈0.475
+KNN_K = 5
+KNN_QUERY_MAX_ID = 10
+SESSION_GAP = "30 minutes"
+SINK_PATH = "/tmp/kshs_sink/price_alerts"
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None
+    description: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, description: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, description=description)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# Reference surface (SURVEY §2)
+# ===========================================================================
+
+
+@register(
+    "source_scan",
+    oracle="""
+        SELECT event_id, ts, user_id, value
+        FROM events WHERE event_type = 'purchase'
+    """,
+    description="S1/S3: topic scan twin — filtered, pruned parquet scan "
+    "(filter + projection reach the scan via Catalyst pushdown)",
+)
+def q_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+
+
+@register(
+    "latest_by_key",
+    oracle="""
+        SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+               event_type AS last_event_type, value AS last_value
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    description="S2/S4: GlobalKTable semantics — latest record per key "
+    "(dsl/PriceAlertsApp.java:91-95, StateUpdateSupplier.java:35-37)",
+)
+def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    latest = R.latest_by_key(events, ["user_id"], "ts", tiebreak_cols=["event_id"])
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@register(
+    "join_stream_table",
+    oracle="""
+        SELECT event_id, user_id, c_name, c_mktsegment, value, ts
+        FROM events JOIN customer ON user_id = c_custkey
+    """,
+    description="J1/J2 inner: stream ⋈ broadcast dimension (GlobalKTable "
+    "lookup join, dsl/PriceAlertsApp.java:98-103 effective semantics)",
+)
+def q_join_stream_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    joined = R.join_stream_table(
+        events, customer, events["user_id"] == customer["c_custkey"], "inner"
+    )
+    return joined.select("event_id", "user_id", "c_name", "c_mktsegment", "value", "ts")
+
+
+@register(
+    "join_left",
+    oracle="""
+        SELECT event_id, user_id, c_name, c_mktsegment, value
+        FROM events LEFT JOIN customer ON user_id = c_custkey
+    """,
+    description="J1 declared semantics: left join preserving unmatched "
+    "stream records (the reference declares leftJoin at dsl:99 but NPEs "
+    "on a miss; we implement the declared contract)",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    joined = R.join_stream_table(
+        events, customer, events["user_id"] == customer["c_custkey"], "left"
+    )
+    return joined.select("event_id", "user_id", "c_name", "c_mktsegment", "value")
+
+
+@register(
+    "tumbling_window",
+    oracle="""
+        SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1
+    """,
+    description="W1/W2: epoch-aligned 1-minute tumbling window "
+    "(TimeWindows.of(1m).advanceBy(1m), dsl/PriceAlertsApp.java:105-109)",
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    agg = R.windowed_agg(
+        events,
+        [],
+        "ts",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+        "1 minute",
+    )
+    return agg.select(
+        F.col("window.start").alias("window_start"), "n_events", "total_value"
+    )
+
+
+@register(
+    "windowed_sum",
+    oracle="""
+        SELECT user_id, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+               round(sum(value), 2) AS total_sum_per_minute
+        FROM events GROUP BY 1, 2
+    """,
+    description="A1/A2: SUM per (key, 1-minute window) — the reference's "
+    "one aggregate (dsl/PriceAlertsApp.java:110-114)",
+)
+def q_windowed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    agg = R.windowed_sum(events, ["user_id"], "ts", F.col("value"))
+    return agg.select(
+        "user_id",
+        F.col("window.start").alias("window_start"),
+        F.round("total_sum_per_minute", 2).alias("total_sum_per_minute"),
+    )
+
+
+@register(
+    "filter_threshold",
+    oracle=f"""
+        SELECT user_id, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+               round(sum(value), 2) AS total_sum_per_minute
+        FROM events GROUP BY 1, 2
+        HAVING round(sum(value), 2) > {ALERT_THRESHOLD}
+    """,
+    description="P1/P2: HAVING-style threshold on the windowed sum "
+    "(dsl/PriceAlertsApp.java:115, threshold at :29)",
+)
+def q_filter_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.filter_threshold(
+        q_windowed_sum(spark, sf_dir), "total_sum_per_minute", ALERT_THRESHOLD
+    )
+
+
+@register(
+    "project_alert",
+    oracle=f"""
+        SELECT CAST(user_id AS VARCHAR) AS alert_key,
+               CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+               round(sum(value), 2) AS total_sum_per_minute
+        FROM events GROUP BY user_id, date_trunc('minute', ts)
+        HAVING round(sum(value), 2) > {ALERT_THRESHOLD}
+    """,
+    description="P3/W3/P7: reshape to the PriceAlert record — re-key to "
+    "string, extract window.start (dsl/PriceAlertsApp.java:117-133)",
+)
+def q_project_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    agg = R.windowed_sum(events, ["user_id"], "ts", F.col("value"))
+    agg = agg.withColumn(
+        "total_sum_per_minute", F.round("total_sum_per_minute", 2)
+    )
+    alerts = R.filter_threshold(agg, "total_sum_per_minute", ALERT_THRESHOLD)
+    return R.project_alert(alerts, "user_id")
+
+
+@register(
+    "price_alerts",
+    oracle=f"""
+        SELECT CAST(user_id AS VARCHAR) AS alert_key, c_name AS customer_name,
+               CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+               round(sum(value), 2) AS total_sum_per_minute
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY user_id, c_name, date_trunc('minute', ts)
+        HAVING round(sum(value), 2) > {ALERT_THRESHOLD}
+    """,
+    description="FLAGSHIP — the reference's full pipeline (S1+J1+W1+A1+"
+    "P1+P3): stream ⋈ broadcast dim → 1-min tumbling window → SUM → "
+    "threshold → alert projection (dsl/PriceAlertsApp.java:87-134)",
+)
+def q_price_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    enriched = R.join_stream_table(
+        events, customer, events["user_id"] == customer["c_custkey"], "inner"
+    )
+    agg = R.windowed_agg(
+        enriched,
+        ["user_id", "c_name"],
+        "ts",
+        [F.round(F.sum("value"), 2).alias("total_sum_per_minute")],
+        "1 minute",
+    )
+    alerts = R.filter_threshold(agg, "total_sum_per_minute", ALERT_THRESHOLD)
+    return alerts.select(
+        F.col("user_id").cast("string").alias("alert_key"),
+        F.col("c_name").alias("customer_name"),
+        F.col("window.start").alias("window_start"),
+        F.col("total_sum_per_minute").cast("double").alias("total_sum_per_minute"),
+    )
+
+
+@register(
+    "price_alerts_priced",
+    oracle=f"""
+        SELECT p_brand, CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS window_start,
+               round(sum(l_quantity * p_retailprice), 2) AS total_sum_per_day
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, date_trunc('day', l_shipdate)
+        HAVING round(sum(l_quantity * p_retailprice), 2) > {PRICED_ALERT_THRESHOLD}
+    """,
+    description="Flagship at fact-table scale: quantity×price windowed sum "
+    "per brand-day over lineitem⋈part — the reference's adder semantics "
+    "(agg += quantity*price, dsl/PriceAlertsApp.java:112) on the big table",
+)
+def q_price_alerts_priced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    enriched = R.join_stream_table(
+        lineitem, part, lineitem["l_partkey"] == part["p_partkey"], "inner"
+    )
+    agg = R.windowed_agg(
+        enriched,
+        ["p_brand"],
+        "l_shipdate",
+        [
+            F.round(F.sum(F.col("l_quantity") * F.col("p_retailprice")), 2).alias(
+                "total_sum_per_day"
+            )
+        ],
+        "1 day",
+    )
+    alerts = R.filter_threshold(agg, "total_sum_per_day", PRICED_ALERT_THRESHOLD)
+    return alerts.select(
+        "p_brand",
+        F.col("window.start").alias("window_start"),
+        "total_sum_per_day",
+    )
+
+
+@register(
+    "sink_write",
+    oracle=f"""
+        SELECT CAST(user_id AS VARCHAR) AS alert_key, c_name AS customer_name,
+               CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+               round(sum(value), 2) AS total_sum_per_minute
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY user_id, c_name, date_trunc('minute', ts)
+        HAVING round(sum(value), 2) > {ALERT_THRESHOLD}
+    """,
+    description="S5/S6: sink round-trip — write the flagship alerts to "
+    "parquet and read them back (.to(RESULT_TOPIC), dsl/PriceAlertsApp.java:134)",
+)
+def q_sink_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    alerts = q_price_alerts(spark, sf_dir)
+    return write_and_read_back(alerts, spark, SINK_PATH)
+
+
+# ===========================================================================
+# Relational breadth (free in Spark; exercised for bench + scale audits)
+# ===========================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{Q1_SHIPDATE_CUTOFF} 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1 shape: full-scan hash aggregate with partial "
+    "(map-side) aggregation — the canonical scan-agg benchmark",
+)
+def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_SHIPDATE_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+        SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    description="TPC-H Q3 shape: selective dim filter → broadcast join → "
+    "agg → top-10 (TakeOrderedAndProject, no global sort)",
+)
+def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"]
+        )
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    oracle="""
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    description="TPC-H Q5 shape: 6-way star join (all dims broadcast; the "
+    "fact table never shuffles pre-agg) → revenue per nation",
+)
+def q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(
+            F.broadcast(supplier),
+            (li["l_suppkey"] == supplier["s_suppkey"])
+            & (customer["c_nationkey"] == supplier["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               min(value) AS min_value, max(value) AS max_value,
+               round(avg(value), 6) AS avg_value,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    description="§2.4 engine agg surface: count/distinct/min/max/avg/sum "
+    "in one pass (reference has SUM only; the rest is free in Spark)",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+        SELECT event_type, event_id, value, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT event_type, event_id, value, row_number() OVER (
+                PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rank
+            FROM events
+        ) WHERE rank <= 3
+    """,
+    description="North-star topk: top-3 per group via ranked window; "
+    "Spark's WindowGroupLimit makes this a partial top-k before shuffle",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    top = R.topk_per_group(events, ["event_type"], "value", 3, ["event_id"])
+    return top.select(
+        "event_type", "event_id", "value", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "sessionize",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM sess GROUP BY user_id, sess_id
+    """,
+    description="North-star sessionize: gap-based session windows "
+    "(F.session_window; oracle = gaps-and-islands SQL)",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    sess = R.sessionize(
+        events,
+        ["user_id"],
+        "ts",
+        SESSION_GAP,
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+    return sess.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "json_extract",
+    oracle="""
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        FROM events
+    """,
+    description="North-star json_extract on events.props "
+    "(get_json_object — JVM-side JSON path evaluation)",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return R.json_extract(events, "props", "k", "prop_k", "long").select(
+        "event_id", "prop_k"
+    )
+
+
+# ===========================================================================
+# Text analysis (north-star §7, over documents)
+# ===========================================================================
+
+_STOPWORD_SQL = "', '".join(T.EN_STOPWORDS)
+
+
+@register(
+    "text_stats",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(len(str_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(str_split(lower(text), ' '))) AS BIGINT) AS n_uniq_tokens
+        FROM documents
+    """,
+    description="Text surface stats per document (length / token counts), "
+    "pure JVM-side expressions",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    stats = T.text_stats(docs)
+    return stats.select(
+        "doc_id",
+        F.col("n_chars_calc").cast("long").alias("n_chars_calc"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_uniq_tokens").cast("long").alias("n_uniq_tokens"),
+    )
+
+
+@register(
+    "token_count",
+    oracle="""
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(str_split(lower(text), ' ')) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+    """,
+    description="Global token frequency (explode → partial agg → top-20)",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.token_frequencies(docs, 20)
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+        SELECT doc_id, lang,
+               CAST(len(list_filter(str_split(lower(text), ' '),
+                    x -> x IN ('{_STOPWORD_SQL}'))) AS BIGINT) AS n_stopwords,
+               round(len(list_filter(str_split(lower(text), ' '),
+                    x -> x IN ('{_STOPWORD_SQL}')))::DOUBLE
+                     / len(str_split(lower(text), ' ')), 6) AS stopword_ratio,
+               (len(list_filter(str_split(lower(text), ' '),
+                    x -> x IN ('{_STOPWORD_SQL}')))::DOUBLE
+                     / len(str_split(lower(text), ' '))) > 0.1 AS looks_english
+        FROM documents
+    """,
+    description="Heuristic language ID: stopword-ratio scorer per doc",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = T.lang_id_heuristic(docs, 0.1)
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("n_stopwords").cast("long").alias("n_stopwords"),
+        "stopword_ratio",
+        "looks_english",
+    )
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   len(tok) AS n_tok,
+                   len(list_distinct(tok)) AS n_uniq,
+                   len(list_filter(tok, x -> x IN ('{_STOPWORD_SQL}'))) AS n_stop
+            FROM t
+        )
+        SELECT doc_id,
+               round(n_uniq::DOUBLE / n_tok, 6) AS lexical_diversity,
+               round(0.5 * (n_uniq::DOUBLE / n_tok)
+                     + 0.3 * least(n_tok / 100.0, 1.0)
+                     + 0.2 * (1.0 - n_stop::DOUBLE / n_tok), 6) AS quality,
+               (n_tok >= 5 AND n_tok <= 1000
+                AND n_uniq::DOUBLE / n_tok > 0.3) AS keep
+        FROM m
+    """,
+    description="Composite quality score (diversity + length band + "
+    "stopword ratio) — the standard LLM-data quality-filter shape",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.quality_score(docs)
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+               CAST(length(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS BIGINT) AS n_chars_norm
+        FROM documents
+    """,
+    description="Deterministic document fingerprint (md5 of normalized "
+    "text) — exact-dup detection key",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = T.doc_fingerprint(docs)
+    return out.select(
+        "doc_id",
+        "fingerprint",
+        F.col("n_chars_norm").cast("long").alias("n_chars_norm"),
+    )
+
+
+# ===========================================================================
+# Deduplication (north-star §7)
+# ===========================================================================
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS content_hash,
+               min(doc_id) AS keep_doc_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    description="Exact dedup: hash-groupBy on content hash, keep min id",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dup_groups(docs)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok FROM documents
+        ), s AS (
+            SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, len(tok) - 2),
+                       i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
+            FROM t WHERE len(tok) >= 3
+        ), sizes AS (
+            SELECT doc_id, len(sh) AS n_sh FROM s
+        ), e AS (
+            SELECT doc_id, unnest(sh) AS shingle FROM s
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6)
+              >= {NGRAM_JACCARD_THRESHOLD}
+    """,
+    description="Exact trigram-Jaccard near-dup pairs via shingle "
+    "equi-join (never O(n²); candidate fanout capped by shingle rarity)",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, 3, NGRAM_JACCARD_THRESHOLD)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # hash-dependent candidate set; verified vs exact in tests
+    description="MinHash(32)+LSH(8 bands) near-dup pairs, verified with "
+    "exact Jaccard — rows-only driver check; recall measured in pytest "
+    "against dedup_ngram_jaccard",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, 3, 32, 8, NGRAM_JACCARD_THRESHOLD)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # signature bits depend on xxhash64 — not SQL-portable
+    description="SimHash(64-bit) signatures + banded Hamming≤3 pairs — "
+    "rows-only driver check; properties tested in pytest",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, 3, 3)
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        )
+        SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_inner_product(a.v, b.v)
+                     / (sqrt(list_inner_product(a.v, a.v))
+                        * sqrt(list_inner_product(b.v, b.v))), 6) AS sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_inner_product(a.v, b.v)
+                    / (sqrt(list_inner_product(a.v, a.v))
+                       * sqrt(list_inner_product(b.v, b.v))), 6)
+              >= {EMB_SIM_THRESHOLD}
+    """,
+    description="Embedding near-dup: cosine ≥ τ within a blocking key "
+    "(label) — blocked pair generation, JVM-side cosine",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_pairs_within_label(emb, EMB_SIM_THRESHOLD)
+
+
+# ===========================================================================
+# Similarity search (north-star §7)
+# ===========================================================================
+
+
+@register(
+    "knn_bruteforce",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), q AS (
+            SELECT * FROM e WHERE vec_id < {KNN_QUERY_MAX_ID}
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_inner_product(q.v, c.v)
+                         / (sqrt(list_inner_product(q.v, q.v))
+                            * sqrt(list_inner_product(c.v, c.v))), 6) AS sim
+            FROM q JOIN e c ON c.vec_id != q.vec_id
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {KNN_K}
+    """,
+    description="Exact ANN baseline: brute-force cosine top-k, query set "
+    "broadcast to the corpus scan (corpus never shuffles)",
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding"
+    )
+    out = S.knn_bruteforce(emb, queries, KNN_K)
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "knn_ivf",
+    oracle=None,  # approximate by design; recall vs brute force in pytest
+    description="IVF-partitioned ANN (cells = label clustering, centroid "
+    "probe, nprobe=3) — scale path: probes scan nprobe/ncells of corpus",
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding"
+    )
+    out = S.knn_ivf(emb, queries, KNN_K, nprobe=3)
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# ===========================================================================
+# Multimodal (north-star §7)
+# ===========================================================================
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                    ELSE 'audio/wav' END AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+               CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height
+        FROM documents
+    """,
+    description="Multimodal plumbing: binary payload column + mapInPandas "
+    "decode (stubbed codec, real Arrow batch path)",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return M.decode_stub(M.to_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# Driver contract accessors
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

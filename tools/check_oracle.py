@@ -1,0 +1,117 @@
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Runs every queries() entry at a given sf_dir and compares against its
+oracle_sql() twin: row count, sorted-column schema names, and an
+order-insensitive value hash (per-cell stringification with float
+normalization). Prints one line per query.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+from kafka_streams_homework_spark.session import get_spark  # noqa: E402
+from kafka_streams_homework_spark.sources.batch import TABLES  # noqa: E402
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(bool(v)).lower()
+    return str(v)
+
+
+def table_digest(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x01".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    import hashlib
+
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {ex}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            orows = rel.fetchall()
+            ocols = [d[0] for d in rel.description]
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            failures += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} vs {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        else:
+            sh = table_digest([r[::1] for r in srows], scols)
+            oh = table_digest(orows, ocols)
+            if sh != oh:
+                problems.append("value-hash mismatch")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            failures += 1
+            # show a sample diff
+            sset = {
+                tuple(norm_cell(r[i]) for i in sorted(range(len(scols)), key=lambda i: scols[i]))
+                for r in srows
+            }
+            oset = {
+                tuple(norm_cell(r[i]) for i in sorted(range(len(ocols)), key=lambda i: ocols[i]))
+                for r in orows
+            }
+            for x in list(sset - oset)[:3]:
+                print(f"      spark-only: {x}")
+            for x in list(oset - sset)[:3]:
+                print(f"      duckdb-only: {x}")
+        else:
+            print(f"OK    {name}: {len(srows)} rows")
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
