@@ -28,21 +28,21 @@ def distinct_tokens(text: Column | str) -> Column:
 def shingles(tok: Column, n: int = 3) -> Column:
     """Token-level n-gram shingles of a token array, as array<string>.
 
-    Pure SQL (transform over an index sequence; Spark arrays are
-    0-indexed in SQL lambdas). Docs shorter than n tokens yield an
+    Pure SQL via slice + arrays_zip: the token array is referenced only
+    n times total (not n × num_shingles), so physical-plan
+    subexpression elimination evaluates the upstream tokenization once
+    per row. (An earlier element_at-in-lambda formulation re-evaluated
+    split() per shingle element — ~15× slower; no CSE inside
+    higher-order-function lambdas.) Docs shorter than n tokens yield an
     empty array.
     """
-    def make(i: Column) -> Column:
-        parts: list[Column] = []
-        for j in range(n):
-            if j:
-                parts.append(F.lit(" "))
-            parts.append(F.element_at(tok, (i + F.lit(j + 1)).cast("int")))
-        return F.concat(*parts)
-
+    m = F.size(tok) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(tok, j + 1, m) for j in range(n)])
+    made = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
+    )
     empty = F.array().cast("array<string>")
-    seq = F.sequence(F.lit(0), F.size(tok) - n)
-    return F.when(F.size(tok) < n, empty).otherwise(F.transform(seq, make))
+    return F.when(F.size(tok) < n, empty).otherwise(made)
 
 
 def fold_sum(arr: Column) -> Column:

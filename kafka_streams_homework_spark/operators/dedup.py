@@ -65,49 +65,72 @@ def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,
     threshold: float = 0.8,
-    max_docs_per_shingle: int | None = None,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard similarity pairs ≥ threshold.
 
-    Plan: distinct shingles per doc → explode → self-equi-join on the
-    shingle → count shared shingles per pair → |A∪B| = |A|+|B|-|A∩B|.
-    Only pairs sharing ≥1 shingle are ever materialized, so the join —
-    not a crossJoin — bounds the cost.
+    Exact, with AllPairs-style *prefix filtering* (Bayardo et al.,
+    "Scaling Up All Pairs Similarity Search", WWW'07): if
+    J(A,B) ≥ τ, then the ⌊(1-τ)|X|⌋+1 globally-rarest shingles of A
+    and B must intersect — so the candidate self-join runs only on
+    each doc's rarest-prefix shingles (hashed to int64), shrinking the
+    join fanout by orders of magnitude versus joining on every
+    shingle. Candidates are then verified with the exact shingle-set
+    intersection, so the result is identical to the naive O(n²)
+    computation.
 
-    `max_docs_per_shingle`: at corpus scale, shingles occurring in huge
-    numbers of documents are boilerplate; dropping them caps the
-    quadratic fanout of the candidate join (standard trick in
-    large-scale dedup pipelines).
+    Plan shape at 100 TB: one agg for global shingle frequencies, one
+    per-doc sort+slice for prefixes, an equi-join on rare (thus
+    low-fanout) int64 keys, and a verify join against the (doc →
+    shingle-set) table. No crossJoin anywhere; every shuffle key is
+    either a rare shingle hash or a doc id.
     """
-    sh = _doc_shingles(documents, n)
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
-
-    if max_docs_per_shingle is not None:
-        df_counts = exploded.groupBy("shingle").agg(
-            F.count(F.lit(1)).alias("df")
-        )
-        exploded = (
-            exploded.join(
-                F.broadcast(df_counts.filter(F.col("df") > max_docs_per_shingle)),
-                "shingle",
-                "left_anti",
-            )
-        )
-
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    sh = _doc_shingles(documents, n).select(
+        "doc_id", "sh", F.size("sh").alias("n_sh")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jaccard = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    # int64-hash shingles once; joins and frequency counts run on longs.
+    exploded = sh.select(
+        "doc_id", F.explode("sh").alias("shingle")
+    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+
+    freq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).cast("int")
+    prefixes = (
+        exploded.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("ranked"))
+        .join(sh.select("doc_id", "n_sh"), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.slice("ranked", 1, prefix_len), lambda s: s["h"]
+                )
+            ).alias("h"),
+        )
+    )
+
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jaccard = inter / (F.col("n_a") + F.col("n_b") - inter)
     return (
-        inter.join(sa, "doc_a")
+        candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", F.round(jaccard, 6))
         .filter(F.col("jaccard") >= threshold)
