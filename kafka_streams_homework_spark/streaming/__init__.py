@@ -1,0 +1,21 @@
+"""Structured Streaming pipelines — streaming parity for the reference.
+
+The reference's runtime semantics fork (SURVEY.md §2.5):
+
+- DSL variant: windowed KTable emits ON UPDATE (no suppress(),
+  dsl/PriceAlertsApp.java:110-116) → ``outputMode("update")``.
+- Processor variant: emits each window ONCE when closed, then deletes
+  state (PurchaseQuantityAlertTrasformer.java:56-90) →
+  ``withWatermark(...)`` + ``outputMode("append")`` (watermark GC
+  replaces the manual range-scan-and-delete).
+- Exact wall-clock-timer emission (punctuator, transformer:33) →
+  stateful.windowed_sum_stateful (applyInPandasWithState).
+"""
+
+from kafka_streams_homework_spark.streaming.price_alerts import (
+    price_alerts_stream,
+    run_to_memory,
+)
+from kafka_streams_homework_spark.streaming.stateful import windowed_sum_stateful
+
+__all__ = ["price_alerts_stream", "run_to_memory", "windowed_sum_stateful"]

@@ -1,0 +1,78 @@
+"""The reference pipeline under Structured Streaming.
+
+Same logical plan as queries.q_price_alerts, but over a streaming
+DataFrame: stream ⋈ broadcast static dimension (stream-static join ≡
+GlobalKTable lookup), tumbling window sum, threshold, alert projection.
+
+Emission semantics are selected by ``mode``:
+- "update": every trigger emits changed (key, window) aggregates — the
+  DSL variant's emit-on-update (no watermark required; state is kept
+  indefinitely unless a watermark is also set).
+- "append": a window is emitted exactly once, when the event-time
+  watermark passes its end; Spark then drops its state — the Processor
+  variant's emit-once + state-GC (range scan + delete,
+  PurchaseQuantityAlertTrasformer.java:56-90), with *documented*
+  late-data handling instead of the reference's silent drop-and-leak
+  (SURVEY.md §2.5).
+
+Scale notes: the stream side never shuffles for the dimension join
+(broadcast); the windowed agg shuffles on (key, window) with partial
+aggregation per micro-batch; state store backend should be RocksDB
+(`spark.sql.streaming.stateStore.providerClass`) for large key spaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def price_alerts_stream(
+    events_stream: DataFrame,
+    dim: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    dim_key_col: str = "c_custkey",
+    window: str = "1 minute",
+    threshold: float = 150.0,
+    mode: str = "update",
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """Build the streaming alert DataFrame (unstarted: caller attaches
+    a sink via run_to_memory / writeStream)."""
+    enriched = events_stream.join(
+        F.broadcast(dim), events_stream[key_col] == dim[dim_key_col], "inner"
+    )
+    if mode == "append":
+        enriched = enriched.withWatermark(ts_col, watermark_delay)
+    agg = enriched.groupBy(
+        F.col(key_col), F.window(F.col(ts_col), window)
+    ).agg(F.round(F.sum(value_col), 2).alias("total_sum_per_minute"))
+    alerts = agg.filter(F.col("total_sum_per_minute") > threshold)
+    return alerts.select(
+        F.col(key_col).cast("string").alias("alert_key"),
+        F.col("window.start").alias("window_start"),
+        F.col("total_sum_per_minute"),
+    )
+
+
+def run_to_memory(
+    spark: SparkSession,
+    alerts: DataFrame,
+    query_name: str,
+    mode: str = "update",
+) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink
+    (availableNow trigger — processes all available input as one or
+    more micro-batches, then stops) and return the sink contents."""
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -1,0 +1,88 @@
+"""Dedup + similarity: correctness of exact ops, recall of approximate
+ops against their exact oracles, on the driver's documents/embeddings."""
+
+from __future__ import annotations
+
+import math
+
+from kafka_streams_homework_spark.operators import dedup as D
+from kafka_streams_homework_spark.operators import similarity as S
+from kafka_streams_homework_spark.sources.batch import load_table
+
+TAU = 0.8
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_and_precision(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = _pairs(D.ngram_jaccard_pairs(docs, 3, TAU))
+    lsh = _pairs(D.minhash_lsh_pairs(docs, 3, 32, 8, TAU))
+    assert exact, "fixture should contain planted near-dups"
+    # no false positives (every LSH pair is verified with exact jaccard)
+    assert lsh <= exact
+    # banding (8 bands × 4 rows) at j≈0.97 → recall ≥ 90%
+    assert len(lsh) >= 0.9 * len(exact)
+
+
+def test_simhash_flags_planted_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = _pairs(D.ngram_jaccard_pairs(docs, 3, TAU))
+    sim = _pairs(D.simhash_pairs(docs, 3, 3).select("doc_a", "doc_b"))
+    # simhash at hamming<=3 is a weaker detector: every detected pair
+    # should be a true near-dup, and it should find a decent fraction
+    assert sim <= exact
+    assert len(sim) >= 0.3 * len(exact)
+
+
+def test_exact_dup_groups_partition_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    groups = D.exact_dup_groups(docs)
+    total = groups.agg({"n_copies": "sum"}).collect()[0][0]
+    assert total == docs.count()
+
+
+def test_knn_bruteforce_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64") for r in rows}
+    queries = emb.filter("vec_id < 3").select("vec_id", "embedding")
+    got = S.knn_bruteforce(emb, queries, 5).collect()
+    for qid in [0, 1, 2]:
+        q = vecs[qid]
+        sims = {
+            vid: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+            for vid, v in vecs.items()
+            if vid != qid
+        }
+        expect = sorted(sims, key=lambda v: (-round(sims[v], 6), v))[:5]
+        mine = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == qid]
+        assert mine == expect
+        for r in got:
+            if r.query_id == qid:
+                assert math.isclose(r.sim, round(sims[r.neighbor_id], 6), abs_tol=1e-6)
+
+
+def test_knn_ivf_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 10").select("vec_id", "embedding")
+    exact = {
+        (r.query_id, r.neighbor_id) for r in S.knn_bruteforce(emb, queries, 5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in S.knn_ivf(emb, queries, 5, nprobe=3).collect()
+    }
+    # the fixture's label clustering is weak (within-label cosine ≤0.48),
+    # so nprobe=3/10 recovers a modest fraction — the scan-volume/recall
+    # trade is the point of IVF
+    assert len(approx & exact) >= 0.25 * len(exact)
+    # probing every cell must recover the exact result
+    all_cells = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_ivf(emb, queries, 5, nprobe=10).collect()
+    }
+    assert all_cells == exact

@@ -1,0 +1,104 @@
+"""Operator-level unit tests (batch semantics)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kafka_streams_homework_spark.functions import cosine_similarity, shingles, tokens
+from kafka_streams_homework_spark.operators import relational as R
+from tests.conftest import ts
+
+
+def test_latest_by_key_picks_max_order_col(spark):
+    df = spark.createDataFrame(
+        [(1, ts(1), "a"), (1, ts(3), "b"), (1, ts(2), "c"), (2, ts(0), "d")],
+        "k long, ts timestamp, v string",
+    )
+    out = {r.k: r.v for r in R.latest_by_key(df, ["k"], "ts").collect()}
+    assert out == {1: "b", 2: "d"}
+
+
+def test_latest_by_key_tiebreak_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, ts(1), 10, "lo"), (1, ts(1), 20, "hi")],
+        "k long, ts timestamp, seq long, v string",
+    )
+    out = R.latest_by_key(df, ["k"], "ts", tiebreak_cols=["seq"]).collect()
+    assert len(out) == 1 and out[0].v == "hi"
+
+
+def test_tumbling_window_epoch_alignment(spark):
+    df = spark.createDataFrame([(ts(7, 59),)], "ts timestamp")
+    w = R.tumbling_window(df, "ts", "1 minute").select("window.*").collect()[0]
+    assert w.start == dt.datetime(2024, 1, 1, 0, 7, 0)
+    assert w.end == dt.datetime(2024, 1, 1, 0, 8, 0)
+
+
+def test_windowed_sum_groups_by_key_and_window(spark):
+    df = spark.createDataFrame(
+        [(1, ts(1, 10), 5.0), (1, ts(1, 50), 7.0), (1, ts(2, 10), 11.0), (2, ts(1), 1.0)],
+        "k long, ts timestamp, v double",
+    )
+    agg = R.windowed_sum(df, ["k"], "ts", F.col("v"))
+    rows = {(r.k, r["window"].start.minute): r.total_sum_per_minute for r in agg.collect()}
+    assert rows == {(1, 1): 12.0, (1, 2): 11.0, (2, 1): 1.0}
+
+
+def test_topk_per_group_ties_break_on_id(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 5.0), ("a", 3, 4.0), ("b", 4, 1.0)],
+        "g string, id long, v double",
+    )
+    out = R.topk_per_group(df, ["g"], "v", 2, ["id"]).collect()
+    got = {(r.g, r.id): r.rank for r in out}
+    assert got == {("a", 1): 1, ("a", 2): 2, ("b", 4): 1}
+
+
+def test_sessionize_gap_semantics(spark):
+    # events at minute 0, 10, 50 with a 30-minute gap → sessions {0,10} and {50}
+    df = spark.createDataFrame(
+        [(1, ts(0)), (1, ts(10)), (1, ts(50))], "user_id long, ts timestamp"
+    )
+    sess = R.sessionize(df, ["user_id"], "ts", "30 minutes")
+    starts = sorted(r["session_window"].start.minute for r in sess.collect())
+    assert starts == [0, 50]
+
+
+def test_dedup_exact_subset(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "id long, t string"
+    )
+    assert R.dedup_exact(df, ["t"]).count() == 2
+
+
+def test_json_extract_typed(spark):
+    df = spark.createDataFrame([(1, '{"k": 42}'), (2, "not json")], "id long, props string")
+    out = {r.id: r.k for r in R.json_extract(df, "props", "k", "k", "long").collect()}
+    assert out == {1: 42, 2: None}
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",), ("",)], "text string")
+    out = df.select(
+        F.size(tokens("text")).alias("nt"),
+        shingles(tokens("text"), 3).alias("sh"),
+    ).collect()
+    assert out[0].nt == 4 and out[0].sh == ["a b c", "b c d"]
+    assert out[1].sh == []  # shorter than n
+    assert out[2].nt == 1  # split('') -> [''] — DuckDB str_split parity
+
+
+def test_cosine_similarity_exact(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    sims = [
+        round(r.s, 9)
+        for r in df.select(cosine_similarity(F.col("a"), F.col("b")).alias("s")).collect()
+    ]
+    assert sims[0] == 0.0
+    assert sims[1] == 1.0
+    assert abs(sims[2] - 0.707106781) < 1e-9

@@ -1,0 +1,61 @@
+"""Plan-shape tests — the 100 TB design stance, made assertable.
+
+These check the *physical plan*, not results: dimension joins must be
+broadcast (stream side unshuffled), scans must prune columns and push
+filters, window top-k must not global-sort.
+"""
+
+from __future__ import annotations
+
+from kafka_streams_homework_spark import queries as Q
+from kafka_streams_homework_spark.plans import (
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_join,
+    physical_plan,
+)
+
+
+def test_flagship_uses_broadcast_join(spark, sf_dir):
+    df = Q.q_price_alerts(spark, sf_dir)
+    assert has_broadcast_join(df), physical_plan(df)
+    # one shuffle only: the (key, window) aggregation exchange
+    assert count_exchanges(df) <= 1, physical_plan(df)
+
+
+def test_source_scan_pushes_filter_and_prunes_columns(spark, sf_dir):
+    df = Q.q_source_scan(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)" in plan, plan
+    # props (the widest column) must not be read
+    assert "props" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q1_is_two_phase_agg_single_exchange(spark, sf_dir):
+    df = Q.q_q1(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "HashAggregate" in plan
+    assert count_exchanges(df) == 1, plan  # partial→final agg, one shuffle
+    # shipdate filter reaches the parquet scan
+    assert "PushedFilters" in formatted_plan(df)
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    df = Q.q_q5(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    df = Q.q_topk(spark, sf_dir)
+    plan = physical_plan(df)
+    # Spark rewrites rank<=k into a partial per-partition top-k before
+    # the shuffle (WindowGroupLimit) — no global sort of the fact table
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
+    df = Q.q_knn_bruteforce(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan

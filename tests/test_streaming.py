@@ -1,0 +1,171 @@
+"""Streaming parity tests (SURVEY.md §2.5 semantics fork).
+
+File-source streams over deterministic parquet fixtures stand in for
+Kafka topics (no broker in CI); the logical plans are identical.
+
+- update mode ≡ DSL emit-on-update (dsl/PriceAlertsApp.java:110-116)
+- append mode + watermark ≡ Processor emit-once + state GC
+  (PurchaseQuantityAlertTrasformer.java:56-90)
+- stateful op ≡ the hand-built transformer with timers (U4)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+import pytest
+
+from kafka_streams_homework_spark.streaming import (
+    price_alerts_stream,
+    run_to_memory,
+    windowed_sum_stateful,
+)
+from tests.conftest import ts
+
+EVENTS_SCHEMA = "user_id long, ts timestamp, value double"
+DIM_SCHEMA = "c_custkey long, c_name string"
+
+
+def _write_events(spark, tmp_path, batches):
+    """Write each batch as its own parquet file so maxFilesPerTrigger=1
+    replays them as separate micro-batches (deterministic watermark
+    advancement — the TopologyTestDriver.advanceWallClockTime twin).
+
+    The file source orders files by modification time; rapid writes tie,
+    so stamp strictly increasing mtimes to pin the replay order."""
+    import glob
+    import os
+
+    path = str(tmp_path / f"events-{uuid.uuid4().hex[:8]}")
+    seen: set[str] = set()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        current = set(glob.glob(f"{path}/*.parquet"))
+        for f in current - seen:
+            os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+        seen = current
+    return path
+
+
+def _stream(spark, path):
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+@pytest.fixture()
+def dim(spark):
+    return spark.createDataFrame([(1, "u1"), (2, "u2")], DIM_SCHEMA)
+
+
+def test_update_mode_emits_on_update(spark, tmp_path, dim):
+    """DSL semantics: every triggering batch re-emits the changed
+    aggregate — 2 batches touching the same window → 2 emissions with
+    the running sums."""
+    path = _write_events(
+        spark,
+        tmp_path,
+        [
+            [(1, ts(5, 10), 100.0), (1, ts(5, 20), 60.0)],  # sum 160 > 150
+            [(1, ts(5, 30), 40.0)],  # running sum 200
+        ],
+    )
+    out = run_to_memory(
+        spark,
+        price_alerts_stream(_stream(spark, path), dim, mode="update"),
+        f"upd_{uuid.uuid4().hex[:8]}",
+        mode="update",
+    ).collect()
+    sums = sorted(r.total_sum_per_minute for r in out)
+    assert sums == [160.0, 200.0]
+    assert all(r.alert_key == "1" for r in out)
+    assert all(r.window_start == dt.datetime(2024, 1, 1, 0, 5) for r in out)
+
+
+def test_append_mode_emits_once_after_watermark(spark, tmp_path, dim):
+    """Processor semantics: the window is emitted exactly once, when the
+    watermark passes its end; late batches for it never re-emit."""
+    path = _write_events(
+        spark,
+        tmp_path,
+        [
+            [(1, ts(5, 10), 100.0), (1, ts(5, 20), 60.0)],
+            # watermark pusher: ts(20) - 2min delay >> window [5,6) end
+            [(2, ts(20, 0), 1.0)],
+        ],
+    )
+    out = run_to_memory(
+        spark,
+        price_alerts_stream(
+            _stream(spark, path), dim, mode="append", watermark_delay="2 minutes"
+        ),
+        f"app_{uuid.uuid4().hex[:8]}",
+        mode="append",
+    ).collect()
+    assert len(out) == 1  # emit-once: final result only
+    assert out[0].alert_key == "1" and out[0].total_sum_per_minute == 160.0
+
+
+def test_append_mode_drops_data_later_than_watermark(spark, tmp_path, dim):
+    """Documented late-data contract (vs the reference's silent
+    drop-and-leak): once the watermark has closed a window and its
+    state is evicted, later records for it are dropped.
+
+    Semantics note (pinned by this test): Spark's watermark is a
+    *bound*, not a guillotine — a late record landing in the SAME
+    micro-batch where the window is first evicted still merges
+    (merge-then-evict order). Only records arriving after eviction are
+    dropped, which is why an intermediate batch sits between the
+    watermark-advancing record and the late one."""
+    path = _write_events(
+        spark,
+        tmp_path,
+        [
+            [(1, ts(5, 10), 200.0)],
+            [(2, ts(30, 0), 1.0)],  # watermark → 28:00 (effective next batch)
+            [(2, ts(35, 0), 1.0)],  # eviction batch: emits [5,6) = 200
+            [(1, ts(5, 50), 500.0)],  # late: state for [5,6) already gone
+            [(2, ts(40, 0), 1.0)],  # closes the 30:00/35:00 windows
+        ],
+    )
+    out = run_to_memory(
+        spark,
+        price_alerts_stream(
+            _stream(spark, path), dim, mode="append", watermark_delay="2 minutes"
+        ),
+        f"late_{uuid.uuid4().hex[:8]}",
+        mode="append",
+    ).collect()
+    # the late 500 is dropped: only the original 200 for window [5,6),
+    # and it is never re-emitted (threshold filters out the 1.0 windows)
+    assert [r.total_sum_per_minute for r in out] == [200.0]
+
+
+def test_stateful_windowed_sum_emits_closed_windows_once(spark, tmp_path):
+    """U4 twin: applyInPandasWithState accumulates per-window sums,
+    emits each window once when the watermark closes it, deletes state
+    (transformer:37-50 + 56-90)."""
+    path = _write_events(
+        spark,
+        tmp_path,
+        [
+            [(1, ts(5, 10), 100.0), (1, ts(5, 20), 60.0), (1, ts(6, 10), 10.0)],
+            [(1, ts(20, 0), 1.0)],  # watermark → closes [5,6) and [6,7)
+        ],
+    )
+    alerts = windowed_sum_stateful(
+        _stream(spark, path), threshold=150.0, watermark_delay="2 minutes"
+    )
+    out = run_to_memory(
+        spark, alerts, f"st_{uuid.uuid4().hex[:8]}", mode="append"
+    ).collect()
+    # [5,6) sums to 160 > 150 → alert; [6,7) sums to 10 → filtered
+    assert len(out) == 1
+    assert out[0].alert_key == "1"
+    assert out[0].window_start_ms == int(ts(5).timestamp() * 1000)
+    assert out[0].total_sum_per_minute == 160.0
