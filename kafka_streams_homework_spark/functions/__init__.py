@@ -45,6 +45,23 @@ def shingles(tok: Column, n: int = 3) -> Column:
     return F.when(F.size(tok) < n, empty).otherwise(made)
 
 
+def shingle_hashes(tok: Column, n: int = 3) -> Column:
+    """Distinct xxhash64 of each token n-gram, as array<bigint>.
+
+    Hashes the n token columns directly (xxhash64 is variadic) instead
+    of materializing concatenated shingle strings — equality of hashed
+    n-grams matches equality of the string shingles (tokens contain no
+    separator character; collisions are 2^-64-negligible), and the
+    string allocation per shingle disappears. Near-dup operators join
+    and intersect on these longs; the strings never exist.
+    """
+    m = F.size(tok) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(tok, j + 1, m) for j in range(n)])
+    hashed = F.transform(zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(n)]))
+    empty = F.array().cast("array<bigint>")
+    return F.when(F.size(tok) < n, empty).otherwise(F.array_distinct(hashed))
+
+
 def fold_sum(arr: Column) -> Column:
     """Sequential left-fold sum over an array<double> (deterministic
     order — matches DuckDB list evaluation for oracle parity)."""

@@ -5,19 +5,27 @@ All four near-dup strategies stay entirely JVM-side — hashing uses
 generation is explode+join. No Python UDFs anywhere, so these scale as
 ordinary shuffles.
 
+Shared substrate: every near-dup op starts from ONE per-doc table of
+distinct hashed shingles (`_doc_shingle_hashes`) — tokenization and
+n-gram hashing run exactly once per document (the table is persisted,
+since three-to-four plan branches reuse it), shingle *strings* are never
+materialized (token triples hash directly via variadic xxhash64), and
+all downstream joins/intersections run on int64s.
+
 Scale design (100 TB corpus):
-- ngram_jaccard_pairs: exact, but the candidate join is on *shingles*
-  (rare), not tokens (common) — at scale you additionally cap candidate
-  fanout per shingle (drop shingles appearing in > N docs: they are
-  boilerplate and explode quadratically). `max_docs_per_shingle` does
-  this.
+- ngram_jaccard_pairs: exact, with AllPairs prefix filtering — the
+  candidate join runs only on each doc's globally-rarest shingles, so
+  fanout stays bounded; boilerplate shingles never join.
 - minhash_lsh_pairs: signature is k minima of seeded xxhash64 — one
-  groupBy; banding turns O(n²) verification into bucket joins. The
-  band-bucket join key is (band_idx, band_hash), which distributes
-  uniformly by construction.
+  narrow projection; banding turns O(n²) verification into bucket
+  joins. The band-bucket join key is (band_idx, band_hash), which
+  distributes uniformly by construction.
 - simhash: 64-bit signature per doc in one aggregation; near-dup =
   small Hamming distance, candidate generation by 4×16-bit band
   equality (any pair within Hamming distance 3 shares ≥1 band).
+- the persisted shingle table is (doc_id, array<long>) — at 100 TB
+  this is ~2 orders of magnitude smaller than the corpus text; use
+  StorageLevel.DISK_ONLY there if memory-pressured.
 """
 
 from __future__ import annotations
@@ -25,7 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kafka_streams_homework_spark.functions import shingles, tokens
+from kafka_streams_homework_spark.functions import shingle_hashes, tokens
+from kafka_streams_homework_spark.sources.batch import spread
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -49,16 +58,52 @@ def exact_dup_groups(documents: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Exact n-gram Jaccard (the verification-grade near-dup)
+# Shared shingle substrate
 # ---------------------------------------------------------------------------
 
 
-def _doc_shingles(documents: DataFrame, n: int) -> DataFrame:
-    tok = tokens("text")
-    return documents.select(
-        "doc_id",
-        F.array_distinct(shingles(tok, n)).alias("sh"),
-    ).filter(F.size("sh") > 0)
+def _doc_shingle_hashes(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, hs: array<long> distinct shingle hashes, n_sh), persisted.
+
+    `spread` first: shingling is the compute-heavy step and must not
+    serialize on a single input split. Persisted because every near-dup
+    pipeline branches over it 3-4×.
+    """
+    return (
+        spread(documents.select("doc_id", "text"))
+        .select("doc_id", shingle_hashes(tokens("text"), n).alias("hs"))
+        .filter(F.size("hs") > 0)
+        .select("doc_id", "hs", F.size("hs").alias("n_sh"))
+        .persist()
+    )
+
+
+def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over hashed shingle sets for candidate pairs."""
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    jaccard = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jaccard, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (the verification-grade near-dup)
+# ---------------------------------------------------------------------------
 
 
 def ngram_jaccard_pairs(
@@ -72,70 +117,54 @@ def ngram_jaccard_pairs(
     "Scaling Up All Pairs Similarity Search", WWW'07): if
     J(A,B) ≥ τ, then the ⌊(1-τ)|X|⌋+1 globally-rarest shingles of A
     and B must intersect — so the candidate self-join runs only on
-    each doc's rarest-prefix shingles (hashed to int64), shrinking the
-    join fanout by orders of magnitude versus joining on every
-    shingle. Candidates are then verified with the exact shingle-set
-    intersection, so the result is identical to the naive O(n²)
-    computation.
+    each doc's rarest-prefix shingles, shrinking the join fanout by
+    orders of magnitude versus joining on every shingle. Candidates
+    are then verified with the exact shingle-set intersection, so the
+    result is identical to the naive O(n²) computation.
 
     Plan shape at 100 TB: one agg for global shingle frequencies, one
     per-doc sort+slice for prefixes, an equi-join on rare (thus
-    low-fanout) int64 keys, and a verify join against the (doc →
-    shingle-set) table. No crossJoin anywhere; every shuffle key is
-    either a rare shingle hash or a doc id.
+    low-fanout) int64 keys, and a verify join against the persisted
+    (doc → shingle-hash-set) table. No crossJoin anywhere; every
+    shuffle key is either a rare shingle hash or a doc id.
     """
-    sh = _doc_shingles(documents, n).select(
-        "doc_id", "sh", F.size("sh").alias("n_sh")
-    )
-    # int64-hash shingles once; joins and frequency counts run on longs.
-    exploded = sh.select(
-        "doc_id", F.explode("sh").alias("shingle")
-    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    sh = _doc_shingle_hashes(documents, n)
+    exploded = sh.select("doc_id", F.explode("hs").alias("h"))
 
     freq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    prefix_len = (
-        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).cast("int")
-    prefixes = (
+    ranked = (
         exploded.join(freq, "h")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("ranked"))
-        .join(sh.select("doc_id", "n_sh"), "doc_id")
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.slice("ranked", 1, prefix_len), lambda s: s["h"]
-                )
-            ).alias("h"),
-        )
+    )
+    # |prefix| = n_sh - ceil(τ·n_sh) + 1, with n_sh = size(ranked)
+    prefix_len = (
+        F.size("ranked") - F.ceil(F.lit(threshold) * F.size("ranked")) + 1
+    ).cast("int")
+    prefixes = ranked.select(
+        "doc_id",
+        F.size("ranked").alias("n_sh"),
+        F.explode(
+            F.transform(F.slice("ranked", 1, prefix_len), lambda s: s["h"])
+        ).alias("h"),
     )
 
+    # Length filter (also AllPairs): J(A,B) ≥ τ forces
+    # τ·|A| ≤ |B| ≤ |A|/τ — applied inside the candidate join it
+    # prunes most prefix collisions before the distinct+verify.
     a, b = prefixes.alias("a"), prefixes.alias("b")
     candidates = (
         a.join(
             b,
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n_sh") >= F.ceil(F.lit(threshold) * F.col("a.n_sh")))
+            & (F.col("b.n_sh") <= F.floor(F.col("a.n_sh") / F.lit(threshold))),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-
-    sa = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
-    )
-    sb = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jaccard = inter / (F.col("n_a") + F.col("n_b") - inter)
-    return (
-        candidates.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jaccard, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_jaccard(candidates, sh, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -148,16 +177,17 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-min MinHash signature per document, entirely in SQL.
 
-    h_i(shingle) = xxhash64(shingle, seed=i); signature[i] = min over
-    the doc's shingles. One narrow projection per doc — array_min over
-    a transform — no shuffle at all for signature computation.
+    h_i(shingle) = xxhash64(shingle_hash, seed=i); signature[i] = min
+    over the doc's shingles. One narrow projection per doc — array_min
+    over a transform — no extra shuffle for signature computation.
     """
-    sh = _doc_shingles(documents, n)
+    return _minhash_sigs(_doc_shingle_hashes(documents, n), num_hashes)
+
+
+def _minhash_sigs(sh: DataFrame, num_hashes: int) -> DataFrame:
     sig = F.array(
         *[
-            F.array_min(
-                F.transform("sh", lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
+            F.array_min(F.transform("hs", lambda h, i=i: F.xxhash64(h, F.lit(i))))
             for i in range(num_hashes)
         ]
     )
@@ -181,7 +211,8 @@ def minhash_lsh_pairs(
     ngram_jaccard_pairs.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(documents, n, num_hashes)
+    sh = _doc_shingle_hashes(documents, n)
+    sig = _minhash_sigs(sh, num_hashes)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -206,29 +237,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-
-    sh = _doc_shingles(documents, n).select(
-        "doc_id", "sh", F.size("sh").alias("n_sh")
-    )
-    sa = sh.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh").alias("sh_a"),
-        F.col("n_sh").alias("n_a"),
-    )
-    sb = sh.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sh").alias("sh_b"),
-        F.col("n_sh").alias("n_b"),
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jaccard = inter / (F.col("n_a") + F.col("n_b") - inter)
-    return (
-        candidates.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jaccard, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_jaccard(candidates, sh, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -239,15 +248,13 @@ def minhash_lsh_pairs(
 def simhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
     """64-bit SimHash per document, pure SQL.
 
-    For each of 64 bit positions, sum ±1 votes of xxhash64(shingle)
-    bit values; the signature bit is the vote sign. Implemented as one
-    aggregate over exploded shingles: 64 conditional sums — partial
-    aggregation keeps the shuffle at one row per doc.
+    For each of 64 bit positions, sum ±1 votes of the shingle-hash bit
+    values; the signature bit is the vote sign. Implemented as one
+    aggregate over exploded shingle hashes: 64 conditional sums —
+    partial aggregation keeps the shuffle at one row per doc.
     """
-    sh = _doc_shingles(documents, n)
-    exploded = sh.select("doc_id", F.explode("sh").alias("shingle")).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
-    )
+    sh = _doc_shingle_hashes(documents, n)
+    exploded = sh.select("doc_id", F.explode("hs").alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1)

@@ -31,7 +31,7 @@ from kafka_streams_homework_spark.operators import relational as R
 from kafka_streams_homework_spark.operators import similarity as S
 from kafka_streams_homework_spark.operators import text as T
 from kafka_streams_homework_spark.session import apply_runtime_confs
-from kafka_streams_homework_spark.sources.batch import load_table
+from kafka_streams_homework_spark.sources.batch import load_table, spread
 from kafka_streams_homework_spark.sources.sink import write_and_read_back
 
 # ---------------------------------------------------------------------------
@@ -75,7 +75,14 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
-    return load_table(spark, sf_dir, name)
+    df = load_table(spark, sf_dir, name)
+    # documents/embeddings feed compute-heavy per-row operators
+    # (shingling, token scans, vector math); redistribute narrow scans
+    # so that work parallelizes. No-op when the scan already has ≥
+    # defaultParallelism splits (the at-scale case).
+    if name in ("documents", "embeddings"):
+        df = spread(df)
+    return df
 
 
 # ===========================================================================

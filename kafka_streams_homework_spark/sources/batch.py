@@ -54,3 +54,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Redistribute a narrow scan across the cluster before
+    compute-heavy per-row work (shingling, hashing, vector math).
+
+    Parquet files with a single row group cannot be split by
+    ``maxPartitionBytes``, so a small file scans as ONE task and
+    per-row compute serializes on one core. At 100 TB the scan already
+    has far more splits than cores and this is a no-op — the check is
+    on the actual scan partitioning, so no shuffle is added where the
+    source parallelism suffices.
+    """
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
