@@ -82,6 +82,57 @@ def decode_stub(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode, DECODED_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("byte_offset", LongType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+FRAME_SIZE = 256
+MAX_FRAMES = 8
+
+
+def frame_sample(media: DataFrame) -> DataFrame:
+    """Sample fixed-stride 'frames' from each payload via mapInPandas.
+
+    The variable-fanout shape of real video frame sampling (one input
+    row → N output rows) with a deterministic stand-in codec: frames
+    are FRAME_SIZE-byte strides, capped at MAX_FRAMES per payload. A
+    real implementation swaps the stride arithmetic for
+    cv2.VideoCapture frame grabs — the Spark plumbing (Arrow batches
+    in, exploded frame rows out, payload never shuffled) is identical.
+
+    Scale: output rows carry only metadata (offsets), never the frame
+    bytes themselves — at 100 TB the frames would be written as their
+    own binary column partitioned by doc_id, keeping the fanout narrow.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in FRAME_SCHEMA.fields}
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                n = len(payload)
+                n_frames = min(max(n // FRAME_SIZE, 1), MAX_FRAMES)
+                for i in range(n_frames):
+                    off = i * FRAME_SIZE
+                    out["doc_id"].append(doc_id)
+                    out["media_type"].append(mtype)
+                    out["frame_idx"].append(i)
+                    out["byte_offset"].append(off)
+                    out["frame_bytes"].append(min(FRAME_SIZE, n - off))
+            yield pd.DataFrame(out).astype(
+                {"frame_idx": "int32", "byte_offset": "int64", "frame_bytes": "int64"}
+            )
+
+    return media.mapInPandas(sample, FRAME_SCHEMA)
+
+
 def decode_real(media: DataFrame) -> DataFrame:  # pragma: no cover
     """Real decoder — requires PIL/soundfile, absent in this container.
 

@@ -246,3 +246,106 @@ def json_extract(df: DataFrame, json_col: str, field: str, out: str, cast: str) 
     return df.withColumn(
         out, F.get_json_object(F.col(json_col), f"$.{field}").cast(cast)
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: list[str],
+    right_on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """As-of (point-in-time) left join: for each left row, the latest
+    right row with right_ts <= left_ts on the same key; nulls when no
+    prior right row exists.
+
+    Spark has no as-of join primitive, so this composes one from
+    built-ins with the *union + last-observation-carried-forward*
+    algorithm: tag both inputs, union them, and window over the key
+    ordered by (ts, side) taking ``last(right_col, ignorenulls)`` up to
+    the current row. ONE shuffle on the key, no range-join row fanout —
+    the naive key-equi + inequality join multiplies each left row by
+    every earlier right row before pruning; this never does. At equal
+    timestamps the right row sorts first, so the match is inclusive.
+
+    Right rows must be unique per (key, right_ts) for determinism —
+    pre-aggregate the right side if needed.
+
+    Scale: the window is a single exchange on the key + a sort within
+    partitions — the same cost profile as latest_by_key. Skewed keys
+    split via AQE; no state beyond the sort.
+    """
+    l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn(
+        "__src", F.lit(1)
+    )
+    r_tagged = right.select(
+        *[F.col(rc).alias(lc) for rc, lc in zip(right_on, left_on)],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__src"),
+        *right_cols,
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*left_on)
+        .orderBy(F.col("__ts").asc(), F.col("__src").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[c for c in left.columns],
+        F.col("__src"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+    )
+    return filled.filter(F.col("__src") == 1).drop("__src")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column,
+    time_cond: Column,
+) -> DataFrame:
+    """Stream-stream interval join: equi-key join restricted to a time
+    band (the Structured Streaming stream-stream join shape, in batch).
+
+    The equi-key condition drives the shuffle (hash partition by key);
+    the interval condition is evaluated as a post-join filter within
+    each key group — at 100 TB the key join bounds fanout to
+    per-key × per-band matches, and the streaming twin bounds state by
+    the same band via watermarks.
+    """
+    return left.join(right, on & time_cond)
+
+
+def windowed_sum_salted(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value: Column,
+    size: str = "1 minute",
+    out_name: str = "total_sum_per_minute",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Hot-key-safe windowed SUM: identical result to windowed_sum, via
+    two-stage aggregation over a salt column.
+
+    Stage 1 groups on (key, window, salt) — a hot key's rows spread
+    over `salt_buckets` reducers instead of one; stage 2 folds the
+    partial sums on (key, window). SUM is associative so the result is
+    exactly windowed_sum's. This is the documented fallback when one
+    key dominates (AQE skew-join handles skewed *joins*; skewed
+    *aggregation* needs salting). Partial (map-side) aggregation
+    already bounds shuffle volume, so stage 2 moves at most
+    `salt_buckets` rows per (key, window).
+    """
+    windowed = tumbling_window(df, ts_col, size)
+    salted = windowed.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(*key_cols, "window", "__salt").agg(
+        F.sum(value).alias("__partial")
+    )
+    return partial.groupBy(*key_cols, "window").agg(
+        F.sum("__partial").alias(out_name)
+    )

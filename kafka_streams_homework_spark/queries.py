@@ -19,10 +19,12 @@ Parity rules (keep Spark and oracle in lockstep):
 
 from __future__ import annotations
 
+import os
+import uuid
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_homework_spark.operators import dedup as D
@@ -33,6 +35,10 @@ from kafka_streams_homework_spark.operators import text as T
 from kafka_streams_homework_spark.session import apply_runtime_confs
 from kafka_streams_homework_spark.sources.batch import load_table, spread
 from kafka_streams_homework_spark.sources.sink import write_and_read_back
+from kafka_streams_homework_spark.streaming.price_alerts import (
+    price_alerts_stream,
+    run_to_memory,
+)
 
 # ---------------------------------------------------------------------------
 # Workload constants (pinned against the sf0.01 distributions so alert
@@ -578,6 +584,268 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.json_extract(events, "props", "k", "prop_k", "long").select(
         "event_id", "prop_k"
     )
+
+
+@register(
+    "asof_join",
+    oracle="""
+        WITH r AS (
+            SELECT o_custkey, o_orderdate,
+                   max(o_orderkey) AS last_order_key,
+                   o_orderdate AS last_order_date
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id, e.ts, r.last_order_key, r.last_order_date
+        FROM events e ASOF LEFT JOIN r
+          ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+    description="As-of (point-in-time) join: each event picks the "
+    "customer's latest order at event time — union+LOCF algorithm, one "
+    "shuffle, no range-join fanout (an operator Spark lacks, composed "
+    "from built-ins; oracle = DuckDB ASOF LEFT JOIN)",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    latest_orders = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("last_order_key")
+    ).withColumn("last_order_date", F.col("o_orderdate"))
+    return R.asof_join(
+        events,
+        latest_orders,
+        ["user_id"],
+        ["o_custkey"],
+        "ts",
+        "o_orderdate",
+        ["last_order_key", "last_order_date"],
+    ).select("event_id", "user_id", "ts", "last_order_key", "last_order_date")
+
+
+@register(
+    "interval_join",
+    oracle="""
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+               p.ts AS purchase_ts, c.ts AS click_ts
+        FROM events p JOIN events c ON p.user_id = c.user_id
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+    """,
+    description="Stream-stream interval join: clicks within the 10 min "
+    "before each purchase, same user — equi-key shuffle + time-band "
+    "filter (the Structured Streaming join shape, in batch)",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = R.interval_join(
+        p,
+        c,
+        p["user_id"] == c["c_user"],
+        (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+    )
+    return joined.select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    description="Grouping-set surface (§2.4 extension): ROLLUP over "
+    "(returnflag, linestatus) — one pass, partial agg per grouping set",
+)
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "set_except",
+    oracle="""
+        SELECT DISTINCT user_id, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute
+        FROM events WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT DISTINCT user_id, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute
+        FROM events WHERE event_type = 'error'
+    """,
+    description="Set ops (§2.6 extension): user-minutes with a purchase "
+    "but no error — EXCEPT DISTINCT (hash anti-join under the hood)",
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    minute = F.date_trunc("minute", F.col("ts")).alias("minute")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", minute
+    )
+    errors = events.filter(F.col("event_type") == "error").select("user_id", minute)
+    return purchases.subtract(errors)
+
+
+@register(
+    "set_intersect",
+    oracle="""
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+    """,
+    description="Set ops (§2.6 extension): users who both signed up and "
+    "purchased — INTERSECT DISTINCT",
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    purchasers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    signups = events.filter(F.col("event_type") == "signup").select("user_id")
+    return purchasers.intersect(signups)
+
+
+@register(
+    "running_total",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING), 2) AS running_value
+        FROM events
+    """,
+    description="Analytic window (§2.6 extension): per-user cumulative "
+    "sum in event-time order — deterministic fold order on both engines",
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
+    """,
+    description="Exact percentiles per group (linear interpolation — "
+    "identical definition in Spark `percentile` and DuckDB "
+    "quantile_cont); at 100 TB swap to approx_percentile + rows-check",
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "windowed_sum_salted",
+    oracle="""
+        SELECT user_id, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+               round(sum(value), 2) AS total_sum_per_minute
+        FROM events GROUP BY 1, 2
+    """,
+    description="Hot-key-safe windowed SUM via 2-stage salted "
+    "aggregation — result identical to windowed_sum (same oracle); the "
+    "documented fallback for skewed aggregation keys at 100 TB",
+)
+def q_windowed_sum_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    agg = R.windowed_sum_salted(events, ["user_id"], "ts", F.col("value"))
+    return agg.select(
+        "user_id",
+        F.col("window.start").alias("window_start"),
+        F.round("total_sum_per_minute", 2).alias("total_sum_per_minute"),
+    )
+
+
+@register(
+    "streaming_price_alerts",
+    oracle=f"""
+        SELECT CAST(user_id AS VARCHAR) AS alert_key,
+               CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+               round(sum(value), 2) AS total_sum_per_minute
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY user_id, date_trunc('minute', ts)
+        HAVING round(sum(value), 2) > {ALERT_THRESHOLD}
+    """,
+    description="The flagship under Structured Streaming: file-source "
+    "readStream → stream-static broadcast join → windowed sum → "
+    "threshold, update mode, availableNow trigger into a memory sink — "
+    "checked against the SAME batch oracle (streaming/batch parity)",
+)
+def q_streaming_price_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    alerts = price_alerts_stream(
+        stream, customer, threshold=ALERT_THRESHOLD, mode="update"
+    )
+    # single parquet file -> one micro-batch, so update-mode emissions
+    # are final values (pinned in tests/test_streaming.py)
+    return run_to_memory(
+        spark, alerts, f"pa_stream_{uuid.uuid4().hex[:8]}", mode="update"
+    )
+
+
+@register(
+    "frame_sample",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                        ELSE 'audio/wav' END AS media_type,
+                   octet_length(encode(text)) AS n,
+                   unnest(generate_series(0,
+                       least(greatest(octet_length(encode(text)) // 256, 1), 8) - 1)) AS i
+            FROM documents
+        )
+        SELECT doc_id, media_type,
+               CAST(i AS INTEGER) AS frame_idx,
+               CAST(i * 256 AS BIGINT) AS byte_offset,
+               CAST(CASE WHEN n - i * 256 < 256 THEN n - i * 256
+                         ELSE 256 END AS BIGINT) AS frame_bytes
+        FROM f
+    """,
+    description="Multimodal frame sampling: variable-fanout mapInPandas "
+    "(one payload → N frame rows), Arrow-batched; stride arithmetic "
+    "stands in for the codec (plumbing identical to cv2 frame grabs)",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return M.frame_sample(M.to_media(docs))
 
 
 # ===========================================================================

@@ -90,6 +90,79 @@ def test_tokens_and_shingles(spark):
     assert out[2].nt == 1  # split('') -> [''] — DuckDB str_split parity
 
 
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, 100, ts(5)), (2, 100, ts(1)), (3, 200, ts(3)), (4, 300, ts(3))],
+        "eid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        # key 100: rows at minute 1 and 4; key 200: row exactly at 3 (inclusive)
+        [(100, ts(1), "r1"), (100, ts(4), "r4"), (200, ts(3), "r3")],
+        "rk long, rts timestamp, payload string",
+    )
+    out = {
+        r.eid: r.payload
+        for r in R.asof_join(
+            left, right, ["k"], ["rk"], "ts", "rts", ["payload"]
+        ).collect()
+    }
+    # eid=1: latest ≤ min5 is r4; eid=2: equal ts inclusive → r1;
+    # eid=3: exact-ts match r3; eid=4: no right rows → null
+    assert out == {1: "r4", 2: "r1", 3: "r3", 4: None}
+
+
+def test_interval_join_band(spark):
+    p = spark.createDataFrame([(1, 7, ts(10))], "pid long, k long, pts timestamp")
+    c = spark.createDataFrame(
+        [(10, 7, ts(1)), (11, 7, ts(5)), (12, 7, ts(10)), (13, 8, ts(9))],
+        "cid long, ck long, cts timestamp",
+    )
+    out = R.interval_join(
+        p,
+        c,
+        p["k"] == c["ck"],
+        (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("cts") < F.col("pts")),
+    ).collect()
+    # cid=10 too old, cid=12 not strictly before, cid=13 wrong key
+    assert [r.cid for r in out] == [11]
+
+
+def test_salted_sum_matches_plain(spark):
+    df = spark.createDataFrame(
+        [(1, ts(1, 10), 5.0), (1, ts(1, 50), 7.0), (1, ts(2, 10), 11.0), (2, ts(1), 1.0)],
+        "k long, ts timestamp, v double",
+    )
+    plain = {
+        (r.k, r["window"].start): r.total_sum_per_minute
+        for r in R.windowed_sum(df, ["k"], "ts", F.col("v")).collect()
+    }
+    salted = {
+        (r.k, r["window"].start): r.total_sum_per_minute
+        for r in R.windowed_sum_salted(df, ["k"], "ts", F.col("v"), salt_buckets=4).collect()
+    }
+    assert plain == salted
+
+
+def test_frame_sample_fanout(spark):
+    from kafka_streams_homework_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 1000), (1, "y" * 10), (2, "z" * 5000)], "doc_id long, text string"
+    )
+    frames = M.frame_sample(M.to_media(docs)).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 1000 bytes → 3 frames; 10 bytes → 1 frame (min); 5000 → capped at 8
+    assert {d: len(v) for d, v in by_doc.items()} == {0: 3, 1: 1, 2: 8}
+    assert [r.byte_offset for r in sorted(by_doc[0], key=lambda r: r.frame_idx)] == [0, 256, 512]
+    # every full-stride frame carries FRAME_SIZE bytes (tail beyond the
+    # sampled strides is simply not sampled)
+    assert all(r.frame_bytes == 256 for r in by_doc[0])
+    assert by_doc[1][0].frame_bytes == 10
+
+
 def test_cosine_similarity_exact(spark):
     df = spark.createDataFrame(
         [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 1.0])],
