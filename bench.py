@@ -34,6 +34,11 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "knn_bruteforce",
     "token_count",
+    "asof_join",
+    "interval_join",
+    "rollup_agg",
+    "running_total",
+    "frame_sample",
 ]
 
 
