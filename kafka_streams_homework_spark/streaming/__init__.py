@@ -13,9 +13,15 @@ The reference's runtime semantics fork (SURVEY.md §2.5):
 """
 
 from kafka_streams_homework_spark.streaming.price_alerts import (
+    dedup_stream,
     price_alerts_stream,
     run_to_memory,
 )
 from kafka_streams_homework_spark.streaming.stateful import windowed_sum_stateful
 
-__all__ = ["price_alerts_stream", "run_to_memory", "windowed_sum_stateful"]
+__all__ = [
+    "dedup_stream",
+    "price_alerts_stream",
+    "run_to_memory",
+    "windowed_sum_stateful",
+]

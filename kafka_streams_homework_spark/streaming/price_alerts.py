@@ -58,6 +58,27 @@ def price_alerts_stream(
     )
 
 
+def dedup_stream(
+    events_stream: DataFrame,
+    subset: list[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark``: a key's dedup state is kept only
+    until the watermark passes it, so state is O(keys per watermark
+    window) instead of O(all keys ever) — the only viable exact-dedup
+    contract on an unbounded stream. Batch twin: operators.relational
+    .dedup_exact. Duplicates arriving after state eviction are NOT
+    caught (documented trade; tighten the delay only as far as the
+    source's real out-of-orderness).
+    """
+    return events_stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        subset
+    )
+
+
 def run_to_memory(
     spark: SparkSession,
     alerts: DataFrame,

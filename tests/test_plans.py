@@ -59,3 +59,35 @@ def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
     df = Q.q_knn_bruteforce(spark, sf_dir)
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Slice-4 scale contract: two fact tables bucketed on the join key
+    co-locate — the join needs NO exchange on either side. At 100 TB
+    this is how repeated fact-fact joins (orders ⋈ lineitem) avoid
+    reshuffling terabytes per query: pay one bucketed write, join free
+    forever after."""
+    from kafka_streams_homework_spark.sources.batch import load_table
+
+    orders = load_table(spark, sf_dir, "orders").limit(500)
+    li = load_table(spark, sf_dir, "lineitem").limit(2000)
+    try:
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("b_orders")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("b_lineitem")
+        # disable broadcast so the join strategy must rely on bucketing
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            spark.table("b_lineitem")["l_orderkey"]
+            == spark.table("b_orders")["o_orderkey"],
+        )
+        assert count_exchanges(joined) == 0, physical_plan(joined)
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

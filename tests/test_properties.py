@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) — algorithmic ops vs naive oracles.
+
+The reference's test strategy is golden e2e assertions (SURVEY.md §5);
+these extend it with randomized equivalence checks for the engine's
+composed algorithms: the union+LOCF as-of join vs a naive per-row scan,
+and prefix-filtered Jaccard vs the O(n²) brute force.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka_streams_homework_spark.operators import dedup as D
+from kafka_streams_homework_spark.operators import relational as R
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes: int) -> dt.datetime:
+    return BASE + dt.timedelta(minutes=minutes)
+
+
+asof_case = st.tuples(
+    # left rows: (key, ts_minute)
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 30)), min_size=1, max_size=12
+    ),
+    # right rows: (key, ts_minute) — deduped per (key, ts) below
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 30)), min_size=0, max_size=12
+    ),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(asof_case)
+def test_asof_join_matches_naive_scan(spark, case):
+    left_rows, right_rows = case
+    right_rows = sorted({(k, m) for k, m in right_rows})
+    left = spark.createDataFrame(
+        [(i, k, _ts(m)) for i, (k, m) in enumerate(left_rows)],
+        "eid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, _ts(m), f"p{k}_{m}") for k, m in right_rows],
+        "rk long, rts timestamp, payload string",
+    ) if right_rows else spark.createDataFrame([], "rk long, rts timestamp, payload string")
+
+    got = {
+        r.eid: r.payload
+        for r in R.asof_join(
+            left, right, ["k"], ["rk"], "ts", "rts", ["payload"]
+        ).collect()
+    }
+
+    expect = {}
+    for i, (k, m) in enumerate(left_rows):
+        matches = [(rm, p) for rk, rm, p in
+                   ((rk, rm, f"p{rk}_{rm}") for rk, rm in right_rows)
+                   if rk == k and rm <= m]
+        expect[i] = max(matches)[1] if matches else None
+    assert got == expect
+
+
+doc_corpus = st.lists(
+    st.lists(st.sampled_from("abcdef"), min_size=3, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(doc_corpus)
+def test_ngram_jaccard_prefix_filter_is_exact(spark, texts):
+    """Prefix filtering must not lose pairs: result == O(n²) brute force."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    tau = 0.5
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, 2, tau).collect()
+    }
+
+    def shingle_set(t: str) -> set[tuple[str, str]]:
+        tok = t.lower().split(" ")
+        return {(tok[i], tok[i + 1]) for i in range(len(tok) - 1)}
+
+    expect = {}
+    sets = {i: shingle_set(t) for i, t in enumerate(texts)}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if round(j, 6) >= tau:
+                    expect[(a, b)] = round(j, 6)
+    assert got == expect

@@ -17,6 +17,7 @@ import uuid
 import pytest
 
 from kafka_streams_homework_spark.streaming import (
+    dedup_stream,
     price_alerts_stream,
     run_to_memory,
     windowed_sum_stateful,
@@ -144,6 +145,28 @@ def test_append_mode_drops_data_later_than_watermark(spark, tmp_path, dim):
     # the late 500 is dropped: only the original 200 for window [5,6),
     # and it is never re-emitted (threshold filters out the 1.0 windows)
     assert [r.total_sum_per_minute for r in out] == [200.0]
+
+
+def test_dedup_stream_drops_duplicates_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: a duplicate key arriving in a later batch
+    (while its state is still within the watermark) is dropped; distinct
+    keys all pass."""
+    path = _write_events(
+        spark,
+        tmp_path,
+        [
+            [(1, ts(5, 10), 100.0), (2, ts(5, 20), 60.0)],
+            [(1, ts(5, 40), 999.0), (3, ts(6, 0), 7.0)],  # user 1 is a dup
+        ],
+    )
+    out = run_to_memory(
+        spark,
+        dedup_stream(_stream(spark, path), ["user_id"], watermark_delay="10 minutes"),
+        f"dd_{uuid.uuid4().hex[:8]}",
+        mode="append",
+    ).collect()
+    got = {r.user_id: r.value for r in out}
+    assert got == {1: 100.0, 2: 60.0, 3: 7.0}
 
 
 def test_stateful_windowed_sum_emits_closed_windows_once(spark, tmp_path):
