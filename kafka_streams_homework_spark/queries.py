@@ -587,6 +587,73 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    oracle="""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    description="TPC-H Q6 shape: pure scan-filter-agg — every predicate "
+    "(date range, discount band, quantity) pushes to the parquet scan; "
+    "the canonical pushdown benchmark",
+)
+def q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "sliding_window",
+    oracle="""
+        WITH w AS (
+            SELECT user_id, value,
+                   unnest([CAST(date_trunc('minute', ts) AS TIMESTAMP),
+                           CAST(date_trunc('minute', ts) - INTERVAL 1 MINUTE AS TIMESTAMP)])
+                       AS window_start
+            FROM events
+        )
+        SELECT user_id, window_start, round(sum(value), 2) AS total_value
+        FROM w GROUP BY user_id, window_start
+    """,
+    description="Hopping window (size 2 min, slide 1 min) — the "
+    "TimeWindows.of(size).advanceBy(slide) general case the reference "
+    "degenerates to tumbling (SURVEY §2.5 W1); each event lands in "
+    "size/slide windows via the same F.window primitive",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.window(F.col("ts"), "2 minutes", "1 minute")
+        )
+        .agg(F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("window.start").alias("window_start"),
+            "total_value",
+        )
+    )
+
+
+@register(
     "asof_join",
     oracle="""
         WITH r AS (
