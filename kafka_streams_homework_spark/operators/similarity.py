@@ -130,6 +130,133 @@ def knn_ivf(
     return _topk(scored, k)
 
 
+def kmeans_cells(
+    embeddings: DataFrame,
+    ncells: int = 8,
+    iters: int = 4,
+) -> DataFrame:
+    """Spherical k-means coarse quantizer, Lloyd iterations on DataFrames.
+
+    The driver holds only the k centroids (k × dim floats) between
+    iterations — every heavy step is distributed:
+    - assignment: corpus ⋈ broadcast(centroids) (k rows), best cell via
+      max(struct(sim, -cell)) in one partial-aggregated groupBy —
+      no window shuffle;
+    - update: posexplode to (cell, pos, val), one groupBy for the
+      elementwise means.
+    Initialization is deterministic: the k vectors with the smallest
+    xxhash64(vec_id) (a seedless pseudo-random spread).
+
+    At 100 TB you fit on a sample (embeddings.sample(frac)) — the loop
+    shape is unchanged; assignment of the full corpus happens once, in
+    knn_ivf_kmeans, and would be persisted as bucketed-by-cell parquet
+    so probes are partition-pruned scans.
+    """
+    corpus = embeddings.select("vec_id", "embedding")
+    init = (
+        corpus.orderBy(F.xxhash64("vec_id"))
+        .limit(ncells)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [list(map(float, r.embedding)) for r in init]
+
+    spark = embeddings.sparkSession
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        )
+        best = (
+            corpus.crossJoin(F.broadcast(cdf))
+            .withColumn(
+                "sim", cosine_similarity(F.col("embedding"), F.col("centroid"))
+            )
+            .groupBy("vec_id")
+            .agg(F.max(F.struct(F.col("sim"), (-F.col("cell")).alias("nc"))).alias("b"))
+            .select("vec_id", (-F.col("b.nc")).alias("cell"))
+        )
+        new_rows = (
+            corpus.join(best, "vec_id")
+            .select("cell", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        for r in new_rows:  # empty cells keep their previous centroid
+            centroids[r.cell] = list(map(float, r.centroid))
+
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+
+
+def assign_cells(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid cell (one scan)."""
+    return (
+        embeddings.crossJoin(F.broadcast(centroids))
+        .withColumn("sim", cosine_similarity(F.col("embedding"), F.col("centroid")))
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("cell")).alias("nc"))).alias("b"))
+        .select("vec_id", (-F.col("b.nc")).alias("cell"))
+    )
+
+
+def knn_ivf_kmeans(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    ncells: int = 8,
+    iters: int = 4,
+) -> DataFrame:
+    """IVF ANN with a *learned* coarse quantizer (vs knn_ivf's
+    precomputed `label` cells): fit spherical k-means, bucket the
+    corpus by nearest centroid, probe nprobe cells per query.
+
+    nprobe == ncells recovers the exact brute-force result (pytest
+    pins this); smaller nprobe trades recall for scan volume —
+    the IVF contract.
+    """
+    centroids = kmeans_cells(embeddings, ncells, iters)
+    cells = assign_cells(embeddings, centroids)
+    corpus = embeddings.join(cells, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "cell",
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("csim", cosine_similarity(F.col("q_emb"), F.col("centroid")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("csim").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "q_emb", "cell")
+    )
+    scored = (
+        corpus.join(F.broadcast(qcells), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim", F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6)
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
+    return _topk(scored, k)
+
+
 def cosine_pairs_within_label(
     embeddings: DataFrame, threshold: float = 0.9
 ) -> DataFrame:

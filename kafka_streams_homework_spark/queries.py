@@ -1199,6 +1199,24 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_ivf_kmeans",
+    oracle=None,  # approximate by design; recall vs brute force in pytest
+    description="IVF ANN with a LEARNED spherical-k-means quantizer "
+    "(Lloyd iterations as DataFrame jobs, centroids-only on the driver); "
+    "nprobe=ncells recovers exact brute force (pytest-pinned)",
+)
+def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding"
+    )
+    out = S.knn_ivf_kmeans(emb, queries, KNN_K, nprobe=3, ncells=8, iters=3)
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # ===========================================================================
 # Multimodal (north-star §7)
 # ===========================================================================

@@ -67,6 +67,24 @@ def test_knn_bruteforce_matches_numpy(spark, sf_dir):
                 assert math.isclose(r.sim, round(sims[r.neighbor_id], 6), abs_tol=1e-6)
 
 
+def test_knn_ivf_kmeans_exact_when_probing_all_cells(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5").select("vec_id", "embedding")
+    exact = {
+        (r.query_id, r.neighbor_id) for r in S.knn_bruteforce(emb, queries, 5).collect()
+    }
+    # probing every learned cell must recover the exact result
+    all_cells = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_ivf_kmeans(emb, queries, 5, nprobe=4, ncells=4, iters=2).collect()
+    }
+    assert all_cells == exact
+    # partial probing returns k rows per query and only true-cosine sims
+    part = S.knn_ivf_kmeans(emb, queries, 5, nprobe=2, ncells=4, iters=2).collect()
+    assert {r.query_id for r in part} == {0, 1, 2, 3, 4}
+    assert all(len([r for r in part if r.query_id == q]) == 5 for q in range(5))
+
+
 def test_knn_ivf_recall(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 10").select("vec_id", "embedding")
