@@ -167,6 +167,69 @@ def ngram_jaccard_pairs(
     return _verify_jaccard(candidates, sh, threshold)
 
 
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Collapse near-dup pairs into clusters; elect a canonical doc.
+
+    Connected components by min-label propagation: every node starts
+    labeled with itself; each iteration every node takes the min label
+    among itself and its neighbors, until a fixpoint. Iterations needed
+    = graph diameter — near-dup clusters are shallow (dups of dups of
+    one original), so this converges in a handful of rounds; the
+    driver only ever sees a changed-row *count* per round.
+
+    Output: (doc_id, cluster_id [= min doc_id in the component],
+    is_canonical). The keep-set for a dedup pipeline is
+    ``is_canonical``. Scale: each round is one join + one groupBy on
+    doc ids — both shuffles on uniform keys; at 100 TB this is the
+    standard large-graph CC shape (a large-star/small-star variant
+    would cut rounds further, same primitives).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

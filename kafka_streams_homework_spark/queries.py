@@ -587,6 +587,35 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "price_alerts_sql",
+    oracle=f"""
+        SELECT CAST(user_id AS VARCHAR) AS alert_key, c_name AS customer_name,
+               CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+               round(sum(value), 2) AS total_sum_per_minute
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY user_id, c_name, date_trunc('minute', ts)
+        HAVING round(sum(value), 2) > {ALERT_THRESHOLD}
+    """,
+    description="The flagship through the engine's SQL surface: "
+    "spark.sql over registered views — same Catalyst plan as the "
+    "DataFrame build (the engine speaks both APIs)",
+)
+def q_price_alerts_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("v_events")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        f"""
+        SELECT CAST(user_id AS STRING) AS alert_key, c_name AS customer_name,
+               window(ts, '1 minute').start AS window_start,
+               round(sum(value), 2) AS total_sum_per_minute
+        FROM v_events JOIN v_customer ON user_id = c_custkey
+        GROUP BY user_id, c_name, window(ts, '1 minute')
+        HAVING round(sum(value), 2) > {ALERT_THRESHOLD}
+        """
+    )
+
+
+@register(
     "q6_forecast_revenue",
     oracle="""
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
@@ -1057,9 +1086,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dup_groups(docs)
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+_NGRAM_PAIRS_SQL = f"""
         WITH t AS (
             SELECT doc_id, str_split(lower(text), ' ') AS tok FROM documents
         ), s AS (
@@ -1083,13 +1110,47 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6)
               >= {NGRAM_JACCARD_THRESHOLD}
-    """,
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_NGRAM_PAIRS_SQL,
     description="Exact trigram-Jaccard near-dup pairs via shingle "
     "equi-join (never O(n²); candidate fanout capped by shingle rarity)",
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, 3, NGRAM_JACCARD_THRESHOLD)
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE p AS ({_NGRAM_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM p
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM p
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        cc(node, root) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst, cc.root FROM cc JOIN edges e ON cc.node = e.src
+        )
+        SELECT node AS doc_id, min(root) AS cluster_id,
+               (node = min(root)) AS is_canonical
+        FROM cc GROUP BY node
+    """,
+    description="Canonical-doc election: connected components over "
+    "near-dup pairs via min-label propagation (driver sees only a "
+    "changed-count per round); oracle = recursive-CTE transitive closure",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, 3, NGRAM_JACCARD_THRESHOLD)
+    return D.dedup_clusters(pairs)
 
 
 @register(

@@ -37,6 +37,22 @@ def test_simhash_flags_planted_near_dups(spark, sf_dir):
     assert len(sim) >= 0.3 * len(exact)
 
 
+def test_dedup_clusters_transitive_closure(spark):
+    # chain 1-2, 2-3 plus island 7-9: two components, min ids canonical
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.85), (7, 9, 0.95)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    out = {r.doc_id: (r.cluster_id, r.is_canonical) for r in D.dedup_clusters(pairs).collect()}
+    assert out == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        7: (7, True),
+        9: (7, False),
+    }
+
+
 def test_exact_dup_groups_partition_corpus(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     groups = D.exact_dup_groups(docs)
