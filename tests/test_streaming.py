@@ -147,6 +147,46 @@ def test_append_mode_drops_data_later_than_watermark(spark, tmp_path, dim):
     assert [r.total_sum_per_minute for r in out] == [200.0]
 
 
+def test_checkpoint_recovery_exactly_once(spark, tmp_path, dim):
+    """The reference's app-id + state-dir lifecycle (STATE_DIR_CONFIG,
+    dsl/PriceAlertsApp.java:77): a restarted query resumes from the
+    checkpoint — window state survives, offsets don't replay, and the
+    closed window is emitted exactly once across the two runs."""
+    # natural mtimes here: backdated ones (as _write_events stamps)
+    # get purged from the restarted source's seen-files map by
+    # maxFileAge and would replay
+    src = str(tmp_path / f"events-{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame(
+        [(1, ts(5, 10), 100.0), (1, ts(5, 20), 60.0)], EVENTS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        alerts = price_alerts_stream(
+            _stream(spark, src), dim, mode="append", watermark_delay="2 minutes"
+        )
+        q = (
+            alerts.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # run 1: watermark hasn't passed [5,6) → nothing emitted
+    # "restart": new file arrives while the app is down
+    spark.createDataFrame(
+        [(2, ts(20, 0), 1.0)], EVENTS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()  # run 2: resumes from checkpoint, closes [5,6)
+
+    out = spark.read.parquet(out_dir).collect()
+    assert [(r.alert_key, r.total_sum_per_minute) for r in out] == [("1", 160.0)]
+
+
 def test_dedup_stream_drops_duplicates_within_watermark(spark, tmp_path):
     """Streaming exact dedup: a duplicate key arriving in a later batch
     (while its state is still within the watermark) is dropped; distinct
