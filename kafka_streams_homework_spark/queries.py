@@ -34,7 +34,10 @@ from kafka_streams_homework_spark.operators import similarity as S
 from kafka_streams_homework_spark.operators import text as T
 from kafka_streams_homework_spark.session import apply_runtime_confs
 from kafka_streams_homework_spark.sources.batch import load_table, spread
-from kafka_streams_homework_spark.sources.sink import write_and_read_back
+from kafka_streams_homework_spark.sources.sink import (
+    write_and_read_back,
+    write_parquet,
+)
 from kafka_streams_homework_spark.streaming.price_alerts import (
     price_alerts_stream,
     run_to_memory,
@@ -612,6 +615,47 @@ def q_price_alerts_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id, c_name, window(ts, '1 minute')
         HAVING round(sum(value), 2) > {ALERT_THRESHOLD}
         """
+    )
+
+
+@register(
+    "partitioned_sink_scan",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_date,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+          AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY 1
+    """,
+    description="Time-partitioned layout round trip: write events "
+    "partitioned by day, read one week back — the date filter prunes "
+    "to 7 of 30 partition directories (PartitionFilters, asserted in "
+    "test_plans) — the layout contract for 100 TB time-series facts",
+)
+def q_partitioned_sink_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    path = f"/tmp/kshs_sink/events_by_day_{os.path.basename(sf_dir.rstrip('/'))}"
+    write_parquet(
+        events.withColumn("event_date", F.to_date("ts")),
+        path,
+        partition_by=["event_date"],
+    )
+    lo, hi = F.lit("2024-01-08").cast("date"), F.lit("2024-01-15").cast("date")
+    return (
+        spark.read.parquet(path)
+        .filter((F.col("event_date") >= lo) & (F.col("event_date") < hi))
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("event_date").cast("timestamp").alias("event_date"),
+            "n_events",
+            "total_value",
+        )
     )
 
 

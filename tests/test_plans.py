@@ -61,6 +61,14 @@ def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
 
 
+def test_partitioned_scan_prunes_directories(spark, sf_dir):
+    df = Q.q_partitioned_sink_scan(spark, sf_dir)
+    plan = formatted_plan(df)
+    # the date filter must prune at the directory level, not post-scan
+    assert "PartitionFilters: [" in plan, plan
+    assert "event_date" in plan.split("PartitionFilters")[1].splitlines()[0]
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     """Slice-4 scale contract: two fact tables bucketed on the join key
     co-locate — the join needs NO exchange on either side. At 100 TB
