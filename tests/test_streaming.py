@@ -209,6 +209,39 @@ def test_dedup_stream_drops_duplicates_within_watermark(spark, tmp_path):
     assert got == {1: 100.0, 2: 60.0, 3: 7.0}
 
 
+def test_streaming_session_window(spark, tmp_path):
+    """F.session_window under readStream: sessions merge as events
+    arrive; append mode emits a session once its gap has passed the
+    watermark."""
+    from pyspark.sql import functions as F
+
+    path = _write_events(
+        spark,
+        tmp_path,
+        [
+            # two bursts 40 min apart → two sessions for user 1
+            [(1, ts(0, 0), 1.0), (1, ts(5, 0), 2.0)],
+            [(1, ts(45, 0), 4.0)],
+            [(2, ts(0, 0) + dt.timedelta(hours=2), 8.0)],  # watermark pusher closes both
+        ],
+    )
+    sess = (
+        _stream(spark, path)
+        .withWatermark("ts", "2 minutes")
+        .groupBy("user_id", F.session_window(F.col("ts"), "30 minutes"))
+        .agg(F.sum("value").alias("total"))
+        .select(
+            "user_id", F.col("session_window.start").alias("start"), "total"
+        )
+    )
+    out = run_to_memory(
+        spark, sess, f"sess_{uuid.uuid4().hex[:8]}", mode="append"
+    ).collect()
+    got = {(r.user_id, r.start.minute): r.total for r in out}
+    # user 1: session {0,5} (merged, total 3.0) and session {45}
+    assert got == {(1, 0): 3.0, (1, 45): 4.0}
+
+
 def test_stateful_v2_transform_with_state(spark, tmp_path):
     """Spark-4 StatefulProcessor twin: MapState + event-time timers
     reproduce the same emit-once semantics as the
