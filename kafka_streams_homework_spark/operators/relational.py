@@ -318,6 +318,43 @@ def interval_join(
     return left.join(right, on & time_cond)
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    how: str = "inner",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Hot-key-safe equi-join: identical result to a plain join, via
+    salting — the documented fallback when ONE foreign-key value
+    dominates the fact side and even AQE's skew splitting leaves a
+    straggler.
+
+    The fact side gets a uniform random-ish salt (hash of a per-row
+    id); the dim side is replicated `salt_buckets`× with every salt
+    value. The join key becomes (key, salt), so a hot key's rows land
+    on `salt_buckets` reducers instead of one. Dim replication costs
+    |dim|×buckets rows — use only when the dim is modest and the skew
+    is real; broadcast (join_stream_table) is strictly better whenever
+    the dim fits in memory.
+    """
+    salted_fact = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)),
+    )
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    joined = salted_fact.join(
+        replicated_dim,
+        (salted_fact[fact_key] == replicated_dim[dim_key])
+        & (salted_fact["__salt"] == replicated_dim["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")
+
+
 def windowed_sum_salted(
     df: DataFrame,
     key_cols: list[str],

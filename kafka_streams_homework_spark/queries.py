@@ -619,6 +619,46 @@ def q_price_alerts_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_join",
+    oracle="""
+        SELECT event_id, user_id, c_name, c_mktsegment, value, ts
+        FROM events JOIN customer ON user_id = c_custkey
+    """,
+    description="Hot-FK-safe equi-join via fact salting + dim "
+    "replication — identical result to join_stream_table (same oracle); "
+    "the documented fallback when one key dominates and the dim is too "
+    "big to broadcast",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    joined = R.salted_join(events, customer, "user_id", "c_custkey", "inner", 8)
+    return joined.select("event_id", "user_id", "c_name", "c_mktsegment", "value", "ts")
+
+
+@register(
+    "train_test_split",
+    oracle="""
+        SELECT doc_id,
+               (substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd') AS is_train
+        FROM documents
+    """,
+    description="Deterministic hash-based train/test split (~81/19 via "
+    "first md5 hex char < 'd') — stable across engines, runs, and "
+    "repartitioning; the reproducible-split contract a training "
+    "pipeline needs (no sampling RNG)",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < F.lit("d")
+        ).alias("is_train"),
+    )
+
+
+@register(
     "partitioned_sink_scan",
     oracle="""
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_date,
