@@ -133,6 +133,48 @@ def frame_sample(media: DataFrame) -> DataFrame:
     return media.mapInPandas(sample, FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("thumb_w", IntegerType()),
+        StructField("thumb_h", IntegerType()),
+    ]
+)
+
+THUMB_MAX = 64
+
+
+def resize_thumbs(decoded: DataFrame) -> DataFrame:
+    """Aspect-preserving thumbnail dims via mapInPandas.
+
+    Consumes decode output (width/height), emits the fit-into-
+    THUMB_MAX box: scale = THUMB_MAX / max(w, h) when larger, else 1.
+    A real implementation replaces the arithmetic with
+    PIL.Image.thumbnail over the payload — batch shape identical; the
+    dims math is the oracle-checkable stand-in.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].clip(lower=1)
+            h = pdf["height"].clip(lower=1)
+            m = pd.concat([w, h], axis=1).max(axis=1)
+            scale = (THUMB_MAX / m).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "thumb_w": (w * scale).astype("int32"),
+                    "thumb_h": (h * scale).astype("int32"),
+                }
+            )
+
+    return decoded.mapInPandas(resize, RESIZE_SCHEMA)
+
+
 def decode_real(media: DataFrame) -> DataFrame:  # pragma: no cover
     """Real decoder — requires PIL/soundfile, absent in this container.
 

@@ -700,6 +700,30 @@ def q_partitioned_sink_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_resize",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   greatest(octet_length(encode(text)) % 640, 1) AS w,
+                   greatest(octet_length(encode(text)) % 480, 1) AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+               CAST(floor(w * least(64.0 / greatest(w, h), 1.0)) AS INTEGER) AS thumb_w,
+               CAST(floor(h * least(64.0 / greatest(w, h), 1.0)) AS INTEGER) AS thumb_h
+        FROM d
+    """,
+    description="Multimodal resize plumbing: decode → aspect-preserving "
+    "thumbnail dims, chained mapInPandas stages (PIL.thumbnail swaps in "
+    "for the arithmetic; Arrow batch shape identical)",
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return M.resize_thumbs(M.decode_stub(M.to_media(docs)))
+
+
+@register(
     "q6_forecast_revenue",
     oracle="""
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
