@@ -69,6 +69,39 @@ def test_asof_join_matches_naive_scan(spark, case):
     assert got == expect
 
 
+join_case = st.tuples(
+    st.lists(st.integers(0, 4), min_size=1, max_size=20),  # fact keys (skewable)
+    st.lists(st.integers(0, 6), min_size=0, max_size=6),  # dim keys
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(join_case)
+def test_salted_join_matches_plain_join(spark, case):
+    fact_keys, dim_keys = case
+    dim_keys = sorted(set(dim_keys))
+    fact = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(fact_keys)], "fid long, k long"
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in dim_keys], "dk long, payload string"
+    ) if dim_keys else spark.createDataFrame([], "dk long, payload string")
+    for how in ("inner", "left"):
+        plain = sorted(
+            (r.fid, r.payload)
+            for r in fact.join(dim, fact["k"] == dim["dk"], how).collect()
+        )
+        salted = sorted(
+            (r.fid, r.payload)
+            for r in R.salted_join(fact, dim, "k", "dk", how, 4).collect()
+        )
+        assert salted == plain, how
+
+
 doc_corpus = st.lists(
     st.lists(st.sampled_from("abcdef"), min_size=3, max_size=12).map(" ".join),
     min_size=2,
