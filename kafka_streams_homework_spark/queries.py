@@ -700,6 +700,49 @@ def q_partitioned_sink_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "training_data_prep",
+    oracle=f"""
+        WITH keeps AS (
+            SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+        ), m AS (
+            SELECT doc_id,
+                   len(str_split(lower(text), ' ')) AS n_tok,
+                   len(list_distinct(str_split(lower(text), ' '))) AS n_uniq
+            FROM documents
+        )
+        SELECT d.doc_id,
+               (substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) < 'd') AS is_train
+        FROM documents d
+        JOIN keeps ON d.doc_id = keeps.keep_id
+        JOIN m ON m.doc_id = d.doc_id
+        WHERE m.n_tok >= 5 AND m.n_tok <= 1000
+          AND m.n_uniq::DOUBLE / m.n_tok > 0.3
+    """,
+    description="Capstone pipeline composition: quality filter → "
+    "exact-dedup (keep canonical) → deterministic train/test split — "
+    "the minimal end-to-end training-data prep, one declarative plan "
+    "(Catalyst fuses the stages; no materialization between steps)",
+)
+def q_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    quality = T.quality_score(docs).filter(F.col("keep")).select("doc_id")
+    canonical = D.exact_dup_groups(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(quality, "doc_id")
+        .join(canonical, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < F.lit("d")
+            ).alias("is_train"),
+        )
+    )
+
+
+@register(
     "media_resize",
     oracle="""
         WITH d AS (
