@@ -66,10 +66,24 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
 
     The driver hands us its own SparkSession; timezone + AQE + Arrow
     are runtime-settable and required for correct/fast results.
+
+    shuffle.partitions: when the session still carries Spark's default
+    (200), fit it to the actual core count — a vanilla local session
+    otherwise pays 200-task overhead on every exchange, and streaming
+    state pins the number into each new checkpoint. A deliberate
+    non-default setting is left untouched.
     """
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf may be static in some builds
             pass
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+    except Exception:  # pragma: no cover - e.g. Connect sessions
+        pass
     return spark
