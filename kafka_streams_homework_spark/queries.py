@@ -700,6 +700,52 @@ def q_partitioned_sink_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hierarchical_rollup",
+    oracle="""
+        SELECT 'minute' AS grain, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+               CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'hour', CAST(date_trunc('hour', ts) AS TIMESTAMP),
+               CAST(count(*) AS BIGINT), round(sum(value), 2)
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP),
+               CAST(count(*) AS BIGINT), round(sum(value), 2)
+        FROM events GROUP BY 2
+    """,
+    description="Hypertable-style cascaded rollup: hour aggregates fold "
+    "the MINUTE pre-aggregate, day folds hour — each coarser grain "
+    "reads ~60× fewer rows than rescanning the facts (the continuous-"
+    "aggregate pattern for time-series at 100 TB)",
+)
+def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    minute = (
+        events.groupBy(F.date_trunc("minute", "ts").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("raw_total"))
+    )
+    hour = (
+        minute.groupBy(F.date_trunc("hour", "window_start").alias("window_start"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("raw_total").alias("raw_total"))
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", "window_start").alias("window_start"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("raw_total").alias("raw_total"))
+    )
+
+    def out(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "window_start",
+            "n_events",
+            F.round("raw_total", 2).alias("total_value"),
+        )
+
+    return out(minute, "minute").unionAll(out(hour, "hour")).unionAll(out(day, "day"))
+
+
+@register(
     "training_data_prep",
     oracle=f"""
         WITH keeps AS (
