@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     "rollup_agg",
     "running_total",
     "frame_sample",
+    "hierarchical_rollup",
+    "training_data_prep",
+    "media_resize",
+    "salted_join",
 ]
 
 
