@@ -67,7 +67,11 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     on the actual scan partitioning, so no shuffle is added where the
     source parallelism suffices.
     """
-    target = partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        target = partitions or df.sparkSession.sparkContext.defaultParallelism
+        current = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: no sparkContext/.rdd — leave as-is
+        return df
+    if current >= target:
         return df
     return df.repartition(target)
