@@ -61,6 +61,48 @@ def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
 
 
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    """Skew contract: with AQE skew-join on, a sort-merge join whose
+    shuffle has one dominant key gets its skewed partition split at
+    runtime (the final adaptive plan marks the SMJ with skew=true) —
+    the built-in first line of defense before manual salting."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # hot key 0 carries 100k fact rows; 200 other keys carry 100 each
+        fact = spark.range(120_000).select(
+            F.when(F.col("id") < 100_000, 0)
+            .otherwise((F.col("id") % 200) + 1)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pad"),
+        )
+        dim = spark.range(201).select(
+            F.col("id").alias("dk"), F.concat(F.lit("d"), F.col("id")).alias("dv")
+        )
+        joined = fact.join(dim, fact["k"] == dim["dk"])
+        # collect() executes THIS DataFrame's AdaptiveSparkPlan (count()
+        # would build a separate query execution, leaving this one unfinalized)
+        assert len(joined.collect()) == 120_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+
+
 def test_partitioned_scan_prunes_directories(spark, sf_dir):
     df = Q.q_partitioned_sink_scan(spark, sf_dir)
     plan = formatted_plan(df)

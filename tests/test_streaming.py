@@ -209,6 +209,42 @@ def test_dedup_stream_drops_duplicates_within_watermark(spark, tmp_path):
     assert got == {1: 100.0, 2: 60.0, 3: 7.0}
 
 
+def test_rocksdb_state_store_backend(spark, tmp_path, dim):
+    """Large-state contract: the RocksDB state store provider (bundled
+    with Spark 4) yields identical results to the default HDFS-backed
+    provider — at 100 TB key spaces, state must spill to disk instead
+    of living on the JVM heap."""
+    path = _write_events(
+        spark,
+        tmp_path,
+        [
+            [(1, ts(5, 10), 100.0), (1, ts(5, 20), 60.0)],
+            [(2, ts(20, 0), 1.0)],
+        ],
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        out = run_to_memory(
+            spark,
+            price_alerts_stream(
+                _stream(spark, path), dim, mode="append", watermark_delay="2 minutes"
+            ),
+            f"rdb_{uuid.uuid4().hex[:8]}",
+            mode="append",
+        ).collect()
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+    assert [(r.alert_key, r.total_sum_per_minute) for r in out] == [("1", 160.0)]
+
+
 def test_streaming_session_window(spark, tmp_path):
     """F.session_window under readStream: sessions merge as events
     arrive; append mode emits a session once its gap has passed the
