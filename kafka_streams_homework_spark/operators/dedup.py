@@ -30,7 +30,7 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_homework_spark.functions import shingle_hashes, tokens
@@ -129,24 +129,22 @@ def ngram_jaccard_pairs(
     shuffle key is either a rare shingle hash or a doc id.
     """
     sh = _doc_shingle_hashes(documents, n)
-    exploded = sh.select("doc_id", F.explode("hs").alias("h"))
+    exploded = sh.select("doc_id", "n_sh", F.explode("hs").alias("h"))
 
     freq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        exploded.join(freq, "h")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("ranked"))
-    )
-    # |prefix| = n_sh - ceil(τ·n_sh) + 1, with n_sh = size(ranked)
+    # rank each doc's shingles rarest-first; keep the AllPairs prefix
+    # |prefix| = n_sh - ceil(τ·n_sh) + 1. A row_number window (one
+    # shuffle by doc_id) beats collect_list+sort+slice — no per-doc
+    # array materialization.
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
     prefix_len = (
-        F.size("ranked") - F.ceil(F.lit(threshold) * F.size("ranked")) + 1
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     ).cast("int")
-    prefixes = ranked.select(
-        "doc_id",
-        F.size("ranked").alias("n_sh"),
-        F.explode(
-            F.transform(F.slice("ranked", 1, prefix_len), lambda s: s["h"])
-        ).alias("h"),
+    prefixes = (
+        exploded.join(freq, "h")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= prefix_len)
+        .select("doc_id", "n_sh", "h")
     )
 
     # Length filter (also AllPairs): J(A,B) ≥ τ forces
