@@ -1035,6 +1035,25 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_stats",
+    oracle=None,  # sketch outputs are engine-specific; pytest bounds the
+    # error vs the exact agg_stats/value_percentiles twins
+    description="Sketch aggregates for 100 TB cardinalities: HLL++ "
+    "approx_count_distinct (rsd 1%) + quantile-sketch approx_percentile "
+    "per event_type — constant memory where exact distinct/percentile "
+    "would need a full shuffle of the key space; accuracy bounded in "
+    "pytest against the exact twins",
+)
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 6).alias("ap50"),
+        F.round(F.expr("approx_percentile(value, 0.99, 10000)"), 6).alias("ap99"),
+    )
+
+
+@register(
     "value_percentiles",
     oracle="""
         SELECT event_type,

@@ -39,13 +39,35 @@ def test_oracle_keys_subset_of_queries():
     q = set(E.queries())
     o = set(E.oracle_sql())
     assert o <= q, f"oracles without queries: {sorted(o - q)}"
-    # rows-only ops are the documented hash-dependent ones
+    # rows-only ops are the documented hash/sketch-dependent ones
     assert sorted(q - o) == [
+        "approx_stats",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "knn_ivf",
         "knn_ivf_kmeans",
     ]
+
+
+def test_approx_stats_within_tolerance(spark, sf_dir):
+    """Sketches trade exactness for constant memory; bound the error
+    against the exact twins on the same data."""
+    reg = E.queries()
+    exact = {
+        r.event_type: r for r in reg["agg_stats"](spark, sf_dir).collect()
+    }
+    exact_p = {
+        r.event_type: r for r in reg["value_percentiles"](spark, sf_dir).collect()
+    }
+    for r in reg["approx_stats"](spark, sf_dir).collect():
+        e = exact[r.event_type]
+        assert abs(r.approx_users - e.n_users) <= max(3, 0.05 * e.n_users)
+        p = exact_p[r.event_type]
+        assert abs(r.ap50 - p.p50) <= 0.05 * max(abs(p.p50), 1.0)
+        # tail percentile on a tiny sample: the sketch returns an actual
+        # element while the exact twin interpolates — bound by position
+        # (above p90, at most the group max) rather than by distance
+        assert p.p90 <= r.ap99 <= e.max_value
 
 
 def test_entry_schema_is_stable(spark):
