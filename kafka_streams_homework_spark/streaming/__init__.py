@@ -14,6 +14,7 @@ The reference's runtime semantics fork (SURVEY.md §2.5):
 
 from kafka_streams_homework_spark.streaming.price_alerts import (
     dedup_stream,
+    latest_by_key_stream,
     price_alerts_stream,
     run_to_memory,
 )
@@ -21,6 +22,7 @@ from kafka_streams_homework_spark.streaming.stateful import windowed_sum_statefu
 
 __all__ = [
     "dedup_stream",
+    "latest_by_key_stream",
     "price_alerts_stream",
     "run_to_memory",
     "windowed_sum_stateful",

@@ -58,6 +58,29 @@ def price_alerts_stream(
     )
 
 
+def latest_by_key_stream(
+    changelog_stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """GlobalKTable semantics under streaming: maintain the latest value
+    per key from a changelog-shaped stream, emitting updates as they
+    supersede (outputMode("update")).
+
+    Reference: ``builder.globalTable`` ("stores the last record from
+    the topic per key", dsl/PriceAlertsApp.java:91-95) and the upsert
+    processor (StateUpdateSupplier.java:35-37). Spark: ``max_by`` over
+    the event time per key — state is one row per key, updated in
+    place; partial aggregation makes each micro-batch shuffle one row
+    per touched key.
+    """
+    aggs = [
+        F.max_by(F.col(c), F.col(ts_col)).alias(f"last_{c}") for c in value_cols
+    ] + [F.max(F.col(ts_col)).alias(f"last_{ts_col}")]
+    return changelog_stream.groupBy(*key_cols).agg(*aggs)
+
+
 def dedup_stream(
     events_stream: DataFrame,
     subset: list[str],

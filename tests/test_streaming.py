@@ -18,6 +18,7 @@ import pytest
 
 from kafka_streams_homework_spark.streaming import (
     dedup_stream,
+    latest_by_key_stream,
     price_alerts_stream,
     run_to_memory,
     windowed_sum_stateful,
@@ -207,6 +208,36 @@ def test_dedup_stream_drops_duplicates_within_watermark(spark, tmp_path):
     ).collect()
     got = {r.user_id: r.value for r in out}
     assert got == {1: 100.0, 2: 60.0, 3: 7.0}
+
+
+def test_latest_by_key_stream_tracks_changelog(spark, tmp_path):
+    """GlobalKTable twin under streaming: the per-key latest value is
+    maintained across micro-batches; later batches supersede (update
+    mode re-emits the changed key with its new latest)."""
+    path = _write_events(
+        spark,
+        tmp_path,
+        [
+            [(1, ts(1, 0), 10.0), (2, ts(1, 30), 20.0)],
+            [(1, ts(5, 0), 99.0)],  # supersedes user 1
+            [(2, ts(0, 0), 7.0)],  # OLDER than the current latest → no change
+        ],
+    )
+    out = run_to_memory(
+        spark,
+        latest_by_key_stream(_stream(spark, path), ["user_id"], "ts", ["value"]),
+        f"lk_{uuid.uuid4().hex[:8]}",
+        mode="update",
+    )
+    # the memory table holds every update-emission; the LAST row per key
+    # (by insertion order within the sink) is the final table state —
+    # assert final state via max event time per key
+    final = {
+        r.user_id: (r.last_value, r.last_ts)
+        for r in out.orderBy("last_ts").collect()
+    }
+    assert final[1] == (99.0, ts(5, 0))
+    assert final[2] == (20.0, ts(1, 30))
 
 
 def test_rocksdb_state_store_backend(spark, tmp_path, dim):
