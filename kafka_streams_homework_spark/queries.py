@@ -880,6 +880,125 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semi_join",
+    oracle="""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+        )
+        GROUP BY o_orderpriority
+    """,
+    description="Left-semi join (TPC-H Q4 shape): orders with ≥1 "
+    "late-shipping lineitem — EXISTS becomes a semi join that never "
+    "duplicates or widens the probe side",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"]),
+        "leftsemi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "anti_join",
+    oracle="""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+        )
+        GROUP BY c_mktsegment
+    """,
+    description="Left-anti join (TPC-H Q22 core): customers with no "
+    "URGENT order — NOT EXISTS as an anti join (no null-trap, unlike "
+    "NOT IN); the filter pushes into the build side before the anti "
+    "probe",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    no_urgent = customer.join(
+        urgent, customer["c_custkey"] == urgent["o_custkey"], "leftanti"
+    )
+    return no_urgent.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "above_avg",
+    oracle="""
+        WITH ua AS (
+            SELECT user_id, avg(value) AS user_avg FROM events GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id, e.value,
+               round(ua.user_avg, 6) AS user_avg
+        FROM events e JOIN ua ON e.user_id = ua.user_id
+        WHERE e.value > 2 * ua.user_avg
+    """,
+    description="Correlated-subquery shape (TPC-H Q17 pattern): events "
+    "more than 2× their user's average — decorrelated into agg + join "
+    "(one shuffle, reused scan)",
+)
+def q_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    ua = events.groupBy(F.col("user_id").alias("ua_user")).agg(
+        F.avg("value").alias("raw_avg")
+    )
+    return (
+        events.join(ua, events["user_id"] == ua["ua_user"])
+        .filter(F.col("value") > 2 * F.col("raw_avg"))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round("raw_avg", 6).alias("user_avg"),
+        )
+    )
+
+
+@register(
+    "pivot_counts",
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+        FROM events GROUP BY user_id
+    """,
+    description="Pivot/reshape: per-user event-type counts as columns — "
+    "Spark pivot with explicit value list (one pass; no second job to "
+    "discover pivot values)",
+)
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        F.coalesce("click", F.lit(0)).alias("click"),
+        F.coalesce("purchase", F.lit(0)).alias("purchase"),
+        F.coalesce("error", F.lit(0)).alias("error"),
+    )
+
+
+@register(
     "asof_join",
     oracle="""
         WITH r AS (
