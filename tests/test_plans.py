@@ -55,6 +55,25 @@ def test_topk_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_latest_by_key_uses_window_group_limit(spark, sf_dir):
+    df = Q.q_latest_by_key(spark, sf_dir)
+    plan = physical_plan(df)
+    # rn==1 is rewritten to a per-partition partial top-1 before the
+    # shuffle — the exchange carries ~1 row per key per map partition
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    """A full ORDER BY must sample + range-partition (each partition a
+    disjoint key range, merged by concatenation) — never a single-task
+    global sort."""
+    from kafka_streams_homework_spark.sources.batch import load_table
+
+    df = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
+    plan = physical_plan(df)
+    assert "rangepartitioning" in plan.lower(), plan
+
+
 def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
     df = Q.q_knn_bruteforce(spark, sf_dir)
     plan = physical_plan(df)
