@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "training_data_prep",
     "media_resize",
     "salted_join",
+    "semi_join",
+    "anti_join",
 ]
 
 
