@@ -12,7 +12,7 @@ one exists, and partial aggregation compresses it map-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_homework_spark.functions import count_in_set, tokens
@@ -92,6 +92,65 @@ def quality_score(documents: DataFrame) -> DataFrame:
         F.round(diversity, 6).alias("lexical_diversity"),
         score.alias("quality"),
         ((n_tok >= 5) & (n_tok <= 1000) & (diversity > 0.3)).alias("keep"),
+    )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 64, stride: int = 48
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token chunks — the
+    LLM-training windowing step (context size `chunk_tokens`, overlap
+    `chunk_tokens - stride`).
+
+    Pure SQL: number of chunks per doc from the token count, posexplode
+    of a chunk-index sequence, slice+concat per chunk. One narrow
+    projection — the fanout rows carry only the chunk text, never the
+    full document.
+    """
+    tok = tokens("text")
+    n = F.size(tok)
+    num_chunks = F.greatest(
+        F.ceil((n - F.lit(chunk_tokens) + F.lit(stride)) / F.lit(stride)),
+        F.lit(1),
+    ).cast("int")
+    with_idx = documents.select(
+        "doc_id",
+        tok.alias("tok"),
+        F.posexplode(F.sequence(F.lit(0), num_chunks - 1)).alias("chunk_idx", "_i"),
+    )
+    sliced = F.slice(F.col("tok"), F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return with_idx.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(sliced).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", sliced).alias("chunk_text"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame, max_tokens: int = 512, shards: int = 16
+) -> DataFrame:
+    """Greedy contiguous sequence packing: assign chunks to training
+    sequences of ~`max_tokens`, preserving (doc, chunk) order within a
+    shard.
+
+    seq_id = floor(tokens-before-this-chunk / max_tokens) over a
+    running sum — a sequence may spill past the boundary by one chunk
+    (standard approximate packing; the trainer truncates). Sharding by
+    doc_id bounds the window partition: at 100 TB each shard packs
+    independently in parallel, the only shuffle is by shard.
+    """
+    shard = (F.col("doc_id") % shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        chunks.select(shard, "doc_id", "chunk_idx", "n_tokens")
+        .withColumn("seq_id", F.floor((cum - F.col("n_tokens")) / max_tokens))
+        .select("shard", "doc_id", "chunk_idx", "n_tokens", "seq_id")
     )
 
 

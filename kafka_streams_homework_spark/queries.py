@@ -1279,6 +1279,67 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample(M.to_media(docs))
 
 
+@register(
+    "doc_chunks",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok FROM documents
+        ), c AS (
+            SELECT doc_id, tok,
+                   unnest(generate_series(0,
+                       CAST(greatest(ceil((len(tok) - 64 + 48) / 48.0), 1)
+                            AS INTEGER) - 1)) AS chunk_idx
+            FROM t
+        )
+        SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+               CAST(len(tok[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT)
+                   AS n_tokens,
+               array_to_string(tok[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+                   AS chunk_text
+        FROM c
+    """,
+    description="LLM-training chunking: overlapping 64-token windows "
+    "(stride 48) per document — pure-SQL fanout, chunk rows never carry "
+    "the whole document",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.chunk_documents(docs, 64, 48)
+
+
+@register(
+    "sequence_pack",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok FROM documents
+        ), c AS (
+            SELECT doc_id, tok,
+                   unnest(generate_series(0,
+                       CAST(greatest(ceil((len(tok) - 64 + 48) / 48.0), 1)
+                            AS INTEGER) - 1)) AS chunk_idx
+            FROM t
+        ), ch AS (
+            SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+                   CAST(len(tok[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT)
+                       AS n_tokens
+            FROM c
+        )
+        SELECT doc_id % 16 AS shard, doc_id, chunk_idx, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (
+                       PARTITION BY doc_id % 16 ORDER BY doc_id, chunk_idx
+                       ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT)
+                   AS seq_id
+        FROM ch
+    """,
+    description="Greedy contiguous sequence packing to ~512-token "
+    "training sequences, sharded for parallelism — running-sum window, "
+    "one shuffle by shard",
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.pack_chunks(T.chunk_documents(docs, 64, 48), 512, 16)
+
+
 # ===========================================================================
 # Text analysis (north-star §7, over documents)
 # ===========================================================================

@@ -163,6 +163,38 @@ def test_frame_sample_fanout(spark):
     assert by_doc[1][0].frame_bytes == 10
 
 
+def test_chunk_documents_coverage_and_overlap(spark):
+    from kafka_streams_homework_spark.operators import text as T
+
+    # 10 tokens, chunk 4, stride 3 → chunks at offsets 0,3,6 (ceil((10-4+3)/3)=3)
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.chunk_idx): r for r in T.chunk_documents(docs, 4, 3).collect()}
+    assert {k for k in out} == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    assert out[(1, 0)].chunk_text == "t0 t1 t2 t3"
+    assert out[(1, 1)].chunk_text == "t3 t4 t5 t6"  # overlap of 1 token
+    assert out[(1, 2)].chunk_text == "t6 t7 t8 t9"
+    assert out[(2, 0)].chunk_text == "a b" and out[(2, 0)].n_tokens == 2
+    # every token of doc 1 appears in ≥1 chunk
+    covered = set(" ".join(out[(1, i)].chunk_text for i in range(3)).split())
+    assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_pack_chunks_sequences_fill_in_order(spark):
+    from kafka_streams_homework_spark.operators import text as T
+
+    chunks = spark.createDataFrame(
+        [(0, 0, 60), (0, 1, 60), (16, 0, 60), (16, 1, 10)],
+        "doc_id long, chunk_idx int, n_tokens long",
+    )
+    # all docs land in shard 0; capacity 100 → seq 0 gets 60(+60 spills),
+    # boundary chunk starts seq at floor(cum_before/100)
+    out = {(r.doc_id, r.chunk_idx): r.seq_id for r in T.pack_chunks(chunks, 100, 16).collect()}
+    assert out == {(0, 0): 0, (0, 1): 0, (16, 0): 1, (16, 1): 1}
+
+
 def test_cosine_similarity_exact(spark):
     df = spark.createDataFrame(
         [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 1.0])],
