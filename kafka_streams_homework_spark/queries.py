@@ -59,7 +59,10 @@ EMB_SIM_THRESHOLD = 0.35         # within-label cosine max ≈0.475
 KNN_K = 5
 KNN_QUERY_MAX_ID = 10
 SESSION_GAP = "30 minutes"
-SINK_PATH = "/tmp/kshs_sink/price_alerts"
+# per-process sink root: concurrent harnesses (driver gate + local
+# check_oracle) must not race each other's overwrites
+SINK_ROOT = f"/tmp/kshs_sink_{os.getpid()}"
+SINK_PATH = f"{SINK_ROOT}/price_alerts"
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -676,7 +679,7 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_partitioned_sink_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
-    path = f"/tmp/kshs_sink/events_by_day_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = f"{SINK_ROOT}/events_by_day_{os.path.basename(sf_dir.rstrip('/'))}"
     write_parquet(
         events.withColumn("event_date", F.to_date("ts")),
         path,
