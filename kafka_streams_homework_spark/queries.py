@@ -1176,6 +1176,32 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_histogram",
+    oracle="""
+        SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               round(min(value), 6) AS lo,
+               round(max(value), 6) AS hi
+        FROM events GROUP BY 1
+    """,
+    description="Fixed-width histogram (bucket = floor(value/25)) — "
+    "single hash-agg pass; the distribution-profiling primitive",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.floor(F.col("value") / 25.0).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+@register(
     "value_percentiles",
     oracle="""
         SELECT event_type,
