@@ -1002,6 +1002,36 @@ def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join",
+    oracle="""
+        SELECT e.event_id, e.value, t.tier
+        FROM events e
+        JOIN (VALUES (0.0, 50.0, 'low'),
+                     (50.0, 150.0, 'mid'),
+                     (150.0, 1e12, 'high')) t(lo, hi, tier)
+          ON e.value >= t.lo AND e.value < t.hi
+    """,
+    description="Pure range (non-equi) join: events banded against an "
+    "irregular tier table — broadcast nested-loop on the tiny band "
+    "side; at 100 TB with uniform bands you precompute the band key "
+    "and equi-join instead (both shapes supported)",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 1e12, "high")],
+        "lo double, hi double, tier string",
+    )
+    return (
+        events.join(
+            F.broadcast(tiers),
+            (events["value"] >= tiers["lo"]) & (events["value"] < tiers["hi"]),
+        )
+        .select("event_id", "value", "tier")
+    )
+
+
+@register(
     "asof_join",
     oracle="""
         WITH r AS (
