@@ -416,8 +416,10 @@ def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey LIMIT 10
     """,
-    description="TPC-H Q3 shape: selective dim filter → broadcast join → "
-    "agg → top-10 (TakeOrderedAndProject, no global sort)",
+    description="TPC-H Q3 shape: selective filters pushed to the scans → "
+    "size-guarded joins (AQE/autoBroadcastJoinThreshold picks broadcast "
+    "vs shuffle at runtime — orders/customer grow with sf, so no forced "
+    "broadcast) → agg → top-10 (TakeOrderedAndProject, no global sort)",
 )
 def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer").filter(
@@ -429,11 +431,12 @@ def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
+    # No F.broadcast here: orders/customer are sf-proportional. AQE +
+    # autoBroadcastJoinThreshold broadcast them only while they measure
+    # small; at 100 TB these become shuffle joins on the equi keys.
     return (
-        li.join(
-            F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"]
-        )
-        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -457,8 +460,10 @@ def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND r_name = 'ASIA'
         GROUP BY n_name
     """,
-    description="TPC-H Q5 shape: 6-way star join (all dims broadcast; the "
-    "fact table never shuffles pre-agg) → revenue per nation",
+    description="TPC-H Q5 shape: 6-way join — bounded dims (nation 25 "
+    "rows, region 5 rows at every sf) force-broadcast; sf-proportional "
+    "tables (orders/customer/supplier) size-guarded so AQE picks "
+    "broadcast vs shuffle at runtime → revenue per nation",
 )
 def q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
@@ -467,11 +472,16 @@ def q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # Only nation/region keep the broadcast hint — their row counts are
+    # constant at every scale factor. orders/customer/supplier grow with
+    # sf; AQE + autoBroadcastJoinThreshold decide their join strategy
+    # from measured sizes (broadcast while small, SMJ/shuffle-hash at
+    # 100 TB).
     return (
-        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
         .join(
-            F.broadcast(supplier),
+            supplier,
             (li["l_suppkey"] == supplier["s_suppkey"])
             & (customer["c_nationkey"] == supplier["s_nationkey"]),
         )

@@ -32,9 +32,13 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at ANY scale factor (their
-# size is bounded or grows far slower than the fact tables).
-BROADCAST_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+# Dimension tables small enough to broadcast at ANY scale factor: TPC-H
+# fixes region at 5 rows and nation at 25 rows regardless of sf. Every
+# other table (customer, supplier, part, orders, lineitem, events,
+# documents, embeddings) grows linearly with sf, so forcing a broadcast
+# would OOM at large scale — their join strategy is left to AQE +
+# spark.sql.autoBroadcastJoinThreshold, which measure actual size.
+BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -40,11 +40,51 @@ def test_q1_is_two_phase_agg_single_exchange(spark, sf_dir):
     assert "PushedFilters" in formatted_plan(df)
 
 
-def test_star_join_broadcasts_all_dims(spark, sf_dir):
+def test_star_join_broadcasts_all_dims_at_small_sf(spark, sf_dir):
+    """At test sf every table measures under autoBroadcastJoinThreshold,
+    so the size-guarded plan still broadcasts everything — without any
+    forced hint on the sf-proportional tables."""
     df = Q.q_q5(spark, sf_dir)
     plan = physical_plan(df)
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def _with_broadcast_disabled(spark, fn):
+    """Run fn with autoBroadcastJoinThreshold=-1 — simulates the 100 TB
+    case where orders/customer/supplier measure far above the threshold.
+    Only explicit F.broadcast hints survive this setting."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        return fn()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q3_joins_are_size_guarded(spark, sf_dir):
+    """Scale contract (VERDICT r1 #1): q3 must not force-broadcast
+    orders/customer. With the threshold off (as if the tables were
+    100 TB-scale), every join must degrade to a shuffle join — a
+    surviving BroadcastExchange would mean a forced hint on an
+    sf-proportional table, which OOMs at scale."""
+    plan = _with_broadcast_disabled(
+        spark, lambda: physical_plan(Q.q_q3(spark, sf_dir))
+    )
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_q5_broadcasts_only_bounded_dims(spark, sf_dir):
+    """With the threshold off, q5 keeps exactly its two hinted
+    broadcasts (nation=25 rows, region=5 rows at every sf); the
+    sf-proportional joins (orders/customer/supplier) degrade to
+    shuffle joins."""
+    plan = _with_broadcast_disabled(
+        spark, lambda: physical_plan(Q.q_q5(spark, sf_dir))
+    )
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 
 
 def test_topk_uses_window_group_limit(spark, sf_dir):
