@@ -1,0 +1,49 @@
+"""Cache lifecycle for intra-query persisted intermediates.
+
+Several operators persist an intermediate that multiple plan branches
+fold (the shingle-hash table in ``operators.dedup``, the minute-grain
+pre-aggregate in ``hierarchical_rollup``). Spark's CacheManager matches
+these by canonicalized plan, so repeated query invocations reuse the
+same cached blocks — but nothing ever dropped them, so a long session
+(bench best-of-2, full oracle sweeps) accumulated cached data for its
+lifetime.
+
+``tracked_persist`` is a drop-in ``df.persist()`` that records the
+handle; harnesses call ``release_caches()`` between sweeps to return
+executor storage memory. At 100 TB the same pattern applies unchanged —
+persisted intermediates there use MEMORY_AND_DISK (the default), so
+blocks spill rather than evict hot shuffle data, and the job releases
+them at the end of the pipeline run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+_TRACKED: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
+    """``df.persist()`` whose handle is released by ``release_caches``."""
+    df = df.persist(level) if level is not None else df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Register an already-persisted DataFrame for later release."""
+    _TRACKED.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every tracked intermediate; returns how many."""
+    n = len(_TRACKED)
+    for df in _TRACKED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _TRACKED.clear()
+    return n

@@ -30,9 +30,12 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_streams_homework_spark.caching import track, tracked_persist
 from kafka_streams_homework_spark.functions import shingle_hashes, tokens
 from kafka_streams_homework_spark.sources.batch import spread
 
@@ -67,14 +70,16 @@ def _doc_shingle_hashes(documents: DataFrame, n: int) -> DataFrame:
 
     `spread` first: shingling is the compute-heavy step and must not
     serialize on a single input split. Persisted because every near-dup
-    pipeline branches over it 3-4×.
+    pipeline branches over it 3-4×; tracked so ``caching.release_caches``
+    can return the storage memory after a sweep (Spark's CacheManager
+    dedups repeat invocations by canonicalized plan, so re-entry reuses
+    the same blocks rather than stacking new ones).
     """
-    return (
+    return tracked_persist(
         spread(documents.select("doc_id", "text"))
         .select("doc_id", shingle_hashes(tokens("text"), n).alias("hs"))
         .filter(F.size("hs") > 0)
         .select("doc_id", "hs", F.size("hs").alias("n_sh"))
-        .persist()
     )
 
 
@@ -194,6 +199,7 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
         .persist()
     )
+    changed = 0
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -221,6 +227,19 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed > 0:
+        # a component's diameter exceeded max_iters: labels are NOT a
+        # fixpoint and clusters would be silently split — surface it
+        warnings.warn(
+            f"dedup_clusters did not converge in {max_iters} iterations "
+            f"({changed} labels still changing); raise max_iters",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # labels is still persisted (the loop's last new_labels) and the
+    # returned select depends on it; hand the handle to the session
+    # cache tracker instead of leaking it
+    track(labels)
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),

@@ -32,6 +32,7 @@ from kafka_streams_homework_spark.operators import multimodal as M
 from kafka_streams_homework_spark.operators import relational as R
 from kafka_streams_homework_spark.operators import similarity as S
 from kafka_streams_homework_spark.operators import text as T
+from kafka_streams_homework_spark.caching import tracked_persist
 from kafka_streams_homework_spark.session import apply_runtime_confs
 from kafka_streams_homework_spark.sources.batch import load_table, spread
 from kafka_streams_homework_spark.sources.sink import (
@@ -734,7 +735,12 @@ def q_partitioned_sink_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
-    minute = (
+    # Persisted so the cascade is real: events are scanned/aggregated
+    # ONCE at minute grain; hour folds the cached minute rows (~60×
+    # fewer), day folds hour. Without the persist each union branch
+    # recomputes from the scan (3 scans, 6 shuffles). Tracked for
+    # release via caching.release_caches().
+    minute = tracked_persist(
         events.groupBy(F.date_trunc("minute", "ts").alias("window_start"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("raw_total"))
     )

@@ -109,6 +109,9 @@ def main() -> int:
                 print(f"      duckdb-only: {x}")
         else:
             print(f"OK    {name}: {len(srows)} rows")
+    from kafka_streams_homework_spark.caching import release_caches
+
+    release_caches()
     print(f"\n{failures} failures")
     return 1 if failures else 0
 
