@@ -325,23 +325,40 @@ def salted_join(
     dim_key: str,
     how: str = "inner",
     salt_buckets: int = 8,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Hot-key-safe equi-join: identical result to a plain join, via
     salting — the documented fallback when ONE foreign-key value
     dominates the fact side and even AQE's skew splitting leaves a
     straggler.
 
-    The fact side gets a uniform random-ish salt (hash of a per-row
-    id); the dim side is replicated `salt_buckets`× with every salt
-    value. The join key becomes (key, salt), so a hot key's rows land
-    on `salt_buckets` reducers instead of one. Dim replication costs
-    |dim|×buckets rows — use only when the dim is modest and the skew
-    is real; broadcast (join_stream_table) is strictly better whenever
-    the dim fits in memory.
+    The fact side gets a uniform salt — ``xxhash64(salt_col)`` when
+    given, else a hash over the whole row — stable under task retries
+    by construction (a pure function of row data, unlike
+    monotonically_increasing_id, which depends on partition/task
+    numbering). The dim side is replicated `salt_buckets`× with every
+    salt value. The join key becomes (key, salt), so a hot key's rows
+    land on `salt_buckets` reducers instead of one. Dim replication
+    costs |dim|×buckets rows — use only when the dim is modest and the
+    skew is real; broadcast (join_stream_table) is strictly better
+    whenever the dim fits in memory.
+
+    Only ``inner``/``left`` are supported: for right/full joins the
+    replicated dim would emit each unmatched dim row `salt_buckets`
+    times (one null-extended row per salt replica).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "unmatched dim rows would be duplicated per salt replica"
+        )
+    salt_src = (
+        F.xxhash64(salt_col)
+        if salt_col is not None
+        else F.xxhash64(*[F.col(c) for c in fact.columns])
+    )
     salted_fact = fact.withColumn(
-        "__salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)),
+        "__salt", F.pmod(salt_src, F.lit(salt_buckets))
     )
     replicated_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
@@ -363,6 +380,7 @@ def windowed_sum_salted(
     size: str = "1 minute",
     out_name: str = "total_sum_per_minute",
     salt_buckets: int = 16,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Hot-key-safe windowed SUM: identical result to windowed_sum, via
     two-stage aggregation over a salt column.
@@ -377,8 +395,15 @@ def windowed_sum_salted(
     `salt_buckets` rows per (key, window).
     """
     windowed = tumbling_window(df, ts_col, size)
+    # salt from row data (not monotonically_increasing_id) so salts are
+    # reproducible under task retries by construction
+    salt_src = (
+        F.xxhash64(salt_col)
+        if salt_col is not None
+        else F.xxhash64(*[F.col(c) for c in df.columns])
+    )
     salted = windowed.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        "__salt", F.pmod(salt_src, F.lit(salt_buckets))
     )
     partial = salted.groupBy(*key_cols, "window", "__salt").agg(
         F.sum(value).alias("__partial")

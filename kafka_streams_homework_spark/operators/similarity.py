@@ -264,7 +264,9 @@ def cosine_pairs_within_label(
 
     Blocking on `label` keeps the pair space at sum(n_cell²) instead of
     n² — the standard blocked-dedup shape. Fully SQL-expressible, so
-    oracle-checked.
+    oracle-checked. Scale caveat: within a block the join is still
+    quadratic, so this is only safe when blocks are known-small; the
+    scale path for coarse/no blocking keys is ``cosine_pairs_lsh``.
     """
     a = embeddings.select(
         F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a")
@@ -279,3 +281,194 @@ def cosine_pairs_within_label(
         .filter(F.col("sim") >= threshold)
         .select("label", "id_a", "id_b", "sim")
     )
+
+
+def _hyperplane_signature(emb, planes) -> "F.Column":
+    """array<int> of sign bits: 1 if dot(emb, h_j) >= 0 else 0.
+
+    `planes` is a Python list of hyperplane vectors baked into the plan
+    as literals — nbits × dim doubles, a bounded constant independent of
+    corpus size — so the signature is one narrow JVM-side projection
+    (zip_with/aggregate), no shuffle, no Python in the row path.
+    """
+    bits = []
+    for h in planes:
+        h_lit = F.array(*[F.lit(float(x)) for x in h])
+        dot = F.aggregate(
+            F.zip_with(emb, h_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, 1).otherwise(0))
+    return F.array(*bits)
+
+
+def random_hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (the SimHash-for-cosine family:
+    P[bit collision] = 1 - angle(u,v)/pi, Charikar STOC'02)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(nbits, dim).tolist()
+
+
+def cosine_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    bands: int = 32,
+    bits_per_band: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH — the 100 TB
+    path that needs NO blocking key (vs cosine_pairs_within_label's
+    label blocks, which go quadratic when blocks are coarse).
+
+    Mirror of dedup.minhash_lsh_pairs: signature → banded candidate
+    equi-join on (band, bucket) → exact cosine verify, so the output has
+    no false positives; banding only affects recall (pytest pins recall
+    vs the exact op). With b bands of r bits, a pair at cosine s
+    collides with probability 1-(1-p^r)^b where p = 1 - arccos(s)/pi —
+    at the defaults (32×4) that is ≈0.993 for s ≥ 0.35. Low thresholds
+    are LSH's weak regime (bit-collision p is 0.61 at s=0.35 vs 0.5 for
+    random pairs), so candidate volume rises as τ falls — the op's
+    sweet spot is true near-duplicate detection (τ ≥ 0.8), where
+    random pairs almost never share a band.
+
+    Scale: the signature is a per-row projection over plan-literal
+    hyperplanes (no shuffle); candidates come from equality joins on
+    uniform (band, bucket) int64 keys; embeddings shuffle only for the
+    candidate verify join, never all-pairs.
+    """
+    first = embeddings.select(F.size("embedding").alias("d")).first()
+    if first is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, sim double"
+        )
+    planes = random_hyperplanes(first["d"], bands * bits_per_band, seed)
+
+    sig = embeddings.select(
+        "vec_id",
+        "embedding",
+        _hyperplane_signature(F.col("embedding"), planes).alias("sig"),
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col("sig")[b * bits_per_band + r] for r in range(bits_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "vec_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("vec_id", "bb.band", "bb.bucket")
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    ea = embeddings.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a")
+    )
+    eb = embeddings.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b")
+    )
+    return (
+        candidates.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("sim", F.round(cosine_similarity(F.col("e_a"), F.col("e_b")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def ivf_write_index(
+    embeddings: DataFrame,
+    path: str,
+    ncells: int = 8,
+    iters: int = 4,
+) -> DataFrame:
+    """Materialize the IVF layout the knn_ivf docstring promises: the
+    corpus written ``partitionBy(cell)`` (one directory per coarse cell)
+    plus the centroid table. Returns the centroids.
+
+    At 100 TB this is the one-time index build: k-means on a sample,
+    one assignment scan, one partitioned write. Probes then touch only
+    nprobe/ncells of the data AT THE SCAN — directory-level partition
+    pruning, not a post-scan filter (asserted in tests/test_plans.py).
+    """
+    centroids = kmeans_cells(embeddings, ncells, iters)
+    cells = assign_cells(embeddings, centroids)
+    (
+        embeddings.join(cells, "vec_id")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(f"{path}/corpus")
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def ivf_probe_index(
+    spark: "SparkSession",
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Probe a materialized IVF index: assign queries to their nprobe
+    nearest centroids, then scan ONLY those cell directories.
+
+    The probed cell ids are collected to the driver (bounded:
+    |queries| × nprobe ints — queries are small by definition) and
+    pushed as a static IN filter on the partition column, so the scan
+    plan shows PartitionFilters and reads nprobe/ncells of the corpus.
+    The join-based alternative (broadcast qcells + dynamic partition
+    pruning) avoids the collect but makes pruning contingent on DPP
+    firing; the static filter makes it unconditional.
+    """
+    centroids = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("csim", cosine_similarity(F.col("q_emb"), F.col("centroid")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("csim").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "q_emb", "cell")
+    )
+    probe_cells = sorted({r.cell for r in qcells.select("cell").distinct().collect()})
+    corpus = (
+        spark.read.parquet(f"{path}/corpus")
+        .filter(F.col("cell").isin(probe_cells))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            "cell",
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(qcells), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim", F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6)
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
+    return _topk(scored, k)

@@ -7,22 +7,113 @@ Registry (dsl:33-37).
 
 Spark twin: the kafka data source (``spark-sql-kafka`` package) +
 ``from_avro``/``to_avro`` (``pyspark.sql.avro.functions``). Neither a
-broker nor the kafka jars exist in this container, so these builders
-are import-gated: they construct the plan when the environment has the
-package and raise a clear error otherwise. The batch parquet path
-(sources/batch.py) is the tested twin; tests exercise the streaming
-semantics through file sources instead (tests/test_streaming.py).
+broker nor the kafka jars exist in this container, so the *transport*
+(readStream.format("kafka")) is gated behind a clear error, while every
+*record-shaping* step — key/value projection, Confluent wire-format
+stripping, Avro/JSON value decode, sink payload layout — is a pure
+DataFrame→DataFrame function, unit-tested on static frames with
+fabricated binary payloads (tests/test_kafka.py). The batch parquet
+path (sources/batch.py) is the data twin; streaming semantics are
+exercised through file sources (tests/test_streaming.py).
 
-Schema note: we use static StructType/Avro-literal schemas instead of
-a registry — Spark's from_avro takes the schema as a JSON string; a
-Confluent registry integration would strip the 5-byte wire-format
-prefix first (documented here for operators deploying against one).
+Confluent wire format (magic byte 0x00 + 4-byte big-endian schema id +
+Avro body): handled by ``confluent_schema_id``/``confluent_payload`` —
+JVM-side substring/conv expressions, no Python in the row path.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+KAFKA_PACKAGE_HINT = (
+    "kafka data source not available in this environment; submit with "
+    "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> "
+    "(and spark-avro for Avro values)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Record shaping (pure, broker-free, unit-tested)
+# ---------------------------------------------------------------------------
+
+
+def confluent_schema_id(value: Column) -> Column:
+    """Schema-registry id from a Confluent-framed value: bytes 2-5,
+    big-endian int (the registry lookup key)."""
+    return F.conv(F.hex(F.substring(value, 2, 4)), 16, 10).cast("int")
+
+
+def confluent_payload(value: Column) -> Column:
+    """Strip the 5-byte Confluent prefix (magic 0x00 + schema id),
+    leaving the raw Avro body for from_avro."""
+    return F.substring(value, F.lit(6), F.length(value) - F.lit(5))
+
+
+def decode_kafka_records(
+    raw: DataFrame,
+    avro_value_schema: str | None = None,
+    json_value_schema: str | None = None,
+    confluent_wire_format: bool = False,
+) -> DataFrame:
+    """Project kafka records (key/value/timestamp [+ topic/partition/
+    offset]) to (key string, value, ts).
+
+    - ``avro_value_schema`` (Avro JSON string): value decoded with
+      from_avro — requires the spark-avro jar, gated with a clear error.
+    - ``json_value_schema`` (DDL string): value cast to string and
+      parsed with from_json — no extra jar, the non-Avro binary path.
+    - ``confluent_wire_format``: strip the 5-byte registry prefix first
+      (reference's registry client does this inside the serde,
+      dsl/PriceAlertsApp.java:33-37).
+    """
+    value: Column = F.col("value")
+    if confluent_wire_format:
+        value = confluent_payload(value)
+    out = raw.select(
+        F.col("key").cast("string").alias("key"),
+        value.alias("value"),
+        F.col("timestamp").alias("ts"),
+    )
+    if avro_value_schema is not None:
+        out = out.select(
+            "key", _from_avro(F.col("value"), avro_value_schema).alias("value"), "ts"
+        )
+    elif json_value_schema is not None:
+        out = out.select(
+            "key",
+            F.from_json(F.col("value").cast("string"), json_value_schema).alias(
+                "value"
+            ),
+            "ts",
+        )
+    return out
+
+
+def _from_avro(value: Column, schema: str) -> Column:
+    try:
+        from pyspark.sql.avro.functions import from_avro
+
+        return from_avro(value, schema)
+    except Exception as ex:  # jar absent: ImportError or Py4J lookup error
+        raise RuntimeError(
+            "spark-avro package not available; pass json_value_schema or "
+            "decode downstream, or submit with --packages "
+            "org.apache.spark:spark-avro_2.13:<spark-version>"
+        ) from ex
+
+
+def kafka_sink_payload(df: DataFrame, key_col: str, value_expr: Column) -> DataFrame:
+    """Shape a DataFrame for the kafka sink: exactly (key string,
+    value) — the Produced.with(String, ...) contract (dsl:134)."""
+    return df.select(
+        F.col(key_col).cast("string").alias("key"), value_expr.alias("value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Transport (requires spark-sql-kafka; gated)
+# ---------------------------------------------------------------------------
 
 
 def read_kafka_stream(
@@ -30,38 +121,31 @@ def read_kafka_stream(
     bootstrap_servers: str,
     topic: str,
     avro_value_schema: str | None = None,
+    json_value_schema: str | None = None,
+    confluent_wire_format: bool = False,
     starting_offsets: str = "earliest",
 ) -> DataFrame:
     """KStream twin: subscribe a topic as a streaming DataFrame.
 
-    Returns (key string, value, ts) — value decoded from Avro when a
-    schema is given, else left as the raw binary column.
+    Returns (key string, value, ts) — value decoded per
+    ``decode_kafka_records``.
     """
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
-    out = raw.select(
-        F.col("key").cast("string").alias("key"),
-        F.col("value"),
-        F.col("timestamp").alias("ts"),
-    )
-    if avro_value_schema is not None:
-        try:
-            from pyspark.sql.avro.functions import from_avro
-        except ImportError as ex:  # pragma: no cover
-            raise RuntimeError(
-                "spark-avro package not available; pass avro_value_schema=None "
-                "and decode downstream, or submit with --packages "
-                "org.apache.spark:spark-avro_2.13:<spark-version>"
-            ) from ex
-        out = out.select(
-            "key", from_avro(F.col("value"), avro_value_schema).alias("value"), "ts"
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
         )
-    return out
+    except Exception as ex:
+        raise RuntimeError(KAFKA_PACKAGE_HINT) from ex
+    return decode_kafka_records(
+        raw,
+        avro_value_schema=avro_value_schema,
+        json_value_schema=json_value_schema,
+        confluent_wire_format=confluent_wire_format,
+    )
 
 
 def write_kafka_stream(
@@ -70,7 +154,7 @@ def write_kafka_stream(
     topic: str,
     checkpoint_location: str,
     key_col: str,
-    value_expr: F.Column,
+    value_expr: Column,
     output_mode: str = "update",
 ):
     """Kafka sink twin (dsl:134): keyed writes to a result topic.
@@ -78,14 +162,15 @@ def write_kafka_stream(
     checkpoint_location ≡ the reference's application id + state dir
     (STATE_DIR_CONFIG, dsl:77) — restart resumes exactly-once from it.
     """
-    payload = df.select(
-        F.col(key_col).cast("string").alias("key"), value_expr.alias("value")
-    )
-    return (
-        payload.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_location)
-        .outputMode(output_mode)
-        .start()
-    )
+    payload = kafka_sink_payload(df, key_col, value_expr)
+    try:
+        return (
+            payload.writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("topic", topic)
+            .option("checkpointLocation", checkpoint_location)
+            .outputMode(output_mode)
+            .start()
+        )
+    except Exception as ex:
+        raise RuntimeError(KAFKA_PACKAGE_HINT) from ex

@@ -17,13 +17,19 @@ from kafka_streams_homework_spark.streaming.price_alerts import (
     latest_by_key_stream,
     price_alerts_stream,
     run_to_memory,
+    run_upsert,
 )
-from kafka_streams_homework_spark.streaming.stateful import windowed_sum_stateful
+from kafka_streams_homework_spark.streaming.stateful import (
+    windowed_sum_punctuated,
+    windowed_sum_stateful,
+)
 
 __all__ = [
     "dedup_stream",
     "latest_by_key_stream",
     "price_alerts_stream",
     "run_to_memory",
+    "run_upsert",
+    "windowed_sum_punctuated",
     "windowed_sum_stateful",
 ]

@@ -120,3 +120,40 @@ def run_to_memory(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_upsert(
+    spark: SparkSession,
+    alerts: DataFrame,
+    key_cols: list[str],
+    mode: str = "update",
+) -> DataFrame:
+    """Run an update-mode streaming DataFrame to completion, keeping the
+    LATEST emission per key — batch-count-independent, unlike a raw
+    memory sink.
+
+    An update-mode memory sink accumulates every per-batch emission, so
+    a source that happens to split into >1 micro-batch (multi-file
+    input, maxFilesPerTrigger) yields stale intermediate rows alongside
+    final ones. ``foreachBatch`` is the canonical upsert sink shape:
+    micro-batches arrive in order, so last-writer-wins per key is
+    exactly "current aggregate value". At scale the dict becomes a
+    keyed upsert to Kafka/Delta (the reference's alerts topic,
+    dsl/PriceAlertsApp.java:134); alert rows are threshold-filtered so
+    the driver-side footprint here is the alert table itself.
+    """
+    state: dict[tuple, dict] = {}
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        for r in batch_df.collect():
+            d = r.asDict()
+            state[tuple(d[k] for k in key_cols)] = d
+
+    q = (
+        alerts.writeStream.foreachBatch(upsert)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(list(state.values()), schema=alerts.schema)

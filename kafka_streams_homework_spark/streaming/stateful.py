@@ -7,12 +7,17 @@ operator: per-record state mutation (running sum per (window, key),
 threshold (:56-84) and state GC (:85-89).
 
 Spark twin: ``applyInPandasWithState`` — grouped state + timeouts.
-This module implements the *event-time* variant (deterministic,
-watermark-driven — the semantics the engine documents as primary);
-the reference's wall-clock punctuator corresponds to
-``GroupStateTimeout.ProcessingTimeTimeout`` with the same handler
-logic (flip ``timeout`` to use it; non-deterministic in tests, so the
-event-time path is what CI drives).
+Two variants:
+
+- ``windowed_sum_stateful`` — *event-time* (deterministic,
+  watermark-driven; the semantics the engine documents as primary).
+- ``windowed_sum_punctuated`` — *wall-clock* exact parity with the
+  reference's ``PunctuationType.WALL_CLOCK_TIME`` punctuator
+  (transformer:33): ``GroupStateTimeout.ProcessingTimeTimeout``;
+  data batches only mutate state (``process()``, :37-50), emission
+  happens exclusively on the timer callback (``punctuate`` →
+  ``sendAlerts``, :56-84) — so an alert fires even when no new data
+  arrives for the key, which the event-time variant cannot do.
 
 State schema: parallel arrays (window_start_ms[], sum[]) per key —
 the exact information content of the reference's RocksDB store keyed
@@ -97,6 +102,97 @@ def _make_handler(threshold: float, window_ms: int):
             )
 
     return handler
+
+
+def _make_punctuated_handler(threshold: float, window_ms: int, interval_ms: int):
+    def handler(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import time
+
+        sums: dict[int, float] = {}
+        if state.exists:
+            starts, vals = state.get
+            sums = dict(zip(starts, vals))
+
+        if state.hasTimedOut:
+            # punctuate() → sendAlerts (transformer:56-84): scan state,
+            # emit wall-clock-closed windows over threshold, GC them —
+            # regardless of whether new data arrived for this key
+            now_ms = int(time.time() * 1000)
+            closed = sorted(w for w in sums if w + window_ms <= now_ms)
+            out = [
+                (str(key[0]), w, round(sums[w], 2))
+                for w in closed
+                if round(sums[w], 2) > threshold
+            ]
+            for w in closed:
+                del sums[w]
+            if sums:
+                state.update((list(sums.keys()), list(sums.values())))
+                state.setTimeoutDuration(interval_ms)
+            else:
+                state.remove()
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["alert_key", "window_start_ms", "total_sum_per_minute"],
+                )
+            return
+
+        # process() (transformer:37-50): mutate state only — NO emission
+        # on the data path; the timer is the only emitter
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
+            win = ts_ms - (ts_ms % window_ms)
+            for w, v in zip(win, pdf["value"].to_numpy()):
+                sums[int(w)] = sums.get(int(w), 0.0) + float(v)
+        if sums:
+            state.update((list(sums.keys()), list(sums.values())))
+        # schedule the punctuator (context.schedule, transformer:33)
+        state.setTimeoutDuration(interval_ms)
+        return
+
+    return handler
+
+
+def windowed_sum_punctuated(
+    events_stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    threshold: float = 150.0,
+    window_ms: int = WINDOW_MS,
+    interval_ms: int = 500,
+) -> DataFrame:
+    """Reference Processor semantics, wall-clock-exact: emission happens
+    ONLY on a processing-time timer, never on the data path.
+
+    Windows close against system time (the punctuator's
+    ``WALL_CLOCK_TIME``), so results depend on when batches run —
+    inherently non-deterministic under replay, which is why the engine
+    documents the event-time twin (windowed_sum_stateful) as primary.
+    No watermark: state GC is the timer's job, as in the reference
+    (transformer:85-89).
+
+    Run under a processing-time trigger (the reference app runs
+    forever too); ``trigger(availableNow=True)`` does not terminate
+    while processing-time timers are pending — observed empirically,
+    pinned by the polling shape of its test.
+    """
+    stream = events_stream.select(key_col, ts_col, value_col)
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _make_punctuated_handler(threshold, window_ms, interval_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
 
 
 def windowed_sum_stateful(

@@ -37,6 +37,24 @@ def test_simhash_flags_planted_near_dups(spark, sf_dir):
     assert len(sim) >= 0.3 * len(exact)
 
 
+def test_embedding_lsh_recall_and_no_false_positives(spark, sf_dir):
+    """VERDICT r1 #4: the blocking-free LSH path must recover ≥95% of
+    the exact (label-blocked) pairs at the registry threshold, with no
+    false positives (candidates are verified with exact cosine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    tau = 0.35  # queries.EMB_SIM_THRESHOLD
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_pairs_within_label(emb, tau).collect()
+    }
+    lsh = {(r.id_a, r.id_b) for r in S.cosine_pairs_lsh(emb, tau).collect()}
+    assert exact, "fixture should contain within-label near-dups"
+    # LSH searches ALL pairs (no label blocking), so it may legitimately
+    # find cross-label pairs the blocked op cannot see; every exact-
+    # verified pair it reports is a true ≥ tau pair by construction.
+    assert len(lsh & exact) >= 0.95 * len(exact)
+
+
 def test_dedup_clusters_transitive_closure(spark):
     # chain 1-2, 2-3 plus island 7-9: two components, min ids canonical
     pairs = spark.createDataFrame(

@@ -21,6 +21,7 @@ from kafka_streams_homework_spark.streaming import (
     latest_by_key_stream,
     price_alerts_stream,
     run_to_memory,
+    run_upsert,
     windowed_sum_stateful,
 )
 from tests.conftest import ts
@@ -87,6 +88,32 @@ def test_update_mode_emits_on_update(spark, tmp_path, dim):
     assert sums == [160.0, 200.0]
     assert all(r.alert_key == "1" for r in out)
     assert all(r.window_start == dt.datetime(2024, 1, 1, 0, 5) for r in out)
+
+
+def test_upsert_sink_is_batch_count_independent(spark, tmp_path, dim):
+    """run_upsert keeps only the LATEST emission per (key, window): the
+    same multi-batch input that produces 2 update-mode emissions (160,
+    then 200) must yield one final row — so the registry's streaming
+    query result no longer depends on how the source splits into
+    micro-batches."""
+    path = _write_events(
+        spark,
+        tmp_path,
+        [
+            [(1, ts(5, 10), 100.0), (1, ts(5, 20), 60.0)],  # sum 160 > 150
+            [(1, ts(5, 30), 40.0)],  # running sum 200
+        ],
+    )
+    out = run_upsert(
+        spark,
+        price_alerts_stream(_stream(spark, path), dim, mode="update"),
+        ["alert_key", "window_start"],
+        mode="update",
+    ).collect()
+    assert len(out) == 1
+    assert out[0].total_sum_per_minute == 200.0
+    assert out[0].alert_key == "1"
+    assert out[0].window_start == dt.datetime(2024, 1, 1, 0, 5)
 
 
 def test_append_mode_emits_once_after_watermark(spark, tmp_path, dim):
@@ -366,3 +393,48 @@ def test_stateful_windowed_sum_emits_closed_windows_once(spark, tmp_path):
     assert out[0].alert_key == "1"
     assert out[0].window_start_ms == int(ts(5).timestamp() * 1000)
     assert out[0].total_sum_per_minute == 160.0
+
+
+def test_punctuated_emits_on_wall_clock_timer_without_new_data(spark, tmp_path):
+    """W4 exact parity (VERDICT r1 #5): ProcessingTimeTimeout punctuator.
+
+    One batch feeds key 1 past the threshold; no further data ever
+    arrives and the op sets NO watermark — so the only possible emitter
+    is the processing-time timer (the reference's WALL_CLOCK_TIME
+    punctuator; the event-time variant could never emit here). The
+    query runs on a short trigger; we poll the sink until the timer
+    fires, then assert the single final alert."""
+    import time
+
+    from kafka_streams_homework_spark.streaming import windowed_sum_punctuated
+
+    path = _write_events(
+        spark,
+        tmp_path,
+        [[(1, ts(5, 10), 100.0), (1, ts(5, 20), 60.0)]],  # sum 160 > 150
+    )
+    name = f"punct_{uuid.uuid4().hex[:8]}"
+    alerts = windowed_sum_punctuated(
+        _stream(spark, path), threshold=150.0, interval_ms=500
+    )
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        rows = []
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            if rows:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    assert rows[0].alert_key == "1"
+    assert rows[0].window_start_ms == int(ts(5).timestamp() * 1000)
+    assert rows[0].total_sum_per_minute == 160.0
