@@ -175,6 +175,37 @@ def resize_thumbs(decoded: DataFrame) -> DataFrame:
     return decoded.mapInPandas(resize, RESIZE_SCHEMA)
 
 
+def decode_and_resize(media: DataFrame) -> DataFrame:
+    """Fused decode∘resize: ONE mapInPandas (one Python crossing).
+
+    Chaining decode_stub → resize_thumbs costs two Arrow
+    serialize/deserialize round-trips per batch; since resize consumes
+    only decode's output columns, both steps fuse into a single Python
+    worker pass (in a real pipeline: PIL decode + thumbnail in the same
+    function, payload read once). The separate operators remain for
+    composability; this is what the pipeline query runs.
+    """
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            w = (n % 640).clip(lower=1)
+            h = (n % 480).clip(lower=1)
+            m = pd.concat([w, h], axis=1).max(axis=1)
+            scale = (THUMB_MAX / m).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "thumb_w": (w * scale).astype("int32"),
+                    "thumb_h": (h * scale).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(fused, RESIZE_SCHEMA)
+
+
 def decode_real(media: DataFrame) -> DataFrame:  # pragma: no cover
     """Real decoder — requires PIL/soundfile, absent in this container.
 

@@ -823,13 +823,14 @@ def q_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(floor(h * least(64.0 / greatest(w, h), 1.0)) AS INTEGER) AS thumb_h
         FROM d
     """,
-    description="Multimodal resize plumbing: decode → aspect-preserving "
-    "thumbnail dims, chained mapInPandas stages (PIL.thumbnail swaps in "
-    "for the arithmetic; Arrow batch shape identical)",
+    description="Multimodal resize plumbing: decode∘resize fused into "
+    "ONE mapInPandas (single Python/Arrow crossing; PIL decode + "
+    "thumbnail swap in for the arithmetic). The unfused two-stage "
+    "composition is pinned equal in pytest",
 )
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return M.resize_thumbs(M.decode_stub(M.to_media(docs)))
+    return M.decode_and_resize(M.to_media(docs))
 
 
 @register(
@@ -1765,6 +1766,48 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_ivf_indexed",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), q AS (
+            SELECT * FROM e WHERE vec_id < {KNN_QUERY_MAX_ID}
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_inner_product(q.v, c.v)
+                         / (sqrt(list_inner_product(q.v, q.v))
+                            * sqrt(list_inner_product(c.v, c.v))), 6) AS sim
+            FROM q JOIN e c ON c.vec_id != q.vec_id
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {KNN_K}
+    """,
+    description="End-to-end materialized IVF: k-means index build → "
+    "partitionBy(cell) parquet write → partition-pruned probe. Probing "
+    "all cells (nprobe=ncells) recovers the exact brute-force result, "
+    "so the whole indexed path is oracle-checked; production probes use "
+    "nprobe<ncells for the scan-volume trade (plan pruning asserted in "
+    "tests/test_plans.py)",
+)
+def q_knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = f"{SINK_ROOT}/ivf_index"
+    S.ivf_write_index(emb, idx, ncells=4, iters=2)
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding"
+    )
+    out = S.ivf_probe_index(spark, idx, queries, KNN_K, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # ===========================================================================
 # Multimodal (north-star §7)
 # ===========================================================================
@@ -1808,6 +1851,7 @@ _TAIL = [
     "windowed_sum_salted",    # same oracle as windowed_sum
     "streaming_price_alerts", # same oracle as price_alerts
     "approx_stats",           # no oracle (sketch bounds pinned in pytest)
+    "json_extract",           # §2.6 scalar-fn surface, green in r1
     "above_avg",
     "pivot_counts",
     "set_except",

@@ -163,6 +163,26 @@ def test_frame_sample_fanout(spark):
     assert by_doc[1][0].frame_bytes == 10
 
 
+def test_fused_decode_resize_matches_chained(spark):
+    """decode_and_resize (one Python crossing) must equal the unfused
+    decode_stub → resize_thumbs composition row-for-row."""
+    from kafka_streams_homework_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (17 * i + 1)) for i in range(50)], "doc_id long, text string"
+    )
+    media = M.to_media(docs)
+    chained = {
+        r.doc_id: (r.width, r.height, r.thumb_w, r.thumb_h)
+        for r in M.resize_thumbs(M.decode_stub(media)).collect()
+    }
+    fused = {
+        r.doc_id: (r.width, r.height, r.thumb_w, r.thumb_h)
+        for r in M.decode_and_resize(media).collect()
+    }
+    assert fused == chained
+
+
 def test_chunk_documents_coverage_and_overlap(spark):
     from kafka_streams_homework_spark.operators import text as T
 
