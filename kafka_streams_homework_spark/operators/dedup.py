@@ -394,3 +394,38 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free splitting
+# ---------------------------------------------------------------------------
+
+
+def leakage_free_split(
+    documents: DataFrame, pairs: DataFrame, train_hex_cutoff: str = "d"
+) -> DataFrame:
+    """Train/test split where every near-dup CLUSTER lands wholly in one
+    split — the contamination guard a training pipeline needs (a doc in
+    train with its near-duplicate in test leaks evaluation data).
+
+    Composition of existing primitives: connected components over the
+    near-dup pairs (dedup_clusters) elect a cluster id; docs in no pair
+    are their own singleton cluster; the deterministic md5 split
+    (train_test_split's contract) is applied to the CLUSTER id, so
+    membership moves together. Scale: one left join on doc_id plus the
+    CC iterations — no new shuffle shapes.
+    """
+    labels = dedup_clusters(pairs).select("doc_id", "cluster_id")
+    return (
+        documents.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "is_train",
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1)
+            < train_hex_cutoff,
+        )
+    )

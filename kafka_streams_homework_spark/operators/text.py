@@ -167,3 +167,93 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
         F.md5(normalized).alias("fingerprint"),
         F.length(normalized).alias("n_chars_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB oracle): no backreferences, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / phone numbers / IPv4 addresses, keeping counts.
+
+    Pure JVM regexp expressions (regexp_replace / regexp_extract_all)
+    — a narrow projection, no shuffle, codegen-friendly; the standard
+    pre-training scrub pass. Counts come from the ORIGINAL text so they
+    survive the redaction; replacement order (emails first) prevents
+    the phone pattern from eating redacted tokens.
+    """
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    n_ipv4 = F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, IPV4_RE, "<IP>")
+    n_phones = F.size(
+        F.regexp_extract_all(
+            F.regexp_replace(t, EMAIL_RE, " "), F.lit(PHONE_RE), F.lit(0)
+        )
+    )
+    scrubbed = F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        scrubbed.alias("scrubbed_text"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        n_ipv4.cast("long").alias("n_ipv4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def _hex_cutoff(frac: float) -> str:
+    """Sampling fraction → 2-hex-char cutoff (granularity 1/256).
+
+    Lowercase-hex string comparison orders identically to the numeric
+    value, in every engine; frac ≥ 1 returns 'g', which every 2-char
+    hex string sorts below (keep-all)."""
+    if frac >= 1.0:
+        return "g"
+    return format(max(int(round(frac * 256)), 0), "02x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the reproducible twin of
+    ``df.sampleBy``.
+
+    Keep predicate: the first two md5 hex chars of the row id sort
+    below the stratum's cutoff (fraction quantized to 1/256). A pure
+    function of (id, fraction): stable across runs, partitionings, and
+    engines (oracle-checkable), unlike RNG-based sampleBy. One narrow
+    filter — no shuffle, no added columns.
+
+    At 100 TB this is how you downsample overrepresented strata
+    (e.g. keep 10% of web crawl, 100% of reference text) without the
+    sample depending on a seed + execution order.
+    """
+    prefix = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    expr = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col) == value
+        cut = F.lit(_hex_cutoff(frac))
+        expr = F.when(cond, cut) if expr is None else expr.when(cond, cut)
+    cutoff = (
+        expr.otherwise(F.lit(_hex_cutoff(default_frac)))
+        if expr is not None
+        else F.lit(_hex_cutoff(default_frac))
+    )
+    return df.filter(prefix < cutoff)

@@ -1832,6 +1832,102 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_stub(M.to_media(docs))
 
 
+# ===========================================================================
+# Pipeline hygiene ops (north-star §7): contamination-safe splitting,
+# deterministic downsampling, PII scrubbing
+# ===========================================================================
+
+
+@register(
+    "split_leakage_free",
+    oracle=f"""
+        WITH RECURSIVE p AS ({_NGRAM_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM p
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM p
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        cc(node, root) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst, cc.root FROM cc JOIN edges e ON cc.node = e.src
+        ),
+        labels AS (
+            SELECT node AS doc_id, min(root) AS cluster_id FROM cc GROUP BY node
+        )
+        SELECT d.doc_id,
+               coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+               (substr(md5(CAST(coalesce(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 1)
+                < 'd') AS is_train
+        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    """,
+    description="Leakage-free train/test split: near-dup clusters "
+    "(connected components over ngram-Jaccard pairs) move into a split "
+    "WHOLE — no doc trains on its test-set near-duplicate. Deterministic "
+    "md5 split applied to the cluster id",
+)
+def q_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, 3, NGRAM_JACCARD_THRESHOLD)
+    return D.leakage_free_split(docs, pairs)
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+              < (CASE WHEN lang = 'en' THEN '40' ELSE 'g' END)
+    """,
+    description="Deterministic stratified downsampling (sampleBy twin): "
+    "keep 25% of the overrepresented stratum (en), 100% of the rest, by "
+    "md5-prefix cutoff — reproducible across runs/partitionings/engines, "
+    "no RNG seed",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.stratified_sample(
+        docs, "lang", {"en": 0.25}, default_frac=1.0
+    ).select("doc_id", "lang")
+
+
+@register(
+    "pii_scrub",
+    oracle="""
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+                       '<IP>', 'g'),
+                   '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g')
+                   AS scrubbed_text,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       ' ', 'g'),
+                   '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(text,
+                   '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT)
+                   AS n_ipv4
+        FROM documents
+    """,
+    description="PII scrub (pre-training hygiene): redact emails / IPv4 / "
+    "phone numbers with counts — pure JVM regexp projection, patterns "
+    "chosen to behave identically under Java regex and RE2",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.pii_scrub(docs)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------
@@ -1852,6 +1948,9 @@ _TAIL = [
     "streaming_price_alerts", # same oracle as price_alerts
     "approx_stats",           # no oracle (sketch bounds pinned in pytest)
     "json_extract",           # §2.6 scalar-fn surface, green in r1
+    "semi_join",              # join-variant surface, green in r1
+    "anti_join",              # join-variant surface, green in r1
+    "q6_forecast_revenue",    # single-row agg shape, green in r1
     "above_avg",
     "pivot_counts",
     "set_except",

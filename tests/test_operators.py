@@ -227,3 +227,77 @@ def test_cosine_similarity_exact(spark):
     assert sims[0] == 0.0
     assert sims[1] == 1.0
     assert abs(sims[2] - 0.707106781) < 1e-9
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from kafka_streams_homework_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (0, "contact alice.smith+x@example.org or bob@sub.domain.co today"),
+            (1, "call +1 (555) 123-4567 now"),
+            (2, "server at 192.168.0.1 and 10.0.0.255"),
+            (3, "clean text, no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert out[0].n_emails == 2
+    assert "<EMAIL>" in out[0].scrubbed_text
+    assert "alice" not in out[0].scrubbed_text
+    assert out[1].n_phones == 1
+    assert "<PHONE>" in out[1].scrubbed_text
+    assert "4567" not in out[1].scrubbed_text
+    assert out[2].n_ipv4 == 2
+    assert out[2].scrubbed_text == "server at <IP> and <IP>"
+    assert out[3].scrubbed_text == "clean text, no pii at all"
+    assert (out[3].n_emails, out[3].n_phones, out[3].n_ipv4) == (0, 0, 0)
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    from kafka_streams_homework_spark.operators.text import stratified_sample
+    from kafka_streams_homework_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "lang", {"en": 0.25}, default_frac=1.0)
+    by_lang_all = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    by_lang_kept = {r.lang: r.n for r in kept.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    # non-en strata kept whole
+    for lang, n in by_lang_all.items():
+        if lang != "en":
+            assert by_lang_kept.get(lang) == n
+    # en downsampled to ~25% (binomial tolerance on a small fixture)
+    frac = by_lang_kept.get("en", 0) / by_lang_all["en"]
+    assert 0.10 <= frac <= 0.40, frac
+    # deterministic: identical result on re-evaluation after repartition
+    again = {
+        r.doc_id
+        for r in stratified_sample(
+            docs.repartition(7), "lang", {"en": 0.25}, default_frac=1.0
+        ).collect()
+    }
+    assert again == {r.doc_id for r in kept.collect()}
+
+
+def test_leakage_free_split_keeps_clusters_together(spark):
+    from kafka_streams_homework_spark.operators.dedup import leakage_free_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(30)], "doc_id long, text string"
+    )
+    # clusters: {1,2,3} (chain), {7,9}, {20,21}; rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.85), (7, 9, 0.95), (20, 21, 0.81)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    out = leakage_free_split(docs, pairs).collect()
+    assert len(out) == 30
+    split_of = {r.doc_id: r.is_train for r in out}
+    cluster_of = {r.doc_id: r.cluster_id for r in out}
+    for cluster in ({1, 2, 3}, {7, 9}, {20, 21}):
+        assert len({split_of[d] for d in cluster}) == 1, cluster
+        assert len({cluster_of[d] for d in cluster}) == 1, cluster
+    # singletons keep their own id as cluster
+    assert cluster_of[0] == 0 and cluster_of[29] == 29
+    # both splits populated on 30 docs (md5 'd'-cutoff ≈ 81/19)
+    assert 0 < sum(split_of.values()) < 30
