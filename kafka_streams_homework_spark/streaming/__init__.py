@@ -12,6 +12,7 @@ The reference's runtime semantics fork (SURVEY.md §2.5):
   stateful.windowed_sum_stateful (applyInPandasWithState).
 """
 
+from kafka_streams_homework_spark.streaming.joins import interval_join_streams
 from kafka_streams_homework_spark.streaming.price_alerts import (
     dedup_stream,
     latest_by_key_stream,
@@ -26,6 +27,7 @@ from kafka_streams_homework_spark.streaming.stateful import (
 
 __all__ = [
     "dedup_stream",
+    "interval_join_streams",
     "latest_by_key_stream",
     "price_alerts_stream",
     "run_to_memory",

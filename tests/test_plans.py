@@ -202,6 +202,40 @@ def test_ivf_probe_is_partition_pruned(spark, sf_dir, tmp_path):
     assert probe.count() == 15  # 3 queries × k rows, from the pruned scan
 
 
+def test_runtime_bloom_filter_injected_for_selective_join(spark, sf_dir):
+    """Scale contract: when a fact-fact join's build side is selectively
+    filtered and too big to broadcast, Spark injects a runtime bloom
+    filter on the probe side — probe rows that cannot match are dropped
+    BEFORE the shuffle. At 100 TB this is the difference between
+    shuffling all of lineitem and shuffling the ~fraction that joins."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_homework_spark.sources.batch import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:3000]
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     """Slice-4 scale contract: two fact tables bucketed on the join key
     co-locate — the join needs NO exchange on either side. At 100 TB

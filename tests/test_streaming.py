@@ -438,3 +438,45 @@ def test_punctuated_emits_on_wall_clock_timer_without_new_data(spark, tmp_path):
     assert rows[0].alert_key == "1"
     assert rows[0].window_start_ms == int(ts(5).timestamp() * 1000)
     assert rows[0].total_sum_per_minute == 160.0
+
+
+def test_stream_stream_interval_join_attribution(spark, tmp_path):
+    """KStream-KStream windowed-join parity: clicks join impressions
+    within a 10-minute attribution window; a click outside the window
+    never matches. Both sides are real streams (file sources)."""
+    from kafka_streams_homework_spark.streaming import interval_join_streams
+
+    imps_path = str(tmp_path / f"imps_{uuid.uuid4().hex[:8]}")
+    clicks_path = str(tmp_path / f"clicks_{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame(
+        [(100, 1, ts(5)), (101, 2, ts(10))],
+        "imp_id long, user_id long, its timestamp",
+    ).coalesce(1).write.parquet(imps_path)
+    spark.createDataFrame(
+        [
+            (900, 1, ts(9)),   # 4 min after imp 100 → attributed
+            (901, 2, ts(25)),  # 15 min after imp 101 → outside window
+            (902, 3, ts(9)),   # no impression for user 3
+        ],
+        "click_id long, user_id long, cts timestamp",
+    ).coalesce(1).write.parquet(clicks_path)
+
+    imps = spark.readStream.schema("imp_id long, user_id long, its timestamp").parquet(
+        imps_path
+    )
+    clicks = spark.readStream.schema(
+        "click_id long, user_id long, cts timestamp"
+    ).parquet(clicks_path)
+    joined = interval_join_streams(
+        imps.withColumnRenamed("user_id", "iuid"),
+        clicks.withColumnRenamed("user_id", "cuid"),
+        "iuid",
+        "cuid",
+        "its",
+        "cts",
+        upper="10 minutes",
+    ).select("imp_id", "click_id")
+    out = run_to_memory(
+        spark, joined, f"ssj_{uuid.uuid4().hex[:8]}", mode="append"
+    ).collect()
+    assert [(r.imp_id, r.click_id) for r in out] == [(100, 900)]
