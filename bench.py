@@ -45,6 +45,13 @@ BENCH_QUERIES = [
     "salted_join",
     "semi_join",
     "anti_join",
+    # round-2 additions (cheap single-pass ops; dedup_embedding_lsh and
+    # split_leakage_free run in the correctness gate but are excluded
+    # here — at τ=0.35 LSH candidate volume is inherently ~all-pairs,
+    # and the CC loop is multi-action — see operators docstrings)
+    "stratified_sample",
+    "pii_scrub",
+    "lm_score",
 ]
 
 

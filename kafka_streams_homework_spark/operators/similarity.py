@@ -332,7 +332,13 @@ def cosine_pairs_lsh(
     are LSH's weak regime (bit-collision p is 0.61 at s=0.35 vs 0.5 for
     random pairs), so candidate volume rises as τ falls — the op's
     sweet spot is true near-duplicate detection (τ ≥ 0.8), where
-    random pairs almost never share a band.
+    random pairs almost never share a band. Measured on the centered
+    synthetic corpus at sf0.1 (2000 vectors): τ=0.35 admits ~86% of all
+    pairs as candidates — at thresholds this low no banding can keep
+    recall ≥0.95 AND prune (the 0.61-vs-0.5 bit-collision gap is too
+    thin), so the exact-verify join dominates; for low-τ pair mining at
+    scale, block on learned k-means cells (kmeans_cells/assign_cells)
+    instead and reserve LSH for true near-dup thresholds.
 
     Scale: the signature is a per-row projection over plan-literal
     hyperplanes (no shuffle); candidates come from equality joins on

@@ -257,3 +257,44 @@ def stratified_sample(
         else F.lit(_hex_cutoff(default_frac))
     )
     return df.filter(prefix < cutoff)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM scoring (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+def lm_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document unigram language-model score — the classic
+    perplexity-proxy quality signal, without an external model.
+
+    Two distributed passes over the SAME corpus:
+    1. token frequencies: explode → groupBy(token) count (one shuffle on
+       uniform token keys, partial-aggregated map-side);
+    2. score: re-explode, join each token to its corpus probability,
+       avg(-ln p) per doc (shuffles on token then doc_id).
+
+    Deterministic and fully SQL-expressible (oracle-checked). Higher
+    avg_neg_logp ⇒ rarer vocabulary ⇒ "surprising" doc (boilerplate and
+    repetition score LOW — the dedup-adjacent signal real pipelines use
+    to drop templated text). At 100 TB the frequency table is the
+    corpus vocabulary (≪ corpus); if it fits executors, broadcast it to
+    make pass 2 shuffle-free on the token side.
+    """
+    toks = documents.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    # corpus total as a broadcast 1-row aggregate — keeps the op fully
+    # lazy (no driver-side action) and adds no shuffle to the score pass
+    total = freq.agg(F.sum("tf").alias("total"))
+    prob = freq.crossJoin(F.broadcast(total)).select(
+        "tok", (F.col("tf") / F.col("total")).alias("p")
+    )
+    return (
+        toks.join(prob, "tok")
+        .withColumn("neg_logp", -F.log("p"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("neg_logp"), 6).alias("avg_neg_logp"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )

@@ -1928,6 +1928,32 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pii_scrub(docs)
 
 
+@register(
+    "lm_score",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(str_split(lower(text), ' ')) AS tok
+            FROM documents
+        ),
+        freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+        total AS (SELECT sum(tf) AS total FROM freq)
+        SELECT t.doc_id,
+               round(avg(-ln(f.tf / (SELECT total FROM total))), 6)
+                   AS avg_neg_logp,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM toks t JOIN freq f ON t.tok = f.tok
+        GROUP BY t.doc_id
+    """,
+    description="Unigram-LM quality score (perplexity proxy): corpus "
+    "token frequencies → per-doc avg(-ln p). Two hash-agg passes, "
+    "vocabulary table broadcastable at scale; boilerplate/templated "
+    "docs score LOW — the quality signal real pipelines threshold on",
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.lm_score(docs)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------
@@ -1951,6 +1977,7 @@ _TAIL = [
     "semi_join",              # join-variant surface, green in r1
     "anti_join",              # join-variant surface, green in r1
     "q6_forecast_revenue",    # single-row agg shape, green in r1
+    "sliding_window",         # hopping variant of tumbling_window, green in r1
     "above_avg",
     "pivot_counts",
     "set_except",

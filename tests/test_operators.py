@@ -301,3 +301,23 @@ def test_leakage_free_split_keeps_clusters_together(spark):
     assert cluster_of[0] == 0 and cluster_of[29] == 29
     # both splits populated on 30 docs (md5 'd'-cutoff ≈ 81/19)
     assert 0 < sum(split_of.values()) < 30
+
+
+def test_lm_score_flags_boilerplate_low(spark):
+    """Templated/repetitive docs must score LOWER (common tokens →
+    small -ln p) than docs with rare vocabulary."""
+    from kafka_streams_homework_spark.operators.text import lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common common common common common"),
+            (1, "common common common common common"),
+            (2, "common common common common common"),
+            (3, "zyx qwv plk mnb common"),  # mostly rare tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.avg_neg_logp for r in lm_score(docs).collect()}
+    assert out[0] == out[1] == out[2]
+    assert out[3] > out[0]
+    assert all(r > 0 for r in out.values())
