@@ -138,3 +138,21 @@ def test_knn_ivf_recall(spark, sf_dir):
         for r in S.knn_ivf(emb, queries, 5, nprobe=10).collect()
     }
     assert all_cells == exact
+
+
+def test_embedding_cells_recall_above_similarity_bulk(spark, sf_dir):
+    """Learned k-means cell blocking (multi-assign) must recover every
+    exact pair at τ above the similarity bulk (~0.4 on this corpus) —
+    the measured low-τ caveat lives in the operator docstring."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    tau = 0.38
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_pairs_within_label(emb, tau).collect()
+    }
+    cells = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_pairs_cells(emb, tau, ncells=4, nassign=2).collect()
+    }
+    assert exact, "fixture should contain pairs at this tau"
+    assert exact <= cells  # cells also finds legit cross-label pairs
