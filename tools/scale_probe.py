@@ -29,9 +29,19 @@ HEADLINE = [
     "windowed_sum",
     "price_alerts",
     "q3_shipping_priority",
+    # §7 pipeline ops over the replicated documents corpus
+    "lm_score",
+    "pii_scrub",
+    "stratified_sample",
+    "token_count",
+    "dedup_ngram_jaccard",
 ]
 
-FACT_KEYS = {"lineitem": "l_orderkey", "events": "event_id"}
+FACT_KEYS = {
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+}
 
 
 def replicate(spark, sf_dir: str, base: str, n: int) -> None:
@@ -46,7 +56,7 @@ def replicate(spark, sf_dir: str, base: str, n: int) -> None:
             out = out.unionAll(p)
         out.repartition(32).write.mode("overwrite").parquet(f"{base}/{t}.parquet")
     for t in (
-        "customer part orders supplier nation region documents embeddings".split()
+        "customer part orders supplier nation region embeddings".split()
     ):
         os.makedirs(f"{base}/{t}.parquet", exist_ok=True)
         shutil.copyfile(
