@@ -321,3 +321,26 @@ def test_lm_score_flags_boilerplate_low(spark):
     assert out[0] == out[1] == out[2]
     assert out[3] > out[0]
     assert all(r > 0 for r in out.values())
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from kafka_streams_homework_spark.sources.sink import compact_parquet
+
+    src = str(tmp_path / "many_small")
+    # 40 tiny files (the streaming-sink accumulation pattern)
+    spark.range(4000).withColumnRenamed("id", "v").repartition(40).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 40
+
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, out, target_file_mb=128)
+    assert n == 1
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == 1
+    # row-for-row identical content
+    assert spark.read.parquet(out).count() == 4000
+    assert (
+        spark.read.parquet(out).agg({"v": "sum"}).collect()[0][0]
+        == spark.read.parquet(src).agg({"v": "sum"}).collect()[0][0]
+    )
