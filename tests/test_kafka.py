@@ -116,3 +116,45 @@ def test_kafka_sink_payload_contract(spark):
     assert dict(out.dtypes)["key"] == "string"
     row = out.collect()[0]
     assert row.key == "5" and '"total":160.0' in row.value
+
+
+def test_kafka_shaped_stream_end_to_end(spark, tmp_path):
+    """Everything but the socket: records shaped exactly like the kafka
+    source's output (key/value binary + timestamp) flow through
+    decode_kafka_records (JSON value path) into the alert pipeline, and
+    produce the same result as the plain typed-column path."""
+    import uuid
+
+    from kafka_streams_homework_spark.streaming import (
+        price_alerts_stream,
+        run_to_memory,
+    )
+    from tests.conftest import ts
+
+    rows = [(1, ts(5, 10), 100.0), (1, ts(5, 20), 60.0), (2, ts(5, 30), 10.0)]
+    # serialize as kafka-wire records: value = JSON bytes
+    wire = [
+        (
+            str(u).encode(),
+            f'{{"user_id": {u}, "ts": "{t.isoformat()}", "value": {v}}}'.encode(),
+            t,
+        )
+        for u, t, v in rows
+    ]
+    path = str(tmp_path / f"wire_{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame(wire, RAW_SCHEMA).coalesce(1).write.parquet(path)
+
+    raw_stream = spark.readStream.schema(RAW_SCHEMA).parquet(path)
+    decoded = decode_kafka_records(
+        raw_stream, json_value_schema="user_id long, ts timestamp, value double"
+    ).select("value.user_id", "value.ts", "value.value")
+    dim = spark.createDataFrame([(1, "u1"), (2, "u2")], "c_custkey long, c_name string")
+    alerts = run_to_memory(
+        spark,
+        price_alerts_stream(decoded, dim, mode="update"),
+        f"wire_{uuid.uuid4().hex[:8]}",
+        mode="update",
+    ).collect()
+    assert len(alerts) == 1  # only user 1 crosses 150 (160.0)
+    assert alerts[0].alert_key == "1"
+    assert alerts[0].total_sum_per_minute == 160.0
