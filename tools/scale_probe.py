@@ -29,6 +29,7 @@ HEADLINE = [
     "windowed_sum",
     "price_alerts",
     "q3_shipping_priority",
+    "q5_local_supplier",
     # §7 pipeline ops over the replicated documents corpus
     "lm_score",
     "pii_scrub",
