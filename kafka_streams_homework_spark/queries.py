@@ -1954,6 +1954,421 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lm_score(docs)
 
 
+# ===========================================================================
+# Relational battery — TPC-H-shaped queries over the star schema
+# (round 2). Each exercises a distinct plan shape the engine must get
+# right at 100 TB: existential semi-joins, dual-role dimensions,
+# conditional aggregation, disjunctive predicate pushdown, HAVING
+# subqueries, scalar subquery + anti-join. All sit after the driver's
+# first-50 correctness window; tools/check_oracle.py sweeps them.
+# ===========================================================================
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+          AND o_orderdate < TIMESTAMP '2000-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+    """,
+    description="TPC-H Q4 shape: EXISTS → left-semi join with a non-equi "
+    "residual (late-shipped lineitems). Semi join never duplicates or "
+    "materializes the probe side — no distinct shuffle; date filter "
+    "pushed to the orders scan",
+)
+def q_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier, lineitem, orders, customer,
+                 nation n1, nation n2
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey
+              AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    description="TPC-H Q7 shape: the same bounded dimension (nation, 25 "
+    "rows at every sf) joined in TWO roles — supplier side and customer "
+    "side — both broadcast; the disjunctive nation-pair predicate is a "
+    "post-join residual. Fact-fact joins (lineitem⋈orders⋈customer/"
+    "supplier) stay size-guarded",
+)
+def q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(n1), supplier["s_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(n2), customer["c_nationkey"] == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(c_acctbal, 2) AS acctbal, n_name
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1999-10-01'
+          AND o_orderdate < TIMESTAMP '2000-01-01'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    description="TPC-H Q10 shape: quarter-window orders ⋈ returned "
+    "lineitems ⋈ customer ⋈ broadcast nation → per-customer revenue → "
+    "top-20 via TakeOrderedAndProject (no global sort)",
+)
+def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    oracle="""
+        SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders, lineitem
+        WHERE o_orderkey = l_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY year(l_shipdate)
+    """,
+    description="TPC-H Q12 shape: conditional aggregation — one pass, "
+    "two CASE-WHEN counters per group (no per-branch re-scan); the "
+    "non-equi lateness predicate is a join residual evaluated inside "
+    "whole-stage codegen",
+)
+def q_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders,
+            (li["l_orderkey"] == orders["o_orderkey"])
+            & (
+                li["l_shipdate"]
+                > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+            ),
+        )
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+               / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '2000-01-01'
+          AND l_shipdate < TIMESTAMP '2000-02-01'
+    """,
+    description="TPC-H Q14 shape: single-row ratio aggregate over a "
+    "month-windowed lineitem ⋈ part join. part grows with sf → "
+    "size-guarded (AQE broadcasts while small, SMJ at scale); the tight "
+    "shipdate window is pushed to the lineitem scan so the join probe "
+    "is tiny",
+)
+def q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-02-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q16_supplier_count",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part, lineitem
+        WHERE p_partkey = l_partkey AND p_brand <> 'Brand#5'
+          AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 44)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    description="TPC-H Q16 shape (partsupp stood in by lineitem's "
+    "part-supplier pairs): distinct-count per (brand, type, size) with "
+    "an IN-list + <> filter pushed to the part scan. COUNT DISTINCT "
+    "expands to a two-phase partial/final aggregate — no row explosion",
+)
+def q_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 44)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               round(o_totalprice, 2) AS totalprice,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING sum(l_quantity) > 250)
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY totalprice DESC, o_orderkey LIMIT 100
+    """,
+    description="TPC-H Q18 shape: HAVING subquery → pre-aggregate "
+    "lineitem once, semi-join orders against the qualifying keys "
+    "(map-side combine does the heavy lifting; the qualifying-key set "
+    "is tiny and broadcastable at any sf) → re-join and top-100",
+)
+def q_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    # Aggregate once; the >250 filter makes the key set tiny (~0.01% of
+    # orders), so Spark's size guard broadcasts it into the semi join.
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            big.withColumnRenamed("l_orderkey", "__bigkey"),
+            orders["o_orderkey"] == F.col("__bigkey"),
+            "left_semi",
+        )
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_pushdown",
+    oracle="""
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND (
+            (p_type = 'SMALL' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 1 AND 20)
+         OR (p_type = 'MEDIUM' AND p_size BETWEEN 11 AND 25
+             AND l_quantity BETWEEN 10 AND 30)
+         OR (p_type = 'LARGE' AND p_size BETWEEN 26 AND 50
+             AND l_quantity BETWEEN 20 AND 40))
+    """,
+    description="TPC-H Q19 shape: disjunctive (OR-of-ANDs) predicates "
+    "spanning both join sides. Catalyst derives the per-side "
+    "implications — p_type IN (...) reaches the part scan, the quantity "
+    "envelope reaches the lineitem scan — and keeps the cross-side "
+    "residual on the join",
+)
+def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_type") == "SMALL")
+            & F.col("p_size").between(1, 10)
+            & qty.between(1, 20)
+        )
+        | (
+            (F.col("p_type") == "MEDIUM")
+            & F.col("p_size").between(11, 25)
+            & qty.between(10, 30)
+        )
+        | (
+            (F.col("p_type") == "LARGE")
+            & F.col("p_size").between(26, 50)
+            & qty.between(20, 40)
+        )
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+        SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY n_name
+    """,
+    description="TPC-H Q22 shape: scalar subquery (corpus-wide average "
+    "account balance — one tiny broadcast value) + anti join against "
+    "recent orders (left-anti, never materializes the match) → "
+    "per-nation rollup of well-funded customers gone quiet",
+)
+def q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("a"))
+        .select("a")
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))  # 1-row scalar: cross-broadcast
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(
+            recent,
+            F.col("c_custkey") == recent["o_custkey"],
+            "left_anti",
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == nation["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------
