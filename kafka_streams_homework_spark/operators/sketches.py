@@ -1,0 +1,91 @@
+"""Mergeable-sketch operators — the cardinality path that survives
+100 TB.
+
+``COUNT(DISTINCT x)`` is the classic scale cliff: exact distinct
+needs a shuffle keyed on x (or an expand + two-phase agg), and its
+state grows with the true cardinality. Sketches fix both properties:
+
+- **fixed-size state** (an HLL++ register array, ~KB at 1% rsd) no
+  matter how many distinct values flow in, and
+- **mergeability** — sketch(A ∪ B) = merge(sketch(A), sketch(B)), so
+  partial aggregation works map-side and pre-aggregates FOLD: hourly
+  sketches roll up to daily/weekly estimates without ever re-scanning
+  the base table. That is exactly the hierarchical-rollup contract
+  (queries.hierarchical_rollup) extended to distinct counts, which no
+  exact pre-aggregate can provide (distinct is not summable).
+
+Spark exposes Apache DataSketches HLL via ``hll_sketch_agg`` /
+``hll_union_agg`` / ``hll_sketch_estimate`` (SPARK-16484, public API
+since 3.5); the binary sketch column is portable to the DataSketches
+Java/C++ libs. The exact twin (`windowed_distinct`) stays the DuckDB
+oracle anchor; pytest pins the sketch estimates to the exact counts
+within rsd bounds.
+
+Reference surface: the reference keeps only SUM state per window
+(dsl/PriceAlertsApp.java:96-99); distinct-per-window is part of the
+§7 engine-extension surface (SURVEY.md §2.6/§7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_distinct(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Exact distinct-count per (key, tumbling window).
+
+    Catalyst plans countDistinct as a two-phase aggregate (partial
+    de-dup on (key, window, id), then final count) — one shuffle on
+    the group keys, no row explosion. State is proportional to the
+    number of distinct ids per group: fine while ids-per-window fit a
+    partition, the sketch path below otherwise.
+    """
+    return (
+        events.groupBy(
+            F.col(key_col),
+            F.window(ts_col, window)["start"].alias("window_start"),
+        )
+        .agg(F.countDistinct(id_col).alias("n_distinct"))
+    )
+
+
+def distinct_rollup_hll(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    lg_k: int = 14,
+) -> DataFrame:
+    """Cascaded distinct estimate: hourly HLL sketches fold into a
+    daily estimate — the base table is scanned ONCE.
+
+    lg_k=14 (2^14 registers ≈ 16 KB per sketch) gives ~0.8% relative
+    standard error; tests pin estimates to within 5% of exact. At
+    100 TB the hourly sketch table is what you persist: day / week /
+    month / all-time distincts are sketch merges over it (seconds),
+    never re-scans of the raw events (hours).
+
+    Output: one row per (key, day) with the day's estimated distinct
+    count and the number of hourly sketches merged.
+    """
+    hourly = events.groupBy(
+        F.col(key_col),
+        F.window(ts_col, "1 hour")["start"].alias("hour_start"),
+    ).agg(F.hll_sketch_agg(F.col(id_col), F.lit(lg_k)).alias("sk"))
+    return (
+        hourly.groupBy(
+            F.col(key_col),
+            F.date_trunc("day", F.col("hour_start")).alias("day_start"),
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+    )

@@ -30,6 +30,7 @@ from kafka_streams_homework_spark.operators import dedup as D
 from kafka_streams_homework_spark.operators import multimodal as M
 from kafka_streams_homework_spark.operators import relational as R
 from kafka_streams_homework_spark.operators import similarity as S
+from kafka_streams_homework_spark.operators import sketches as SK
 from kafka_streams_homework_spark.operators import text as T
 from kafka_streams_homework_spark.caching import tracked_persist
 from kafka_streams_homework_spark.session import apply_runtime_confs
@@ -2367,6 +2368,39 @@ def q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "windowed_distinct",
+    oracle="""
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    description="Exact distinct users per (event_type, 1-hour window): "
+    "two-phase partial/final aggregate, one shuffle on the group keys. "
+    "The exact anchor for the HLL sketch cascade below",
+)
+def q_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return SK.windowed_distinct(events)
+
+
+@register(
+    "distinct_rollup_hll",
+    # No oracle: HLL++ estimates are implementation-defined (Apache
+    # DataSketches registers); pytest pins them within 5% of exact.
+    description="Mergeable-sketch cascade: hourly hll_sketch_agg → "
+    "daily hll_union_agg → estimate. One scan of events ever; day/"
+    "week/all-time distincts are sketch merges over the hourly table, "
+    "never re-scans — the only distinct-count design that holds at "
+    "100 TB (exact distinct state grows with cardinality; sketches "
+    "stay ~16 KB)",
+)
+def q_distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return SK.distinct_rollup_hll(events)
 
 
 # ---------------------------------------------------------------------------

@@ -45,9 +45,45 @@ def test_oracle_keys_subset_of_queries():
         "dedup_embedding_lsh",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "distinct_rollup_hll",
         "knn_ivf",
         "knn_ivf_kmeans",
     ]
+
+
+def test_distinct_rollup_hll_matches_exact(spark, sf_dir):
+    """The daily estimate folded from hourly sketches must sit within
+    HLL error bounds of the exact daily distinct (lg_k=14 → ~0.8%
+    rse; assert 5%). Merging hourly sketches loses nothing vs
+    sketching the day directly — union merge is lossless — so the
+    cascade inherits the single-sketch bound."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_homework_spark.operators.sketches import (
+        distinct_rollup_hll,
+    )
+    from kafka_streams_homework_spark.sources.batch import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        (r.event_type, r.day_start): r.n
+        for r in events.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day_start")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    est = distinct_rollup_hll(events).collect()
+    assert len(est) == len(exact)
+    for r in est:
+        e = exact[(r.event_type, r.day_start)]
+        assert abs(r.approx_distinct - e) <= max(2, 0.05 * e), (
+            r.event_type,
+            r.day_start,
+            r.approx_distinct,
+            e,
+        )
+        assert r.n_hours >= 1
 
 
 def test_approx_stats_within_tolerance(spark, sf_dir):
