@@ -2371,6 +2371,44 @@ def q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf_chunks",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok FROM documents
+        ), c AS (
+            SELECT doc_id, tok,
+                   unnest(generate_series(0,
+                       CAST(greatest(ceil((len(tok) - 64 + 48) / 48.0), 1)
+                            AS INTEGER) - 1)) AS chunk_idx
+            FROM t
+        )
+        SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+               CAST(len(tok[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT)
+                   AS n_tokens,
+               array_to_string(tok[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+                   AS chunk_text
+        FROM c
+    """,
+    description="SQL-callable table-function surface: Python UDTF "
+    "(Arrow-batched) invoked via LATERAL — the session-registered "
+    "extension point for 1→N row logic; held to the SAME oracle as "
+    "the pure-SQL doc_chunks hot path",
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("v_documents")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.n_tokens, c.chunk_text
+        FROM v_documents AS d,
+             LATERAL doc_chunk_udtf(d.doc_id, d.text, 64, 48) AS c
+        """
+    )
+
+
+@register(
     "windowed_distinct",
     oracle="""
         SELECT event_type,

@@ -344,3 +344,35 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
         spark.read.parquet(out).agg({"v": "sum"}).collect()[0][0]
         == spark.read.parquet(src).agg({"v": "sum"}).collect()[0][0]
     )
+
+
+def test_udtf_chunker_matches_builtin(spark):
+    """The SQL-callable UDTF twin must reproduce the pure-SQL
+    chunk_documents output exactly — same token contract, same edge
+    behavior (short docs → one chunk; stride overlap)."""
+    from kafka_streams_homework_spark.functions.udtfs import register_udtfs
+    from kafka_streams_homework_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one tiny doc"),
+            (2, " ".join(f"tok{i}" for i in range(200))),
+            (3, " ".join(f"w{i}" for i in range(64))),  # exactly one window
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    register_udtfs(spark)
+    docs.createOrReplaceTempView("v_udtf_docs")
+    via_udtf = {
+        (r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_text)
+        for r in spark.sql(
+            """SELECT c.* FROM v_udtf_docs d,
+               LATERAL doc_chunk_udtf(d.doc_id, d.text, 64, 48) c"""
+        ).collect()
+    }
+    via_builtin = {
+        (r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_text)
+        for r in chunk_documents(docs).collect()
+    }
+    assert via_udtf == via_builtin
