@@ -2441,6 +2441,73 @@ def q_distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.distinct_rollup_hll(events)
 
 
+@register(
+    "bucketed_agg_scan",
+    oracle="""
+        SELECT user_id, round(sum(value), 2) AS sum_value,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    """,
+    description="Layout-managed aggregation: events materialized as a "
+    "bucketed+sorted table on user_id (sources.layout.write_bucketed), "
+    "then aggregated BY the bucket key — the stored hash-partitioning "
+    "satisfies the agg's distribution, so the plan has ZERO Exchange "
+    "(asserted in test_plans). Pay the bucketed write once; every "
+    "later keyed agg/join on user_id is shuffle-free",
+)
+def q_bucketed_agg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.sources.layout import (
+        read_table,
+        write_bucketed,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    table = f"events_bucketed_{os.getpid()}"
+    write_bucketed(
+        events, table, bucket_cols=["user_id"], buckets=16, sort_cols=["user_id", "ts"]
+    )
+    return (
+        read_table(spark, table)
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "clustered_layout_scan",
+    oracle="""
+        SELECT user_id, round(sum(value), 2) AS sum_value,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events WHERE user_id BETWEEN 10 AND 20
+        GROUP BY user_id
+    """,
+    description="Zone-map layout: events range-clustered + sorted on "
+    "(user_id, ts) via repartitionByRange — each parquet file covers a "
+    "disjoint user_id slice, so this selective scan skips every "
+    "non-overlapping file from footer min/max stats alone "
+    "(cardinality-proof alternative to partitionBy; file-range "
+    "disjointness asserted in test_plans)",
+)
+def q_clustered_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.sources.layout import write_clustered
+
+    events = _t(spark, sf_dir, "events")
+    path = f"{SINK_ROOT}/events_clustered"
+    write_clustered(events, path, ["user_id", "ts"], n_files=16)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("user_id").between(10, 20))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

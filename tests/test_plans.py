@@ -266,3 +266,49 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_agg_has_no_exchange(spark, sf_dir):
+    """Layout contract: aggregating a bucketed table BY its bucket key
+    must reuse the stored hash-partitioning — zero Exchange anywhere
+    in the plan. This is what write_bucketed buys: the shuffle happens
+    once at write time, never again per query."""
+    df = Q.q_bucketed_agg_scan(spark, sf_dir)
+    assert count_exchanges(df) == 0, physical_plan(df)
+    assert "Bucketed: true" in formatted_plan(df), formatted_plan(df)
+
+
+def test_clustered_layout_files_are_disjoint(spark, sf_dir, tmp_path):
+    """Zone-map contract: after write_clustered on (user_id, ts), the
+    parquet files' user_id [min, max] ranges must be pairwise
+    non-overlapping (modulo boundary keys that straddle two files) —
+    the property that lets footer stats prune whole files for a
+    user_id band predicate."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kafka_streams_homework_spark.sources.batch import load_table
+    from kafka_streams_homework_spark.sources.layout import write_clustered
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_clustered")
+    write_clustered(events, path, ["user_id", "ts"], n_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index("user_id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 4  # range partitioner actually split
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        # disjoint up to a single shared boundary key
+        assert hi1 <= lo2, ranges
+    # and the layout changes nothing about the data
+    assert spark.read.parquet(path).count() == events.count()
