@@ -298,3 +298,46 @@ def lm_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
         )
     )
+
+
+def lm_score_bigram(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document bigram conditional-LM score: avg(-ln P(w_i | w_{i-1}))
+    with P(w|v) = c(v,w) / c(v,·) from corpus bigram counts.
+
+    Strictly sharper than the unigram proxy (lm_score): templated text
+    repeats token SEQUENCES, so its bigram transitions are corpus-
+    frequent and score near zero even when individual tokens are rare.
+    No smoothing needed — every bigram scored also contributed to the
+    counts, so P > 0 by construction.
+
+    Shape: bigram pairs come straight off the token array
+    (slice + arrays_zip, the shingles() trick — no posexplode + window,
+    no per-doc sort shuffle); counts are two hash-aggs over the pair
+    stream; the (prev,cur)→p table is the corpus bigram vocabulary —
+    ≪ corpus, broadcastable at scale like the unigram table. Docs with
+    fewer than 2 tokens have no bigrams and drop out (inner join on an
+    empty pair set), identically in the oracle.
+    """
+    tok = tokens(text_col)
+    m = F.size(tok) - 1
+    zipped = F.arrays_zip(F.slice(tok, 1, m), F.slice(tok, 2, m))
+    big = (
+        documents.filter(F.size(tok) >= 2)
+        .select("doc_id", F.explode(zipped).alias("bg"))
+        .select(
+            "doc_id", F.col("bg")["0"].alias("prev"), F.col("bg")["1"].alias("cur")
+        )
+    )
+    c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    prob = c2.join(c1, "prev").select(
+        "prev", "cur", (F.col("c2") / F.col("c1")).alias("p")
+    )
+    return (
+        big.join(prob, ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.log("p")), 6).alias("avg_neg_logp2"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        )
+    )

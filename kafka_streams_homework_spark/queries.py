@@ -1955,6 +1955,39 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lm_score(docs)
 
 
+@register(
+    "lm_score_bigram",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok FROM documents
+        ), big AS (
+            SELECT doc_id,
+                   tok[i] AS prev, tok[i + 1] AS cur
+            FROM t, unnest(generate_series(1, len(tok) - 1)) AS u(i)
+            WHERE len(tok) >= 2
+        ),
+        c2 AS (SELECT prev, cur, count(*) AS c2 FROM big GROUP BY prev, cur),
+        c1 AS (SELECT prev, count(*) AS c1 FROM big GROUP BY prev)
+        SELECT b.doc_id,
+               round(avg(-ln(c2.c2 / CAST(c1.c1 AS DOUBLE))), 6)
+                   AS avg_neg_logp2,
+               CAST(count(*) AS BIGINT) AS n_bigrams
+        FROM big b
+        JOIN c2 ON b.prev = c2.prev AND b.cur = c2.cur
+        JOIN c1 ON b.prev = c1.prev
+        GROUP BY b.doc_id
+    """,
+    description="Bigram conditional-LM score: avg(-ln P(w|prev)) from "
+    "corpus transition counts — sharper than unigram for catching "
+    "templated/boilerplate text (repeated SEQUENCES score ~0). Bigram "
+    "pairs lifted straight off the token array (no per-doc sort "
+    "shuffle); transition table broadcastable at scale",
+)
+def q_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.lm_score_bigram(docs)
+
+
 # ===========================================================================
 # Relational battery — TPC-H-shaped queries over the star schema
 # (round 2). Each exercises a distinct plan shape the engine must get

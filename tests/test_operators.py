@@ -376,3 +376,33 @@ def test_udtf_chunker_matches_builtin(spark):
         for r in chunk_documents(docs).collect()
     }
     assert via_udtf == via_builtin
+
+
+def test_lm_score_bigram_flags_templated_sequences(spark):
+    """The bigram score's edge over unigram: doc 3 reuses the SAME
+    tokens as the template docs but in a novel ORDER — unigram can't
+    tell it apart, the transition model can."""
+    from kafka_streams_homework_spark.operators.text import (
+        lm_score,
+        lm_score_bigram,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "dog the over quick lazy brown the jumps fox"),  # shuffled
+        ],
+        "doc_id long, text string",
+    )
+    uni = {r.doc_id: r.avg_neg_logp for r in lm_score(docs).collect()}
+    bi = {r.doc_id: r.avg_neg_logp2 for r in lm_score_bigram(docs).collect()}
+    # same bag of words → unigram scores are (near-)identical
+    assert abs(uni[3] - uni[0]) < 1e-9
+    # template transitions are corpus-frequent → low; novel order → high
+    assert bi[0] == bi[1] == bi[2]
+    assert bi[3] > bi[0]
+    # every doc has len-1 bigrams
+    n = {r.doc_id: r.n_bigrams for r in lm_score_bigram(docs).collect()}
+    assert set(n.values()) == {8}
