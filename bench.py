@@ -52,6 +52,19 @@ BENCH_QUERIES = [
     "stratified_sample",
     "pii_scrub",
     "lm_score",
+    # round-2 second-wave additions
+    "lm_score_bigram",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q18_large_orders",
+    "q19_disjunctive_pushdown",
+    "windowed_distinct",
+    "distinct_rollup_hll",
+    "udtf_chunks",
+    "decontaminate",
+    "repetition_score",
+    "knn_filtered",
 ]
 
 

@@ -441,3 +441,48 @@ def leakage_free_split(
             < train_hex_cutoff,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame, benchmark: DataFrame, n: int = 5
+) -> DataFrame:
+    """Flag training docs that share any token n-gram with a benchmark
+    set — the decontamination pass every serious pretraining pipeline
+    runs (eval questions leaking into training data inflate scores).
+
+    Candidate generation is the same shape as the near-dup family:
+    distinct n-gram xxhash64s per doc (shingle strings never
+    materialize), equi-join corpus shingles against the benchmark
+    shingle set. The benchmark side is SMALL by nature (eval suites
+    are MBs against a 100 TB corpus) — Spark's size guard broadcasts
+    it, so the corpus never shuffles; only colliding (doc, shingle)
+    rows reach the per-doc count aggregate. Every corpus doc is
+    returned (left join): n_hits = number of distinct contaminated
+    n-grams, contaminated = n_hits > 0.
+    """
+    doc_sh = corpus.select(
+        "doc_id", F.explode(shingle_hashes(tokens("text"), n)).alias("sh")
+    )
+    bench_sh = (
+        benchmark.select(F.explode(shingle_hashes(tokens("text"), n)).alias("sh"))
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(bench_sh, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce(F.col("__hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -538,3 +538,46 @@ def cosine_pairs_cells(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def knn_filtered(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Filtered vector search — each query carries a metadata predicate
+    (here: neighbor.label != query.label) evaluated inside the
+    broadcast join, i.e. PRE-filter semantics.
+
+    The distinction matters: post-filtering (rank top-k, then apply
+    the predicate) silently under-fills k whenever filtered neighbors
+    occupied top slots — the classic hybrid-search bug. Evaluating the
+    predicate in the join condition scores only eligible candidates,
+    so every query gets its true top-k among the filtered corpus.
+
+    Scale shape is knn_bruteforce unchanged: queries (with their
+    filter payload) broadcast; the corpus scans once, never shuffles;
+    ranking is the same WindowGroupLimit top-k. A label-partitioned
+    corpus layout (knn_ivf_indexed) would additionally prune scans for
+    equality predicates.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("q_label") != F.col("c_label")),
+        )
+        .withColumn(
+            "sim", F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6)
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
+    return _topk(scored, k)

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_streams_homework_spark.caching import tracked_persist
 from kafka_streams_homework_spark.functions import count_in_set, tokens
 
 # Stopword list for the heuristic language scorer. Tiny on purpose: the
@@ -280,8 +281,16 @@ def lm_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
     to drop templated text). At 100 TB the frequency table is the
     corpus vocabulary (≪ corpus); if it fits executors, broadcast it to
     make pass 2 shuffle-free on the token side.
+
+    The exploded token stream is persisted (MEMORY_AND_DISK via
+    tracked_persist) so the frequency pass and the score pass fold the
+    SAME materialization — without it each plan branch re-scans and
+    re-tokenizes the corpus (the rollup-cascade lesson: a claimed
+    "two passes" must show one scan in the plan).
     """
-    toks = documents.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
+    toks = tracked_persist(
+        documents.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
+    )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     # corpus total as a broadcast 1-row aggregate — keeps the op fully
     # lazy (no driver-side action) and adds no shuffle to the score pass
@@ -316,12 +325,14 @@ def lm_score_bigram(documents: DataFrame, text_col: str = "text") -> DataFrame:
     stream; the (prev,cur)→p table is the corpus bigram vocabulary —
     ≪ corpus, broadcastable at scale like the unigram table. Docs with
     fewer than 2 tokens have no bigrams and drop out (inner join on an
-    empty pair set), identically in the oracle.
+    empty pair set), identically in the oracle. The pair stream is
+    persisted so the count passes and the score pass fold ONE
+    materialization instead of re-tokenizing the corpus per branch.
     """
     tok = tokens(text_col)
     m = F.size(tok) - 1
     zipped = F.arrays_zip(F.slice(tok, 1, m), F.slice(tok, 2, m))
-    big = (
+    big = tracked_persist(
         documents.filter(F.size(tok) >= 2)
         .select("doc_id", F.explode(zipped).alias("bg"))
         .select(
@@ -340,4 +351,34 @@ def lm_score_bigram(documents: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.avg(-F.log("p")), 6).alias("avg_neg_logp2"),
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         )
+    )
+
+
+def repetition_score(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Within-document repetition profile: the fraction of n-gram
+    positions whose n-gram occurs more than once in the same doc
+    (Gopher-style "duplicate n-gram fraction" — the strongest single
+    predictor of degenerate/spammy text; pipelines drop docs above
+    ~0.15 at n=3).
+
+    Shape: explode n-gram positions WITH multiplicity (shingles(), no
+    distinct), count per (doc, gram), then one more per-doc aggregate:
+    dup_frac = Σ c·[c≥2] / Σ c. Both aggregates partial-combine
+    map-side; nothing leaves the doc's partition except (doc_id, gram)
+    counts. Docs shorter than n tokens have no n-grams and drop out —
+    identically in the oracle.
+    """
+    from kafka_streams_homework_spark.functions import shingles
+
+    sh = documents.select(
+        "doc_id", F.explode(shingles(tokens("text"), n)).alias("g")
+    )
+    per = sh.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+            / F.sum("c"),
+            6,
+        ).alias("dup_frac"),
+        F.sum("c").cast("bigint").alias("n_ngrams"),
     )

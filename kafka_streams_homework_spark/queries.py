@@ -2541,6 +2541,105 @@ def q_clustered_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_filtered",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), q AS (
+            SELECT * FROM e WHERE vec_id < {KNN_QUERY_MAX_ID}
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_inner_product(q.v, c.v)
+                         / (sqrt(list_inner_product(q.v, q.v))
+                            * sqrt(list_inner_product(c.v, c.v))), 6) AS sim
+            FROM q JOIN e c
+              ON c.vec_id != q.vec_id AND c.label != q.label
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {KNN_K}
+    """,
+    description="Filtered vector search: per-query metadata predicate "
+    "(neighbor.label != query.label) evaluated IN the broadcast join — "
+    "PRE-filter semantics, so k never under-fills (the post-filter "
+    "hybrid-search bug); corpus scans once, never shuffles",
+)
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding", "label"
+    )
+    out = S.knn_filtered(emb, queries, KNN_K)
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "decontaminate",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, array_to_string(tok[i : i + 4], ' ') AS g
+            FROM t, unnest(generate_series(1, len(tok) - 4)) AS u(i)
+        ),
+        bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0),
+        hits AS (
+            SELECT s.doc_id, count(*) AS n FROM sh s JOIN bench USING (g)
+            WHERE s.doc_id % 20 <> 0 GROUP BY s.doc_id
+        )
+        SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % 20 <> 0
+    """,
+    description="Benchmark decontamination: training docs sharing any "
+    "5-gram with the held-out benchmark slice (doc_id%20=0 stands in "
+    "for an eval suite) are flagged. Shingle xxhash64 equi-join — the "
+    "benchmark side is tiny by nature, so it broadcasts and the corpus "
+    "never shuffles; strings never materialize Spark-side",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return D.decontaminate(corpus, benchmark, n=5)
+
+
+@register(
+    "repetition_score",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok FROM documents
+        ), g AS (
+            SELECT doc_id, array_to_string(tok[i : i + 2], ' ') AS g
+            FROM t, unnest(generate_series(1, len(tok) - 2)) AS u(i)
+        ),
+        per AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+        SELECT doc_id,
+               round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+                     / CAST(sum(c) AS DOUBLE), 6) AS dup_frac,
+               CAST(sum(c) AS BIGINT) AS n_ngrams
+        FROM per GROUP BY doc_id
+    """,
+    description="Gopher-style duplicate-3-gram fraction per doc — the "
+    "classic degenerate-text signal (threshold ~0.15). N-gram "
+    "positions with multiplicity → two cascaded hash-aggs, both "
+    "partial-combined map-side; nothing but (doc, gram) counts "
+    "shuffles",
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.repetition_score(docs, n=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

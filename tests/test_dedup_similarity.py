@@ -156,3 +156,46 @@ def test_embedding_cells_recall_above_similarity_bulk(spark, sf_dir):
     }
     assert exact, "fixture should contain pairs at this tau"
     assert exact <= cells  # cells also finds legit cross-label pairs
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """A corpus doc sharing a ≥n-token span with a benchmark doc must
+    be flagged; disjoint-vocabulary docs must not. Every corpus doc
+    comes back exactly once (left join), benchmark docs never do."""
+    from kafka_streams_homework_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france paris obviously")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains 'what is the capital of france' → 5-gram overlap
+            (1, "quiz answer what is the capital of france hmm"),
+            (2, "entirely different words about cooking pasta tonight ok"),
+            (3, "short doc"),  # < n tokens: no shingles, not contaminated
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate(corpus, bench, n=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].contaminated and out[1].n_hits >= 2
+    assert not out[2].contaminated and out[2].n_hits == 0
+    assert not out[3].contaminated
+
+
+def test_repetition_score_separates_looping_text(spark):
+    from kafka_streams_homework_spark.operators.text import repetition_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now buy now"),  # degenerate loop
+            (2, "a colorful assortment of entirely distinct tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_score(docs, n=3).collect()}
+    assert out[1].dup_frac > 0.8
+    assert out[2].dup_frac == 0.0
+    # n_ngrams = len - 2
+    assert out[1].n_ngrams == 8 and out[2].n_ngrams == 6
