@@ -2640,6 +2640,38 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_score(docs, n=3)
 
 
+@register(
+    "streaming_windowed_distinct",
+    oracle="""
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    description="Streaming twin of windowed_distinct: size(collect_set) "
+    "per (event_type, hour) in update mode — COUNT(DISTINCT) is not "
+    "incrementally maintainable, the id-set state is; run_upsert keeps "
+    "the latest emission per window so the result is batch-count-"
+    "independent. Same oracle as the batch twin (streaming/batch parity)",
+)
+def q_streaming_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import (
+        windowed_distinct_stream,
+    )
+
+    apply_runtime_confs(spark)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = windowed_distinct_stream(stream)
+    return run_upsert(spark, out, ["event_type", "window_start"], mode="update")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

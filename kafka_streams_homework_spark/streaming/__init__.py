@@ -19,6 +19,7 @@ from kafka_streams_homework_spark.streaming.price_alerts import (
     price_alerts_stream,
     run_to_memory,
     run_upsert,
+    windowed_distinct_stream,
 )
 from kafka_streams_homework_spark.streaming.stateful import (
     windowed_sum_punctuated,
@@ -32,6 +33,7 @@ __all__ = [
     "price_alerts_stream",
     "run_to_memory",
     "run_upsert",
+    "windowed_distinct_stream",
     "windowed_sum_punctuated",
     "windowed_sum_stateful",
 ]

@@ -157,3 +157,42 @@ def run_upsert(
     )
     q.awaitTermination()
     return spark.createDataFrame(list(state.values()), schema=alerts.schema)
+
+
+def windowed_distinct_stream(
+    events_stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    window: str = "1 hour",
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Exact distinct-count per (key, window) under streaming.
+
+    COUNT(DISTINCT) is not incrementally maintainable, so Spark
+    rejects it in streaming aggs; the exact streaming formulation is
+    ``size(collect_set(id))`` — state per group is the id SET, updated
+    in place each micro-batch. That state grows with true cardinality:
+    fine for bounded id spaces (users per hour), and the documented
+    handoff point to the sketch path (approx_count_distinct IS
+    incrementally maintainable — swap it in for unbounded ids; batch
+    twin operators.sketches.distinct_rollup_hll).
+
+    With a watermark + append the state is GC'd per window (emit-once);
+    update mode emits the running distinct count as it grows —
+    batch-count-independent through run_upsert per (key, window).
+    """
+    src = events_stream
+    if watermark_delay is not None:
+        src = src.withWatermark(ts_col, watermark_delay)
+    return (
+        src.groupBy(
+            F.col(key_col), F.window(F.col(ts_col), window)
+        )
+        .agg(F.size(F.collect_set(F.col(id_col))).cast("bigint").alias("n_distinct"))
+        .select(
+            F.col(key_col),
+            F.col("window.start").alias("window_start"),
+            "n_distinct",
+        )
+    )

@@ -480,3 +480,43 @@ def test_stream_stream_interval_join_attribution(spark, tmp_path):
         spark, joined, f"ssj_{uuid.uuid4().hex[:8]}", mode="append"
     ).collect()
     assert [(r.imp_id, r.click_id) for r in out] == [(100, 900)]
+
+
+def test_streaming_windowed_distinct_counts_across_batches(spark, tmp_path):
+    """Exact streaming distinct via collect_set state: ids seen in
+    EARLIER micro-batches must not be double-counted, and new ids must
+    grow the count — state is the id set, not a counter. run_upsert
+    keeps the final count per window regardless of batch split."""
+    from kafka_streams_homework_spark.streaming import (
+        run_upsert,
+        windowed_distinct_stream,
+    )
+
+    path = _write_events(
+        spark,
+        tmp_path,
+        [
+            [(1, ts(5, 10), 1.0), (2, ts(5, 20), 1.0)],  # users {1,2}
+            [(1, ts(5, 30), 1.0), (3, ts(5, 40), 1.0)],  # +3; 1 is a repeat
+        ],
+    )
+    out = run_upsert(
+        spark,
+        windowed_distinct_stream(
+            _stream(spark, path).withColumn("event_type", F_lit_purchase()),
+            key_col="event_type",
+            ts_col="ts",
+            id_col="user_id",
+            window="1 minute",
+        ),
+        ["event_type", "window_start"],
+        mode="update",
+    ).collect()
+    by_window = {r.window_start: r.n_distinct for r in out}
+    assert by_window[dt.datetime(2024, 1, 1, 0, 5)] == 3
+
+
+def F_lit_purchase():
+    from pyspark.sql import functions as F
+
+    return F.lit("purchase")

@@ -36,6 +36,13 @@ HEADLINE = [
     "stratified_sample",
     "token_count",
     "dedup_ngram_jaccard",
+    # round-2 second wave
+    "lm_score_bigram",
+    "decontaminate",
+    "repetition_score",
+    "q18_large_orders",
+    "windowed_distinct",
+    "distinct_rollup_hll",
 ]
 
 FACT_KEYS = {
