@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "decontaminate",
     "repetition_score",
     "knn_filtered",
+    "training_data_prep_v2",
+    "kafka_wire_roundtrip",
 ]
 
 

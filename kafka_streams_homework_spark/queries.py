@@ -2755,6 +2755,20 @@ def q_training_data_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cosine_pairs_cells",
+    # No oracle: k-means cell assignment is iterative/implementation-
+    # defined; pytest pins recall vs the exact label-blocked op.
+    description="Embedding near-dup pairs via LEARNED cell blocking "
+    "(spherical k-means, multi-probe nassign=2) — the low-τ scale path "
+    "where sign-bit LSH can't prune; candidates per cell, exact-cosine "
+    "verified (no false positives), recall pinned in pytest",
+)
+def q_cosine_pairs_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_pairs_cells(emb, EMB_SIM_THRESHOLD, ncells=8, nassign=2)
+
+
+@register(
     "kafka_wire_roundtrip",
     oracle=f"""
         SELECT CAST(user_id AS VARCHAR) AS alert_key, c_name AS customer_name,
