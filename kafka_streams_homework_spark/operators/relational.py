@@ -411,3 +411,40 @@ def windowed_sum_salted(
     return partial.groupBy(*key_cols, "window").agg(
         F.sum("__partial").alias(out_name)
     )
+
+
+def scd2_history(
+    changelog: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a changelog: each
+    record becomes a validity interval [valid_from, valid_to), open
+    (null valid_to, is_current=true) for the key's latest record.
+
+    The history twin of latest_by_key (GlobalKTable = the CURRENT
+    snapshot; SCD2 = every version with its validity window — what a
+    warehouse joins facts against for as-of-correct attributes; the
+    interval probe itself is operators.relational.asof_join).
+
+    One window pass: lead(ts) per key ordered by (ts, tiebreak). At
+    scale that is a single shuffle on the key columns and a sort
+    within each key's partition — the same cost shape as
+    latest_by_key, with full history retained instead of max-rowed
+    away.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("valid_from").asc(), F.col(tiebreak_col).asc()
+    )
+    return (
+        changelog.select(
+            *key_cols,
+            tiebreak_col,
+            *value_cols,
+            F.col(ts_col).alias("valid_from"),
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

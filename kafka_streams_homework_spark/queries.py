@@ -2755,6 +2755,31 @@ def q_training_data_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_history",
+    oracle="""
+        SELECT user_id, event_id, value, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC) AS valid_to,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC) IS NULL
+                   AS is_current
+        FROM events
+    """,
+    description="Type-2 SCD history from the events changelog: every "
+    "record gets its validity interval [valid_from, valid_to), open "
+    "for the key's latest — the HISTORY twin of latest_by_key "
+    "(GlobalKTable = current snapshot). One window pass: single "
+    "shuffle on the key, sort within key partitions; probe with "
+    "asof_join for as-of-correct attributes",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return R.scd2_history(
+        events, ["user_id"], "ts", "event_id", ["value"]
+    ).select("user_id", "event_id", "value", "valid_from", "valid_to", "is_current")
+
+
+@register(
     "cosine_pairs_cells",
     # No oracle: k-means cell assignment is iterative/implementation-
     # defined; pytest pins recall vs the exact label-blocked op.

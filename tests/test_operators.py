@@ -406,3 +406,32 @@ def test_lm_score_bigram_flags_templated_sequences(spark):
     # every doc has len-1 bigrams
     n = {r.doc_id: r.n_bigrams for r in lm_score_bigram(docs).collect()}
     assert set(n.values()) == {8}
+
+
+def test_scd2_history_intervals_tile(spark):
+    """Per key: intervals must tile (each valid_to = next valid_from),
+    exactly one open interval (is_current), and valid_from strictly
+    before valid_to for closed rows."""
+    from kafka_streams_homework_spark.operators.relational import scd2_history
+    from tests.conftest import ts
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, ts(5, 0), 1.0),
+            (1, 11, ts(6, 0), 2.0),
+            (1, 12, ts(7, 0), 3.0),
+            (2, 20, ts(5, 30), 9.0),
+        ],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    rows = scd2_history(log, ["user_id"], "ts", "event_id", ["value"]).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.user_id, []).append(r)
+    assert {k: len(v) for k, v in by_key.items()} == {1: 3, 2: 1}
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        assert sum(r.is_current for r in ivs) == 1 and ivs[-1].is_current
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.valid_from < a.valid_to
