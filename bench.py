@@ -104,6 +104,9 @@ def main() -> None:
                 "metric": "total_bench_time",
                 "value": total,
                 "unit": "sec",
+                # the headline set GROWS round over round — compare
+                # per-query times or value/n_queries, not raw totals
+                "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -2755,6 +2755,93 @@ def q_training_data_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "equidepth_histogram",
+    oracle="""
+        WITH b AS (
+            SELECT event_type, value,
+                   ntile(10) OVER (PARTITION BY event_type
+                                   ORDER BY value ASC, event_id ASC) AS bucket
+            FROM events
+        )
+        SELECT event_type, CAST(bucket AS INTEGER) AS bucket,
+               round(min(value), 6) AS lo, round(max(value), 6) AS hi,
+               CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY event_type, bucket
+    """,
+    description="Equi-DEPTH histogram (10 buckets of equal row count "
+    "per event_type) via ntile — the distribution profile that stays "
+    "readable under skew, where the fixed-width twin "
+    "(value_histogram) collapses into one hot bin. Deterministic "
+    "bucketing: total order (value, event_id)",
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return (
+        events.select("event_type", "value", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "json_ingest_robust",
+    oracle="""
+        WITH c AS (
+            SELECT event_id, event_type,
+                   CASE WHEN event_id % 7 = 0 THEN 'x' || props
+                        ELSE props END AS props
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_valid,
+               CAST(sum(CASE WHEN json_valid(props) THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_corrupt,
+               CAST(sum(CASE WHEN json_valid(props)
+                             THEN CAST(json_extract_string(props, '$.k')
+                                       AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS sum_k
+        FROM c GROUP BY event_type
+    """,
+    description="Corrupt-tolerant ingestion: rows with deterministically "
+    "mangled JSON (event_id%7=0) parse to null under from_json's "
+    "PERMISSIVE mode and are COUNTED, not dropped and not fatal — the "
+    "dirty-data contract a 100 TB ingest needs (one bad record must "
+    "never kill a 6-hour job); per-type valid/corrupt accounting in "
+    "one pass",
+)
+def q_json_ingest_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    corrupted = events.select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 0, F.concat(F.lit("x"), F.col("props"))
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    parsed = corrupted.withColumn("j", F.from_json("props", "k long"))
+    valid = F.col("j")["k"].isNotNull()
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(valid, 1).otherwise(0)).cast("bigint").alias("n_valid"),
+        F.sum(F.when(valid, 0).otherwise(1)).cast("bigint").alias("n_corrupt"),
+        F.sum(F.when(valid, F.col("j")["k"]).otherwise(0))
+        .cast("bigint")
+        .alias("sum_k"),
+    )
+
+
+@register(
     "scd2_history",
     oracle="""
         SELECT user_id, event_id, value, ts AS valid_from,
