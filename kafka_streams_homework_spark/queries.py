@@ -2404,6 +2404,481 @@ def q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q2_min_cost_supplier",
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                   round(min(l_extendedprice / l_quantity), 2) AS ps_supplycost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), eu AS (
+            SELECT ps_partkey, ps_suppkey, ps_supplycost, s_name, s_acctbal,
+                   n_name
+            FROM ps, supplier, nation, region
+            WHERE s_suppkey = ps_suppkey AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        )
+        SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name,
+               p_partkey, p_name, ps_supplycost
+        FROM part, eu
+        WHERE p_partkey = ps_partkey AND p_size = 15
+          AND ps_supplycost = (SELECT min(e2.ps_supplycost) FROM eu e2
+                               WHERE e2.ps_partkey = p_partkey)
+    """,
+    description="TPC-H Q2 shape (partsupp derived from lineitem's "
+    "observed part-supplier price floor): for each size-15 part, the "
+    "EUROPE supplier at the minimum supply cost. The correlated "
+    "min-subquery decorrelates into a per-part window min over the "
+    "already-joined candidates — one extra window pass, no second "
+    "join; dims (nation, region) broadcast, fact-derived ps stays "
+    "size-guarded",
+)
+def q_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias(
+            "ps_supplycost"
+        )
+    )
+    eu = (
+        ps.join(supplier, ps["ps_suppkey"] == supplier["s_suppkey"])
+        .join(
+            F.broadcast(nation),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            nation["n_regionkey"] == F.col("r_regionkey"),
+        )
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        eu.join(part, F.col("ps_partkey") == part["p_partkey"])
+        .withColumn("__min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("__min_cost"))
+        .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "ps_supplycost",
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+        SELECT o_year,
+               round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                     / sum(volume), 6) AS mkt_share
+        FROM (
+          SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM part, supplier, lineitem, orders, customer,
+               nation n1, nation n2, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+            AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+            AND o_orderdate BETWEEN TIMESTAMP '1999-01-01'
+                                AND TIMESTAMP '2000-12-31'
+            AND p_type = 'ECONOMY'
+        ) GROUP BY o_year
+    """,
+    description="TPC-H Q8 shape: national market share — the widest "
+    "join tree in the battery (6-way: part, supplier, lineitem, "
+    "orders, customer, nation×2, region), nation again in two roles; "
+    "share computed as a conditional-sum ratio in ONE aggregation "
+    "pass. Date + p_type filters push to the orders/part scans and "
+    "AQE size-guards every fact-fact edge",
+)
+def q_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1999-01-01").cast("timestamp"),
+            F.lit("2000-12-31").cast("timestamp"),
+        )
+    )
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(n1), customer["c_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), supplier["s_nationkey"] == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", volume).otherwise(0.0))
+                / F.sum(volume),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+        SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+        FROM (
+          SELECT n_name AS nation,
+                 CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                 l_extendedprice * (1 - l_discount)
+                 - 0.4 * p_retailprice * l_quantity AS amount
+          FROM part, supplier, lineitem, orders, nation
+          WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+            AND p_name LIKE '%widget%'
+        ) GROUP BY nation, o_year
+    """,
+    description="TPC-H Q9 shape (ps_supplycost stood in by a "
+    "retail-price cost fraction — no partsupp in the fixture): profit "
+    "by supplier nation × order year over name-matched parts. The "
+    "LIKE '%widget%' cannot push below the scan as a range, but "
+    "column pruning + the part⋈lineitem size-guarded join keep the "
+    "probe narrow; profit arithmetic runs fused in whole-stage "
+    "codegen",
+)
+def q_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.4 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(nation),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+        WITH v AS (
+          SELECT l_partkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+          FROM lineitem, supplier, nation
+          WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+            AND n_name = 'NATION_3'
+          GROUP BY l_partkey
+        )
+        SELECT l_partkey AS partkey, value
+        FROM v WHERE value > (SELECT round(sum(value) * 0.001, 2) FROM v)
+    """,
+    description="TPC-H Q11 shape (stock value stood in by one "
+    "nation's traded line value): per-part value with a HAVING-style "
+    "scalar subquery over the SAME aggregate — the aggregate is "
+    "computed once and reused for both the rows and the global "
+    "threshold (1-row cross-broadcast), not re-scanned; threshold "
+    "compares rounded values per the cross-engine parity rule",
+)
+def q_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    v = tracked_persist(
+        li.join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(
+            F.broadcast(nation),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("value")
+        )
+    )
+    threshold = v.agg(F.round(F.sum("value") * 0.001, 2).alias("__thr"))
+    return (
+        v.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("__thr"))
+        .select("partkey", "value")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey
+           AND o_orderpriority <> '4-NOT SPECIFIED'
+          GROUP BY c_custkey
+        ) GROUP BY c_count
+    """,
+    description="TPC-H Q13 shape (comment-regex stood in by an "
+    "orderpriority exclusion): order-count distribution over ALL "
+    "customers — the filter lives in the LEFT JOIN's ON clause so "
+    "zero-order customers survive into the c_count=0 bucket; two "
+    "cascaded aggregations, the second over ~tens of distinct counts",
+)
+def q_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders,
+            (customer["c_custkey"] == orders["o_custkey"])
+            & (orders["o_orderpriority"] != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+            AND l_shipdate < TIMESTAMP '2000-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal,
+               total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    description="TPC-H Q15 shape: quarter revenue per supplier (the "
+    "reference's CREATE VIEW, here a reused DataFrame), max-revenue "
+    "scalar subquery as a 1-row cross-broadcast; the revenue "
+    "aggregate is persisted so view + scalar share one scan. Rounded "
+    "revenue on both sides keeps the max-equality membership "
+    "engine-identical",
+)
+def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-04-01").cast("timestamp"))
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    revenue = tracked_persist(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    maxrev = revenue.agg(F.max("total_revenue").alias("__maxrev"))
+    return (
+        revenue.join(F.broadcast(maxrev))
+        .filter(F.col("total_revenue") == F.col("__maxrev"))
+        .join(supplier, F.col("supplier_no") == supplier["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "total_revenue",
+        )
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
+          AND l_quantity < (SELECT round(0.2 * avg(l_quantity), 2)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+    """,
+    description="TPC-H Q17 shape: correlated per-part average-quantity "
+    "subquery, decorrelated into a pre-aggregate + equi-join. The "
+    "average's input is semi-join-pruned to the brand's parts FIRST "
+    "(~4% of partkeys) so the decorrelated aggregate never computes "
+    "averages nobody will probe — the at-scale win over naive "
+    "decorrelation; threshold rounded per the parity rule "
+    "(quantities are integral, so membership is exact)",
+)
+def q_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bparts = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    avg_qty = (
+        li.join(
+            F.broadcast(bparts.select(F.col("p_partkey").alias("__bp"))),
+            li["l_partkey"] == F.col("__bp"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("avg_partkey"))
+        .agg(F.round(0.2 * F.avg("l_quantity"), 2).alias("__qty_thr"))
+    )
+    return (
+        li.join(bparts, li["l_partkey"] == bparts["p_partkey"])
+        .join(avg_qty, li["l_partkey"] == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("__qty_thr"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q20_part_promotion",
+    oracle="""
+        SELECT s_name, round(s_acctbal, 2) AS acctbal
+        FROM supplier, nation
+        WHERE s_nationkey = n_nationkey AND n_name = 'NATION_13'
+          AND s_suppkey IN (
+            SELECT l_suppkey FROM lineitem, part
+            WHERE l_partkey = p_partkey AND p_name LIKE 'red%'
+              AND l_shipdate >= TIMESTAMP '2000-01-01'
+              AND l_shipdate < TIMESTAMP '2001-01-01'
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(l_quantity) > 50
+          )
+    """,
+    description="TPC-H Q20 shape (availqty threshold stood in by "
+    "shipped volume): nested IN over a grouped-HAVING subquery — "
+    "suppliers who moved >50 units of some red part in 2000. "
+    "Decorrelates to aggregate → distinct keys → LEFT SEMI into the "
+    "nation-filtered supplier dim; the qualifying-key set is tiny at "
+    "any sf, so the semi join broadcasts",
+)
+def q_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"))
+    )
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_13")
+    movers = (
+        li.join(
+            F.broadcast(red.select(F.col("p_partkey").alias("__rp"))),
+            li["l_partkey"] == F.col("__rp"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .join(movers, supplier["s_suppkey"] == movers["l_suppkey"], "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+@register(
+    "q21_waiting_orders",
+    oracle="""
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY s_name
+    """,
+    description="TPC-H Q21 shape (receipt-vs-commit lateness stood in "
+    "by ship-vs-order +90d): suppliers in one nation who were the "
+    "ONLY late supplier on a finished multi-supplier order. EXISTS → "
+    "LEFT SEMI on (same order, other supplier), NOT EXISTS → LEFT "
+    "ANTI against the late-lines set; the late set is computed once "
+    "and persisted — it feeds both the probe side and the anti side",
+)
+def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    late = tracked_persist(
+        li.join(
+            orders,
+            (li["l_orderkey"] == orders["o_orderkey"])
+            & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+        ).select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
+    )
+    l1 = (
+        late.join(
+            others,
+            (late["l_orderkey"] == F.col("o2_key"))
+            & (late["l_suppkey"] != F.col("s2_key")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (late["l_orderkey"] == F.col("o3_key"))
+            & (late["l_suppkey"] != F.col("s3_key")),
+            "left_anti",
+        )
+    )
+    return (
+        l1.join(supplier, l1["l_suppkey"] == supplier["s_suppkey"])
+        .join(
+            F.broadcast(nation),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
     "udtf_chunks",
     oracle="""
         WITH t AS (
