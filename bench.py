@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "knn_filtered",
     "training_data_prep_v2",
     "kafka_wire_roundtrip",
+    # round-2 third-wave: the two heaviest shapes from the completed
+    # TPC-H battery (widest join tree; semi+anti self-joins)
+    "q8_market_share",
+    "q21_waiting_orders",
 ]
 
 

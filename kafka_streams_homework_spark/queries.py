@@ -3148,6 +3148,142 @@ def q_streaming_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_sessionize",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM sess GROUP BY user_id, sess_id
+    """,
+    description="Streaming twin of sessionize: session_window "
+    "aggregation under Structured Streaming. Update mode is rejected "
+    "for session windows (a session MERGE would retract already-"
+    "emitted pre-merge rows), so this runs complete mode through "
+    "run_replace — the last trigger's full emission is the answer, "
+    "batch-count-independent by construction. Same gaps-and-islands "
+    "oracle as the batch twin (streaming/batch parity)",
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import run_replace
+
+    apply_runtime_confs(spark)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sess = R.sessionize(
+        stream,
+        ["user_id"],
+        "ts",
+        SESSION_GAP,
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    ).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+        "total_value",
+    )
+    return run_replace(spark, sess, mode="complete")
+
+
+BM25_QUERY_TERMS = ["spark", "window"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_N = 20
+
+
+@register(
+    "bm25_rank",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok FROM documents
+        ), dl AS (
+            SELECT doc_id, len(tok) AS dl FROM t
+        ), avgdl AS (
+            SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(tok) AS term FROM t)
+            WHERE term IN ('spark', 'window')
+            GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), scored AS (
+            SELECT tf.doc_id,
+                   round(sum(
+                       ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                       * tf / (tf + {BM25_K1} * (1 - {BM25_B}
+                               + {BM25_B} * dl.dl / avgdl.avgdl))
+                   ), 6) AS score
+            FROM tf, df, dl, avgdl
+            WHERE tf.term = df.term AND tf.doc_id = dl.doc_id
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOP_N}
+    """,
+    description="§7 text retrieval: BM25 top-20 for a fixed term query "
+    "(Lucene idf variant, k1=1.2 b=0.75). The token stream is filtered "
+    "to the query terms BEFORE any shuffle — at 100 TB the tf table is "
+    "|docs containing a query term| rows, not |corpus tokens|; df and "
+    "avgdl are 1-row/tiny broadcasts; top-20 via "
+    "TakeOrderedAndProject, no global sort",
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("tok")
+    )
+    dl = toks.select("doc_id", F.size("tok").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("tok").alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy(F.col("term").alias("df_term")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df), tf["term"] == F.col("df_term"))
+        .join(dl.withColumnRenamed("doc_id", "dl_doc"), tf["doc_id"] == F.col("dl_doc"))
+        .join(F.broadcast(stats))
+        .groupBy(tf["doc_id"])
+        .agg(F.round(F.sum(idf * F.col("tf") / denom), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP_N)
+    )
+
+
+@register(
     "training_data_prep_v2",
     oracle="""
         WITH corpus AS (

@@ -17,6 +17,7 @@ from kafka_streams_homework_spark.streaming.price_alerts import (
     dedup_stream,
     latest_by_key_stream,
     price_alerts_stream,
+    run_replace,
     run_to_memory,
     run_upsert,
     windowed_distinct_stream,
@@ -31,6 +32,7 @@ __all__ = [
     "interval_join_streams",
     "latest_by_key_stream",
     "price_alerts_stream",
+    "run_replace",
     "run_to_memory",
     "run_upsert",
     "windowed_distinct_stream",

@@ -159,6 +159,44 @@ def run_upsert(
     return spark.createDataFrame(list(state.values()), schema=alerts.schema)
 
 
+def run_replace(
+    spark: SparkSession,
+    result: DataFrame,
+    mode: str = "complete",
+) -> DataFrame:
+    """Run a complete-mode streaming DataFrame to completion, keeping
+    the LAST trigger's full emission — batch-count-independent by
+    construction (complete mode re-emits the entire result every
+    trigger, so the final batch IS the final answer).
+
+    The complete-mode companion to ``run_upsert``: needed for
+    aggregations Spark refuses to run in update mode — session-window
+    aggregation rejects update (a session MERGE would have to retract
+    rows already emitted for the pre-merge sessions; complete
+    re-emission sidesteps retraction). At scale the foreachBatch body
+    becomes an overwrite of the downstream table; complete mode holds
+    full aggregate state, so it's viable when the (key × session)
+    space is bounded — the append+watermark path is the unbounded
+    alternative, with the documented availableNow holdback (sessions
+    still open when input ends are withheld until a later watermark
+    advance).
+    """
+    state: list[dict] = []
+
+    def replace(batch_df: DataFrame, _batch_id: int) -> None:
+        state.clear()
+        state.extend(r.asDict() for r in batch_df.collect())
+
+    q = (
+        result.writeStream.foreachBatch(replace)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(state, schema=result.schema)
+
+
 def windowed_distinct_stream(
     events_stream: DataFrame,
     key_col: str = "event_type",

@@ -20,6 +20,7 @@ from kafka_streams_homework_spark.streaming import (
     dedup_stream,
     latest_by_key_stream,
     price_alerts_stream,
+    run_replace,
     run_to_memory,
     run_upsert,
     windowed_sum_stateful,
@@ -334,6 +335,38 @@ def test_streaming_session_window(spark, tmp_path):
     got = {(r.user_id, r.start.minute): r.total for r in out}
     # user 1: session {0,5} (merged, total 3.0) and session {45}
     assert got == {(1, 0): 3.0, (1, 45): 4.0}
+
+
+def test_run_replace_session_agg_is_batch_count_independent(spark, tmp_path):
+    """Session-window aggregation rejects update mode (merges would
+    retract emitted rows), so the registry's streaming_sessionize runs
+    complete mode through run_replace. The final trigger's re-emission
+    must equal the batch answer even when the source splits into
+    multiple micro-batches AND a session merges across the batch
+    boundary (events 25 min apart, gap 30 → one merged session)."""
+    from pyspark.sql import functions as F
+
+    path = _write_events(
+        spark,
+        tmp_path,
+        [
+            [(1, ts(0, 0), 1.0), (2, ts(0, 0), 8.0)],
+            [(1, ts(25, 0), 2.0)],   # merges into user 1's open session
+            # 65 min after the merged session's last event → new session
+            [(1, ts(0, 0) + dt.timedelta(minutes=90), 4.0)],
+        ],
+    )
+    sess = (
+        _stream(spark, path)
+        .groupBy("user_id", F.session_window(F.col("ts"), "30 minutes"))
+        .agg(F.sum("value").alias("total"))
+        .select(
+            "user_id", F.col("session_window.start").alias("start"), "total"
+        )
+    )
+    out = run_replace(spark, sess, mode="complete").collect()
+    got = {(r.user_id, r.start.minute): r.total for r in out}
+    assert got == {(1, 0): 3.0, (1, 30): 4.0, (2, 0): 8.0}
 
 
 def test_stateful_v2_transform_with_state(spark, tmp_path):
