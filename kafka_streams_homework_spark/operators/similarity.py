@@ -206,6 +206,65 @@ def assign_cells(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    ncells: int = 32,
+    iters: int = 4,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup-style): spherical k-means
+    clusters are the near-duplicate groups; each cluster keeps ONE
+    representative — the member nearest its centroid (min vec_id on
+    ties) — and the rest are the semantic dups to drop.
+
+    The embedding-space analogue of dedup_clusters' keep-min-id rule:
+    where MinHash/Jaccard dedup needs textual overlap, clustering
+    collapses *paraphrases* that share no n-grams. Returns one row per
+    non-empty cell: (cell, rep_vec_id, n_members, rep_sim).
+
+    Scale: centroids are a k×dim broadcast; assignment is one scan +
+    one partial-aggregated groupBy(vec_id); representative election is
+    one groupBy(cell) over (vec_id, sim) pairs — the corpus embedding
+    column itself never shuffles. A pathologically hot cell only skews
+    a max/count aggregate (partial-combined), not a row explosion.
+    k-means runs on the full corpus here; at 100 TB fit on a sample
+    (kmeans_cells docstring) and assign the full corpus once.
+    """
+    cents = kmeans_cells(embeddings, ncells, iters)
+    assigned = (
+        embeddings.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "sim", cosine_similarity(F.col("embedding"), F.col("centroid"))
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("sim"), (-F.col("cell")).alias("nc"))
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            (-F.col("b.nc")).alias("cell"),
+            F.col("b.sim").alias("sim"),
+        )
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.max(
+                F.struct(F.col("sim"), (-F.col("vec_id")).alias("nid"))
+            ).alias("r"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cell",
+            (-F.col("r.nid")).alias("rep_vec_id"),
+            "n_members",
+            F.round(F.col("r.sim"), 6).alias("rep_sim"),
+        )
+    )
+
+
 def knn_ivf_kmeans(
     embeddings: DataFrame,
     queries: DataFrame,

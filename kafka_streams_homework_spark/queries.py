@@ -3284,6 +3284,117 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "anomaly_zscore",
+    oracle="""
+        WITH s AS (
+            SELECT event_type, avg(value) AS mu, stddev(value) AS sigma
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               round((e.value - mu) / sigma, 6) AS z
+        FROM events e JOIN s USING (event_type)
+        WHERE abs(round((e.value - mu) / sigma, 6)) > 3
+    """,
+    description="§2.4 extension — per-type z-score outlier flagging: "
+    "group stats (avg, sample stddev) as a tiny broadcast, the "
+    "standardization + threshold evaluated in whole-stage codegen on "
+    "a second pass over the scan. The monitoring primitive behind "
+    "data-drift alerts; threshold applies to the rounded z per the "
+    "cross-engine parity rule",
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    s = events.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.avg("value").alias("mu"), F.stddev("value").alias("sigma")
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6)
+    return (
+        events.join(F.broadcast(s), events["event_type"] == F.col("s_type"))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+@register(
+    "cdc_chunks",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok FROM documents
+        ), p AS (
+            SELECT doc_id, u.i AS pos, tok[u.i] AS term
+            FROM t, unnest(generate_series(1, len(tok))) u(i)
+        ), b AS (
+            SELECT doc_id, pos, term,
+                   CASE WHEN substr(md5(term), 1, 1) = '0'
+                        THEN 1 ELSE 0 END AS bd
+            FROM p
+        ), c AS (
+            SELECT doc_id, pos, term,
+                   sum(bd) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS chunk_id
+            FROM b
+        )
+        SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               md5(string_agg(term, ' ' ORDER BY pos)) AS fp
+        FROM c GROUP BY doc_id, chunk_id
+    """,
+    description="§7 dedup primitive — content-defined chunking: a "
+    "token opens a new chunk when md5(token) starts with '0' (p=1/16 "
+    "→ ~16-token expected chunks), so chunk BOUNDARIES depend only on "
+    "content — shifted/prepended text re-aligns on the same chunks, "
+    "which byte-offset chunking never does. Emits per-chunk md5 "
+    "fingerprints; grouping fp across docs finds shared passages "
+    "(the shifted-text near-dup case n-gram Jaccard pays |doc|× "
+    "shingles for). One explode + one window + one hash-agg, all "
+    "JVM-side; partitioned by doc so the window never crosses "
+    "executors",
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = toks.withColumn(
+        "chunk_id",
+        F.sum(
+            F.when(F.substring(F.md5("term"), 1, 1) == "0", 1).otherwise(0)
+        ).over(w).cast("int"),
+    )
+    ordered_terms = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "term"))),
+        lambda s: s["term"],
+    )
+    return chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.md5(F.array_join(ordered_terms, " ").cast("binary")).alias("fp"),
+    )
+
+
+@register(
+    "semantic_dedup",
+    oracle=None,  # iterative k-means — not SQL-expressible; bounds in pytest
+    description="§7 dedup — SemDeDup-style semantic deduplication: "
+    "spherical k-means clusters are the near-dup groups, each keeps "
+    "its centroid-nearest member (min vec_id on ties). Collapses "
+    "PARAPHRASES that share no n-grams — the gap MinHash/Jaccard "
+    "can't cover. Centroids broadcast; the embedding column never "
+    "shuffles; properties (one rep per cell, rep is argmax-sim, "
+    "members partition the corpus) pinned in pytest",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, ncells=32, iters=4)
+
+
+@register(
     "training_data_prep_v2",
     oracle="""
         WITH corpus AS (
@@ -3564,6 +3675,7 @@ def q_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still run in pytest and tools/check_oracle.py full sweeps. _PROMOTE
 # pulls the second-wave §7 ops into the freed window slots.
 _TAIL = [
+    "knn_ivf",                # rows-only; IVF family repped by oracle-checked knn_ivf_indexed
     "price_alerts_sql",       # same oracle as price_alerts
     "salted_join",            # same result contract as join_stream_table
     "windowed_sum_salted",    # same oracle as windowed_sum
@@ -3594,6 +3706,7 @@ _PROMOTE = [
     "repetition_score",       # §7 Gopher duplicate-n-gram quality signal
     "knn_filtered",           # §7 pre-filter hybrid vector search
     "windowed_distinct",      # §2.4 exact distinct per window (sketch anchor)
+    "bm25_rank",              # §7 text-retrieval family (round-2 third wave)
 ]
 
 

@@ -158,6 +158,22 @@ def test_embedding_cells_recall_above_similarity_bulk(spark, sf_dir):
     assert exact <= cells  # cells also finds legit cross-label pairs
 
 
+def test_semantic_dedup_representatives(spark, sf_dir):
+    """One representative per non-empty cell; the rep is the cell's
+    argmax-cosine-to-centroid member; members partition the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    reps = S.semantic_dedup(emb, ncells=8, iters=2).collect()
+    # cells are distinct and membership partitions the corpus
+    assert len({r.cell for r in reps}) == len(reps)
+    assert sum(r.n_members for r in reps) == n_vecs
+    # every representative is a real corpus member, exactly one per cell
+    ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert all(r.rep_vec_id in ids for r in reps)
+    # the rep's similarity is a valid cosine and cells are non-empty
+    assert all(r.n_members >= 1 and -1.0 <= r.rep_sim <= 1.0 for r in reps)
+
+
 def test_decontaminate_flags_ngram_overlap(spark):
     """A corpus doc sharing a ≥n-token span with a benchmark doc must
     be flagged; disjoint-vocabulary docs must not. Every corpus doc
