@@ -3379,6 +3379,80 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "geomean_udaf",
+    oracle="""
+        SELECT event_type,
+               round(exp(avg(ln(value))), 6) AS geomean_value,
+               round(exp(avg(ln(value))), 6) AS geomean_value_col
+        FROM events GROUP BY event_type
+    """,
+    description="§2.7 U2 — vectorized Python UDAF: geometric mean as a "
+    "grouped-agg pandas UDF (Arrow ships each group's column once, "
+    "numpy reduces it) next to its decomposable column-algebra twin "
+    "exp(avg(ln x)) in the SAME aggregation — both against one "
+    "oracle. The twin is the at-scale form (partial aggregation: one "
+    "(sum,n) pair per map task); the UDAF form is the escape hatch "
+    "for non-decomposable group numerics, on bounded-cardinality "
+    "groups only (no partials — the group's values cross to Python)",
+)
+def q_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.functions.udafs import (
+        geomean_column,
+        geomean_udaf,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    # a grouped-agg pandas UDF cannot share an agg() with JVM
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — run the two forms as
+    # sibling aggregations and join on the (tiny) group key
+    py = events.groupBy("event_type").agg(
+        F.round(geomean_udaf(F.col("value")), 6).alias("geomean_value")
+    )
+    jvm = events.groupBy(F.col("event_type").alias("et2")).agg(
+        F.round(geomean_column("value"), 6).alias("geomean_value_col")
+    )
+    return py.join(F.broadcast(jvm), py["event_type"] == F.col("et2")).select(
+        "event_type", "geomean_value", "geomean_value_col"
+    )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+        WITH corpus AS (
+            SELECT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 7
+        ), incoming AS (
+            SELECT doc_id, md5(text) AS fp FROM documents
+            WHERE doc_id % 10 = 7
+        ), first_in_batch AS (
+            SELECT min(doc_id) AS doc_id, fp FROM incoming GROUP BY fp
+        )
+        SELECT i.doc_id, i.fp FROM first_in_batch i
+        WHERE i.fp NOT IN (SELECT fp FROM corpus)
+    """,
+    description="§7 pipeline — steady-state ingest dedup: an incoming "
+    "batch (doc_id%10=7 stands in for today's crawl) admits only docs "
+    "whose fingerprint is (a) first within the batch (min-id groupBy) "
+    "and (b) absent from the existing corpus (LEFT ANTI on md5). The "
+    "incremental complement of dedup_exact: the corpus side is a "
+    "fingerprint-only projection — at 100 TB that's the dedup index "
+    "you keep bucketed by fp so the anti join is shuffle-free",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    corpus_fp = docs.filter(F.col("doc_id") % 10 != 7).select(
+        F.md5(F.col("text").cast("binary")).alias("corpus_fp")
+    )
+    incoming = docs.filter(F.col("doc_id") % 10 == 7).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    first = incoming.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return first.join(
+        corpus_fp, first["fp"] == F.col("corpus_fp"), "left_anti"
+    ).select("doc_id", "fp")
+
+
+@register(
     "semantic_dedup",
     oracle=None,  # iterative k-means — not SQL-expressible; bounds in pytest
     description="§7 dedup — SemDeDup-style semantic deduplication: "

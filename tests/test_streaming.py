@@ -515,6 +515,69 @@ def test_stream_stream_interval_join_attribution(spark, tmp_path):
     assert [(r.imp_id, r.click_id) for r in out] == [(100, 900)]
 
 
+def test_stream_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """leftOuter interval join: an impression with no click in its
+    window emits null-extended — but only after BOTH watermarks pass
+    the impression's band, which happens in a LATER micro-batch (the
+    watermark advances at end-of-batch, emission follows). Two files
+    per side with pinned mtimes force that second batch."""
+    import glob
+    import os
+
+    from kafka_streams_homework_spark.streaming import interval_join_streams
+
+    def _write_batches(prefix, schema, batches):
+        path = str(tmp_path / f"{prefix}_{uuid.uuid4().hex[:8]}")
+        seen: set[str] = set()
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+            for f in set(glob.glob(f"{path}/*.parquet")) - seen:
+                os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+            seen = set(glob.glob(f"{path}/*.parquet"))
+        return path
+
+    pusher = ts(0, 0) + dt.timedelta(hours=3)
+    imps_path = _write_batches(
+        "imps",
+        "imp_id long, iuid long, its timestamp",
+        [
+            [(100, 1, ts(5)), (101, 2, ts(10))],  # user 2 never clicks
+            [(199, 9, pusher)],                   # watermark pusher
+        ],
+    )
+    clicks_path = _write_batches(
+        "clicks",
+        "click_id long, cuid long, cts timestamp",
+        [
+            [(900, 1, ts(9))],                    # 4 min after imp 100
+            [(999, 9, pusher)],                   # watermark pusher
+        ],
+    )
+    imps = (
+        spark.readStream.schema("imp_id long, iuid long, its timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(imps_path)
+    )
+    clicks = (
+        spark.readStream.schema("click_id long, cuid long, cts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(clicks_path)
+    )
+    joined = interval_join_streams(
+        imps, clicks, "iuid", "cuid", "its", "cts",
+        upper="10 minutes", how="leftOuter",
+    ).select("imp_id", "click_id")
+    out = run_to_memory(
+        spark, joined, f"ssjo_{uuid.uuid4().hex[:8]}", mode="append"
+    ).collect()
+    got = {(r.imp_id, r.click_id) for r in out}
+    assert (100, 900) in got          # matched pair
+    assert (101, None) in got         # unmatched imp, null-extended
+    assert (101, 900) not in got      # no cross-user attribution
+
+
 def test_streaming_windowed_distinct_counts_across_batches(spark, tmp_path):
     """Exact streaming distinct via collect_set state: ids seen in
     EARLIER micro-batches must not be double-counted, and new ids must
