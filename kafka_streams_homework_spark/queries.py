@@ -3663,6 +3663,167 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_lookup",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, ts AS valid_from, value AS profile_value,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS valid_to
+            FROM events WHERE event_type = 'signup'
+        )
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               v.profile_value, v.valid_from AS version_from
+        FROM events p LEFT JOIN v
+          ON p.user_id = v.user_id AND p.ts >= v.valid_from
+         AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+        WHERE p.event_type = 'purchase'
+    """,
+    description="§2.4 extension — as-of temporal lookup against the "
+    "Type-2 SCD dimension: each purchase joins the profile VERSION "
+    "(signup changelog row) valid at its event time; pre-signup "
+    "purchases survive null-extended. The consumer of scd2_history: "
+    "equi key (user) + interval residual → SMJ on the key, no "
+    "interval explosion; disjoint validity intervals guarantee ≤1 "
+    "match per probe",
+)
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    versions = R.scd2_history(
+        events.filter(F.col("event_type") == "signup"),
+        ["user_id"],
+        "ts",
+        "event_id",
+        ["value"],
+    ).select(
+        F.col("user_id").alias("v_user"),
+        F.col("valid_from"),
+        F.col("valid_to"),
+        F.col("value").alias("profile_value"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase")
+    cond = (
+        (purchases["user_id"] == F.col("v_user"))
+        & (purchases["ts"] >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (purchases["ts"] < F.col("valid_to")))
+    )
+    return purchases.join(versions, cond, "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "profile_value",
+        F.col("valid_from").alias("version_from"),
+    )
+
+
+@register(
+    "quantile_rollup_hist",
+    oracle="""
+        WITH h AS (
+            SELECT date_trunc('hour', ts) AS hour,
+                   CAST(floor(value) AS BIGINT) AS bin, count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), d AS (
+            SELECT CAST(date_trunc('day', hour) AS TIMESTAMP) AS day,
+                   bin, sum(c) AS c
+            FROM h GROUP BY 1, 2
+        ), cum AS (
+            SELECT day, bin,
+                   sum(c) OVER (PARTITION BY day ORDER BY bin) AS cum,
+                   sum(c) OVER (PARTITION BY day) AS total
+            FROM d
+        )
+        SELECT day,
+               CAST(min(CASE WHEN cum >= 0.50 * total THEN bin END)
+                    AS DOUBLE) AS p50_est,
+               CAST(min(CASE WHEN cum >= 0.95 * total THEN bin END)
+                    AS DOUBLE) AS p95_est,
+               CAST(min(CASE WHEN cum >= 0.99 * total THEN bin END)
+                    AS DOUBLE) AS p99_est
+        FROM cum GROUP BY day
+    """,
+    description="§2.4 extension — mergeable QUANTILE sketch cascade, "
+    "the percentile sibling of distinct_rollup_hll: the hourly state "
+    "is a unit-width histogram (bin, count) — bounded (~500 bins) and "
+    "mergeable by ADDITION, unlike exact quantiles which don't "
+    "compose — so daily p50/p95/p99 fold the hourly sketches without "
+    "re-touching events. The estimate is EXACTLY the unit bin "
+    "containing the type-1 (lower) quantile — pinned in pytest; vs "
+    "interpolated percentiles the error is bounded by the sample gap "
+    "in the tail, not the bin width. Deterministic, so it carries a "
+    "full value oracle (same cascade in SQL)",
+)
+def q_quantile_rollup_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.floor("value").cast("bigint").alias("bin"),
+        ).agg(F.count(F.lit(1)).alias("c"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", "hour").alias("day"), F.col("bin")
+        ).agg(F.sum("c").alias("c"))
+    )
+    wc = Window.partitionBy("day").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("day")
+    cum = daily.select(
+        "day",
+        "bin",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wt).alias("total"),
+    )
+
+    def est(q: float, name: str):
+        return F.min(
+            F.when(F.col("cum") >= q * F.col("total"), F.col("bin"))
+        ).cast("double").alias(name)
+
+    return cum.groupBy("day").agg(
+        est(0.50, "p50_est"), est(0.95, "p95_est"), est(0.99, "p99_est")
+    )
+
+
+@register(
+    "token_count_bpe",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(str_split(lower(text), ' ')) AS BIGINT)
+                   AS n_tokens_ws,
+               CAST(len(regexp_extract_all(lower(text),
+                    '[a-z0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS n_subwords,
+               round(len(regexp_extract_all(lower(text),
+                         '[a-z0-9]{1,4}|[^a-z0-9 ]'))
+                     / CAST(len(str_split(lower(text), ' ')) AS DOUBLE), 6)
+                   AS fertility
+        FROM documents
+    """,
+    description="§7 text — BPE-ish subword counting next to the "
+    "whitespace count: greedy ≤4-char alnum runs + single "
+    "non-alnum marks (one regexp_extract_all scan, identical greedy "
+    "semantics under Java regex and DuckDB/RE2 — no lookaround). "
+    "fertility = subwords per whitespace token, the tokenizer-QA "
+    "metric that flags scripts/domains a tokenizer fragments; pure "
+    "JVM, no UDF",
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sub = F.expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]{1,4}|[^a-z0-9 ]', 0)"
+    )
+    ws = F.split(F.lower(F.col("text")), " ")
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_tokens_ws"),
+        F.size(sub).cast("bigint").alias("n_subwords"),
+        F.round(F.size(sub) / F.size(ws).cast("double"), 6).alias("fertility"),
+    )
+
+
+@register(
     "cosine_pairs_cells",
     # No oracle: k-means cell assignment is iterative/implementation-
     # defined; pytest pins recall vs the exact label-blocked op.

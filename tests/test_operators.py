@@ -435,3 +435,37 @@ def test_scd2_history_intervals_tile(spark):
         for a, b in zip(ivs, ivs[1:]):
             assert a.valid_to == b.valid_from
             assert a.valid_from < a.valid_to
+
+
+def test_quantile_hist_cascade_equals_binned_type1_quantile(spark, sf_dir):
+    """The histogram-sketch cascade's daily estimate must equal
+    floor(x_q) where x_q is the exact type-1 (lower) quantile — the
+    bin containing the discrete quantile, exactly, by construction.
+    (Against INTERPOLATED percentiles the gap between adjacent order
+    statistics in a sparse tail is the error bound, not the bin
+    width — which is why the invariant is pinned to type-1.)"""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_homework_spark.queries import REGISTRY
+    from kafka_streams_homework_spark.sources.batch import load_table
+
+    est = {
+        r.day: r
+        for r in REGISTRY["quantile_rollup_hist"].fn(spark, sf_dir).collect()
+    }
+    per_day: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("day"), "value")
+        .collect()
+    ):
+        per_day.setdefault(r.day, []).append(r.value)
+    assert set(est) == set(per_day) and est
+    for day, vals in per_day.items():
+        vals.sort()
+        e = est[day]
+        for q, got in [(0.50, e.p50_est), (0.95, e.p95_est), (0.99, e.p99_est)]:
+            x_q = vals[math.ceil(q * len(vals)) - 1]
+            assert got == math.floor(x_q), (day, q, got, x_q)
