@@ -3824,6 +3824,86 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "domain_mix",
+    oracle="""
+        SELECT source, doc_id FROM documents
+        WHERE CAST(substr(source, 4) AS INTEGER) % 2 = 0
+           OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '66'
+    """,
+    description="§7 pipeline — domain mixing to target proportions: "
+    "high-tier sources (even ids) kept whole, low-tier thinned to "
+    "102/256 ≈ 40% by a deterministic md5 cutoff (same 1/256-"
+    "granularity device as stratified_sample, so membership is "
+    "engine-identical and re-runs are stable). The knob that turns a "
+    "raw crawl into a weighted training mix; filter is one JVM "
+    "predicate on the scan — no shuffle, no sampling state",
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tier_keep = F.substring("source", 4, 10).cast("int") % 2 == 0
+    thin = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2) < "66"
+    return docs.filter(tier_keep | thin).select("source", "doc_id")
+
+
+@register(
+    "merge_apply_cdc",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_type = 'signup'
+        ), src AS (
+            SELECT user_id + 1400 AS m_key, value AS new_bal
+            FROM s WHERE rn = 1
+        )
+        SELECT coalesce(c_custkey, m_key) AS custkey,
+               coalesce(c_name, 'cdc-' || CAST(m_key AS VARCHAR)) AS name,
+               round(coalesce(new_bal, c_acctbal), 2) AS acctbal,
+               CASE WHEN c_custkey IS NULL THEN 'insert'
+                    WHEN m_key IS NULL THEN 'keep'
+                    ELSE 'update' END AS action
+        FROM customer FULL OUTER JOIN src ON c_custkey = m_key
+    """,
+    description="MERGE INTO semantics without a table format: CDC "
+    "upsert (latest signup per key, keys shifted +1400 so the batch "
+    "straddles the dimension boundary) applied to the customer "
+    "snapshot via ONE full-outer join — matched rows update, "
+    "unmatched source rows insert, unmatched target rows keep, with "
+    "the action tagged per row. The deduplicate-then-merge shape "
+    "Delta/Iceberg MERGE compiles to; source dedup is the "
+    "latest_by_key window, join is size-guarded",
+)
+def q_merge_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    src = (
+        events.filter(F.col("event_type") == "signup")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            (F.col("user_id") + 1400).alias("m_key"),
+            F.col("value").alias("new_bal"),
+        )
+    )
+    merged = customer.join(src, customer["c_custkey"] == src["m_key"], "full")
+    return merged.select(
+        F.coalesce("c_custkey", "m_key").alias("custkey"),
+        F.coalesce(
+            "c_name", F.concat(F.lit("cdc-"), F.col("m_key").cast("string"))
+        ).alias("name"),
+        F.round(F.coalesce("new_bal", "c_acctbal"), 2).alias("acctbal"),
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("m_key").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+
+
+@register(
     "cosine_pairs_cells",
     # No oracle: k-means cell assignment is iterative/implementation-
     # defined; pytest pins recall vs the exact label-blocked op.

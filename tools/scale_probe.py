@@ -43,6 +43,13 @@ HEADLINE = [
     "q18_large_orders",
     "windowed_distinct",
     "distinct_rollup_hll",
+    # round-2 third wave
+    "q8_market_share",
+    "q21_waiting_orders",
+    "bm25_rank",
+    "cdc_chunks",
+    "quantile_rollup_hist",
+    "merge_apply_cdc",
 ]
 
 FACT_KEYS = {
