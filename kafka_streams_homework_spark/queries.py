@@ -3903,6 +3903,185 @@ def q_merge_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, unnest(str_split(lower(text), ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM t GROUP BY doc_id, term
+        ), nd AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+            FROM tf JOIN df USING (term), nd
+        )
+        SELECT doc_id, term, tf, tfidf, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {TFIDF_TOP_K}
+    """,
+    description="§7 text — tf-idf keyword extraction: top-3 terms per "
+    "document (idf = ln(N/df), rank on the ROUNDED score with term "
+    "tiebreak for determinism). Two cascaded hash-aggs (term counts "
+    "partial-combine map-side), df joined back as a broadcast (the "
+    "vocabulary is sublinear in corpus size), per-doc top-k via "
+    "WindowGroupLimit — no global sort, nothing but (doc, term) "
+    "counts ever shuffles",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = tf.groupBy(F.col("term").alias("df_term")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df), tf["term"] == F.col("df_term"))
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "tfidf", F.col("rank").cast("long"))
+    )
+
+
+@register(
+    "inverted_index",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, unnest(str_split(lower(text), ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term
+        )
+        SELECT term, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS cf,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings
+        FROM tf GROUP BY term HAVING count(*) >= 2
+    """,
+    description="§7 text retrieval — posting-list inverted index: "
+    "term → (document frequency, collection frequency, doc_id-sorted "
+    "posting list). Two cascaded hash-aggs; postings built by "
+    "numeric-sorting the collected ids THEN stringifying (lexicographic "
+    "order would corrupt the list). Hapax terms dropped (df ≥ 2). At "
+    "100 TB the term key is the shard: each posting list lives on one "
+    "reducer, stop-word-class terms get capped/split posting shards — "
+    "the per-term state is the only thing that grows",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 2)
+    )
+
+
+ZORDER_BOX = "user_id BETWEEN 40 AND 60 AND value BETWEEN 100 AND 200"
+
+
+@register(
+    "zorder_layout_scan",
+    oracle=f"""
+        SELECT event_id, user_id, value FROM events WHERE {ZORDER_BOX}
+    """,
+    description="2-D Z-order layout (sources.layout.write_zordered): "
+    "events Morton-clustered on (user_id, value), then scanned with a "
+    "2-D box predicate. Lexicographic clustering prunes only the "
+    "leading column; bit-interleaving keeps every file's bounding box "
+    "small in BOTH dimensions, so footer min/max stats skip files for "
+    "either predicate (file-level 2-D pruning asserted in test_plans). "
+    "The write is one range-shuffle, paid once — Delta/Iceberg "
+    "OPTIMIZE ZORDER BY from Spark primitives",
+)
+def q_zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.sources.layout import write_zordered
+
+    events = _t(spark, sf_dir, "events")
+    path = f"{SINK_ROOT}/events_zordered"
+    write_zordered(events, path, "user_id", "value", bits=10, n_files=16)
+    return (
+        spark.read.parquet(path)
+        .filter(F.expr(ZORDER_BOX))
+        .select("event_id", "user_id", "value")
+    )
+
+
+@register(
+    "streaming_windowed_hll",
+    # No oracle: approx_count_distinct is sketch-based; pytest pins the
+    # estimate within HLL error bounds of the exact streaming twin.
+    description="Streaming windowed HLL: approx distinct users per "
+    "(event_type, hour) under Structured Streaming update mode — the "
+    "sketch (~KB) is incrementally maintainable state where the exact "
+    "twin (streaming_windowed_distinct) holds the full id set; the "
+    "only per-window distinct state that stays bounded on a 100 TB "
+    "stream. run_upsert keeps the final emission per window "
+    "(batch-count-independent); accuracy pinned vs exact in pytest",
+)
+def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = (
+        stream.groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(F.approx_count_distinct("user_id").alias("n_distinct_approx"))
+        .select(
+            "event_type",
+            F.col("window.start").alias("window_start"),
+            "n_distinct_approx",
+        )
+    )
+    return run_upsert(spark, out, ["event_type", "window_start"], mode="update")
+
+
 @register(
     "cosine_pairs_cells",
     # No oracle: k-means cell assignment is iterative/implementation-

@@ -50,6 +50,7 @@ def test_oracle_keys_subset_of_queries():
         "knn_ivf",
         "knn_ivf_kmeans",
         "semantic_dedup",
+        "streaming_windowed_hll",
     ]
 
 

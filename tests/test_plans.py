@@ -312,3 +312,47 @@ def test_clustered_layout_files_are_disjoint(spark, sf_dir, tmp_path):
         assert hi1 <= lo2, ranges
     # and the layout changes nothing about the data
     assert spark.read.parquet(path).count() == events.count()
+
+
+def test_zorder_layout_prunes_both_dims(spark, sf_dir, tmp_path):
+    """2-D zone-map contract: after write_zordered on (user_id, value),
+    a box predicate on EITHER dimension must be able to skip a
+    meaningful share of files from footer min/max stats — the property
+    lexicographic clustering only gives the leading column. Checked
+    directly against the parquet footers (the same stats Spark's
+    scan-level row-group skipping consumes)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kafka_streams_homework_spark.sources.batch import load_table
+    from kafka_streams_homework_spark.sources.layout import write_zordered
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_zordered")
+    write_zordered(events, path, "user_id", "value", bits=10, n_files=16)
+
+    bounds = {"user_id": [], "value": []}
+    files = glob.glob(f"{path}/part-*.parquet")
+    for f in files:
+        md = pq.read_metadata(f)
+        for col in bounds:
+            idx = md.schema.names.index(col)
+            stats = [
+                md.row_group(rg).column(idx).statistics
+                for rg in range(md.num_row_groups)
+            ]
+            bounds[col].append(
+                (min(s.min for s in stats), max(s.max for s in stats))
+            )
+    assert len(files) >= 8  # range partitioner actually split
+
+    def overlapping(col, lo, hi):
+        return sum(1 for fl, fh in bounds[col] if fh >= lo and fl <= hi)
+
+    # a band on each dimension (~1/5 of its domain) must skip files;
+    # on a random layout every file would overlap both bands
+    assert overlapping("user_id", 40, 60) < len(files), bounds["user_id"]
+    assert overlapping("value", 100, 200) < len(files), bounds["value"]
+    # and the layout changes nothing about the data
+    assert spark.read.parquet(path).count() == events.count()

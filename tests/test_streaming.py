@@ -616,3 +616,33 @@ def F_lit_purchase():
     from pyspark.sql import functions as F
 
     return F.lit("purchase")
+
+
+def test_streaming_windowed_hll_within_error_of_exact(spark, sf_dir):
+    """The streaming HLL estimate per (event_type, hour) must sit
+    within sketch error of the exact distinct. approx_count_distinct
+    defaults to rsd=5%; at these per-window cardinalities the sparse
+    representation is near-exact, so 15% is a conservative bound while
+    still catching a broken state merge (which would over/under-count
+    by whole batches)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_homework_spark import queries as Q
+    from kafka_streams_homework_spark.sources.batch import load_table
+
+    est = {
+        (r.event_type, r.window_start): r.n_distinct_approx
+        for r in Q.q_streaming_windowed_hll(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.event_type, r.window_start): r.n_exact
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type", F.date_trunc("hour", "ts").alias("window_start"))
+            .agg(F.countDistinct("user_id").alias("n_exact"))
+            .collect()
+        )
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(1, 0.15 * n), (k, est[k], n)
