@@ -84,22 +84,32 @@ def main() -> None:
     # warmup: touch the JVM + parquet footers
     registry["source_scan"](spark, sf_dir).count()
 
-    # best-of-2: the second run amortizes JIT/codegen compilation and
-    # machine noise (the driver shares the box); min is the steady-state
-    # per-query cost a warm cluster would see
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            registry[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-
-    # return storage memory held by tracked intra-query persists
+    # median-of-3: robust to one-off box-contention spikes (the round
+    # driver shares this machine) without rewarding a lucky fast run the
+    # way best-of-N does. Per-query stddev is emitted so a reader can
+    # separate noise from a real plan regression.
     from kafka_streams_homework_spark.caching import release_caches
 
-    release_caches()
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        samples: list[float] = []
+        for _ in range(runs_per_query):
+            t0 = time.perf_counter()
+            registry[name](spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+            # drop intra-query persists immediately: each run re-pays its
+            # own cache build, and a heavy query's cached table (e.g.
+            # dedup_ngram_jaccard's shingles) never squats on executor
+            # storage while later queries are timed
+            release_caches()
+        samples.sort()
+        median = samples[len(samples) // 2]
+        mean = sum(samples) / len(samples)
+        sd = (sum((s - mean) ** 2 for s in samples) / len(samples)) ** 0.5
+        timings[name] = round(median, 3)
+        spreads[name] = round(sd, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -112,6 +122,8 @@ def main() -> None:
                 # per-query times or value/n_queries, not raw totals
                 "n_queries": len(timings),
                 "queries": timings,
+                "stddev": spreads,
+                "runs_per_query": runs_per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

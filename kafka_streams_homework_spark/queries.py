@@ -4156,67 +4156,83 @@ def q_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract accessors
 # ---------------------------------------------------------------------------
 
-# The driver's correctness gate samples the FIRST 50 registry entries
-# (CORRECTNESS_r01 covered exactly positions 1-50), so registration
-# order is coverage policy: every distinct operator family — including
-# the §7 LLM-pipeline ops registered last in the source — must sit
-# inside that window. Entries demoted to _TAIL are variants whose
-# oracle duplicates an earlier entry (salted/SQL/streaming twins of
-# price_alerts, windowed_sum, join_stream_table), simpler siblings of
-# a windowed op (filter/projection stages of the flagship, plain hash
-# split vs the leakage-free one, a third multimodal entry), or §2.6
-# engine extras — every one already recorded green in round 1 and
-# still run in pytest and tools/check_oracle.py full sweeps. _PROMOTE
-# pulls the second-wave §7 ops into the freed window slots.
-_TAIL = [
-    "knn_ivf",                # rows-only; IVF family repped by oracle-checked knn_ivf_indexed
-    "price_alerts_sql",       # same oracle as price_alerts
-    "salted_join",            # same result contract as join_stream_table
-    "windowed_sum_salted",    # same oracle as windowed_sum
-    "streaming_price_alerts", # same oracle as price_alerts
-    "filter_threshold",       # flagship stage, same 474-row oracle family
-    "project_alert",          # flagship stage, same 474-row oracle family
-    "train_test_split",       # plain hash split; split_leakage_free in window
-    "media_resize",           # 3rd multimodal entry; meta+frame_sample in window
-    "approx_stats",           # no oracle (sketch bounds pinned in pytest)
-    "json_extract",           # §2.6 scalar-fn surface, green in r1
-    "semi_join",              # join-variant surface, green in r1
-    "anti_join",              # join-variant surface, green in r1
-    "q6_forecast_revenue",    # single-row agg shape, green in r1
-    "sliding_window",         # hopping variant of tumbling_window, green in r1
-    "above_avg",
-    "pivot_counts",
-    "set_except",
-    "set_intersect",
-    "running_total",
-    "value_histogram",
-    "value_percentiles",
-]
-
-# Second-wave ops promoted into the correctness window (distinct
-# operator families not otherwise represented in the first 50):
-_PROMOTE = [
-    "decontaminate",          # §7 benchmark n-gram decontamination
-    "repetition_score",       # §7 Gopher duplicate-n-gram quality signal
-    "knn_filtered",           # §7 pre-filter hybrid vector search
-    "windowed_distinct",      # §2.4 exact distinct per window (sketch anchor)
-    "bm25_rank",              # §7 text-retrieval family (round-2 third wave)
+# The driver's correctness gate samples the FIRST 50 registry entries,
+# so registration order is coverage policy. _WINDOW names those 50
+# explicitly. Round-4 rotation (VERDICT r3 task 4): by round 3 every
+# window slot had been driver-green at least once while 67 queries were
+# judge-verified only, so ~20 never-driver-checked entries (the TPC-H
+# battery tail, SCD2/CDC, UDAF, histogram/rollup, text-retrieval ops)
+# rotate IN and 20 driver-green entries whose operator family stays
+# represented rotate OUT (e.g. tumbling_window out / windowed_sum in
+# window; q3/q5 out / nine other TPC-H shapes in; rows-only sketch
+# twins out / their oracle-checked exact anchors stay). Rotated-out
+# entries still run in pytest and tools/check_oracle.py full sweeps.
+_WINDOW = [
+    # flagship pipeline + core §2 operator families (kept from r1-r3)
+    "source_scan",
+    "latest_by_key",
+    "join_stream_table",
+    "windowed_sum",
+    "price_alerts",
+    "sessionize",
+    "partitioned_sink_scan",
+    "hierarchical_rollup",
+    "asof_join",
+    "windowed_distinct",
+    # TPC-H battery — the nine shapes never driver-checked, rotated in
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q20_part_promotion",
+    "q22_idle_customers",
+    # engine extensions never driver-checked, rotated in
+    "scd2_history",
+    "scd2_lookup",
+    "merge_apply_cdc",
+    "geomean_udaf",
+    "quantile_rollup_hist",
+    "anomaly_zscore",
+    "cdc_chunks",
+    # LLM-pipeline surface (kept anchors + rotated-in tail)
+    "training_data_prep",
+    "doc_chunks",
+    "token_count",
+    "token_count_bpe",
+    "lang_id",
+    "quality_score",
+    "repetition_score",
+    "pii_scrub",
+    "decontaminate",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_embedding",
+    "knn_bruteforce",
+    "knn_ivf_indexed",
+    "knn_filtered",
+    "multimodal_meta",
+    "frame_sample",
+    "split_leakage_free",
+    "domain_mix",
+    "bm25_rank",
+    "tfidf_top_terms",
+    "inverted_index",
 ]
 
 
 WINDOW = 50  # the driver gate's sample size
+assert len(_WINDOW) == WINDOW, f"_WINDOW has {len(_WINDOW)} entries"
 
 
 def _reorder_registry() -> None:
-    head = [n for n in REGISTRY if n not in _TAIL and n not in _PROMOTE]
-    promoted = [n for n in _PROMOTE if n in REGISTRY]
-    # splice promotions so they END at position WINDOW: everything
-    # before them is the surviving round-1 window (earliest-registered
-    # in source order), everything after is judge-swept overflow
-    cut = WINDOW - len(promoted)
-    order = head[:cut] + promoted + head[cut:] + [
-        n for n in _TAIL if n in REGISTRY
-    ]
+    missing = [n for n in _WINDOW if n not in REGISTRY]
+    assert not missing, f"_WINDOW names unregistered queries: {missing}"
+    order = _WINDOW + [n for n in REGISTRY if n not in _WINDOW]
     specs = {n: REGISTRY[n] for n in order}
     REGISTRY.clear()
     REGISTRY.update(specs)

@@ -27,6 +27,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # events.parquet stores ts as TIMESTAMP(NANOS) which Spark's reader
     # rejects; read as long and convert in the loader (sources/batch.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Fixture parquet stores timestamps without a timezone; PySpark 4.1
+    # would infer TIMESTAMP_NTZ for them, leaking NTZ into every derived
+    # window column and breaking the entry() schema contract. Load them
+    # as TIMESTAMP_LTZ under the pinned UTC session zone instead.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
