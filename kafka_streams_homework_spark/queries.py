@@ -4152,6 +4152,73 @@ def q_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AVRO_PURCHASE_SCHEMA = """
+{"type": "record", "name": "Purchase", "fields": [
+  {"name": "user_id", "type": "long"},
+  {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+  {"name": "value", "type": "double"}
+]}
+"""
+
+
+@register(
+    "avro_wire_roundtrip",
+    oracle=f"""
+        SELECT CAST(user_id AS VARCHAR) AS alert_key, c_name AS customer_name,
+               CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+               round(sum(value), 2) AS total_sum_per_minute
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY user_id, c_name, date_trunc('minute', ts)
+        HAVING round(sum(value), 2) > {ALERT_THRESHOLD}
+    """,
+    description="Avro serde edge (reference dsl/PriceAlertsApp.java:84-85): "
+    "events serialized IN-PLAN to Confluent-framed AVRO BINARY (magic + "
+    "schema id + spec-conformant zigzag-varint/IEEE754 body), decoded via "
+    "decode_kafka_records' from_avro path — JVM from_avro when the "
+    "spark-avro jar exists, else the Arrow-batched pure-Python codec "
+    "(sources/avro_codec.py) — then the flagship runs on the decoded "
+    "frame; same oracle as price_alerts / kafka_wire_roundtrip",
+)
+def q_avro_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.sources.avro_codec import avro_encode_column
+    from kafka_streams_homework_spark.sources.kafka import decode_kafka_records
+
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    wire = events.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.concat(
+            F.lit(b"\x00\x00\x00\x00\x2a"),  # magic 0x00 + schema id 42
+            avro_encode_column(
+                F.struct("user_id", "ts", "value"), AVRO_PURCHASE_SCHEMA
+            ),
+        ).alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    decoded = decode_kafka_records(
+        wire,
+        avro_value_schema=AVRO_PURCHASE_SCHEMA,
+        confluent_wire_format=True,
+    ).select("value.user_id", "value.ts", "value.value")
+    enriched = R.join_stream_table(
+        decoded, customer, decoded["user_id"] == customer["c_custkey"], "inner"
+    )
+    agg = R.windowed_agg(
+        enriched,
+        ["user_id", "c_name"],
+        "ts",
+        [F.round(F.sum("value"), 2).alias("total_sum_per_minute")],
+        "1 minute",
+    )
+    alerts = R.filter_threshold(agg, "total_sum_per_minute", ALERT_THRESHOLD)
+    return alerts.select(
+        F.col("user_id").cast("string").alias("alert_key"),
+        F.col("c_name").alias("customer_name"),
+        F.col("window.start").alias("window_start"),
+        F.col("total_sum_per_minute").cast("double").alias("total_sum_per_minute"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

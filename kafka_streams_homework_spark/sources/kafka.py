@@ -19,6 +19,12 @@ exercised through file sources (tests/test_streaming.py).
 Confluent wire format (magic byte 0x00 + 4-byte big-endian schema id +
 Avro body): handled by ``confluent_schema_id``/``confluent_payload`` —
 JVM-side substring/conv expressions, no Python in the row path.
+
+Avro values: ``_from_avro`` uses the JVM ``from_avro`` when the
+spark-avro jar is on the classpath; in jar-less environments (this
+container) it falls back to the pure-Python Arrow-batched codec in
+``sources/avro_codec.py``, so the Avro round-trip is actually
+exercised rather than skipped.
 """
 
 from __future__ import annotations
@@ -90,17 +96,46 @@ def decode_kafka_records(
     return out
 
 
+_JVM_AVRO_AVAILABLE: bool | None = None
+
+
+def _jvm_avro_available() -> bool:
+    """Probe whether the spark-avro data source is loaded. PySpark 4's
+    ``from_avro`` constructs a Column unconditionally and only raises
+    AVRO_NOT_LOADED at analysis time, so probe by analyzing a zero-row
+    frame once and cache the answer."""
+    global _JVM_AVRO_AVAILABLE
+    if _JVM_AVRO_AVAILABLE is None:
+        try:
+            from pyspark.sql import SparkSession
+            from pyspark.sql.avro.functions import from_avro
+
+            spark = SparkSession.getActiveSession()
+            probe_schema = (
+                '{"type":"record","name":"p","fields":'
+                '[{"name":"x","type":"long"}]}'
+            )
+            spark.createDataFrame([], "v binary").select(
+                from_avro(F.col("v"), probe_schema)
+            ).schema
+            _JVM_AVRO_AVAILABLE = True
+        except Exception:  # jar absent (AVRO_NOT_LOADED) or no session
+            _JVM_AVRO_AVAILABLE = False
+    return _JVM_AVRO_AVAILABLE
+
+
 def _from_avro(value: Column, schema: str) -> Column:
-    try:
+    """JVM ``from_avro`` when the spark-avro jar is present (the scale
+    path — zero Python in the row path), else the pure-Python
+    Arrow-batched codec (sources/avro_codec.py). Same decoded struct
+    either way, so the downstream plan is identical."""
+    if _jvm_avro_available():
         from pyspark.sql.avro.functions import from_avro
 
         return from_avro(value, schema)
-    except Exception as ex:  # jar absent: ImportError or Py4J lookup error
-        raise RuntimeError(
-            "spark-avro package not available; pass json_value_schema or "
-            "decode downstream, or submit with --packages "
-            "org.apache.spark:spark-avro_2.13:<spark-version>"
-        ) from ex
+    from kafka_streams_homework_spark.sources.avro_codec import avro_decode_column
+
+    return avro_decode_column(value, schema)
 
 
 def kafka_sink_payload(df: DataFrame, key_col: str, value_expr: Column) -> DataFrame:
