@@ -369,6 +369,67 @@ def test_run_replace_session_agg_is_batch_count_independent(spark, tmp_path):
     assert got == {(1, 0): 3.0, (1, 30): 4.0, (2, 0): 8.0}
 
 
+def test_session_append_holdback_resolves_across_restarts(spark, tmp_path):
+    """The availableNow holdback documented in run_replace: in
+    append+watermark mode a session still open when input ends is
+    WITHHELD, and a later restart from the same checkpoint emits it
+    once new traffic pushes the watermark past its gap — the unbounded-
+    state-safe alternative to complete-mode streaming_sessionize."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = _write_events(
+        spark, tmp_path, [[(1, ts(0, 0), 1.0), (1, ts(5, 0), 2.0)]]
+    )
+    ckpt = str(tmp_path / f"ckpt-{uuid.uuid4().hex[:8]}")
+
+    def run_once():
+        sess = (
+            _stream(spark, path)
+            .withWatermark("ts", "2 minutes")
+            .groupBy("user_id", F.session_window(F.col("ts"), "30 minutes"))
+            .agg(F.round(F.sum("value"), 2).alias("total"))
+            .select(
+                "user_id", F.col("session_window.start").alias("start"), "total"
+            )
+        )
+        # foreachBatch, not a memory sink: the memory sink refuses
+        # checkpoint recovery, and recovery is the point of this test
+        emitted: list = []
+        q = (
+            sess.writeStream.foreachBatch(
+                lambda batch_df, _id: emitted.extend(batch_df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    # run 1: watermark ends at 00:03 < session end 00:35 → held back
+    first = run_once()
+    assert first == []
+
+    # late traffic arrives after the first run stopped
+    seen = set(glob.glob(f"{path}/*.parquet"))
+    spark.createDataFrame(
+        [(2, ts(0, 0) + dt.timedelta(hours=2), 8.0)], EVENTS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(path)
+    for f in set(glob.glob(f"{path}/*.parquet")) - seen:
+        os.utime(f, (1_000_000_100, 1_000_000_100))
+
+    # run 2 (same checkpoint): watermark → 01:58, past the session gap;
+    # the held-back session emits exactly once. User 2's session is
+    # still open → still held.
+    second = run_once()
+    got = {(r.user_id, r.start.minute): r.total for r in second}
+    assert got == {(1, 0): 3.0}
+
+
 def test_stateful_v2_transform_with_state(spark, tmp_path):
     """Spark-4 StatefulProcessor twin: MapState + event-time timers
     reproduce the same emit-once semantics as the
