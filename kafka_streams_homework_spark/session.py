@@ -50,6 +50,12 @@ def get_spark(app_name: str = "kafka-streams-homework-spark") -> SparkSession:
     everything set here is safe under any deployment.
     """
     cpus = default_parallelism()
+    # before the JVM starts: extend PYTHONPATH with a vendored protobuf
+    # if none is installed, so transformWithStateInPandas workers can
+    # import google.protobuf (no-op when already importable / absent)
+    from kafka_streams_homework_spark.compat import ensure_protobuf
+
+    ensure_protobuf()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
