@@ -1331,6 +1331,57 @@ def q_streaming_price_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_stateful_alerts",
+    # Emit-once semantics: only windows CLOSED by the final watermark
+    # (max event time - 2 min) are emitted; open windows are withheld —
+    # that is the Processor contract (emit on punctuation, not at end
+    # of input), so the oracle applies the same watermark cut.
+    oracle=f"""
+        WITH wm AS (
+            SELECT epoch_ms(max(ts)) - 120000 AS w FROM events
+        ),
+        agg AS (
+            SELECT user_id,
+                   epoch_ms(date_trunc('minute', ts)) AS window_start_ms,
+                   round(sum(value), 2) AS total_sum_per_minute
+            FROM events GROUP BY 1, 2
+        )
+        SELECT CAST(user_id AS VARCHAR) AS alert_key,
+               window_start_ms, total_sum_per_minute
+        FROM agg, wm
+        WHERE total_sum_per_minute > {ALERT_THRESHOLD}
+          AND window_start_ms + 60000 <= wm.w
+    """,
+    description="U4 escape hatch, driver-visible: the reference's "
+    "hand-built stateful Processor (PurchaseQuantityAlertTrasformer."
+    "java:21-122) as applyInPandasWithState — per-(key,window) running "
+    "sums in group state, emit-once when the watermark closes a window, "
+    "state GC on emit. Append mode through run_append; oracle applies "
+    "the same watermark cut to plain SQL (windows still open at end of "
+    "input are withheld, matching Processor punctuation semantics)",
+)
+def q_streaming_stateful_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming import run_append
+    from kafka_streams_homework_spark.streaming.stateful import (
+        windowed_sum_stateful,
+    )
+
+    apply_runtime_confs(spark)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    alerts = windowed_sum_stateful(
+        stream, threshold=ALERT_THRESHOLD, watermark_delay="2 minutes"
+    )
+    return run_append(spark, alerts)
+
+
+@register(
     "frame_sample",
     oracle="""
         WITH f AS (

@@ -17,6 +17,7 @@ from kafka_streams_homework_spark.streaming.price_alerts import (
     dedup_stream,
     latest_by_key_stream,
     price_alerts_stream,
+    run_append,
     run_replace,
     run_to_memory,
     run_upsert,
@@ -32,6 +33,7 @@ __all__ = [
     "interval_join_streams",
     "latest_by_key_stream",
     "price_alerts_stream",
+    "run_append",
     "run_replace",
     "run_to_memory",
     "run_upsert",

@@ -159,6 +159,33 @@ def run_upsert(
     return spark.createDataFrame(list(state.values()), schema=alerts.schema)
 
 
+def run_append(
+    spark: SparkSession,
+    result: DataFrame,
+) -> DataFrame:
+    """Run an append-mode streaming DataFrame to completion, collecting
+    every emission.
+
+    Append emissions are final by contract (emit-once when the
+    watermark closes the group), so a plain accumulating collector is
+    batch-count-independent — no upsert or replace needed. At scale the
+    foreachBatch body becomes an append to Kafka/Delta; rows here are
+    threshold-filtered alerts."""
+    rows: list[dict] = []
+
+    def append(batch_df: DataFrame, _batch_id: int) -> None:
+        rows.extend(r.asDict() for r in batch_df.collect())
+
+    q = (
+        result.writeStream.foreachBatch(append)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(rows, schema=result.schema)
+
+
 def run_replace(
     spark: SparkSession,
     result: DataFrame,
