@@ -93,18 +93,24 @@ def main() -> None:
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+
+    def timed_run(name: str) -> float:
+        t0 = time.perf_counter()
+        registry[name](spark, sf_dir).count()
+        elapsed = time.perf_counter() - t0
+        # drop intra-query persists immediately: each run re-pays its
+        # own cache build, and a heavy query's cached table (e.g.
+        # dedup_ngram_jaccard's shingles) never squats on executor
+        # storage while later queries are timed
+        release_caches()
+        return elapsed
+
     for name in BENCH_QUERIES:
-        samples: list[float] = []
-        for _ in range(runs_per_query):
-            t0 = time.perf_counter()
-            registry[name](spark, sf_dir).count()
-            samples.append(time.perf_counter() - t0)
-            # drop intra-query persists immediately: each run re-pays its
-            # own cache build, and a heavy query's cached table (e.g.
-            # dedup_ngram_jaccard's shingles) never squats on executor
-            # storage while later queries are timed
-            release_caches()
-        samples.sort()
+        samples = sorted(timed_run(name) for _ in range(runs_per_query))
+        # sub-second queries: ~50 ms of JVM jitter exceeds 10%, so buy
+        # two extra cheap samples to stabilize the median
+        if samples[len(samples) // 2] < 1.0:
+            samples = sorted(samples + [timed_run(name) for _ in range(2)])
         median = samples[len(samples) // 2]
         mean = sum(samples) / len(samples)
         sd = (sum((s - mean) ** 2 for s in samples) / len(samples)) ** 0.5

@@ -62,6 +62,20 @@ def shingle_hashes(tok: Column, n: int = 3) -> Column:
     return F.when(F.size(tok) < n, empty).otherwise(F.array_distinct(hashed))
 
 
+def positional_shingle_hashes(tok: Column, n: int = 3) -> Column:
+    """xxhash64 of each token n-gram IN POSITION ORDER, as array<bigint>.
+
+    Like shingle_hashes but without the distinct: element i is the hash
+    of tokens[i..i+n-1], so posexplode recovers (position, hash) pairs —
+    the input to substring-level span detection (duplicated_spans).
+    """
+    m = F.size(tok) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(tok, j + 1, m) for j in range(n)])
+    hashed = F.transform(zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(n)]))
+    empty = F.array().cast("array<bigint>")
+    return F.when(F.size(tok) < n, empty).otherwise(hashed)
+
+
 def fold_sum(arr: Column) -> Column:
     """Sequential left-fold sum over an array<double> (deterministic
     order — matches DuckDB list evaluation for oracle parity)."""

@@ -486,3 +486,64 @@ def decontaminate(
             (F.coalesce(F.col("__hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def duplicated_spans(
+    documents: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level exact duplicate detection: maximal token spans of
+    ≥ n tokens that appear verbatim in more than one document — the
+    scalable formulation of suffix-array substring dedup for training
+    corpora ("Deduplicating Training Data Makes Language Models
+    Better": remove long verbatim repeats, not just whole-doc dups).
+
+    Plan (all JVM, two equi-shuffles, no pair join):
+    1. positional n-gram hashes per doc (positional_shingle_hashes —
+       token strings never leave the row they were split in);
+    2. one shuffle on the shingle hash: a window ``min(doc) ≠
+       max(doc)`` marks hashes seen in ≥2 docs — constant state per
+       group (collect_set would explode on boilerplate shingles that
+       occur in millions of docs);
+    3. one shuffle on doc_id: gaps-and-islands over the duplicated
+       positions (lag + running sum) merges overlapping/adjacent
+       shingles (gap ≤ n) into maximal spans.
+
+    At 100 TB both shuffle keys are uniform by construction (xxhash64 /
+    doc id); per-doc window state is one row. Output: (doc_id,
+    span_start, span_end, n_dup_shingles) with token positions
+    0-based inclusive.
+    """
+    from kafka_streams_homework_spark.functions import positional_shingle_hashes
+
+    sh = documents.select(
+        F.col(id_col),
+        F.posexplode(positional_shingle_hashes(tokens(text_col), n)).alias(
+            "pos", "h"
+        ),
+    )
+    wh = Window.partitionBy("h")
+    dup = sh.withColumn(
+        "__dup", F.min(id_col).over(wh) != F.max(id_col).over(wh)
+    ).filter("__dup")
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    flagged = dup.withColumn(
+        "__brk",
+        F.when(F.col("pos") - F.lag("pos").over(wd) <= n, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "__grp",
+        F.sum("__brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_shingles"),
+        )
+        .drop("__grp")
+    )

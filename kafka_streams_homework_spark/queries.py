@@ -3140,6 +3140,53 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "substring_dedup",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, i - 1 AS pos,
+                   array_to_string(t[i : i + 7], ' ') AS sg
+            FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        ),
+        dup AS (
+            SELECT doc_id, pos,
+                   min(doc_id) OVER (PARTITION BY sg)
+                     <> max(doc_id) OVER (PARTITION BY sg) AS d
+            FROM sh
+        ),
+        flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) <= 8
+                        THEN 0 ELSE 1 END AS brk
+            FROM dup WHERE d
+        ),
+        grp AS (
+            SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS g
+            FROM flagged
+        )
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 7 AS BIGINT) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_dup_shingles
+        FROM grp GROUP BY doc_id, g
+    """,
+    description="Substring-level exact dedup (suffix-array formulation "
+    "at corpus scale, Lee et al. 2022): maximal token spans >= 8 tokens "
+    "appearing verbatim in more than one doc — positional 8-gram "
+    "xxhash64, ONE shuffle on hash with constant-state min!=max cross-"
+    "doc marking, ONE shuffle on doc for gaps-and-islands span merge; "
+    "never a pair join, shingle strings never materialize Spark-side",
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.duplicated_spans(docs, n=8)
+
+
+@register(
     "repetition_score",
     oracle="""
         WITH t AS (

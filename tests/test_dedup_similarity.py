@@ -215,3 +215,45 @@ def test_repetition_score_separates_looping_text(spark):
     assert out[2].dup_frac == 0.0
     # n_ngrams = len - 2
     assert out[1].n_ngrams == 8 and out[2].n_ngrams == 6
+
+
+def test_duplicated_spans_known_layout(spark):
+    """Hand-built corpus: docs A and B share an 8-token run inside
+    longer distinct texts; doc C shares nothing. The merged span must
+    cover exactly the shared run (positions 0-based inclusive), and C
+    must not appear."""
+    shared = "the quick brown fox jumps over the lazy"  # 8 tokens
+    rows = [
+        (1, f"{shared} dog sits alone tonight"),          # shared at pos 0
+        (2, f"intro words here {shared} trailing bits"),  # shared at pos 3
+        (3, "completely different text with no overlap at all whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.span_start, r.span_end, r.n_dup_shingles)
+           for r in D.duplicated_spans(docs, n=8).collect()}
+    assert out == {1: (0, 7, 1), 2: (3, 10, 1)}
+
+
+def test_duplicated_spans_merges_overlaps(spark):
+    """Two docs sharing a 10-token run → 3 overlapping duplicated
+    8-gram positions per doc that must merge into ONE maximal span."""
+    run = "a b c d e f g h i j"  # 10 tokens → dup 8-grams at pos 0,1,2
+    docs = spark.createDataFrame(
+        [(1, f"{run} unique1 end1"), (2, f"pre2 {run} tail2")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.span_start, r.span_end, r.n_dup_shingles)
+           for r in D.duplicated_spans(docs, n=8).collect()}
+    # doc 1: positions 0..2 merge -> span [0, 9]; doc 2 shifted by 1
+    assert out == {1: (0, 9, 3), 2: (1, 10, 3)}
+
+
+def test_duplicated_spans_within_doc_repeat_not_flagged(spark):
+    """An 8-gram repeated twice inside ONE doc only is not a cross-doc
+    duplicate (min(doc) == max(doc)) — no output."""
+    run = "p q r s t u v w"
+    docs = spark.createDataFrame(
+        [(1, f"{run} x {run}"), (2, "other text entirely different here ok")],
+        "doc_id long, text string",
+    )
+    assert D.duplicated_spans(docs, n=8).count() == 0
