@@ -1819,6 +1819,30 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_pq",
+    oracle=None,  # learned quantizer → codes are implementation-defined;
+    # recall vs brute force and the ADC≡reconstruction identity are
+    # pytest-pinned (tests/test_dedup_similarity.py)
+    description="Product-quantization ANN, production shape: per-"
+    "subspace k-means codebooks (one distributed Lloyd job per "
+    "iteration, codebook-only driver state), corpus encoded to m small "
+    "codes (16-32x memory cut — the reason PQ exists at 100 TB), ADC "
+    "shortlist via broadcast per-query lookup tables (pure zip_with/"
+    "fold, no Python in the scan), then exact-cosine re-rank of the "
+    "top R=10k candidates",
+)
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding"
+    )
+    out = S.knn_pq(emb, queries, KNN_K, m=16, ksub=32, iters=3)
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
     "knn_ivf_indexed",
     oracle=f"""
         WITH e AS (

@@ -257,3 +257,42 @@ def test_duplicated_spans_within_doc_repeat_not_flagged(spark):
         "doc_id long, text string",
     )
     assert D.duplicated_spans(docs, n=8).count() == 0
+
+
+def test_knn_pq_recall_vs_bruteforce(spark, sf_dir):
+    """PQ shortlist + exact re-rank must recover ≥90% of the true
+    top-5 (measured 0.98 at m=16 on the fixture corpus)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
+    bf = {(r.query_id, r.neighbor_id) for r in S.knn_bruteforce(emb, q, 5).collect()}
+    pq = {(r.query_id, r.neighbor_id)
+          for r in S.knn_pq(emb, q, 5, m=16, ksub=32, iters=3).collect()}
+    assert len(pq & bf) >= 0.9 * len(bf)
+
+
+def test_pq_adc_score_equals_reconstruction_dot(spark, sf_dir):
+    """The ADC plumbing identity: for any (query, corpus vector), the
+    zip_with/fold LUT score must equal the explicit dot product of the
+    normalized query with the vector reconstructed from its codes —
+    exact up to float rounding (6 dp)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    q = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
+    m, ksub = 16, 8
+    codebook = S.pq_fit(emb, m=m, ksub=ksub, iters=2)
+    codes = S.pq_encode(emb, codebook, m=m)
+    adc = S.knn_pq_adc(emb, q, k=5, m=m, ksub=ksub, iters=2)
+
+    cb = {(r.sub, r.code): list(map(float, r.centroid)) for r in codebook.collect()}
+    cvecs = {r.vec_id: list(r.codes) for r in codes.collect()}
+    qvecs = {r.vec_id: [float(x) for x in r.embedding] for r in q.collect()}
+    for r in adc.collect():
+        qv = qvecs[r.query_id]
+        nrm = sum(x * x for x in qv) ** 0.5
+        qn = [x / nrm for x in qv]
+        recon = [v for s in range(m) for v in cb[(s, cvecs[r.neighbor_id][s])]]
+        dot = sum(a * b for a, b in zip(qn, recon))
+        assert abs(dot - r.sim) < 1e-5, (r.query_id, r.neighbor_id, dot, r.sim)
