@@ -1382,6 +1382,80 @@ def q_streaming_stateful_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join",
+    # Inner stream-stream joins emit matches as both sides arrive (the
+    # watermark only bounds state GC, it does not hold back inner
+    # output), and the file source delivers one micro-batch here — so
+    # the streaming result equals the plain batch interval join and the
+    # oracle needs no watermark cut (unlike streaming_stateful_alerts).
+    oracle="""
+        SELECT l.event_id AS imp_id, r.event_id AS click_id,
+               l.user_id AS user_id, l.ts AS imp_ts, r.ts AS click_ts,
+               round(r.value, 2) AS click_value
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
+         AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+    """,
+    description="Stream-stream watermarked interval join, driver-"
+    "visible (north-star extension — Kafka Streams' KStream-KStream "
+    "windowed join; the reference only joins against a GlobalKTable): "
+    "impressions (even event_id) joined to clicks (odd) landing within "
+    "[imp_ts, imp_ts+10min] per user; both sides watermarked so join "
+    "state is GC'd, shuffled on the equi key like Kafka Streams' "
+    "co-partitioned windowed join",
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming import (
+        interval_join_streams,
+        run_append,
+    )
+
+    apply_runtime_confs(spark)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def src() -> DataFrame:
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    left = (
+        src()
+        .filter(F.col("event_id") % 2 == 0)
+        .select(
+            F.col("event_id").alias("imp_id"),
+            F.col("user_id"),
+            F.col("ts").alias("imp_ts"),
+        )
+    )
+    right = (
+        src()
+        .filter(F.col("event_id") % 2 == 1)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+            F.round("value", 2).alias("click_value"),
+        )
+    )
+    joined = interval_join_streams(
+        left,
+        right,
+        "user_id",
+        "click_user",
+        "imp_ts",
+        "click_ts",
+        upper="10 minutes",
+    ).select("imp_id", "click_id", "user_id", "imp_ts", "click_ts", "click_value")
+    return run_append(spark, joined)
+
+
+@register(
     "frame_sample",
     oracle="""
         WITH f AS (
