@@ -356,3 +356,15 @@ def test_zorder_layout_prunes_both_dims(spark, sf_dir, tmp_path):
     assert overlapping("value", 100, 200) < len(files), bounds["value"]
     # and the layout changes nothing about the data
     assert spark.read.parquet(path).count() == events.count()
+
+
+def test_substring_dedup_has_no_pair_join(spark, sf_dir):
+    """Span detection must stay island-shaped: two window shuffles plus
+    the final span groupBy — never a doc×doc join (no SortMergeJoin /
+    cartesian anywhere in the plan)."""
+    df = Q.q_substring_dedup(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert count_exchanges(df) <= 4, plan
