@@ -71,6 +71,12 @@ BENCH_QUERIES = [
     # TPC-H battery (widest join tree; semi+anti self-joins)
     "q8_market_share",
     "q21_waiting_orders",
+    # round-4 additions: Avro serde edge (pure-Python codec when the
+    # jar is absent), substring-level span dedup, driver-visible
+    # stateful Processor twin
+    "avro_wire_roundtrip",
+    "substring_dedup",
+    "streaming_stateful_alerts",
 ]
 
 
