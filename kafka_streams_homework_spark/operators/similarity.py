@@ -884,3 +884,109 @@ def knn_pq(
         .select("query_id", "neighbor_id", "sim")
     )
     return _topk(rescored, k)
+
+
+def knn_ivfpq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    ncells: int = 8,
+    nprobe: int = 3,
+    m: int = 16,
+    ksub: int = 32,
+    iters: int = 3,
+    rerank_factor: int = 10,
+) -> DataFrame:
+    """IVF-PQ: the full modern ANN architecture as one composed plan.
+
+    Three tiers, each cutting what the next one touches:
+    1. coarse quantizer (spherical k-means cells) — queries probe only
+       their nprobe nearest cells, pruning the candidate set to
+       ~nprobe/ncells of the corpus (partition-pruned scan when stored
+       bucketed by cell, see ivf_write_index);
+    2. PQ codes — probed candidates are scored by ADC over m small
+       codes (16-32× less data than the float vectors), LUTs broadcast
+       per query, zip_with+fold JVM-side;
+    3. exact re-rank — the top rerank_factor × k ADC candidates are
+       re-scored against the float vectors (point-lookup join).
+
+    Simplification vs FAISS IVFPQ: codes are fit on raw (normalized)
+    vectors, not per-cell residuals — at these codebook sizes the
+    recall difference is recovered by the exact re-rank stage (pinned
+    in pytest). Driver state stays bounded: k centroids + the codebook
+    + per-query LUTs.
+    """
+    cents = kmeans_cells(embeddings, ncells, iters)
+    assigned = assign_cells(embeddings, cents)
+    codebook = pq_fit(embeddings, m, ksub, iters)
+    codes = pq_encode(embeddings, codebook, m).join(assigned, "vec_id")
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("csim", cosine_similarity(F.col("q_emb"), F.col("centroid")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("csim").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "cell")
+    )
+
+    # per-query ADC lookup tables (same driver-side build as knn_pq_adc)
+    cb = {(r.sub, r.code): list(map(float, r.centroid)) for r in codebook.collect()}
+    spark = embeddings.sparkSession
+    luts = []
+    for qr in queries.select("vec_id", "embedding").collect():
+        qv = [float(x) for x in qr.embedding]
+        nrm = sum(x * x for x in qv) ** 0.5 or 1.0
+        qv = [x / nrm for x in qv]
+        dsub = len(qv) // m
+        lut = [
+            [
+                sum(qv[s * dsub + i] * cb[(s, c)][i] for i in range(dsub))
+                for c in range(ksub)
+            ]
+            for s in range(m)
+        ]
+        luts.append((qr.vec_id, lut))
+    ldf = spark.createDataFrame(luts, "query_id bigint, lut array<array<double>>")
+
+    shortlist = _topk(
+        codes.join(F.broadcast(qcells), "cell")  # cell pruning
+        .join(F.broadcast(ldf), "query_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("codes"), F.col("lut"), lambda c, row: row[c]),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "sim"),
+        k * rerank_factor,
+    )
+
+    cv = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    rescored = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "sim", F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6)
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
+    return _topk(rescored, k)

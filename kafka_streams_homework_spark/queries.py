@@ -1917,6 +1917,26 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_ivfpq",
+    oracle=None,  # learned quantizers; recall + probe-all≡PQ pytest-pinned
+    description="IVF-PQ, the full modern ANN architecture composed: "
+    "learned coarse cells prune the candidate set to ~nprobe/ncells, "
+    "PQ-ADC scores only probed candidates over 16x-compressed codes "
+    "(broadcast LUTs, zip_with+fold JVM-side), exact-cosine re-rank of "
+    "the top R - bounded driver state (centroids + codebook + LUTs)",
+)
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding"
+    )
+    out = S.knn_ivfpq(emb, queries, KNN_K, ncells=8, nprobe=4, m=16, ksub=32, iters=3)
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
     "knn_ivf_indexed",
     oracle=f"""
         WITH e AS (

@@ -49,6 +49,7 @@ def test_oracle_keys_subset_of_queries():
         "distinct_rollup_hll",
         "knn_ivf",
         "knn_ivf_kmeans",
+        "knn_ivfpq",
         "knn_pq",
         "semantic_dedup",
         "streaming_windowed_hll",
