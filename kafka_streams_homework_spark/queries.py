@@ -98,6 +98,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a streaming source, layout-agnostic.
+
+    The driver fixtures store events.parquet as a single FILE inside
+    sf_dir (the file-source needs a directory, so we stream sf_dir with
+    a leaf-file glob); replicated/partitioned layouts (scale_probe,
+    real deployments) store it as a DIRECTORY of part files, which
+    streams directly. The glob path would silently match zero files on
+    a directory layout — that is why this helper exists.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(raw_schema)
+    if os.path.isdir(path):
+        stream = reader.parquet(path)
+    else:
+        stream = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
 # ===========================================================================
 # Reference surface (SURVEY §2)
 # ===========================================================================
@@ -1313,14 +1335,7 @@ def q_windowed_sum_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_price_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     customer = load_table(spark, sf_dir, "customer")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _events_stream(spark, sf_dir)
     alerts = price_alerts_stream(
         stream, customer, threshold=ALERT_THRESHOLD, mode="update"
     )
@@ -1367,14 +1382,7 @@ def q_streaming_stateful_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     apply_runtime_confs(spark)
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _events_stream(spark, sf_dir)
     alerts = windowed_sum_stateful(
         stream, threshold=ALERT_THRESHOLD, watermark_delay="2 minutes"
     )
@@ -1412,17 +1420,9 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     apply_runtime_confs(spark)
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
     def src() -> DataFrame:
-        s = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return s
+        return _events_stream(spark, sf_dir)
 
     left = (
         src()
@@ -3351,14 +3351,7 @@ def q_streaming_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     apply_runtime_confs(spark)
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _events_stream(spark, sf_dir)
     out = windowed_distinct_stream(stream)
     return run_upsert(spark, out, ["event_type", "window_start"], mode="update")
 
@@ -3395,14 +3388,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_homework_spark.streaming.price_alerts import run_replace
 
     apply_runtime_confs(spark)
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _events_stream(spark, sf_dir)
     sess = R.sessionize(
         stream,
         ["user_id"],
@@ -4278,14 +4264,7 @@ def q_zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _events_stream(spark, sf_dir)
     out = (
         stream.groupBy("event_type", F.window("ts", "1 hour"))
         .agg(F.approx_count_distinct("user_id").alias("n_distinct_approx"))
