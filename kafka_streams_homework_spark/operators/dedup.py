@@ -547,3 +547,80 @@ def duplicated_spans(
         )
         .drop("__grp")
     )
+
+
+def span_trim(
+    documents: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus rewrite companion to duplicated_spans: drop every token
+    covered only by REDUNDANT duplicated n-grams, keeping the canonical
+    first occurrence (min (doc_id, pos) per n-gram hash) — Lee et al.'s
+    "remove all but one occurrence of each duplicated substring",
+    applied at n-gram granularity.
+
+    Plan: positional shingle hashes → one shuffle on hash where a
+    window min(struct(doc, pos)) elects the canonical occurrence
+    (constant state per hash group); redundant occurrences explode to
+    their covered token indices; the corpus explodes to (doc, idx,
+    token) and a left-anti join drops covered tokens; one final
+    groupBy(doc) re-joins the survivors in order.
+
+    This is a REWRITE — inherently O(total tokens) (every output byte
+    must be produced), so unlike the detection pass the corpus text
+    does shuffle once, partitioned by doc id. Run detection
+    (duplicated_spans) for reporting; run this only when emitting the
+    cleaned corpus.
+    """
+    from kafka_streams_homework_spark.functions import positional_shingle_hashes
+
+    toks = documents.select(
+        F.col(id_col), tokens(text_col).alias("t")
+    )
+    sh = toks.select(
+        id_col,
+        F.posexplode(positional_shingle_hashes(F.col("t"), n)).alias("pos", "h"),
+    )
+    wh = Window.partitionBy("h")
+    marked = sh.withColumn(
+        "__canon", F.min(F.struct(F.col(id_col), F.col("pos"))).over(wh)
+    ).withColumn(
+        "__dup_group", F.min(id_col).over(wh) != F.max(id_col).over(wh)
+    )
+    redundant = marked.filter(
+        F.col("__dup_group")
+        & ~(
+            (F.col("__canon")[id_col] == F.col(id_col))
+            & (F.col("__canon")["pos"] == F.col("pos"))
+        )
+    )
+    covered = redundant.select(
+        id_col,
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias(
+            "idx"
+        ),
+    ).distinct()
+
+    tok_rows = toks.select(id_col, F.posexplode("t").alias("idx", "tok"))
+    kept = tok_rows.join(covered, [id_col, "idx"], "left_anti")
+    cleaned = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_tokens_after"),
+    )
+    before = toks.select(id_col, F.size("t").cast("bigint").alias("n_tokens_before"))
+    return before.join(cleaned, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "n_tokens_before",
+        F.coalesce(F.col("n_tokens_after"), F.lit(0)).cast("bigint").alias(
+            "n_tokens_after"
+        ),
+    )

@@ -3305,6 +3305,65 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_trim",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, i - 1 AS pos,
+                   array_to_string(t[i : i + 7], ' ') AS sg
+            FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        ),
+        marked AS (
+            SELECT doc_id, pos,
+                   min(doc_id) OVER w <> max(doc_id) OVER w AS dup_group,
+                   first_value(doc_id) OVER (PARTITION BY sg
+                       ORDER BY doc_id, pos) AS c_doc,
+                   first_value(pos) OVER (PARTITION BY sg
+                       ORDER BY doc_id, pos) AS c_pos
+            FROM sh WINDOW w AS (PARTITION BY sg)
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, pos + o AS idx
+            FROM marked, unnest(generate_series(0, 7)) AS g(o)
+            WHERE dup_group AND NOT (doc_id = c_doc AND pos = c_pos)
+        ),
+        tok_rows AS (
+            SELECT doc_id, i - 1 AS idx, t[i] AS tok
+            FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+        ),
+        kept AS (
+            SELECT r.doc_id, r.idx, r.tok FROM tok_rows r
+            LEFT JOIN covered c ON r.doc_id = c.doc_id AND r.idx = c.idx
+            WHERE c.doc_id IS NULL
+        ),
+        cleaned AS (
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+                   count(*) AS n_after
+            FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               coalesce(c.clean_text, '') AS clean_text,
+               CAST(len(b.t) AS BIGINT) AS n_tokens_before,
+               CAST(coalesce(c.n_after, 0) AS BIGINT) AS n_tokens_after
+        FROM toks b LEFT JOIN cleaned c ON b.doc_id = c.doc_id
+    """,
+    description="Corpus rewrite: drop tokens covered only by REDUNDANT "
+    "duplicated 8-grams, keeping the canonical first occurrence (min "
+    "(doc,pos) per n-gram — Lee et al.'s remove-all-but-one at n-gram "
+    "granularity). Canonical election is a constant-state window on the "
+    "shingle hash; the rewrite is inherently O(tokens) and shuffles the "
+    "token stream once by doc — run duplicated_spans for detection-only "
+    "reporting",
+)
+def q_dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.span_trim(docs, n=8)
+
+
+@register(
     "repetition_score",
     oracle="""
         WITH t AS (

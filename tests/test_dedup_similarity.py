@@ -314,3 +314,38 @@ def test_knn_ivfpq_recall_and_probe_all_recovers_pq(spark, sf_dir):
     allcells = {(r.query_id, r.neighbor_id)
                 for r in S.knn_ivfpq(emb, q, 5, ncells=8, nprobe=8).collect()}
     assert len(allcells & bf) >= 0.9 * len(bf)
+
+
+def test_span_trim_removes_redundant_occurrence_only(spark):
+    """Canonical (min (doc,pos)) occurrence survives; the other doc
+    loses exactly the shared 8 tokens; the untouched doc is byte-
+    identical (lowercased re-join)."""
+    shared = "the quick brown fox jumps over the lazy"  # 8 tokens
+    rows = [
+        (1, f"{shared} dog sits alone tonight"),
+        (2, f"intro words here {shared} trailing bits"),
+        (3, "completely different text with no overlap at all whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in D.span_trim(docs, n=8).collect()}
+    assert out[1].clean_text == rows[0][1]          # canonical: untouched
+    assert out[1].n_tokens_after == out[1].n_tokens_before == 12
+    assert out[2].clean_text == "intro words here trailing bits"
+    assert (out[2].n_tokens_before, out[2].n_tokens_after) == (13, 5)
+    assert out[3].clean_text == rows[2][1]
+    assert out[3].n_tokens_after == out[3].n_tokens_before
+
+
+def test_span_trim_never_grows_and_matches_detection(spark, sf_dir):
+    """Invariants on the real corpus: n_after ≤ n_before everywhere,
+    and exactly the docs flagged by duplicated_spans lose tokens —
+    except docs whose every duplicated span is canonical."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    trimmed = D.span_trim(docs, n=8)
+    assert trimmed.filter("n_tokens_after > n_tokens_before").count() == 0
+    lost = {r.doc_id for r in trimmed.filter(
+        "n_tokens_after < n_tokens_before").collect()}
+    flagged = {r.doc_id for r in D.duplicated_spans(docs, n=8).collect()}
+    assert lost <= flagged  # only flagged docs may lose tokens
