@@ -448,3 +448,64 @@ def scd2_history(
         .withColumn("valid_to", F.lead("valid_from").over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    gap: str = "24 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Greedy ordered funnel: how many users reach each step.
+
+    Semantics (the practical product-analytics contract): step 1 time
+    is the user's EARLIEST step-1 event; step k time is the earliest
+    step-k event at or after step k-1's time and within ``gap`` of it.
+    Greedy-earliest is deterministic and SQL-expressible; it can
+    undercount vs the exists-any-chain semantics when an early step-1
+    event leads nowhere — documented trade, matched exactly by the
+    oracle.
+
+    Plan: one chained left join + groupBy per step, every join/agg
+    keyed on the user column — co-partitioned shuffles, no windows, no
+    self-cross. The funnel table itself is one row per step, unpivoted
+    from a single aggregate row.
+    """
+    iv = F.expr(f"INTERVAL {gap}")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("nu"), F.col(ts_col).alias("nts")
+        )
+        prev_t = F.col(f"t{i - 1}")
+        cur = (
+            cur.join(
+                nxt,
+                (F.col("u") == F.col("nu"))
+                & (F.col("nts") >= prev_t)
+                & (F.col("nts") <= prev_t + iv),
+                "left",
+            )
+            .groupBy("u", *[f"t{j}" for j in range(1, i)])
+            .agg(F.min("nts").alias(f"t{i}"))
+        )
+    counts = cur.agg(
+        *[F.count(f"t{i}").alias(f"n{i}") for i in range(1, len(steps) + 1)]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("bigint").alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col(f"n{i + 1}").cast("bigint").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select("r.*")

@@ -1390,6 +1390,48 @@ def q_streaming_stateful_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_steps",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id AS u, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        s2 AS (
+            SELECT u, t1, min(e.ts) AS t2
+            FROM s1 LEFT JOIN events e
+              ON e.user_id = u AND e.event_type = 'click'
+             AND e.ts >= t1 AND e.ts <= t1 + INTERVAL 24 HOUR
+            GROUP BY u, t1
+        ),
+        s3 AS (
+            SELECT u, t1, t2, min(e.ts) AS t3
+            FROM s2 LEFT JOIN events e
+              ON e.user_id = u AND e.event_type = 'purchase'
+             AND e.ts >= t2 AND e.ts <= t2 + INTERVAL 24 HOUR
+            GROUP BY u, t1, t2
+        ),
+        agg AS (
+            SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM s3
+        )
+        SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+               CAST(n1 AS BIGINT) AS n_users FROM agg
+        UNION ALL
+        SELECT 2, 'click', n2 FROM agg
+        UNION ALL
+        SELECT 3, 'purchase', n3 FROM agg
+    """,
+    description="Greedy ordered funnel (view -> click -> purchase, "
+    "24 h max step gap): chained co-partitioned left join + min-agg "
+    "per step on the user key, funnel table unpivoted from one "
+    "aggregate row - the product-analytics shape over the event "
+    "stream; greedy-earliest semantics documented and oracle-matched",
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return R.funnel_steps(events, ["view", "click", "purchase"], gap="24 hours")
+
+
+@register(
     "streaming_interval_join",
     # Inner stream-stream joins emit matches as both sides arrive (the
     # watermark only bounds state GC, it does not hold back inner

@@ -469,3 +469,34 @@ def test_quantile_hist_cascade_equals_binned_type1_quantile(spark, sf_dir):
         for q, got in [(0.50, e.p50_est), (0.95, e.p95_est), (0.99, e.p99_est)]:
             x_q = vals[math.ceil(q * len(vals)) - 1]
             assert got == math.floor(x_q), (day, q, got, x_q)
+
+
+def test_funnel_steps_greedy_semantics(spark):
+    """Pin the greedy-earliest contract: the user whose earliest view
+    leads nowhere within the gap does NOT convert, even though a later
+    view->click chain exists (the documented undercount); straight
+    chains convert at each step."""
+    import datetime as dt
+
+    from kafka_streams_homework_spark.operators import relational as R
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda mins: t0 + dt.timedelta(minutes=mins)
+    rows = [
+        # user 1: clean chain view(0) -> click(10) -> purchase(20)
+        (1, m(0), "view"), (1, m(10), "click"), (1, m(20), "purchase"),
+        # user 2: earliest view at 0, but its only click is 2h later
+        # (outside the 1h gap) even though view(90)->click(120) would
+        # qualify under exists-any semantics — greedy says NO click
+        (2, m(0), "view"), (2, m(90), "view"), (2, m(120), "click"),
+        # user 3: view then click, purchase outside gap
+        (3, m(0), "view"), (3, m(30), "click"), (3, m(300), "purchase"),
+        # user 4: click with no view — never enters the funnel
+        (4, m(0), "click"), (4, m(5), "purchase"),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {r.step: r.n_users for r in R.funnel_steps(
+        events, ["view", "click", "purchase"], gap="1 hours").collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
