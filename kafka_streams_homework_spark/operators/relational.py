@@ -509,3 +509,47 @@ def funnel_steps(
         ]
     )
     return counts.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    signup_type: str = "signup",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by their signup period,
+    counted as retained in each later period they produced ANY event.
+
+    Output: (cohort, period_offset, n_active) — cohort is the
+    date_trunc'd signup period, period_offset counts periods since
+    signup (0 = the signup period itself).
+
+    Plan: one agg for signup time per user (min over the signup
+    events), one distinct over (user, activity period), one
+    co-partitioned join on the user key, one final count — every
+    shuffle keyed on user or (cohort, offset), both bounded-cardinality
+    group spaces. The classic weekly-triangle query, linear in events.
+    """
+    signups = (
+        events.filter(F.col(type_col) == signup_type)
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.date_trunc(period, F.min(ts_col)).alias("cohort"))
+    )
+    activity = events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc(period, F.col(ts_col)).alias("p"),
+    ).distinct()
+    seconds = {"week": 604800, "day": 86400}[period]
+    return (
+        signups.join(activity, "u")
+        .filter(F.col("p") >= F.col("cohort"))
+        .withColumn(
+            "period_offset",
+            ((F.unix_timestamp("p") - F.unix_timestamp("cohort")) / seconds)
+            .cast("bigint"),
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.count_distinct("u").alias("n_active"))
+    )

@@ -1432,6 +1432,34 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retention_cohorts",
+    oracle="""
+        WITH s AS (
+            SELECT user_id AS u, date_trunc('week', min(ts)) AS cohort
+            FROM events WHERE event_type = 'signup' GROUP BY 1
+        ),
+        a AS (
+            SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p
+            FROM events
+        )
+        SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+               CAST((epoch(p) - epoch(cohort)) / 604800 AS BIGINT)
+                   AS period_offset,
+               CAST(count(DISTINCT u) AS BIGINT) AS n_active
+        FROM s JOIN a USING (u) WHERE p >= cohort GROUP BY 1, 2
+    """,
+    description="Cohort retention triangle: users bucketed by signup "
+    "week, counted active in each later week they produced any event. "
+    "One min-agg + one distinct + one co-partitioned user join + one "
+    "count - linear in events, shuffles keyed on user / (cohort, "
+    "offset) only",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return R.retention_cohorts(events)
+
+
+@register(
     "streaming_interval_join",
     # Inner stream-stream joins emit matches as both sides arrive (the
     # watermark only bounds state GC, it does not hold back inner

@@ -500,3 +500,32 @@ def test_funnel_steps_greedy_semantics(spark):
     out = {r.step: r.n_users for r in R.funnel_steps(
         events, ["view", "click", "purchase"], gap="1 hours").collect()}
     assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_retention_cohorts_layout(spark):
+    """Two cohorts, hand-checkable triangle: offsets count weeks since
+    the signup week; users active before signup don't appear at
+    negative offsets; n_active is distinct users."""
+    import datetime as dt
+
+    from kafka_streams_homework_spark.operators import relational as R
+
+    w0 = dt.datetime(2024, 1, 1)  # a Monday
+    d = lambda days: w0 + dt.timedelta(days=days)
+    rows = [
+        (1, d(0), "signup"), (1, d(2), "click"), (1, d(8), "view"),   # wk0, wk1
+        (2, d(1), "signup"), (2, d(15), "click"),                      # wk0, wk2
+        (3, d(7), "signup"), (3, d(9), "view"), (3, d(9), "click"),   # wk1 only
+        (4, d(0), "view"),                                             # never signs up
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {(r.cohort.date().isoformat(), r.period_offset): r.n_active
+           for r in R.retention_cohorts(events).collect()}
+    assert out == {
+        ("2024-01-01", 0): 2,  # users 1,2 active in signup week
+        ("2024-01-01", 1): 1,  # user 1
+        ("2024-01-01", 2): 1,  # user 2
+        ("2024-01-08", 0): 1,  # user 3
+    }
