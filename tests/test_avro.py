@@ -155,3 +155,40 @@ def test_avro_wire_roundtrip_matches_flagship(spark, sf_dir):
     assert sorted([tuple(r) for r in avro], key=lambda t: (t[0], t[2])) == sorted(
         [tuple(r) for r in plain], key=lambda t: (t[0], t[2])
     )
+
+
+# ---------------------------------------------------------------------------
+# Property-based round-trip (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_record = st.fixed_dictionaries(
+    {
+        "user_id": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "ts": st.integers(min_value=0, max_value=4_102_444_800_000_000),  # ≤ y2100 µs
+        "value": st.floats(allow_nan=False, allow_infinity=False, width=64),
+        "note": st.one_of(st.none(), st.text(max_size=200)),
+        "flag": st.booleans(),
+        "blob": st.one_of(st.none(), st.binary(max_size=200)),
+    }
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_record)
+def test_record_roundtrip_property(row):
+    """Any record of the test schema survives encode→decode exactly
+    (including negative longs, unicode, NaN-free doubles, None unions,
+    empty strings/bytes)."""
+    fields = C.parse_schema(SCHEMA)
+    out = C.decode_record(fields, C.encode_record(fields, row))
+    assert out["user_id"] == row["user_id"]
+    assert out["ts"] == pd.Timestamp(row["ts"], unit="us")
+    assert out["value"] == row["value"] or (
+        out["value"] == 0.0 and row["value"] == 0.0  # -0.0 == 0.0
+    )
+    assert out["note"] == row["note"]
+    assert out["flag"] is row["flag"]
+    assert out["blob"] == row["blob"]
