@@ -1346,6 +1346,64 @@ def q_streaming_price_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_latest_by_key",
+    oracle="""
+        SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+               event_type AS last_event_type, value AS last_value
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    description="GlobalKTable semantics under streaming: max_by over "
+    "(ts, event_id) per key maintains the latest record incrementally "
+    "— state is ONE row per key, updated in place each micro-batch; "
+    "emissions upserted per key (run_upsert). Same oracle as the batch "
+    "latest_by_key (streaming/batch parity for S2/S4)",
+)
+def q_streaming_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_id", "ts", "event_type", "value"),
+            F.struct(F.col("ts"), F.col("event_id")),
+        ).alias("b")
+    )
+    out = agg.select(
+        "user_id",
+        F.col("b.event_id").alias("last_event_id"),
+        F.col("b.ts").alias("last_ts"),
+        F.col("b.event_type").alias("last_event_type"),
+        F.col("b.value").alias("last_value"),
+    )
+    return run_upsert(spark, out, ["user_id"], mode="update")
+
+
+@register(
+    "streaming_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    description="Streaming exact dedup with bounded state: "
+    "dropDuplicatesWithinWatermark on (user_id, event_type) — dedup "
+    "state lives only until the watermark passes it (O(keys per "
+    "watermark window), the only viable exact-dedup contract on an "
+    "unbounded stream). Projected to the dedup subset so the emitted "
+    "set is deterministic; oracle = DISTINCT (batch twin dedup_exact "
+    "family)",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming import dedup_stream, run_append
+
+    apply_runtime_confs(spark)
+    ev = _events_stream(spark, sf_dir)
+    out = dedup_stream(ev, ["user_id", "event_type"], ts_col="ts").select(
+        "user_id", "event_type"
+    )
+    return run_append(spark, out)
+
+
+@register(
     "streaming_stateful_alerts",
     # Emit-once semantics: only windows CLOSED by the final watermark
     # (max event time - 2 min) are emitted; open windows are withheld —

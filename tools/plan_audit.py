@@ -61,6 +61,10 @@ SKIP = {
     "(applyInPandasWithState; batch twin windowed_sum + threshold)",
     "streaming_interval_join": "runs a Structured Streaming job "
     "(plan ≡ interval_join batch twin)",
+    "streaming_latest_by_key": "runs a Structured Streaming job "
+    "(plan ≡ latest_by_key batch twin)",
+    "streaming_dedup": "runs a Structured Streaming job "
+    "(dropDuplicatesWithinWatermark; batch twin dedup_exact/DISTINCT)",
     "sink_write": "writes parquet then scans it (plan ≡ price_alerts + scan)",
     "dedup_clusters": "iterative min-label propagation — per round: 1 join + "
     "1 groupBy, each round's labels cached; explain would print the "
