@@ -1584,6 +1584,79 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join_left",
+    # Outer rows are watermark-held: a left row emits null-extended
+    # only once the GLOBAL watermark (min of both stream watermarks —
+    # Spark's multiple-watermark policy) proves no match can arrive,
+    # i.e. passes imp_ts + upper. The oracle applies the same cut;
+    # matched pairs emit un-held like the inner variant.
+    oracle="""
+        WITH wm AS (
+            SELECT least((SELECT max(ts) FROM events WHERE event_id % 2 = 0),
+                         (SELECT max(ts) FROM events WHERE event_id % 2 = 1))
+                   - INTERVAL 2 MINUTE AS w
+        ),
+        l AS (SELECT * FROM events WHERE event_id % 2 = 0),
+        r AS (SELECT * FROM events WHERE event_id % 2 = 1)
+        SELECT l.event_id AS imp_id, l.user_id AS user_id, l.ts AS imp_ts,
+               r.event_id AS click_id, r.ts AS click_ts,
+               round(r.value, 2) AS click_value
+        FROM l JOIN r ON l.user_id = r.user_id
+         AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+        UNION ALL
+        SELECT l.event_id, l.user_id, l.ts, NULL, NULL, NULL
+        FROM l, wm
+        WHERE NOT EXISTS (
+            SELECT 1 FROM r WHERE l.user_id = r.user_id
+             AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+        ) AND l.ts + INTERVAL 10 MINUTE <= wm.w
+    """,
+    description="leftOuter stream-stream interval join, driver-visible: "
+    "matched pairs emit as both sides arrive; unmatched impressions "
+    "emit null-extended only when the global watermark (min across "
+    "both streams) proves no click can still arrive — the oracle "
+    "applies the identical cut in plain SQL",
+)
+def q_streaming_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming import (
+        interval_join_streams,
+        run_append,
+    )
+
+    apply_runtime_confs(spark)
+    left = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_id") % 2 == 0)
+        .select(
+            F.col("event_id").alias("imp_id"),
+            F.col("user_id"),
+            F.col("ts").alias("imp_ts"),
+        )
+    )
+    right = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_id") % 2 == 1)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+            F.round("value", 2).alias("click_value"),
+        )
+    )
+    joined = interval_join_streams(
+        left,
+        right,
+        "user_id",
+        "click_user",
+        "imp_ts",
+        "click_ts",
+        upper="10 minutes",
+        how="leftOuter",
+    ).select("imp_id", "user_id", "imp_ts", "click_id", "click_ts", "click_value")
+    return run_append(spark, joined)
+
+
+@register(
     "frame_sample",
     oracle="""
         WITH f AS (

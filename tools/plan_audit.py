@@ -63,6 +63,8 @@ SKIP = {
     "(plan ≡ interval_join batch twin)",
     "streaming_latest_by_key": "runs a Structured Streaming job "
     "(plan ≡ latest_by_key batch twin)",
+    "streaming_interval_join_left": "runs a Structured Streaming job "
+    "(plan ≡ interval_join batch twin, leftOuter)",
     "streaming_dedup": "runs a Structured Streaming job "
     "(dropDuplicatesWithinWatermark; batch twin dedup_exact/DISTINCT)",
     "sink_write": "writes parquet then scans it (plan ≡ price_alerts + scan)",
