@@ -60,6 +60,44 @@ def exact_dup_groups(documents: DataFrame) -> DataFrame:
     )
 
 
+def normalized_text(col) -> "F.Column":
+    """CCNet-style normalization: lowercase, strip punctuation to
+    spaces, collapse whitespace, trim. Pure JVM regexp expressions —
+    the canonical form under which 'near-identical' web copies (case /
+    punctuation / spacing variants) become byte-equal."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), "[^a-z0-9\\s]", " "), "\\s+", " "
+        )
+    )
+
+
+def exact_dup_groups_normalized(documents: DataFrame) -> DataFrame:
+    """Exact dedup on NORMALIZED content: same hash-groupBy shape as
+    exact_dup_groups, keyed on md5(normalized text). Catches the
+    case/punctuation/whitespace duplicate class that raw-byte hashing
+    misses (the first dedup pass of CCNet-style pipelines).
+
+    n_distinct_raw counts how many distinct RAW byte-forms collapsed
+    into the group — 1 means raw dedup would have found it too, >1 is
+    the extra catch. Text itself never shuffles: only (hash, raw-hash,
+    doc_id) reach the exchange.
+    """
+    return (
+        documents.select(
+            F.md5(normalized_text(F.col("text"))).alias("content_hash"),
+            F.md5(F.col("text")).alias("raw_hash"),
+            "doc_id",
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("raw_hash").alias("n_distinct_raw"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shared shingle substrate
 # ---------------------------------------------------------------------------

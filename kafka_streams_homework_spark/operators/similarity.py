@@ -130,7 +130,82 @@ def knn_ivf(
     return _topk(scored, k)
 
 
+FIT_SAMPLE_DEFAULT = 32768
+"""Quantizer-training sample cap (vectors collected to the driver).
+
+Coarse/PQ quantizers are trained on a bounded sample, exactly as FAISS
+and every production ANN system does: codebook quality saturates at
+tens of thousands of training points regardless of corpus size, so at
+100 TB the fit cost is CONSTANT — one hash-ordered sample collect
+(~32k × dim floats, a few MB) plus vectorized Lloyd on the driver —
+while everything corpus-sized (assignment, encode, probe, re-rank)
+stays a distributed scan. The distributed-Lloyd twins
+(kmeans_cells_distributed / pq_fit_distributed) remain for corpora
+where even sampling must stay cluster-side."""
+
+
+def _sample_vectors(embeddings: DataFrame, n: int):
+    """Deterministic training sample: the n vectors with smallest
+    xxhash64(vec_id) (seedless pseudo-random spread; a superset of the
+    k/ksub-seed rule the distributed fits use, so both paths share
+    initialization). Returns (vec_ids, np.ndarray float64 (n, dim))."""
+    import numpy as np
+
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"))
+        .limit(n)
+        .collect()
+    )
+    ids = [r.vec_id for r in rows]
+    return ids, np.array([[float(x) for x in r.embedding] for r in rows])
+
+
 def kmeans_cells(
+    embeddings: DataFrame,
+    ncells: int = 8,
+    iters: int = 4,
+    fit_sample: int | None = FIT_SAMPLE_DEFAULT,
+) -> DataFrame:
+    """Spherical k-means coarse quantizer.
+
+    Default path: train on a bounded deterministic sample (see
+    FIT_SAMPLE_DEFAULT — one collect job + vectorized numpy Lloyd,
+    O(sample) driver work independent of corpus size). Semantics match
+    the distributed twin: cosine assignment with lowest-cell
+    tie-break, raw-mean update, empty cells keep their centroid,
+    init = the ncells vectors with smallest xxhash64(vec_id).
+
+    fit_sample=None delegates to kmeans_cells_distributed (Lloyd as
+    DataFrame jobs — for when the training set itself must stay
+    cluster-side).
+    """
+    if fit_sample is None:
+        return kmeans_cells_distributed(embeddings, ncells, iters)
+    import numpy as np
+
+    _, X = _sample_vectors(embeddings, fit_sample)
+    ncells = min(ncells, X.shape[0])
+    cents = X[:ncells].copy()
+    xn = np.linalg.norm(X, axis=1)
+    xn[xn == 0] = 1.0
+    for _ in range(iters):
+        cn = np.linalg.norm(cents, axis=1)
+        cn[cn == 0] = 1.0
+        sim = (X @ cents.T) / xn[:, None] / cn[None, :]
+        best = np.argmax(sim, axis=1)  # first max == lowest cell id
+        for c in range(ncells):
+            mask = best == c
+            if mask.any():  # empty cells keep their previous centroid
+                cents[c] = X[mask].mean(axis=0)
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+
+
+def kmeans_cells_distributed(
     embeddings: DataFrame,
     ncells: int = 8,
     iters: int = 4,
@@ -147,10 +222,10 @@ def kmeans_cells(
     Initialization is deterministic: the k vectors with the smallest
     xxhash64(vec_id) (a seedless pseudo-random spread).
 
-    At 100 TB you fit on a sample (embeddings.sample(frac)) — the loop
-    shape is unchanged; assignment of the full corpus happens once, in
-    knn_ivf_kmeans, and would be persisted as bucketed-by-cell parquet
-    so probes are partition-pruned scans.
+    This is the training-set-stays-cluster-side twin of kmeans_cells;
+    assignment of the full corpus happens once, in knn_ivf_kmeans, and
+    would be persisted as bucketed-by-cell parquet so probes are
+    partition-pruned scans.
     """
     corpus = embeddings.select("vec_id", "embedding")
     init = (
@@ -684,18 +759,83 @@ def _l2(a, b):
 
 
 def pq_fit(
-    embeddings: DataFrame, m: int = 16, ksub: int = 32, iters: int = 4
+    embeddings: DataFrame,
+    m: int = 16,
+    ksub: int = 32,
+    iters: int = 4,
+    fit_sample: int | None = FIT_SAMPLE_DEFAULT,
 ) -> DataFrame:
-    """Fit PQ codebooks: per-subspace k-means (Lloyd), ALL m subspaces
-    trained in one distributed job per iteration.
+    """Fit PQ codebooks: per-subspace k-means on L2-normalized
+    subvectors.
+
+    Default path: bounded deterministic sample + vectorized numpy Lloyd
+    (see FIT_SAMPLE_DEFAULT) — all m subspaces trained at once on a
+    (n, m, dsub) reshape; fit cost is constant in corpus size. Matches
+    the distributed twin's semantics: L2 assignment with lowest-code
+    tie-break, mean update, empty codes keep their centroid, init =
+    the subvectors of the ksub corpus vectors with smallest
+    xxhash64(vec_id), in hash order.
 
     Returns (sub, code, centroid: array<double>). Driver state is the
     codebook only — m × ksub × dsub doubles (e.g. 16×32×4 = 2k for
-    64-dim), independent of corpus size. At 100 TB fit on a sample;
-    the loop shape is unchanged.
+    64-dim), independent of corpus size. fit_sample=None delegates to
+    pq_fit_distributed.
     """
+    if fit_sample is None:
+        return pq_fit_distributed(embeddings, m, ksub, iters)
+    import numpy as np
+
     spark = embeddings.sparkSession
-    subs = _subvectors(embeddings, m)
+    _, X = _sample_vectors(embeddings, fit_sample)
+    nrm = np.linalg.norm(X, axis=1)
+    nrm[nrm == 0] = 1.0
+    Xn = X / nrm[:, None]
+    n, dim = Xn.shape
+    dsub = dim // m
+    S = Xn[:, : m * dsub].reshape(n, m, dsub)  # (n, sub, dsub)
+    ksub = min(ksub, n)
+    cents = S[:ksub].transpose(1, 0, 2).copy()  # (sub, code, dsub)
+    for _ in range(iters):
+        # d2[i, s, c] = |S[i,s] - cents[s,c]|²; argmin c (first min ==
+        # lowest code, matching the distributed min(struct(d, code)))
+        d2 = (
+            (S**2).sum(axis=2)[:, :, None]
+            - 2.0 * np.einsum("isd,scd->isc", S, cents)
+            + (cents**2).sum(axis=2)[None, :, :]
+        )
+        best = np.argmin(d2, axis=2)  # (n, sub)
+        for s in range(m):
+            for c in range(ksub):
+                mask = best[:, s] == c
+                if mask.any():  # empty codes keep their previous centroid
+                    cents[s, c] = S[mask, s].mean(axis=0)
+    return spark.createDataFrame(
+        [
+            (s, c, [float(v) for v in cents[s, c]])
+            for s in range(m)
+            for c in range(ksub)
+        ],
+        "sub int, code int, centroid array<double>",
+    )
+
+
+def pq_fit_distributed(
+    embeddings: DataFrame, m: int = 16, ksub: int = 32, iters: int = 4
+) -> DataFrame:
+    """Fit PQ codebooks: per-subspace k-means (Lloyd), ALL m subspaces
+    trained in one distributed job per iteration — the twin of pq_fit
+    for when even the training sample must stay cluster-side.
+
+    Returns (sub, code, centroid: array<double>). Driver state is the
+    codebook only — m × ksub × dsub doubles (e.g. 16×32×4 = 2k for
+    64-dim), independent of corpus size.
+    """
+    from kafka_streams_homework_spark.caching import tracked_persist
+
+    spark = embeddings.sparkSession
+    # persisted: the subvector explode is folded 2× per iteration (the
+    # assignment join reads it on both sides) plus once for init
+    subs = tracked_persist(_subvectors(embeddings, m))
 
     # deterministic init: per subspace, the ksub subvectors from the
     # corpus vectors with smallest xxhash64(vec_id) (pseudo-random spread)

@@ -382,3 +382,55 @@ def repetition_score(documents: DataFrame, n: int = 3) -> DataFrame:
         ).alias("dup_frac"),
         F.sum("c").cast("bigint").alias("n_ngrams"),
     )
+
+
+def quality_buckets(documents: DataFrame) -> DataFrame:
+    """Per-language quality tiers (head / middle / tail), CCNet-style:
+    rank every document inside its language by the composite quality
+    score and cut into three NTILE buckets.
+
+    Scale shape: one scan to score (pure JVM expressions), one window
+    shuffle partitioned by lang. Languages are the partition key, so a
+    skewed language (English ~half a web corpus) concentrates — at
+    100 TB swap NTILE for a two-pass percentile cut: aggregate
+    per-lang score histograms (partial-merge, no row shuffle), derive
+    the two cut points, then bucket with a broadcast map-side join —
+    same output, no window. NTILE is kept here as the exact,
+    oracle-checkable form.
+    """
+    scored = quality_score(documents).select("doc_id", "quality")
+    withlang = documents.select("doc_id", "lang").join(scored, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    tile = F.ntile(3).over(w)
+    return withlang.select(
+        "doc_id",
+        "lang",
+        "quality",
+        tile.alias("tile"),
+        F.element_at(F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tile)
+        .alias("bucket"),
+    )
+
+
+def importance_sample(documents: DataFrame) -> DataFrame:
+    """Deterministic quality-weighted sampling: keep a document with
+    probability equal to its quality score, with the coin flip derived
+    from the doc_id (Knuth multiplicative hash), not an RNG.
+
+    The reproducibility contract of train_test_split extended to
+    weighted sampling: identical keep-set across engines, runs, and
+    repartitioning — re-running the pipeline on a grown corpus keeps
+    every previously-kept document. Pure map-side expressions; the id
+    is range-bounded (mod 1000003) before the multiply so the i64
+    arithmetic can never overflow regardless of id magnitude.
+    """
+    u = (
+        ((F.col("doc_id") % F.lit(1000003)) * F.lit(2654435761)) % F.lit(1000000)
+    ).cast("double") / F.lit(1000000.0)
+    scored = quality_score(documents).select("doc_id", "quality")
+    return scored.select(
+        "doc_id",
+        F.round(u, 6).alias("u"),
+        F.col("quality").alias("weight"),
+        (u < F.col("quality")).alias("kept"),
+    )

@@ -4674,6 +4674,140 @@ def q_avro_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Round-5 additions: normalized exact dedup, CCNet-style quality tiers,
+# deterministic weighted sampling, market-basket co-occurrence
+# ===========================================================================
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+        WITH n AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS content_hash,
+                   md5(text) AS raw_hash
+            FROM documents
+        )
+        SELECT content_hash, min(doc_id) AS keep_doc_id,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(count(DISTINCT raw_hash) AS BIGINT) AS n_distinct_raw
+        FROM n GROUP BY content_hash
+    """,
+    description="Exact dedup on CCNet-normalized text (lowercase, "
+    "punctuation→space, whitespace collapse): catches the case/punct/"
+    "spacing duplicate class raw-byte hashing misses; n_distinct_raw "
+    "counts the extra catch per group. Same uniform-hash groupBy shape "
+    "as dedup_exact — text never shuffles",
+)
+def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dup_groups_normalized(docs)
+
+
+@register(
+    "quality_buckets",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, str_split(lower(text), ' ') AS tok FROM documents
+        ), m AS (
+            SELECT doc_id, lang, len(tok) AS n_tok,
+                   len(list_distinct(tok)) AS n_uniq,
+                   len(list_filter(tok, x -> x IN ('{_STOPWORD_SQL}'))) AS n_stop
+            FROM t
+        ), q AS (
+            SELECT doc_id, lang,
+                   round(0.5 * (n_uniq::DOUBLE / n_tok)
+                         + 0.3 * least(n_tok / 100.0, 1.0)
+                         + 0.2 * (1.0 - n_stop::DOUBLE / n_tok), 6) AS quality
+            FROM m
+        )
+        SELECT doc_id, lang, quality,
+               CAST(NTILE(3) OVER (PARTITION BY lang
+                    ORDER BY quality DESC, doc_id) AS INTEGER) AS tile,
+               CASE CAST(NTILE(3) OVER (PARTITION BY lang
+                    ORDER BY quality DESC, doc_id) AS INTEGER)
+                    WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM q
+    """,
+    description="CCNet-style per-language quality tiers: rank docs "
+    "inside each lang by composite quality, cut into head/middle/tail "
+    "NTILE(3) buckets. One scan + one lang-partitioned window; the "
+    "100 TB variant (documented in operators/text.py) replaces the "
+    "window with histogram cut points + broadcast bucketing",
+)
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.quality_buckets(docs)
+
+
+@register(
+    "importance_sample",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok FROM documents
+        ), m AS (
+            SELECT doc_id, len(tok) AS n_tok,
+                   len(list_distinct(tok)) AS n_uniq,
+                   len(list_filter(tok, x -> x IN ('{_STOPWORD_SQL}'))) AS n_stop
+            FROM t
+        ), q AS (
+            SELECT doc_id,
+                   round(0.5 * (n_uniq::DOUBLE / n_tok)
+                         + 0.3 * least(n_tok / 100.0, 1.0)
+                         + 0.2 * (1.0 - n_stop::DOUBLE / n_tok), 6) AS quality
+            FROM m
+        )
+        SELECT doc_id,
+               round(((doc_id % 1000003) * 2654435761 % 1000000)
+                     / 1000000.0, 6) AS u,
+               quality AS weight,
+               (((doc_id % 1000003) * 2654435761 % 1000000)
+                / 1000000.0) < quality AS kept
+        FROM q
+    """,
+    description="Deterministic quality-weighted sampling: keep-probability "
+    "= quality score, coin flip = Knuth multiplicative hash of doc_id "
+    "(no RNG) — reproducible across engines/runs/repartitioning, "
+    "stable under corpus growth; pure map-side expressions",
+)
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.importance_sample(docs)
+
+
+@register(
+    "copurchase_topk",
+    oracle="""
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_pairs DESC, part_a, part_b
+        LIMIT 100
+    """,
+    description="Market-basket co-occurrence: top part pairs appearing "
+    "in the same order. Self-join co-partitioned on l_orderkey (pair "
+    "fanout bounded by items-per-order, linear in orders), partial-agg "
+    "count, TakeOrdered top-k (no global sort materialization); "
+    "deterministic total order for the limit cut",
+)
+def q_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "ok").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "part_a", "part_b")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------
