@@ -271,13 +271,26 @@ def kmeans_cells_distributed(
 
 
 def assign_cells(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Assign every vector to its nearest centroid cell (one scan)."""
-    return (
-        embeddings.crossJoin(F.broadcast(centroids))
-        .withColumn("sim", cosine_similarity(F.col("embedding"), F.col("centroid")))
-        .groupBy("vec_id")
-        .agg(F.max(F.struct(F.col("sim"), (-F.col("cell")).alias("nc"))).alias("b"))
-        .select("vec_id", (-F.col("b.nc")).alias("cell"))
+    """Assign every vector to its nearest centroid cell — one
+    ZERO-SHUFFLE map stage.
+
+    The centroid table (k × dim doubles, a few KB) rides along as a
+    single broadcast row of nested arrays; per row the cell is the
+    argmax of the per-cell cosine array (array_position finds the
+    FIRST max, i.e. the lowest cell id — the same tie-break as the
+    k-row-join twin's max(struct(sim, -cell)) this replaces, which
+    paid a groupBy shuffle of |corpus| × k rows for a per-row argmax).
+    """
+    rows = centroids.orderBy("cell").collect()
+    nested = [[float(v) for v in r.centroid] for r in rows]
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame([(nested,)], "cents array<array<double>>")
+    sims = F.transform(
+        F.col("cents"), lambda cent: cosine_similarity(F.col("embedding"), cent)
+    )
+    return embeddings.crossJoin(F.broadcast(cdf)).select(
+        "vec_id",
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cell"),
     )
 
 
@@ -895,9 +908,50 @@ def pq_encode(embeddings: DataFrame, codebook: DataFrame, m: int = 16) -> DataFr
     """Encode each vector as m uint8-range codes (vec_id, codes:
     array<int>) — e.g. 64-dim float32 (256 B) → 16 codes (16 B).
 
-    One scan: subvectors ⋈ broadcast(codebook), argmin L2 per
-    (vec_id, sub), codes collected in subspace order. The float
-    embeddings never shuffle — only (vec_id, sub, code)."""
+    One ZERO-SHUFFLE map stage: the codebook (m × ksub × dsub doubles,
+    a few KB) is crossJoined as a single broadcast row of nested
+    arrays and each subspace's code is the argmin of a per-row L2
+    array (array_position finds the FIRST min — lowest code on ties,
+    matching the join twin's min(struct(d, code)) this replaces, which
+    paid two shuffles of the exploded subvector rows for a per-row
+    argmin). The float embeddings never shuffle; nothing does.
+    """
+    rows = codebook.collect()
+    by: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by.setdefault(r.sub, {})[r.code] = [float(v) for v in r.centroid]
+    nested = [[by[s][c] for c in sorted(by[s])] for s in sorted(by)]
+    dsub = len(nested[0][0])
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame([(nested,)], "cents array<array<array<double>>>")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+    )
+    normed = embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / norm).alias("e"),
+    )
+
+    def code_for(s: int):
+        sub = F.slice(F.col("e"), s * dsub + 1, dsub)
+        dists = F.transform(F.col("cents")[s], lambda cent: _l2(sub, cent))
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return normed.crossJoin(F.broadcast(cdf)).select(
+        "vec_id",
+        F.array(*[code_for(s) for s in range(len(nested))]).alias("codes"),
+    )
+
+
+def _pq_encode_joined(embeddings: DataFrame, codebook: DataFrame, m: int = 16) -> DataFrame:
+    """The explode-join twin of pq_encode (kept for plan comparison):
+    subvectors ⋈ broadcast(codebook), argmin L2 per (vec_id, sub),
+    codes collected in subspace order — two shuffles of (vec_id, sub,
+    code) rows."""
     subs = _subvectors(embeddings, m)
     return (
         subs.join(F.broadcast(codebook), "sub")
