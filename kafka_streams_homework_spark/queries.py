@@ -4857,14 +4857,14 @@ _WINDOW = [
     # LLM-pipeline surface (kept anchors + rotated-in tail)
     "training_data_prep",
     "doc_chunks",
-    "token_count",
+    "importance_sample",
     "token_count_bpe",
     "lang_id",
-    "quality_score",
+    "quality_buckets",
     "repetition_score",
     "pii_scrub",
     "decontaminate",
-    "dedup_exact",
+    "dedup_exact_normalized",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_embedding",
@@ -4872,13 +4872,16 @@ _WINDOW = [
     "knn_ivf_indexed",
     "knn_filtered",
     "multimodal_meta",
-    "frame_sample",
+    "copurchase_topk",
     "split_leakage_free",
     "domain_mix",
     "bm25_rank",
     "tfidf_top_terms",
     "inverted_index",
 ]
+# round-5 swaps (family stays represented, driver-green anchors out):
+# token_count→importance_sample, quality_score→quality_buckets,
+# dedup_exact→dedup_exact_normalized, frame_sample→copurchase_topk
 
 
 WINDOW = 50  # the driver gate's sample size

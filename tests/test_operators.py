@@ -529,3 +529,99 @@ def test_retention_cohorts_layout(spark):
         ("2024-01-01", 2): 1,  # user 2
         ("2024-01-08", 0): 1,  # user 3
     }
+
+
+# ---------------------------------------------------------------------------
+# Round-5 ops: normalized dedup, quality buckets, importance sampling,
+# co-purchase pairs
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dup_groups_normalized_collapses_case_punct_ws(spark):
+    from kafka_streams_homework_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!  How are you?"),
+            (2, "hello world how are you"),      # same after normalization
+            (3, "HELLO   WORLD\thow ARE you"),   # same after normalization
+            (4, "entirely different content"),
+        ],
+        "doc_id long, text string",
+    )
+    groups = {r.keep_doc_id: r for r in D.exact_dup_groups_normalized(docs).collect()}
+    assert set(groups) == {1, 4}
+    assert groups[1].n_copies == 3
+    # three distinct raw byte-forms collapsed — the catch raw hashing misses
+    assert groups[1].n_distinct_raw == 3
+    assert groups[4].n_copies == 1 and groups[4].n_distinct_raw == 1
+
+
+def test_quality_buckets_tiles_and_ordering(spark, sf_dir):
+    from kafka_streams_homework_spark.operators import text as T
+    from kafka_streams_homework_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.quality_buckets(docs).collect()
+    assert len(out) == docs.count()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        # NTILE contract: bucket sizes differ by at most 1, first gets extra
+        from collections import Counter
+
+        c = Counter(r.tile for r in rows)
+        sizes = [c.get(i, 0) for i in (1, 2, 3)]
+        assert max(sizes) - min(s for s in sizes if s) <= 1, (lang, sizes)
+        # every head-bucket doc outranks every tail-bucket doc
+        heads = [r.quality for r in rows if r.bucket == "head"]
+        tails = [r.quality for r in rows if r.bucket == "tail"]
+        if heads and tails:
+            assert min(heads) >= max(tails), lang
+        assert all(
+            r.bucket == {1: "head", 2: "middle", 3: "tail"}[r.tile] for r in rows
+        )
+
+
+def test_importance_sample_deterministic_and_consistent(spark, sf_dir):
+    from kafka_streams_homework_spark.operators import text as T
+    from kafka_streams_homework_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id: r for r in T.importance_sample(docs).collect()}
+    # repartitioning must not change a single coin flip
+    b = {r.doc_id: r for r in T.importance_sample(docs.repartition(7)).collect()}
+    assert len(a) == docs.count()
+    for d, r in a.items():
+        assert (r.u, r.weight, r.kept) == (b[d].u, b[d].weight, b[d].kept)
+        assert r.kept == (r.u < r.weight) or abs(r.u - r.weight) < 1e-9
+        assert 0.0 <= r.u < 1.0
+    # the sample is genuinely weighted: some kept, some dropped
+    kept = sum(1 for r in a.values() if r.kept)
+    assert 0 < kept < len(a)
+
+
+def test_copurchase_pairs_counts(spark):
+    from kafka_streams_homework_spark import queries as Q
+    import tempfile
+    import os
+
+    li = spark.createDataFrame(
+        [
+            # order 1: parts 10, 20, 30 -> pairs (10,20) (10,30) (20,30)
+            (1, 10), (1, 20), (1, 30),
+            # order 2: parts 10, 20 -> pair (10,20) again
+            (2, 10), (2, 20),
+            # order 3: part 40 alone -> no pair
+            (3, 40),
+        ],
+        "l_orderkey long, l_partkey long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        out = {
+            (r.part_a, r.part_b): r.n_pairs
+            for r in Q.queries()["copurchase_topk"](spark, d).collect()
+        }
+    assert out == {(10, 20): 2, (10, 30): 1, (20, 30): 1}
