@@ -4808,6 +4808,81 @@ def q_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAGERANK_ITERS = 3
+_PAGERANK_DAMPING = 0.85
+
+
+@register(
+    "copurchase_pagerank",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+            GROUP BY 1, 2
+        ), deg AS (
+            SELECT pa, sum(w) AS ow FROM pairs GROUP BY pa
+        ), pr0 AS (
+            SELECT DISTINCT pa AS node, 1.0 AS pr FROM pairs
+        ), pr1 AS (
+            SELECT p.pb AS node,
+                   0.15 + {_PAGERANK_DAMPING} * sum(p.w * r.pr / d.ow) AS pr
+            FROM pairs p JOIN pr0 r ON r.node = p.pa JOIN deg d ON d.pa = p.pa
+            GROUP BY p.pb
+        ), pr2 AS (
+            SELECT p.pb AS node,
+                   0.15 + {_PAGERANK_DAMPING} * sum(p.w * r.pr / d.ow) AS pr
+            FROM pairs p JOIN pr1 r ON r.node = p.pa JOIN deg d ON d.pa = p.pa
+            GROUP BY p.pb
+        ), pr3 AS (
+            SELECT p.pb AS node,
+                   0.15 + {_PAGERANK_DAMPING} * sum(p.w * r.pr / d.ow) AS pr
+            FROM pairs p JOIN pr2 r ON r.node = p.pa JOIN deg d ON d.pa = p.pa
+            GROUP BY p.pb
+        )
+        SELECT node AS part, round(pr, 6) AS pagerank FROM pr3
+    """,
+    description="Weighted PageRank over the co-purchase graph "
+    f"({_PAGERANK_ITERS} fixed power iterations, damping "
+    f"{_PAGERANK_DAMPING}): the canonical iterative-algorithm shape on "
+    "DataFrames — edge list + degrees persisted once, each iteration "
+    "one co-partitioned join + partial agg on uniform part keys; no "
+    "driver-side state beyond the loop counter (exact-SQL oracle, "
+    "3 unrolled CTE iterations). The undirected edge duplication "
+    "guarantees in-degree>0 for every node, so no dangling-mass term",
+)
+def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = tracked_persist(
+        a.join(b, "ok")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    deg = pairs.groupBy("pa").agg(F.sum("w").alias("ow"))
+    pr = pairs.select(F.col("pa").alias("node")).distinct().withColumn(
+        "pr", F.lit(1.0)
+    )
+    for _ in range(_PAGERANK_ITERS):
+        pr = (
+            pairs.join(pr, pairs["pa"] == pr["node"])
+            .join(deg, "pa")
+            .groupBy(F.col("pb").alias("node2"))
+            .agg(
+                (
+                    F.lit(0.15)
+                    + F.lit(_PAGERANK_DAMPING)
+                    * F.sum(F.col("w") * F.col("pr") / F.col("ow"))
+                ).alias("pr")
+            )
+            .select(F.col("node2").alias("node"), "pr")
+        )
+    return pr.select(F.col("node").alias("part"), F.round("pr", 6).alias("pagerank"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

@@ -625,3 +625,29 @@ def test_copurchase_pairs_counts(spark):
             for r in Q.queries()["copurchase_topk"](spark, d).collect()
         }
     assert out == {(10, 20): 2, (10, 30): 1, (20, 30): 1}
+
+
+def test_copurchase_pagerank_star_graph(spark):
+    """Star graph (center part in every order, distinct leaves): the
+    center accumulates rank strictly above every leaf; leaves tie by
+    symmetry; total mass follows the 0.15/0.85 per-node form."""
+    from kafka_streams_homework_spark import queries as Q
+    import tempfile
+    import os
+
+    rows = []
+    for i, leaf in enumerate([20, 30, 40, 50]):
+        rows += [(i, 10), (i, leaf)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        prs = {
+            r.part: r.pagerank
+            for r in Q.queries()["copurchase_pagerank"](spark, d).collect()
+        }
+    leaves = [prs[p] for p in (20, 30, 40, 50)]
+    assert len(set(leaves)) == 1          # symmetric leaves tie exactly
+    assert prs[10] > leaves[0] * 2        # hub dominates
+    expected = 0.15 * 5 + 0.85 * 0.15 * 5 + 0.85**2 * 0.15 * 5 + 0.85**3 * 5
+    # per-node output is rounded to 6dp → up to 5 × 0.5e-6 drift
+    assert abs(sum(prs.values()) - expected) < 3e-6

@@ -80,16 +80,29 @@ FACT_KEYS = {
 }
 
 _VOWELS = "aeiou"
+_CONSONANTS = "bcdfghjklmnpqrstvwxyz"
 
 
 def _perturb(df, table: str, i: int):
-    """Replica-specific, equality-preserving text perturbation."""
+    """Replica-specific, equality-preserving text perturbation.
+
+    Vowels rotate by i mod 5 and consonants independently by i mod 21;
+    the combined mapping is injective per replica and distinct for
+    lcm(5,21)=105 replicas, so probes up to 100x keep duplicate/
+    near-dup pair counts LINEAR in the replica count (two replicas
+    never share a text transform; a vowel-only rotation would repeat
+    every 5 replicas and manufacture quadratic cross-replica near-dup
+    artifacts that real corpus growth would not have)."""
     if i == 0 or table != "documents":
         return df
-    rot = _VOWELS[i % 5 :] + _VOWELS[: i % 5]
-    both = _VOWELS + _VOWELS.upper()
-    rot_both = rot + rot.upper()
-    return df.withColumn("text", F.translate(F.col("text"), both, rot_both))
+    rot_v = _VOWELS[i % 5 :] + _VOWELS[: i % 5]
+    rot_c = _CONSONANTS[i % 21 :] + _CONSONANTS[: i % 21]
+    src = _VOWELS + _CONSONANTS
+    dst = rot_v + rot_c
+    return df.withColumn(
+        "text",
+        F.translate(F.col("text"), src + src.upper(), dst + dst.upper()),
+    )
 
 
 def replicate(spark, sf_dir: str, base: str, n: int) -> None:
