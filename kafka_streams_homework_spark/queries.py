@@ -4674,6 +4674,73 @@ def q_avro_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AVRO_PURCHASE_READER_V2 = """
+{"type": "record", "name": "Purchase", "fields": [
+  {"name": "value", "type": "double"},
+  {"name": "user_id", "type": "long"},
+  {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+  {"name": "region", "type": "string", "default": "unknown"}
+]}
+"""
+
+
+@register(
+    "avro_schema_evolution",
+    oracle=f"""
+        SELECT CAST(user_id AS VARCHAR) AS alert_key, c_name AS customer_name,
+               'unknown' AS region,
+               CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+               round(sum(value), 2) AS total_sum_per_minute
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY user_id, c_name, date_trunc('minute', ts)
+        HAVING round(sum(value), 2) > {ALERT_THRESHOLD}
+    """,
+    description="Avro schema RESOLUTION in-plan (spec §Schema "
+    "Resolution): events encoded under the v1 writer schema, decoded "
+    "under a v2 READER schema that reorders fields (name-based match "
+    "over the positional wire format) and adds a defaulted `region` "
+    "column — the rolling-upgrade contract a Schema-Registry consumer "
+    "needs; flagship aggregation over the evolved frame, same oracle "
+    "as avro_wire_roundtrip plus the defaulted column",
+)
+def q_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.sources.avro_codec import (
+        avro_decode_column_evolved,
+        avro_encode_column,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    wire = events.select(
+        avro_encode_column(
+            F.struct("user_id", "ts", "value"), AVRO_PURCHASE_SCHEMA
+        ).alias("payload")
+    )
+    decoded = wire.select(
+        avro_decode_column_evolved(
+            "payload", AVRO_PURCHASE_SCHEMA, AVRO_PURCHASE_READER_V2
+        ).alias("value")
+    ).select("value.user_id", "value.ts", "value.value", "value.region")
+    enriched = R.join_stream_table(
+        decoded, customer, decoded["user_id"] == customer["c_custkey"], "inner"
+    )
+    agg = R.windowed_agg(
+        enriched,
+        ["user_id", "c_name", "region"],
+        "ts",
+        [F.round(F.sum("value"), 2).alias("total_sum_per_minute")],
+        "1 minute",
+    )
+    alerts = R.filter_threshold(agg, "total_sum_per_minute", ALERT_THRESHOLD)
+    return alerts.select(
+        F.col("user_id").cast("string").alias("alert_key"),
+        F.col("c_name").alias("customer_name"),
+        "region",
+        F.col("window.start").alias("window_start"),
+        F.col("total_sum_per_minute").cast("double").alias("total_sum_per_minute"),
+    )
+
+
 # ===========================================================================
 # Round-5 additions: normalized exact dedup, CCNet-style quality tiers,
 # deterministic weighted sampling, market-basket co-occurrence

@@ -269,3 +269,134 @@ def avro_encode_column(struct_col, schema_json: str):
 def make_decoder(schema_json: str) -> Callable[[bytes], dict[str, Any]]:
     fields = parse_schema(schema_json)
     return lambda b: decode_record(fields, b)
+
+
+# ---------------------------------------------------------------------------
+# Schema resolution (Avro spec §Schema Resolution): reader-schema
+# evolution over writer-encoded bytes
+# ---------------------------------------------------------------------------
+
+# writer type → reader types it may promote to (spec promotion table,
+# restricted to the flat-primitive subset this codec supports)
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double", "timestamp-micros"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "boolean": {"boolean"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+    "timestamp-micros": {"timestamp-micros", "long"},
+}
+
+
+def _parse_defaults(schema_json: str) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    for f in json.loads(schema_json)["fields"]:
+        if "default" in f:
+            out[f["name"]] = f["default"]
+    return out
+
+
+def _promote(v: Any, wt: str, rt: str) -> Any:
+    if v is None or wt == rt:
+        return v
+    if rt in ("float", "double"):
+        return float(v)
+    if rt == "long" and wt == "timestamp-micros":
+        return v.value // 1_000 if isinstance(v, pd.Timestamp) else int(v)
+    if rt == "timestamp-micros" and wt == "long":
+        return pd.Timestamp(int(v), unit="us")
+    if rt == "bytes" and wt == "string":
+        return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+    if rt == "string" and wt == "bytes":
+        return v.decode("utf-8") if isinstance(v, (bytes, bytearray)) else str(v)
+    return v
+
+
+class ResolvedSchema:
+    """Decode plan for reading writer-encoded bytes under a reader
+    schema: writer fields in WIRE ORDER (positional decode), each
+    either emitted under the reader's name/type or consumed-and-
+    discarded; reader-only fields filled from their defaults."""
+
+    __slots__ = ("writer_fields", "emit", "defaults", "reader_fields")
+
+    def __init__(self, writer_json: str, reader_json: str):
+        self.writer_fields = parse_schema(writer_json)
+        self.reader_fields = parse_schema(reader_json)
+        raw_defaults = _parse_defaults(reader_json)
+        readers = {f.name: f for f in self.reader_fields}
+        self.emit: dict[str, str | None] = {}
+        for wf in self.writer_fields:
+            rf = readers.get(wf.name)
+            if rf is None:
+                self.emit[wf.name] = None  # consumed, not emitted
+                continue
+            if rf.type not in _PROMOTIONS[wf.type]:
+                raise ValueError(
+                    f"field {wf.name}: writer {wf.type} cannot resolve "
+                    f"to reader {rf.type}"
+                )
+            self.emit[wf.name] = rf.type
+        written = {f.name for f in self.writer_fields}
+        self.defaults: dict[str, Any] = {}
+        for rf in self.reader_fields:
+            if rf.name in written:
+                continue
+            if rf.name not in raw_defaults:
+                if not rf.nullable:
+                    raise ValueError(
+                        f"reader field {rf.name} missing from writer "
+                        "schema and has no default"
+                    )
+                self.defaults[rf.name] = None
+                continue
+            d = raw_defaults[rf.name]
+            if rf.type == "timestamp-micros" and d is not None:
+                d = pd.Timestamp(int(d), unit="us")
+            if rf.type == "bytes" and isinstance(d, str):
+                # spec: bytes defaults are JSON strings of latin-1 code points
+                d = d.encode("latin-1")
+            self.defaults[rf.name] = d
+
+
+def decode_record_resolved(plan: ResolvedSchema, buf: bytes) -> dict[str, Any]:
+    """Positional decode under the WRITER schema, emit under the READER
+    schema: skipped fields are consumed (Avro binary has no tags — every
+    writer field must be walked), matched fields are promoted, missing
+    fields come from reader defaults, and the output dict is in READER
+    field order."""
+    raw = decode_record(plan.writer_fields, buf)
+    by_writer_type = {f.name: f.type for f in plan.writer_fields}
+    out: dict[str, Any] = {}
+    for rf in plan.reader_fields:
+        emit_t = plan.emit.get(rf.name)
+        if rf.name in raw and emit_t is not None:
+            out[rf.name] = _promote(raw[rf.name], by_writer_type[rf.name], emit_t)
+        else:
+            out[rf.name] = plan.defaults[rf.name]
+    return out
+
+
+def avro_decode_column_evolved(value, writer_schema_json: str, reader_schema_json: str):
+    """``from_avro`` with schema resolution: decode writer-encoded
+    bytes, emit the READER schema (defaults for new fields, promotions,
+    writer-only fields dropped). Same Arrow-batched single-crossing
+    shape as avro_decode_column."""
+    from pyspark.sql.functions import pandas_udf
+
+    plan = ResolvedSchema(writer_schema_json, reader_schema_json)
+    ddl = spark_ddl(reader_schema_json)
+    names = [f.name for f in plan.reader_fields]
+    ts_fields = [f.name for f in plan.reader_fields if f.type == "timestamp-micros"]
+
+    @pandas_udf(ddl)
+    def _decode(payload: pd.Series) -> pd.DataFrame:
+        rows = [decode_record_resolved(plan, bytes(b)) for b in payload]
+        df = pd.DataFrame(rows, columns=names)
+        for n in ts_fields:
+            df[n] = pd.to_datetime(df[n])
+        return df
+
+    return _decode(value)

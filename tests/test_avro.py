@@ -192,3 +192,98 @@ def test_record_roundtrip_property(row):
     assert out["note"] == row["note"]
     assert out["flag"] is row["flag"]
     assert out["blob"] == row["blob"]
+
+
+# ---------------------------------------------------------------------------
+# Schema resolution (spec §Schema Resolution)
+# ---------------------------------------------------------------------------
+
+WRITER_V1 = """
+{"type": "record", "name": "P", "fields": [
+  {"name": "user_id", "type": "long"},
+  {"name": "note", "type": "string"},
+  {"name": "value", "type": "int"},
+  {"name": "legacy", "type": "string"}
+]}
+"""
+
+READER_V2 = """
+{"type": "record", "name": "P", "fields": [
+  {"name": "value", "type": "double"},
+  {"name": "user_id", "type": "long"},
+  {"name": "region", "type": "string", "default": "unknown"},
+  {"name": "note", "type": "bytes"},
+  {"name": "opt", "type": ["null", "long"]}
+]}
+"""
+
+
+def test_schema_resolution_defaults_promotion_skip_reorder():
+    """One record exercises the full resolution matrix: field
+    reordering (name-based match), int->double promotion,
+    string->bytes promotion, writer-only field skipped (but its bytes
+    consumed), reader-only field from default, nullable reader-only
+    field without default -> null."""
+    w = C.parse_schema(WRITER_V1)
+    buf = C.encode_record(
+        w, {"user_id": 7, "note": "héllo", "value": -3, "legacy": "drop me"}
+    )
+    plan = C.ResolvedSchema(WRITER_V1, READER_V2)
+    out = C.decode_record_resolved(plan, buf)
+    assert list(out) == ["value", "user_id", "region", "note", "opt"]
+    assert out["value"] == -3.0 and isinstance(out["value"], float)
+    assert out["user_id"] == 7
+    assert out["region"] == "unknown"
+    assert out["note"] == "héllo".encode("utf-8")
+    assert out["opt"] is None
+    assert "legacy" not in out
+
+
+def test_schema_resolution_rejects_narrowing():
+    bad_reader = """
+    {"type": "record", "name": "P", "fields": [
+      {"name": "value", "type": "int"},
+      {"name": "user_id", "type": "int"},
+      {"name": "note", "type": "string"},
+      {"name": "legacy", "type": "string"}
+    ]}
+    """
+    import pytest
+
+    # user_id: writer long -> reader int is a narrowing, not a promotion
+    with pytest.raises(ValueError, match="cannot resolve"):
+        C.ResolvedSchema(WRITER_V1, bad_reader)
+
+    missing_no_default = """
+    {"type": "record", "name": "P", "fields": [
+      {"name": "user_id", "type": "long"},
+      {"name": "brand_new", "type": "string"}
+    ]}
+    """
+    with pytest.raises(ValueError, match="no default"):
+        C.ResolvedSchema(WRITER_V1, missing_no_default)
+
+
+def test_schema_resolution_spark_column(spark):
+    """End-to-end through the Arrow-batched UDF: writer-encoded rows
+    decoded under the reader schema inside a Spark plan."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 10, "x"), (2, "b", 20, "y")],
+        "user_id long, note string, value int, legacy string",
+    )
+    wire = df.select(
+        C.avro_encode_column(
+            F.struct("user_id", "note", "value", "legacy"), WRITER_V1
+        ).alias("payload")
+    )
+    out = wire.select(
+        C.avro_decode_column_evolved("payload", WRITER_V1, READER_V2).alias("r")
+    ).select("r.*")
+    rows = {r.user_id: r for r in out.collect()}
+    assert rows[1].value == 10.0 and rows[1].region == "unknown"
+    assert rows[2].note == b"b" and rows[2].opt is None
+    assert out.schema.simpleString() == (
+        "struct<value:double,user_id:bigint,region:string,note:binary,opt:bigint>"
+    )
