@@ -368,3 +368,32 @@ def test_substring_dedup_has_no_pair_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert count_exchanges(df) <= 4, plan
+
+
+def test_pq_encode_and_assign_cells_are_shuffle_free(spark, sf_dir):
+    """The round-5 zero-shuffle claim, pinned: encoding the corpus to
+    PQ codes and assigning IVF cells are pure map stages — the
+    codebook/centroids arrive via a single-row broadcast, so the only
+    join is a BroadcastNestedLoopJoin and NO Exchange appears."""
+    from kafka_streams_homework_spark.operators import similarity as S
+    from kafka_streams_homework_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = S.pq_fit(emb, m=8, ksub=8, iters=1)
+    enc = S.pq_encode(emb, cb, m=8)
+    assert count_exchanges(enc) == 0, physical_plan(enc)
+    assert "BroadcastNestedLoopJoin" in physical_plan(enc)
+
+    cents = S.kmeans_cells(emb, ncells=4, iters=1)
+    asn = S.assign_cells(emb, cents)
+    assert count_exchanges(asn) == 0, physical_plan(asn)
+
+
+def test_copurchase_topk_uses_take_ordered(spark, sf_dir):
+    """Global top-100 must be TakeOrderedAndProject (per-partition
+    partial top-k, k rows per partition to the driver) — never a full
+    global sort of the pair aggregate."""
+    df = Q.queries()["copurchase_topk"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan

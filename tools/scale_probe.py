@@ -126,13 +126,20 @@ def replicate(spark, sf_dir: str, base: str, n: int) -> None:
         )
 
 
+def _force(df) -> None:
+    # noop write: full evaluation of every output column, rows dropped
+    # executor-side (count() would let Catalyst answer map-only plans
+    # from parquet footers without computing a single expression)
+    df.write.format("noop").mode("overwrite").save()
+
+
 def warm_time(fn, spark, sf_dir: str, runs: int = 2) -> float:
-    fn(spark, sf_dir).count()  # warm
+    _force(fn(spark, sf_dir))  # warm
     release_caches()
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        _force(fn(spark, sf_dir))
         best = min(best, time.perf_counter() - t0)
         release_caches()
     return best
