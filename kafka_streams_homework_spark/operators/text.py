@@ -434,3 +434,55 @@ def importance_sample(documents: DataFrame) -> DataFrame:
         F.col("quality").alias("weight"),
         (u < F.col("quality")).alias("kept"),
     )
+
+
+def quality_buckets_scalable(documents: DataFrame, bins: int = 1000) -> DataFrame:
+    """The 100 TB twin of quality_buckets: histogram cut points instead
+    of a per-document window.
+
+    quality_buckets ranks every document inside its language with
+    NTILE — a full row shuffle partitioned by lang, which concentrates
+    on skewed languages (English is ~half of a web corpus). Here the
+    corpus never shuffles at row level:
+    1. one scan scores + bins each doc (fixed 1/bins-wide bins);
+    2. a partial-merged (lang, bin) histogram — at most
+       |langs| x bins rows ever shuffle;
+    3. tertile cut bins derived from the descending cumulative (the
+       windows run over the tiny histogram, not the corpus);
+    4. cut points broadcast back; bucketing is a map-side expression.
+    Buckets match NTILE up to bin resolution (ties inside one
+    1/1000-quality bin may land one bucket over — pytest pins the
+    agreement rate). All arithmetic is integer/deterministic, so the
+    result is exactly reproducible cross-engine (DuckDB oracle).
+    """
+    scored = quality_score(documents).select("doc_id", "quality")
+    withlang = documents.select("doc_id", "lang").join(scored, "doc_id")
+    binned = withlang.withColumn(
+        "bin",
+        F.least(F.floor(F.col("quality") * bins), F.lit(bins - 1)).cast("int"),
+    )
+    hist = binned.groupBy("lang", "bin").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy("lang").orderBy(F.col("bin").desc())
+    w_all = Window.partitionBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "total", F.sum("c").over(w_all)
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("cum") >= F.ceil(F.col("total") / 3.0), F.col("bin"))
+        ).alias("t1"),
+        F.max(
+            F.when(F.col("cum") >= F.ceil(F.col("total") * 2 / 3.0), F.col("bin"))
+        ).alias("t2"),
+    )
+    return binned.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.when(F.col("bin") >= F.col("t1"), F.lit("head"))
+        .when(F.col("bin") >= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -4811,6 +4811,58 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_buckets_scalable",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, str_split(lower(text), ' ') AS tok FROM documents
+        ), m AS (
+            SELECT doc_id, lang, len(tok) AS n_tok,
+                   len(list_distinct(tok)) AS n_uniq,
+                   len(list_filter(tok, x -> x IN ('{_STOPWORD_SQL}'))) AS n_stop
+            FROM t
+        ), q AS (
+            SELECT doc_id, lang,
+                   round(0.5 * (n_uniq::DOUBLE / n_tok)
+                         + 0.3 * least(n_tok / 100.0, 1.0)
+                         + 0.2 * (1.0 - n_stop::DOUBLE / n_tok), 6) AS quality
+            FROM m
+        ), b AS (
+            SELECT doc_id, lang, quality,
+                   least(CAST(floor(quality * 1000) AS INTEGER), 999) AS bin
+            FROM q
+        ), h AS (
+            SELECT lang, bin, count(*) AS c FROM b GROUP BY 1, 2
+        ), cm AS (
+            SELECT lang, bin,
+                   sum(c) OVER (PARTITION BY lang ORDER BY bin DESC) AS cum,
+                   sum(c) OVER (PARTITION BY lang) AS total
+            FROM h
+        ), cuts AS (
+            SELECT lang,
+                   max(CASE WHEN cum >= ceil(total / 3.0) THEN bin END) AS t1,
+                   max(CASE WHEN cum >= ceil(total * 2 / 3.0) THEN bin END) AS t2
+            FROM cm GROUP BY lang
+        )
+        SELECT doc_id, b.lang AS lang, quality,
+               CASE WHEN bin >= t1 THEN 'head'
+                    WHEN bin >= t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM b JOIN cuts ON b.lang = cuts.lang
+    """,
+    description="quality_buckets at 100 TB: histogram cut points "
+    "instead of a per-document NTILE window — the corpus never "
+    "shuffles at row level (partial-merged (lang, bin) histogram, "
+    "windows over |langs|x1000 rows only, cut points broadcast back, "
+    "bucketing map-side). Deterministic integer-bin arithmetic -> "
+    "exact cross-engine oracle; agreement with the NTILE form pinned "
+    "in pytest",
+)
+def q_quality_buckets_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.quality_buckets_scalable(docs)
+
+
+@register(
     "importance_sample",
     oracle=f"""
         WITH t AS (

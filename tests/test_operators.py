@@ -651,3 +651,26 @@ def test_copurchase_pagerank_star_graph(spark):
     expected = 0.15 * 5 + 0.85 * 0.15 * 5 + 0.85**2 * 0.15 * 5 + 0.85**3 * 5
     # per-node output is rounded to 6dp → up to 5 × 0.5e-6 drift
     assert abs(sum(prs.values()) - expected) < 3e-6
+
+
+def test_quality_buckets_scalable_agrees_with_ntile(spark, sf_dir):
+    """The histogram-cut form matches the exact NTILE form except for
+    documents whose 1/1000-wide quality bin straddles a tertile
+    boundary: agreement must stay >=90% overall and per-lang head
+    counts within the largest boundary-bin population."""
+    from kafka_streams_homework_spark.operators import text as T
+    from kafka_streams_homework_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {r.doc_id: r.bucket for r in T.quality_buckets(docs).collect()}
+    fast = {r.doc_id: r.bucket for r in T.quality_buckets_scalable(docs).collect()}
+    assert set(exact) == set(fast)
+    agree = sum(1 for d in exact if exact[d] == fast[d])
+    assert agree / len(exact) >= 0.9, agree / len(exact)
+    # bucket totals stay near-thirds
+    from collections import Counter
+
+    c = Counter(fast.values())
+    n = len(fast)
+    for b in ("head", "middle", "tail"):
+        assert abs(c[b] - n / 3) <= n * 0.15, (b, c)
