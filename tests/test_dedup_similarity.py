@@ -349,3 +349,27 @@ def test_span_trim_never_grows_and_matches_detection(spark, sf_dir):
         "n_tokens_after < n_tokens_before").collect()}
     flagged = {r.doc_id for r in D.duplicated_spans(docs, n=8).collect()}
     assert lost <= flagged  # only flagged docs may lose tokens
+
+
+def test_sample_fit_matches_distributed_fit(spark, sf_dir):
+    """The numpy sample fit and the DataFrame Lloyd twin implement the
+    SAME algorithm (same hash-ordered init, assignment tie-breaks,
+    mean updates): when the training sample covers the whole corpus
+    the centroids must agree to float-summation noise."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {r.cell: r.centroid for r in S.kmeans_cells(emb, 4, 2).collect()}
+    b = {r.cell: r.centroid for r in S.kmeans_cells_distributed(emb, 4, 2).collect()}
+    assert set(a) == set(b)
+    for c in a:
+        assert np.allclose(a[c], b[c], atol=1e-9), c
+
+    ca = {(r.sub, r.code): r.centroid for r in S.pq_fit(emb, 8, 8, 2).collect()}
+    cb = {
+        (r.sub, r.code): r.centroid
+        for r in S.pq_fit_distributed(emb, 8, 8, 2).collect()
+    }
+    assert set(ca) == set(cb)
+    for k in ca:
+        assert np.allclose(ca[k], cb[k], atol=1e-9), k
