@@ -4852,8 +4852,8 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="quality_buckets at 100 TB: histogram cut points "
     "instead of a per-document NTILE window — the corpus never "
     "shuffles at row level (partial-merged (lang, bin) histogram, "
-    "windows over |langs|x1000 rows only, cut points broadcast back, "
-    "bucketing map-side). Deterministic integer-bin arithmetic -> "
+    "windows over n_langs x 1000 rows only, cut points broadcast "
+    "back, bucketing map-side). Deterministic integer-bin arithmetic: "
     "exact cross-engine oracle; agreement with the NTILE form pinned "
     "in pytest",
 )
