@@ -70,11 +70,14 @@ def lang_id_heuristic(documents: DataFrame, threshold: float = 0.1) -> DataFrame
     )
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
+def quality_score(documents: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Composite quality signal: length band + lexical diversity.
 
     Mirrors the usual LLM-data quality filters (length, repetition,
     stopword ratio) with deterministic, oracle-checkable arithmetic.
+    ``passthrough`` columns ride along in the same projection so
+    callers that need them (per-lang bucketing) don't pay a doc_id
+    self-join to re-attach them.
     """
     tok = tokens("text")
     n_tok = F.size(tok)
@@ -90,6 +93,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
     return documents.select(
         "doc_id",
+        *passthrough,
         F.round(diversity, 6).alias("lexical_diversity"),
         score.alias("quality"),
         ((n_tok >= 5) & (n_tok <= 1000) & (diversity > 0.3)).alias("keep"),
@@ -398,8 +402,9 @@ def quality_buckets(documents: DataFrame) -> DataFrame:
     same output, no window. NTILE is kept here as the exact,
     oracle-checkable form.
     """
-    scored = quality_score(documents).select("doc_id", "quality")
-    withlang = documents.select("doc_id", "lang").join(scored, "doc_id")
+    withlang = quality_score(documents, passthrough=("lang",)).select(
+        "doc_id", "lang", "quality"
+    )
     w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), F.col("doc_id"))
     tile = F.ntile(3).over(w)
     return withlang.select(
@@ -455,8 +460,9 @@ def quality_buckets_scalable(documents: DataFrame, bins: int = 1000) -> DataFram
     agreement rate). All arithmetic is integer/deterministic, so the
     result is exactly reproducible cross-engine (DuckDB oracle).
     """
-    scored = quality_score(documents).select("doc_id", "quality")
-    withlang = documents.select("doc_id", "lang").join(scored, "doc_id")
+    withlang = quality_score(documents, passthrough=("lang",)).select(
+        "doc_id", "lang", "quality"
+    )
     binned = withlang.withColumn(
         "bin",
         F.least(F.floor(F.col("quality") * bins), F.lit(bins - 1)).cast("int"),
