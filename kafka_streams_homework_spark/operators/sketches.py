@@ -89,3 +89,63 @@ def distinct_rollup_hll(
             F.count(F.lit(1)).alias("n_hours"),
         )
     )
+
+
+def heavy_hitters(df: DataFrame, col: str, k_counters: int = 256) -> DataFrame:
+    """Exact heavy hitters in 1.5 scans with BOUNDED state — the
+    Misra-Gries ("Frequent") summary + exact recount, vs the full
+    groupBy whose state grows with true key cardinality.
+
+    Pass 1 (mapInPandas, Arrow batches): each partition keeps at most
+    k_counters counters; when a batch merge overflows, the (k+1)-th
+    largest count t is subtracted from every counter and non-positive
+    ones drop — the standard compression, whose removed mass is
+    ≥ (k+1)·t, so the per-item undercount over a partition of n_p rows
+    is ≤ n_p/(k+1). Any key with GLOBAL count > n/(k+1) therefore
+    survives at least one partition summary; the union of summaries
+    (≤ k_counters × n_partitions keys, corpus-size-independent) is a
+    guaranteed candidate superset.
+
+    Pass 2: exact recount of ONLY the candidates (broadcast semi-join,
+    partial-agg groupBy over ≤ |candidates| keys) and the
+    > n/(k_counters+1) threshold — making the output EXACT and fully
+    deterministic regardless of partitioning or arrival order (the
+    summaries vary with order; the thresholded recount does not).
+
+    At 100 TB: the only full-cardinality shuffle a naive top-k pays is
+    gone — state is k counters per task, candidates broadcast back,
+    and the recount aggregates a pre-filtered stream. This is the
+    batch shape of the streaming space-saving sketch.
+    """
+    import pandas as pd
+
+    schema = df.select(F.col(col)).schema
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k_counters:
+                cs = sorted(counters.values(), reverse=True)
+                t = cs[k_counters]  # (k+1)-th largest
+                counters = {x: n - t for x, n in counters.items() if n > t}
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    cand = df.select(F.col(col)).mapInPandas(mg, schema=schema).distinct()
+    total = df.select(F.count(F.lit(1)).alias("n_total"))
+    counts = (
+        df.select(F.col(col))
+        .join(F.broadcast(cand), col)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("n_total") / float(k_counters + 1))
+        .select(
+            col,
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("n_total").cast("bigint").alias("n_total"),
+        )
+    )

@@ -4898,6 +4898,35 @@ def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "heavy_hitter_tokens",
+    oracle="""
+        WITH t AS (
+            SELECT unnest(str_split(lower(text), ' ')) AS token FROM documents
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_total FROM t
+        )
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt, n_total
+        FROM t, tot
+        GROUP BY token, n_total
+        HAVING count(*) > n_total / 257.0
+    """,
+    description="Exact heavy-hitter tokens via bounded-state "
+    "Misra-Gries + exact recount (operators/sketches.heavy_hitters): "
+    "per-partition 256-counter summaries (mapInPandas, Arrow batches) "
+    "give a guaranteed candidate superset for every token above "
+    "n/257 of the Zipfian token mass; a broadcast-semi-join recount "
+    "makes the result exact and order/partitioning-independent — the "
+    "full-vocabulary shuffle a naive top-k pays never happens",
+)
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.functions import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    return SK.heavy_hitters(toks, "token", k_counters=256)
+
+
+@register(
     "copurchase_topk",
     oracle="""
         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,

@@ -674,3 +674,28 @@ def test_quality_buckets_scalable_agrees_with_ntile(spark, sf_dir):
     n = len(fast)
     for b in ("head", "middle", "tail"):
         assert abs(c[b] - n / 3) <= n * 0.15, (b, c)
+
+
+def test_heavy_hitters_exact_and_partition_independent(spark):
+    """MG summaries vary with arrival order; the thresholded exact
+    recount must not: any key above n/(k+1) appears with its EXACT
+    count under any partitioning, and nothing below the threshold
+    leaks in."""
+    from collections import Counter
+
+    from kafka_streams_homework_spark.operators import sketches as SK
+
+    # 3 hot keys + a long uniform tail; n = 3*500 + 1000 = 2500
+    vals = [100] * 500 + [200] * 500 + [300] * 500 + list(range(1000))
+    truth = Counter(vals)
+    k = 16
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    for parts in (1, 7, 32):
+        out = {
+            r.k: (r.cnt, r.n_total)
+            for r in SK.heavy_hitters(df.repartition(parts), "k", k).collect()
+        }
+        expect = {
+            v: (c, 2500) for v, c in truth.items() if c > 2500 / (k + 1)
+        }
+        assert out == expect, (parts, out)
