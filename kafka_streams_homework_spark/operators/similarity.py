@@ -182,9 +182,21 @@ def kmeans_cells(
     """
     if fit_sample is None:
         return kmeans_cells_distributed(embeddings, ncells, iters)
+    _, X = _sample_vectors(embeddings, fit_sample)
+    cents = _kmeans_np(X, ncells, iters)
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+
+
+def _kmeans_np(X, ncells: int, iters: int):
+    """Vectorized spherical Lloyd on a driver-side sample (see
+    kmeans_cells for the semantics contract with the distributed twin).
+    Returns the centroid ndarray."""
     import numpy as np
 
-    _, X = _sample_vectors(embeddings, fit_sample)
     ncells = min(ncells, X.shape[0])
     cents = X[:ncells].copy()
     xn = np.linalg.norm(X, axis=1)
@@ -198,11 +210,7 @@ def kmeans_cells(
             mask = best == c
             if mask.any():  # empty cells keep their previous centroid
                 cents[c] = X[mask].mean(axis=0)
-    spark = embeddings.sparkSession
-    return spark.createDataFrame(
-        [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
-        "cell int, centroid array<double>",
-    )
+    return cents
 
 
 def kmeans_cells_distributed(
@@ -796,10 +804,25 @@ def pq_fit(
     """
     if fit_sample is None:
         return pq_fit_distributed(embeddings, m, ksub, iters)
-    import numpy as np
-
     spark = embeddings.sparkSession
     _, X = _sample_vectors(embeddings, fit_sample)
+    nested = _pq_np(X, m, ksub, iters)
+    return spark.createDataFrame(
+        [
+            (s, c, [float(v) for v in cent])
+            for s, codes in enumerate(nested)
+            for c, cent in enumerate(codes)
+        ],
+        "sub int, code int, centroid array<double>",
+    )
+
+
+def _pq_np(X, m: int, ksub: int, iters: int) -> list:
+    """Vectorized per-subspace Lloyd on a driver-side sample (see
+    pq_fit for the semantics contract with the distributed twin).
+    Returns the nested codebook nested[sub][code] = centroid list."""
+    import numpy as np
+
     nrm = np.linalg.norm(X, axis=1)
     nrm[nrm == 0] = 1.0
     Xn = X / nrm[:, None]
@@ -822,14 +845,9 @@ def pq_fit(
                 mask = best[:, s] == c
                 if mask.any():  # empty codes keep their previous centroid
                     cents[s, c] = S[mask, s].mean(axis=0)
-    return spark.createDataFrame(
-        [
-            (s, c, [float(v) for v in cents[s, c]])
-            for s in range(m)
-            for c in range(ksub)
-        ],
-        "sub int, code int, centroid array<double>",
-    )
+    return [
+        [[float(v) for v in cents[s, c]] for c in range(ksub)] for s in range(m)
+    ]
 
 
 def pq_fit_distributed(
@@ -921,6 +939,13 @@ def pq_encode(embeddings: DataFrame, codebook: DataFrame, m: int = 16) -> DataFr
     for r in rows:
         by.setdefault(r.sub, {})[r.code] = [float(v) for v in r.centroid]
     nested = [[by[s][c] for c in sorted(by[s])] for s in sorted(by)]
+    return _pq_encode_nested(embeddings, nested)
+
+
+def _pq_encode_nested(embeddings: DataFrame, nested: list) -> DataFrame:
+    """pq_encode's core, taking the codebook as driver-side nested
+    lists (composed pipelines that just fit the codebook skip the
+    DataFrame round trip)."""
     dsub = len(nested[0][0])
     spark = embeddings.sparkSession
     cdf = spark.createDataFrame([(nested,)], "cents array<array<array<double>>>")
@@ -968,6 +993,28 @@ def _pq_encode_joined(embeddings: DataFrame, codebook: DataFrame, m: int = 16) -
     )
 
 
+def _query_luts(queries: DataFrame, nested: list, m: int) -> list:
+    """Per-query ADC lookup tables from the nested codebook:
+    LUT[sub][code] = dot(normalized-query subvector, centroid).
+    |Q| × m × ksub doubles — driver-bounded by definition of the
+    query set."""
+    luts = []
+    for qr in queries.select("vec_id", "embedding").collect():
+        qv = [float(x) for x in qr.embedding]
+        nrm = sum(x * x for x in qv) ** 0.5 or 1.0
+        qv = [x / nrm for x in qv]
+        dsub = len(qv) // m
+        lut = [
+            [
+                sum(qv[s * dsub + i] * cent[i] for i in range(dsub))
+                for cent in nested[s]
+            ]
+            for s in range(m)
+        ]
+        luts.append((qr.vec_id, lut))
+    return luts
+
+
 def knn_pq_adc(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -990,34 +1037,14 @@ def knn_pq_adc(
     Same output contract as knn_bruteforce; recall is pinned against
     it in pytest (quantization is lossy by design).
     """
-    codebook = pq_fit(embeddings, m, ksub, iters)
-    codes = pq_encode(embeddings, codebook, m)
-
-    cb = {}
-    for r in codebook.collect():
-        cb[(r.sub, r.code)] = list(map(float, r.centroid))
-    qrows = queries.select("vec_id", "embedding").collect()
+    # one sample collect feeds the fit; codebook stays driver-side
+    # (identical to pq_fit's output — same sample rule, same Lloyd)
+    _, X = _sample_vectors(embeddings, FIT_SAMPLE_DEFAULT)
+    nested = _pq_np(X, m, ksub, iters)
+    codes = _pq_encode_nested(embeddings, nested)
     spark = embeddings.sparkSession
-
-    luts = []
-    for qr in qrows:
-        qv = [float(x) for x in qr.embedding]
-        nrm = sum(x * x for x in qv) ** 0.5 or 1.0
-        qv = [x / nrm for x in qv]
-        dsub = len(qv) // m
-        lut = [
-            [
-                sum(
-                    qv[s * dsub + i] * cb[(s, c)][i]
-                    for i in range(dsub)
-                )
-                for c in range(ksub)
-            ]
-            for s in range(m)
-        ]
-        luts.append((qr.vec_id, lut))
     ldf = spark.createDataFrame(
-        luts, "query_id bigint, lut array<array<double>>"
+        _query_luts(queries, nested, m), "query_id bigint, lut array<array<double>>"
     )
 
     scored = (
@@ -1110,10 +1137,17 @@ def knn_ivfpq(
     in pytest). Driver state stays bounded: k centroids + the codebook
     + per-query LUTs.
     """
-    cents = kmeans_cells(embeddings, ncells, iters)
+    # ONE sample collect trains BOTH quantizers (coarse cells + PQ
+    # codebooks); everything corpus-sized stays distributed
+    _, X = _sample_vectors(embeddings, FIT_SAMPLE_DEFAULT)
+    spark_ = embeddings.sparkSession
+    cents = spark_.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(_kmeans_np(X, ncells, iters))],
+        "cell int, centroid array<double>",
+    )
     assigned = assign_cells(embeddings, cents)
-    codebook = pq_fit(embeddings, m, ksub, iters)
-    codes = pq_encode(embeddings, codebook, m).join(assigned, "vec_id")
+    nested = _pq_np(X, m, ksub, iters)
+    codes = _pq_encode_nested(embeddings, nested).join(assigned, "vec_id")
 
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -1133,24 +1167,10 @@ def knn_ivfpq(
         .select("query_id", "cell")
     )
 
-    # per-query ADC lookup tables (same driver-side build as knn_pq_adc)
-    cb = {(r.sub, r.code): list(map(float, r.centroid)) for r in codebook.collect()}
-    spark = embeddings.sparkSession
-    luts = []
-    for qr in queries.select("vec_id", "embedding").collect():
-        qv = [float(x) for x in qr.embedding]
-        nrm = sum(x * x for x in qv) ** 0.5 or 1.0
-        qv = [x / nrm for x in qv]
-        dsub = len(qv) // m
-        lut = [
-            [
-                sum(qv[s * dsub + i] * cb[(s, c)][i] for i in range(dsub))
-                for c in range(ksub)
-            ]
-            for s in range(m)
-        ]
-        luts.append((qr.vec_id, lut))
-    ldf = spark.createDataFrame(luts, "query_id bigint, lut array<array<double>>")
+    # per-query ADC lookup tables straight from the driver-side codebook
+    ldf = spark_.createDataFrame(
+        _query_luts(queries, nested, m), "query_id bigint, lut array<array<double>>"
+    )
 
     shortlist = _topk(
         codes.join(F.broadcast(qcells), "cell")  # cell pruning
