@@ -4752,8 +4752,8 @@ def q_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH n AS (
             SELECT doc_id,
-                   md5(trim(regexp_replace(regexp_replace(lower(text),
-                       '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS content_hash,
+                   md5(trim(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g'))) AS content_hash,
                    md5(text) AS raw_hash
             FROM documents
         )
