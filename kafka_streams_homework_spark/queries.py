@@ -4674,6 +4674,57 @@ def q_avro_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kafka_corrupt_tolerant",
+    oracle="""
+        SELECT CAST(count(CASE WHEN event_id % 7 <> 0 THEN 1 END) AS BIGINT)
+                   AS n_good,
+               CAST(count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS BIGINT)
+                   AS n_corrupt,
+               round(sum(CASE WHEN event_id % 7 <> 0 THEN value END), 2)
+                   AS total_good_value
+        FROM events
+    """,
+    description="Poison-pill tolerance, driver-visible: every 7th wire "
+    "record is truncated mid-payload in-plan, then decoded with the "
+    "PERMISSIVE from_json path — corrupt payloads become null structs "
+    "instead of failing the job (the dead-letter contract a production "
+    "consumer needs; a deserialization exception in the reference's "
+    "serde kills the stream thread). The oracle derives the same "
+    "good/corrupt partition from the injection rule, so the decode "
+    "path must classify every record exactly right to hash-match",
+)
+def q_kafka_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.sources.kafka import decode_kafka_records
+
+    events = _t(spark, sf_dir, "events")
+    wire = events.select(
+        "event_id",
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.concat(
+            F.lit(b"\x00\x00\x00\x00\x2a"),
+            F.to_json(F.struct("user_id", "ts", "value")).cast("binary"),
+        ).alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    poisoned = wire.withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 7 == 0, F.expr("substring(value, 1, 12)")
+        ).otherwise(F.col("value")),
+    )
+    decoded = decode_kafka_records(
+        poisoned,
+        json_value_schema="user_id long, ts timestamp, value double",
+        confluent_wire_format=True,
+    )
+    return decoded.agg(
+        F.count(F.when(F.col("value.user_id").isNotNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("value.user_id").isNull(), 1)).alias("n_corrupt"),
+        F.round(F.sum("value.value"), 2).alias("total_good_value"),
+    )
+
+
 AVRO_PURCHASE_READER_V2 = """
 {"type": "record", "name": "Purchase", "fields": [
   {"name": "value", "type": "double"},
