@@ -35,7 +35,7 @@ import warnings
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kafka_streams_homework_spark.caching import track, tracked_persist
+from kafka_streams_homework_spark.caching import tracked_persist
 from kafka_streams_homework_spark.functions import shingle_hashes, tokens
 from kafka_streams_homework_spark.sources.batch import spread
 
@@ -233,8 +233,8 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
     )
+    labels = tracked_persist(labels)
     def one_round(lbls):
         neighbor_min = (
             edges.join(lbls, edges["dst"] == lbls["node"])
@@ -255,6 +255,16 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     # dominates on shallow dup graphs — near-dup components converge in
     # 2-4 rounds, so checking every round doubles the driver round-trips
     # for nothing. Extra rounds past the fixpoint are no-ops on the data.
+    # localCheckpoint (eager), not persist: an iterative loop's lineage
+    # otherwise DOUBLES per round (labels feeds both sides of the next
+    # join), and while persist caches the DATA, the logical plan keeps
+    # the full unrolled history — plan metadata grows exponentially and
+    # every downstream explain/canonicalization pays for it (the audit
+    # once counted 12001 display-exchanges in split_leakage_free's
+    # plan). Checkpointing truncates the plan to the materialized
+    # partitions each round — the standard iterative-algorithm hygiene
+    # (at 100 TB use reliable checkpoint storage instead of executor-
+    # local blocks to keep fault recovery).
     check_every = 2
     changed = 0
     iters_done = 0
@@ -263,14 +273,13 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         for _ in range(min(check_every, max_iters - iters_done)):
             stepped = one_round(stepped)
             iters_done += 1
-        new_labels = stepped.persist()
+        new_labels = stepped.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -284,10 +293,8 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             RuntimeWarning,
             stacklevel=2,
         )
-    # labels is still persisted (the loop's last new_labels) and the
-    # returned select depends on it; hand the handle to the session
-    # cache tracker instead of leaking it
-    track(labels)
+    # labels is the last localCheckpoint (executor-local blocks, freed
+    # by the ContextCleaner when unreferenced); nothing left to track
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
