@@ -85,6 +85,12 @@ BENCH_QUERIES = [
     "copurchase_pagerank",
     "avro_schema_evolution",
     "knn_ivfpq",
+    # round-4 continuation: quality classifier (map-only), time-series
+    # gap fill, degree-oriented triangles, centroid-outlier pruning
+    "classifier_score",
+    "timeseries_resample",
+    "triangle_count",
+    "embedding_outliers",
 ]
 
 

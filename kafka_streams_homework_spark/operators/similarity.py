@@ -1204,3 +1204,61 @@ def knn_ivfpq(
         .select("query_id", "neighbor_id", "sim")
     )
     return _topk(rescored, k)
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    threshold: float = 0.0,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroid-distance outlier detection: flag vectors whose cosine
+    to their own label's centroid falls below ``threshold`` — the
+    CLIP-filtering / mislabel-pruning pass of multimodal and
+    classification curation pipelines (drop examples that do not
+    resemble their assigned class).
+
+    Plan: posexplode to (label, pos, component) → one (label, pos)
+    avg — a bounded shuffle of |labels| x dim groups regardless of
+    corpus size — reassembled into centroid arrays (sorted
+    collect_list of |labels| rows), broadcast back onto ONE corpus
+    scan; the cosine is pure JVM (zip_with/aggregate). The corpus
+    never shuffles; driver holds nothing. Centroid components are
+    rounded to 6 before the cosine so the flag decision is
+    reproducible cross-engine (the unrounded avg is order-sensitive
+    at 1e-15, harmless after rounding).
+    """
+    from kafka_streams_homework_spark.functions import cosine_similarity
+
+    comps = embeddings.select(
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(
+            "pos", "x"
+        ),
+    )
+    centroids = (
+        comps.groupBy("lbl", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("lbl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+    sim = F.round(
+        cosine_similarity(F.col(vec_col), F.col("centroid")), 6
+    )
+    return (
+        embeddings.join(
+            F.broadcast(centroids), F.col(label_col) == F.col("lbl")
+        )
+        .select(
+            id_col,
+            label_col,
+            sim.alias("centroid_sim"),
+            (sim < F.lit(threshold)).alias("is_outlier"),
+        )
+    )

@@ -492,3 +492,60 @@ def quality_buckets_scalable(documents: DataFrame, bins: int = 1000) -> DataFram
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def classifier_score(
+    documents: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style linear text classifier over hashed n-gram
+    features — the quality-filter architecture of CCNet/RefinedWeb-
+    class pipelines (a learned linear model over hashed unigram+bigram
+    features), expressed as pure JVM column expressions.
+
+    Features: unigrams and token bigrams, hashed into ``n_buckets``
+    via the first 8 hex digits of md5 (engine-portable, unlike
+    xxhash64 which DuckDB lacks). The per-bucket weight here is a
+    deterministic function of the bucket id ((b % 197)/197 - 0.5) —
+    a stand-in for trained weights with the same plan shape: a real
+    deployment swaps the inline expression for a broadcast
+    ``array<double>`` literal of length n_buckets (fastText dims are
+    a few MB — broadcast-trivial) and the rest of the plan is
+    unchanged.
+
+    Score = sigmoid(4 * mean feature weight), rounded to 6 so the
+    keep/drop decision is identical cross-engine. Map-only: no
+    shuffle, no Python, one pass over the corpus — at 100 TB this is
+    scan-bound and embarrassingly parallel, exactly like the C4 /
+    CCNet quality-filter pass it models.
+    """
+    toks = tokens(text_col)
+    # sequence(1, n-1) DESCENDS for n=1 in Spark (DuckDB's
+    # generate_series is empty there) — filter i < n instead of
+    # trusting the endpoint order
+    feats = F.concat(
+        toks,
+        F.expr(
+            "transform(filter(sequence(1, size({t})), i -> i < size({t})),"
+            " i -> concat(element_at({t}, i), ' ', element_at({t}, i + 1)))".format(
+                t=f"split(lower({text_col}), ' ')"
+            )
+        ),
+    )
+    bucket = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast(
+        "long"
+    ) % F.lit(n_buckets)
+    weights = F.transform(
+        feats, lambda t: (bucket(t) % 197).cast("double") / 197.0 - 0.5
+    )
+    raw = F.aggregate(
+        weights, F.lit(0.0), lambda acc, w: acc + w
+    ) / F.greatest(F.size(feats), F.lit(1)).cast("double")
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-4.0 * raw)), 6)
+    return documents.select(
+        "doc_id",
+        F.size(feats).cast("bigint").alias("n_features"),
+        score.alias("clf_score"),
+        (score >= 0.5).alias("kept"),
+    )

@@ -2023,6 +2023,40 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_outliers",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), c AS (
+            SELECT label, i AS pos, round(avg(v[i]), 6) AS m
+            FROM e, generate_series(1, 64) AS g(i) GROUP BY 1, 2
+        ), cl AS (
+            SELECT label, list(m ORDER BY pos) AS centroid FROM c GROUP BY label
+        ), s AS (
+            SELECT e.vec_id, e.label,
+                   round(list_inner_product(e.v, cl.centroid)
+                         / (sqrt(list_inner_product(e.v, e.v))
+                            * sqrt(list_inner_product(cl.centroid, cl.centroid))),
+                         6) AS centroid_sim
+            FROM e JOIN cl USING (label)
+        )
+        SELECT vec_id, label, centroid_sim,
+               centroid_sim < 0.0 AS is_outlier
+        FROM s
+    """,
+    description="Mislabel/outlier pruning: cosine of each vector to its "
+    "own label centroid (CLIP-filter-style curation); centroids from "
+    "one bounded (label, dim) agg broadcast onto a single corpus scan "
+    "— corpus never shuffles",
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_outliers(emb)
+
+
+@register(
     "knn_bruteforce",
     oracle=f"""
         WITH e AS (
@@ -4949,6 +4983,95 @@ def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "classifier_score",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok FROM documents
+        ), f AS (
+            SELECT doc_id,
+                   list_concat(
+                       tok,
+                       list_transform(generate_series(1, len(tok) - 1),
+                                      i -> tok[i] || ' ' || tok[i+1])
+                   ) AS feats
+            FROM t
+        ), s AS (
+            SELECT doc_id, len(feats) AS n_features,
+                   list_sum(list_transform(feats,
+                       x -> ((('0x' || substr(md5(x), 1, 8))::BIGINT % 4096)
+                             % 197)::DOUBLE / 197.0 - 0.5))
+                   / greatest(len(feats), 1)::DOUBLE AS raw
+            FROM f
+        )
+        SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
+               round(1.0 / (1.0 + exp(-4.0 * raw)), 6) AS clf_score,
+               round(1.0 / (1.0 + exp(-4.0 * raw)), 6) >= 0.5 AS kept
+        FROM s
+    """,
+    description="fastText-style quality filter: linear classifier over "
+    "hashed unigram+bigram features (md5-bucketed, deterministic "
+    "stand-in weights with the trained-weight plan shape) — map-only, "
+    "no shuffle, scan-bound at 100 TB",
+)
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.classifier_score(docs)
+
+
+@register(
+    "timeseries_resample",
+    oracle="""
+        WITH obs AS (
+            SELECT event_type AS k, date_trunc('minute', ts) AS bucket,
+                   avg(value) AS v
+            FROM events GROUP BY 1, 2
+        ), grid AS (
+            SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE))
+                       AS bucket
+            FROM (SELECT k, min(bucket) AS lo, max(bucket) AS hi
+                  FROM obs GROUP BY k)
+        ), j AS (
+            SELECT g.k, g.bucket, o.v
+            FROM grid g LEFT JOIN obs o USING (k, bucket)
+        ), w AS (
+            SELECT k, bucket, v,
+                last_value(v IGNORE NULLS) OVER (
+                    PARTITION BY k ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                last_value(CASE WHEN v IS NOT NULL THEN bucket END
+                           IGNORE NULLS) OVER (
+                    PARTITION BY k ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                first_value(v IGNORE NULLS) OVER (
+                    PARTITION BY k ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                first_value(CASE WHEN v IS NOT NULL THEN bucket END
+                            IGNORE NULLS) OVER (
+                    PARTITION BY k ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+            FROM j
+        )
+        SELECT k AS event_type, bucket,
+               round((CASE WHEN v IS NOT NULL THEN v
+                      ELSE pv + (nv - pv)
+                           * (epoch(bucket) - epoch(pt))
+                           / (epoch(nt) - epoch(pt)) END) + 1e-9,
+                     6) AS value_filled,
+               v IS NULL AS filled
+        FROM w
+    """,
+    description="Hypertable-style resample + gap fill: per-series dense "
+    "1-minute grid (sequence/generate_series between observed min/max) "
+    "with linear interpolation of empty slots — timescaledb "
+    "time_bucket_gapfill + interpolate as one declarative plan; grid "
+    "size independent of input row count",
+)
+def q_timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return R.resample_gapfill(events)
+
+
+@register(
     "heavy_hitter_tokens",
     oracle="""
         WITH t AS (
@@ -5005,6 +5128,50 @@ def q_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_pairs").desc(), "part_a", "part_b")
         .limit(100)
     )
+
+
+@register(
+    "triangle_count",
+    oracle="""
+        WITH e AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ), tri AS (
+            SELECT e1.pa AS u, e1.pb AS v, e2.pb AS w
+            FROM e e1
+            JOIN e e2 ON e1.pb = e2.pa
+            JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        ), corners AS (
+            SELECT u AS node FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri
+        )
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY node
+    """,
+    description="Per-node triangle counts over the co-purchase graph "
+    "(edges = part pairs co-ordered >= 2 times) via degree-oriented "
+    "wedge join (Cohen): out-degree capped at O(sqrt(m)) per node, so "
+    "hub skew cannot explode the wedge set; oracle = naive a<b<c "
+    "3-way self-join (identical triangle set)",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .drop("c")
+    )
+    return triangle_count(edges)
 
 
 _PAGERANK_ITERS = 3
@@ -5108,7 +5275,7 @@ _WINDOW = [
     "partitioned_sink_scan",
     "hierarchical_rollup",
     "asof_join",
-    "windowed_distinct",
+    "timeseries_resample",
     # TPC-H battery — the nine shapes never driver-checked, rotated in
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -5133,7 +5300,7 @@ _WINDOW = [
     "doc_chunks",
     "importance_sample",
     "token_count_bpe",
-    "lang_id",
+    "classifier_score",
     "quality_buckets",
     "repetition_score",
     "pii_scrub",
@@ -5141,10 +5308,10 @@ _WINDOW = [
     "dedup_exact_normalized",
     "dedup_ngram_jaccard",
     "dedup_clusters",
-    "dedup_embedding",
+    "embedding_outliers",
     "knn_bruteforce",
     "knn_ivf_indexed",
-    "knn_filtered",
+    "triangle_count",
     "multimodal_meta",
     "copurchase_topk",
     "split_leakage_free",
@@ -5156,6 +5323,10 @@ _WINDOW = [
 # round-5 swaps (family stays represented, driver-green anchors out):
 # token_count→importance_sample, quality_score→quality_buckets,
 # dedup_exact→dedup_exact_normalized, frame_sample→copurchase_topk
+# round-4-continuation swaps (new ops in; r03-driver-green anchors out,
+# each family still represented): windowed_distinct→timeseries_resample,
+# lang_id→classifier_score, dedup_embedding→embedding_outliers,
+# knn_filtered→triangle_count
 
 
 WINDOW = 50  # the driver gate's sample size

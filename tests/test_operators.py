@@ -699,3 +699,102 @@ def test_heavy_hitters_exact_and_partition_independent(spark):
             v: (c, 2500) for v, c in truth.items() if c > 2500 / (k + 1)
         }
         assert out == expect, (parts, out)
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: resample_gapfill / triangle_count / classifier_score /
+# embedding_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_resample_gapfill_interpolates_interior_gaps(spark):
+    df = spark.createDataFrame(
+        [("a", ts(0), 10.0), ("a", ts(4), 50.0), ("a", ts(4, 30), 70.0)],
+        "event_type string, ts timestamp, value double",
+    )
+    out = {
+        r.bucket.minute: (r.value_filled, r.filled)
+        for r in R.resample_gapfill(df).collect()
+    }
+    # grid is dense from min to max observed bucket; gap minutes 1-3
+    # interpolate linearly between 10 (min 0) and avg(50,70)=60 (min 4)
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[0] == (10.0, False)
+    assert out[4] == (60.0, False)
+    assert out[1] == (22.5, True)
+    assert out[2] == (35.0, True)
+    assert out[3] == (47.5, True)
+
+
+def test_resample_gapfill_grid_is_per_key(spark):
+    df = spark.createDataFrame(
+        [("a", ts(0), 1.0), ("a", ts(2), 3.0), ("b", ts(10), 5.0)],
+        "event_type string, ts timestamp, value double",
+    )
+    rows = R.resample_gapfill(df).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.event_type, []).append(r)
+    # key b's grid is clamped to its own single observation — no rows
+    # manufactured across the 10-minute distance to key a's range
+    assert len(by_key["b"]) == 1 and by_key["b"][0].filled is False
+    assert len(by_key["a"]) == 3
+
+
+def test_triangle_count_matches_naive_enumeration(spark):
+    from itertools import combinations
+
+    from kafka_streams_homework_spark.operators.graph import triangle_count
+
+    # K4 on 1-4 (4 triangles, 3 per node) plus a pendant edge
+    edges = list(combinations(range(1, 5), 2)) + [(4, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_partitioning_independent(spark):
+    from kafka_streams_homework_spark.operators.graph import triangle_count
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (1, 4), (5, 6)]
+    a = spark.createDataFrame(edges, "src long, dst long")
+    b = a.repartition(7)
+    ra = sorted(map(tuple, triangle_count(a).collect()))
+    rb = sorted(map(tuple, triangle_count(b).collect()))
+    assert ra == rb == [(1, 2), (2, 1), (3, 2), (4, 1)]
+
+
+def test_classifier_score_deterministic_and_bounded(spark):
+    from kafka_streams_homework_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "lorem ipsum dolor"), (3, "x")],
+        "doc_id long, text string",
+    )
+    r1 = {r.doc_id: r for r in T.classifier_score(df).collect()}
+    r2 = {r.doc_id: r for r in T.classifier_score(df.repartition(5)).collect()}
+    for d in (1, 2, 3):
+        assert r1[d].clf_score == r2[d].clf_score
+        assert 0.0 < r1[d].clf_score < 1.0
+        assert r1[d].kept == (r1[d].clf_score >= 0.5)
+    # unigrams + bigrams: 4 tokens -> 7 features; 1 token -> 1 feature
+    assert r1[1].n_features == 7 and r1[3].n_features == 1
+
+
+def test_embedding_outliers_flags_far_vector(spark):
+    from kafka_streams_homework_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [1.0, 0.1, 0.0]),
+        (3, 0, [-1.0, 0.0, 0.0]),  # anti-aligned with its label centroid
+        (4, 1, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = {r.vec_id: r for r in embedding_outliers(df, threshold=0.0).collect()}
+    assert out[3].is_outlier and out[3].centroid_sim < 0
+    assert not out[1].is_outlier and out[1].centroid_sim > 0.9
+    # singleton label: vector IS the centroid
+    assert out[4].centroid_sim == 1.0 and not out[4].is_outlier
