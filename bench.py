@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "timeseries_resample",
     "triangle_count",
     "embedding_outliers",
+    "dedup_containment",
 ]
 
 

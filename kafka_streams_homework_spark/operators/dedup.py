@@ -206,6 +206,73 @@ def ngram_jaccard_pairs(
     return _verify_jaccard(candidates, sh, threshold)
 
 
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact asymmetric containment pairs: C(A→B) = |A∩B| / |A| ≥ τ
+    over token-n-gram shingle sets — the doc-inside-doc catch that
+    symmetric Jaccard structurally misses (a page embedded in a much
+    larger aggregation page has tiny Jaccard but containment ≈ 1;
+    boilerplate-wrapper dups are the common web-corpus case).
+
+    Prefix filtering adapts to the asymmetry: the pigeonhole bound
+    |A∩B| ≥ τ|A| only constrains A's side, so A contributes its
+    ⌊(1-τ)|A|⌋+1 rarest shingles while B's FULL posting list joins —
+    that is inherent to containment search (B may be arbitrarily
+    large), and the join stays cheap because A's prefix shingles are
+    by construction the globally rarest ones. The only length filter
+    is the lower bound |B| ≥ τ|A| (no upper bound — again the point).
+    Candidates are verified exactly against the shared persisted
+    shingle substrate, so the output equals the naive O(n²) result.
+
+    Output is DIRECTED: (doc_a contained-in doc_b) and the reverse are
+    separate rows when both hold (mutual containment = near-identical).
+    """
+    sh = _doc_shingle_hashes(documents, n)
+    exploded = sh.select("doc_id", "n_sh", F.explode("hs").alias("h"))
+
+    freq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).cast("int")
+    prefixes = (
+        exploded.join(freq, "h")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= prefix_len)
+        .select("doc_id", "n_sh", "h")
+    )
+    a, b = prefixes.alias("a"), exploded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("b.n_sh") >= F.ceil(F.lit(threshold) * F.col("a.n_sh"))),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    containment = F.round(
+        F.size(F.array_intersect("hs_a", "hs_b")) / F.col("n_a"), 6
+    )
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Collapse near-dup pairs into clusters; elect a canonical doc.
 

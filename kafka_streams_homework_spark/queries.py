@@ -1926,6 +1926,40 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok FROM documents
+        ), s AS (
+            SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, len(tok) - 2),
+                       i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
+            FROM t WHERE len(tok) >= 3
+        ), sizes AS (
+            SELECT doc_id, len(sh) AS n_sh FROM s
+        ), e AS (
+            SELECT doc_id, unnest(sh) AS shingle FROM s
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM e a JOIN e b ON a.shingle = b.shingle
+                              AND a.doc_id != b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_inter::DOUBLE / sa.n_sh, 6) AS containment
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+        WHERE round(n_inter::DOUBLE / sa.n_sh, 6) >= {NGRAM_JACCARD_THRESHOLD}
+    """,
+    description="Asymmetric containment near-dup pairs |A∩B|/|A| >= τ "
+    "(doc-inside-doc catch Jaccard misses): A-side-only prefix filter, "
+    "lower length bound only, exact verify — directed output",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, 3, NGRAM_JACCARD_THRESHOLD)
+
+
+@register(
     "dedup_clusters",
     oracle=f"""
         WITH RECURSIVE p AS ({_NGRAM_PAIRS_SQL}),

@@ -373,3 +373,24 @@ def test_sample_fit_matches_distributed_fit(spark, sf_dir):
     assert set(ca) == set(cb)
     for k in ca:
         assert np.allclose(ca[k], cb[k], atol=1e-9), k
+
+
+def test_containment_catches_doc_inside_doc(spark):
+    from kafka_streams_homework_spark.operators import dedup as D
+
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, small), (2, small + " " + filler), (3, filler)],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in D.containment_pairs(df, 3, 0.8).collect()
+    }
+    # doc 1's shingles are all inside doc 2 -> directed hit 1->2 only
+    assert cont[(1, 2)] == 1.0
+    assert (2, 1) not in cont  # doc 2 is NOT contained in doc 1
+    # symmetric Jaccard misses the pair entirely at the same threshold
+    jac = D.ngram_jaccard_pairs(df, 3, 0.8).collect()
+    assert not any({r.doc_a, r.doc_b} == {1, 2} for r in jac)
