@@ -139,3 +139,86 @@ def test_ngram_jaccard_prefix_filter_is_exact(spark, texts):
                 if round(j, 6) >= tau:
                     expect[(a, b)] = round(j, 6)
     assert got == expect
+
+
+resample_case = st.lists(
+    # (key, minute, value-as-tenths) — duplicates per bucket exercise
+    # the avg pre-agg; values kept small/exact to avoid float noise
+    st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(-50, 50)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(resample_case)
+def test_resample_gapfill_grid_properties(spark, case):
+    df = spark.createDataFrame(
+        [(str(k), _ts(m), v / 10.0) for k, m, v in case],
+        "event_type string, ts timestamp, value double",
+    )
+    rows = R.resample_gapfill(df).collect()
+    observed = {}
+    for k, m, v in case:
+        observed.setdefault(str(k), {}).setdefault(m, []).append(v / 10.0)
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.event_type, {})[
+            int((r.bucket - BASE).total_seconds() // 60)
+        ] = r
+    assert set(by_key) == set(observed)
+    for k, obs in observed.items():
+        got = by_key[k]
+        lo, hi = min(obs), max(obs)
+        # dense grid exactly spanning [lo, hi]; nothing outside
+        assert sorted(got) == list(range(lo, hi + 1))
+        for m, r in got.items():
+            if m in obs:
+                assert not r.filled
+                assert abs(r.value_filled - sum(obs[m]) / len(obs[m])) < 1e-5
+            else:
+                assert r.filled
+                # interpolated value lies within the segment endpoints
+                prev_m = max(x for x in obs if x < m)
+                next_m = min(x for x in obs if x > m)
+                pv = sum(obs[prev_m]) / len(obs[prev_m])
+                nv = sum(obs[next_m]) / len(obs[next_m])
+                assert min(pv, nv) - 1e-6 <= r.value_filled <= max(pv, nv) + 1e-6
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 9), min_size=3, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_containment_matches_bruteforce(spark, docs):
+    texts = [(i, " ".join(f"t{w}" for w in ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in D.containment_pairs(df, 3, 0.5).collect()
+    }
+
+    def sh(ws):
+        return {tuple(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    want = {}
+    for i, a in enumerate(docs):
+        for j, b in enumerate(docs):
+            if i == j or not sh(a):
+                continue
+            c = round(len(sh(a) & sh(b)) / len(sh(a)), 6)
+            if c >= 0.5:
+                want[(i, j)] = c
+    assert got == want
