@@ -84,10 +84,12 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         closing,
         (F.least("v", "w") == F.col("cv")) & (F.greatest("v", "w") == F.col("cw")),
     ).select("u", "v", "w")
-    corners = (
-        tris.select(F.col("u").alias("node"))
-        .unionAll(tris.select(F.col("v").alias("node")))
-        .unionAll(tris.select(F.col("w").alias("node")))
+    # explode, not a 3-way unionAll: a union of three selects over
+    # `tris` re-executes the wedge+closing joins once per branch
+    # (plan-audit showed the whole subtree tripled); explode emits the
+    # three corners in the same single pass
+    corners = tris.select(
+        F.explode(F.array("u", "v", "w")).alias("node")
     )
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")

@@ -397,3 +397,40 @@ def test_copurchase_topk_uses_take_ordered(spark, sf_dir):
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_classifier_score_is_map_only(spark, sf_dir):
+    """The quality filter must stay a single scan-project pass: no join,
+    no aggregation exchange — only spread()'s compute-redistribution
+    repartition is allowed."""
+    df = Q.REGISTRY["classifier_score"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert count_exchanges(df) <= 1, plan  # spread() only
+
+
+def test_timeseries_resample_has_no_grid_join(spark, sf_dir):
+    """Segment formulation: gap minutes come from exploding lead()
+    segments, not from joining a dense grid back to observations
+    (the join formulation degenerated to O(n^2)-per-key windows)."""
+    df = Q.REGISTRY["timeseries_resample"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_embedding_outliers_broadcasts_centroids(spark, sf_dir):
+    """Corpus scan must not shuffle: centroids (|labels| rows) join in
+    as a broadcast."""
+    df = Q.REGISTRY["embedding_outliers"].fn(spark, sf_dir)
+    assert has_broadcast_join(df), physical_plan(df)
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    """Wedge generation and closing must be equi-joins (degree-oriented
+    keys), never a cross product."""
+    df = Q.REGISTRY["triangle_count"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
