@@ -1163,6 +1163,72 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_agg",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+                   AS grouping_id,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS sum_disc_price,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    description="Full CUBE over (returnflag, linestatus) with "
+    "grouping_id disambiguation — all 4 grouping sets in one pass "
+    "(Expand + single partial-agg shuffle), completing the grouping-set "
+    "surface next to ROLLUP (rollup_agg)",
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("grouping_id"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "unpivot_metrics",
+    oracle="""
+        WITH p AS (
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                       AS click,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                       AS purchase,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                       AS error
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, 'click' AS event_type, click AS cnt FROM p
+        UNION ALL
+        SELECT user_id, 'purchase', purchase FROM p
+        UNION ALL
+        SELECT user_id, 'error', error FROM p
+    """,
+    description="Unpivot/melt — the inverse reshape of pivot_counts: "
+    "wide per-user metric columns back to long (user, metric, value) "
+    "rows via native unpivot (one Expand pass, zero-count cells kept; "
+    "no N-way self-union)",
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "purchase", "error"])
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["click", "purchase", "error"],
+        variableColumnName="event_type",
+        valueColumnName="cnt",
+    )
+
+
+@register(
     "set_except",
     oracle="""
         SELECT DISTINCT user_id, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute
