@@ -734,3 +734,113 @@ def span_trim(
             "n_tokens_after"
         ),
     )
+
+
+def edit_distance_pairs(
+    strings: DataFrame,
+    k: int = 3,
+    col: str = "name",
+) -> DataFrame:
+    """Exact edit-distance similarity join: distinct string pairs with
+    levenshtein(a, b) <= k — fuzzy record linkage (typo-variant product
+    names, near-identical titles), the string twin of the n-gram
+    Jaccard document join.
+
+    Candidate generation is the PassJoin pigeonhole (Li et al.,
+    "PassJoin: A Partition-based Method for Similarity Joins"): split
+    every string into k+1 contiguous segments — if lev(a, b) <= k then
+    a must contain at least one of b's segments VERBATIM (k edits can
+    destroy at most k segments). So the b side emits its k+1 segments,
+    the a side explodes its substrings at exactly the segment lengths
+    in play, and candidates come from one equi-join on the segment
+    text; a length band ||a|-|b|| <= k prunes inside the join, and the
+    exact JVM levenshtein verifies. No position filter is applied
+    (it would only shrink candidates, never change the result), so
+    output == the naive all-pairs filter.
+
+    Scale: explode fanout is |s| x distinct-segment-lengths (strings
+    are short; tens of rows each), the join key is segment text whose
+    frequency mirrors corpus vocabulary — the same skew profile every
+    shingle join here already rides. Nothing is quadratic: candidates
+    ~ sum over segments of (occurrence count choose 2) for SHARED
+    segments only.
+    """
+    s = strings.select(F.col(col).alias("s")).distinct()
+    nseg = k + 1
+    # pigeonhole caveat: a string of length <= k can be entirely
+    # destroyed by k edits — no segment survives, so segment blocking
+    # is incomplete for it. Such strings pair with EVERYTHING in their
+    # length band; they are a bounded set (shorter than k+1 chars), so
+    # broadcast them against the corpus as a separate candidate source.
+    short = s.filter(F.length("s") <= k).select(F.col("s").alias("b"))
+    short_cand = (
+        s.select(F.col("s").alias("a"))
+        .join(
+            F.broadcast(short),
+            (F.col("a") != F.col("b"))
+            & (F.abs(F.length("a") - F.length("b")) <= F.lit(k)),
+        )
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+    )
+    long = s.filter(F.length("s") > k)
+    # b side: k+1 contiguous segments (floor/ceil split via int arithmetic)
+    seg = long.select(
+        F.col("s").alias("b"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {nseg - 1}), i -> "
+                f"substring(s, 1 + cast(i * length(s) / {nseg} as int), "
+                f"cast((i + 1) * length(s) / {nseg} as int)"
+                f" - cast(i * length(s) / {nseg} as int)))"
+            )
+        ).alias("b_piece"),
+    ).filter(F.length("b_piece") > 0)
+    # bounded driver action: the distinct SEGMENT LENGTHS in play —
+    # at most max-string-length values, independent of corpus size
+    seg_lens = [r[0] for r in seg.select(F.length("b_piece")).distinct().collect()]
+    if seg_lens:
+        # a side: every substring at each segment length in play
+        sub = s.select(
+            F.col("s").alias("a"),
+            F.explode(
+                F.flatten(
+                    F.array(
+                        *[
+                            F.expr(
+                                f"transform(sequence(1, greatest(length(s) - {L} + 1, 0)),"
+                                f" p -> substring(s, p, {L}))"
+                            )
+                            for L in seg_lens
+                        ]
+                    )
+                )
+            ).alias("a_piece"),
+        ).filter(F.length("a_piece") > 0)
+        cand = (
+            sub.join(
+                seg,
+                (F.col("a_piece") == F.col("b_piece"))
+                & (F.col("a") < F.col("b"))
+                & (
+                    F.abs(F.length("a") - F.length("b")) <= F.lit(k)
+                ),
+            )
+            .select("a", "b")
+            .unionAll(short_cand)
+            .distinct()
+        )
+    else:
+        # every string is <= k chars: only the short path applies
+        cand = short_cand.distinct()
+    dist = F.levenshtein("a", "b")
+    return (
+        cand.withColumn("distance", dist.cast("bigint"))
+        .filter(F.col("distance") <= k)
+        .select(
+            F.col("a").alias("name_a"),
+            F.col("b").alias("name_b"),
+            "distance",
+        )
+    )

@@ -1992,6 +1992,26 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_join",
+    oracle="""
+        WITH n AS (SELECT DISTINCT p_name AS s FROM part)
+        SELECT a.s AS name_a, b.s AS name_b,
+               CAST(levenshtein(a.s, b.s) AS BIGINT) AS distance
+        FROM n a JOIN n b ON a.s < b.s
+        WHERE levenshtein(a.s, b.s) <= 3
+    """,
+    description="Exact edit-distance similarity join (lev <= 3) via "
+    "PassJoin segment pigeonhole: b emits k+1 segments, a explodes "
+    "substrings at the segment lengths, one equi-join on segment text "
+    "+ length band + exact JVM levenshtein verify — never all-pairs; "
+    "oracle = naive O(n^2) filter",
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return D.edit_distance_pairs(part.select(F.col("p_name").alias("name")), 3)
+
+
+@register(
     "dedup_containment",
     oracle=f"""
         WITH t AS (

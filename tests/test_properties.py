@@ -222,3 +222,42 @@ def test_containment_matches_bruteforce(spark, docs):
             if c >= 0.5:
                 want[(i, j)] = c
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=10),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_edit_distance_pairs_matches_bruteforce(spark, names):
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r.name_a, r.name_b): r.distance
+        for r in D.edit_distance_pairs(df, k=2).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (a, b): lev(a, b)
+        for a in names
+        for b in names
+        if a < b and lev(a, b) <= 2
+    }
+    assert got == want
