@@ -5423,8 +5423,8 @@ _WINDOW = [
     "classifier_score",
     "quality_buckets",
     "repetition_score",
-    "pii_scrub",
-    "decontaminate",
+    "dedup_containment",
+    "fuzzy_join",
     "dedup_exact_normalized",
     "dedup_ngram_jaccard",
     "dedup_clusters",
@@ -5446,7 +5446,8 @@ _WINDOW = [
 # round-4-continuation swaps (new ops in; r03-driver-green anchors out,
 # each family still represented): windowed_distinct→timeseries_resample,
 # lang_id→classifier_score, dedup_embedding→embedding_outliers,
-# knn_filtered→triangle_count
+# knn_filtered→triangle_count, decontaminate→fuzzy_join,
+# pii_scrub→dedup_containment
 
 
 WINDOW = 50  # the driver gate's sample size
