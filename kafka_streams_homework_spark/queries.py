@@ -5251,6 +5251,77 @@ def q_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "association_rules",
+    oracle="""
+        WITH io AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS it FROM lineitem
+        ), tot AS (
+            SELECT count(DISTINCT o) AS n FROM io
+        ), isup AS (
+            SELECT it, count(*) AS ni FROM io GROUP BY it
+        ), p AS (
+            SELECT a.it AS antecedent, b.it AS consequent, count(*) AS n_both
+            FROM io a JOIN io b ON a.o = b.o AND a.it != b.it
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT antecedent, consequent, n_both,
+               round(n_both::DOUBLE / sa.ni, 6) AS confidence,
+               round((n_both::DOUBLE / sa.ni) / (sb.ni::DOUBLE / tot.n), 6)
+                   AS lift
+        FROM p
+        JOIN isup sa ON sa.it = p.antecedent
+        JOIN isup sb ON sb.it = p.consequent, tot
+        WHERE round(n_both::DOUBLE / sa.ni, 6) >= 0.1
+    """,
+    description="Market-basket association rules a->b with support >= 2 "
+    "baskets and confidence >= 0.1: directed pair counts from the "
+    "basket-co-partitioned self-join, confidence/lift from broadcast "
+    "per-item supports — the Apriori 2-itemset pass as one plan",
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    io = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("it")
+    ).distinct()
+    n_orders = io.select(F.count_distinct("o").alias("n"))
+    isup = io.groupBy("it").agg(F.count(F.lit(1)).alias("ni"))
+    a = io.select(F.col("o"), F.col("it").alias("antecedent"))
+    b = io.select(F.col("o"), F.col("it").alias("consequent"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    confidence = F.round(F.col("n_both") / F.col("sa.ni"), 6)
+    lift = F.round(
+        (F.col("n_both") / F.col("sa.ni"))
+        / (F.col("sb.ni") / F.col("n")),
+        6,
+    )
+    return (
+        pairs.join(
+            F.broadcast(isup.alias("sa")),
+            F.col("antecedent") == F.col("sa.it"),
+        )
+        .join(
+            F.broadcast(isup.alias("sb")),
+            F.col("consequent") == F.col("sb.it"),
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            confidence.alias("confidence"),
+            lift.alias("lift"),
+        )
+        .filter(F.col("confidence") >= 0.1)
+    )
+
+
+@register(
     "triangle_count",
     oracle="""
         WITH e AS (
