@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "triangle_count",
     "embedding_outliers",
     "dedup_containment",
+    "association_rules",
 ]
 
 
