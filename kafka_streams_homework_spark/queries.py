@@ -5280,9 +5280,14 @@ def q_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    io = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("it")
-    ).distinct()
+    # the distinct (basket, item) set feeds 4 branches (total, item
+    # supports, both self-join sides) — persist or the scan+distinct
+    # re-runs per branch
+    io = tracked_persist(
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("it")
+        ).distinct()
+    )
     n_orders = io.select(F.count_distinct("o").alias("n"))
     isup = io.groupBy("it").agg(F.count(F.lit(1)).alias("ni"))
     a = io.select(F.col("o"), F.col("it").alias("antecedent"))
