@@ -149,3 +149,71 @@ def heavy_hitters(df: DataFrame, col: str, k_counters: int = 256) -> DataFrame:
             F.col("n_total").cast("bigint").alias("n_total"),
         )
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str = "event_type",
+    id_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch — the third
+    bounded-state sketch family next to HLL (distinct_rollup_hll) and
+    Misra-Gries (heavy_hitters), with one property neither has here:
+    the sketch is built from ENGINE-PORTABLE hashes (md5-derived
+    uniform fractions), so the whole estimate — not just an error
+    bound — is deterministic and DuckDB-oracle-checkable. HLL's
+    estimate depends on Spark's DataSketches build; this one is a pure
+    function of the data.
+
+    Theory (Bar-Yossef et al.): hash every id to u ~ U[0,1); the k-th
+    smallest distinct hash u_k estimates cardinality as (k-1)/u_k,
+    rsd ≈ 1/sqrt(k-2). KMV sketches are mergeable: the k smallest of
+    a union are among the union of each side's k smallest.
+
+    Plan: the uniform fraction is computed JVM-side; one Arrow-batched
+    mapInPandas pass keeps the k smallest DISTINCT fractions per group
+    per partition (state: k doubles x |groups|, corpus-independent);
+    the final groupBy merges <= k x n_partitions candidate fractions
+    per group (array flatten/distinct/sort/slice — tiny). No
+    full-cardinality shuffle ever happens: the exchange carries only
+    sketch candidates. Groups with fewer than k distinct hashes report
+    exactly (the sketch IS the distinct set there).
+    """
+    import numpy as np
+    import pandas as pd
+
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    hashed = df.select(F.col(group_col).alias("g"), u.alias("u"))
+
+    def mink(batches):
+        state: dict = {}
+        for pdf in batches:
+            for g, grp in pdf.groupby("g"):
+                vs = grp["u"].to_numpy()
+                prev = state.get(g)
+                allv = np.concatenate([prev, vs]) if prev is not None else vs
+                state[g] = np.unique(allv)[:k]  # unique() sorts ascending
+        yield pd.DataFrame(
+            {"g": list(state.keys()), "us": [v.tolist() for v in state.values()]}
+        )
+
+    partials = hashed.mapInPandas(mink, schema="g string, us array<double>")
+    sk = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("us")))), 1, k
+    )
+    merged = partials.groupBy("g").agg(sk.alias("sk"))
+    n_sk = F.size("sk")
+    est = F.when(n_sk < k, n_sk.cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.element_at("sk", k)
+    )
+    return merged.select(
+        F.col("g").alias(group_col),
+        n_sk.cast("bigint").alias("n_sketch"),
+        F.round(est, 2).alias("est_distinct"),
+    )

@@ -5192,6 +5192,37 @@ def q_timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmv_distinct",
+    oracle="""
+        WITH u AS (
+            SELECT DISTINCT event_type,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+            FROM events
+        ), r AS (
+            SELECT event_type, u,
+                   row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+            FROM u
+        )
+        SELECT event_type,
+               CAST(least(count(*), 64) AS BIGINT) AS n_sketch,
+               round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                     ELSE 63.0 / max(u) FILTER (rn <= 64) END, 2)
+                   AS est_distinct
+        FROM r GROUP BY event_type
+    """,
+    description="KMV distinct-count sketch (k=64 minimum md5-fraction "
+    "values): bounded-state mapInPandas partials + tiny candidate "
+    "merge, no full-cardinality shuffle — and, unlike HLL, built from "
+    "engine-portable hashes so the ESTIMATE itself is deterministic "
+    "and oracle-checked, not just error-bounded",
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return SK.kmv_distinct(events)
+
+
+@register(
     "heavy_hitter_tokens",
     oracle="""
         WITH t AS (

@@ -798,3 +798,22 @@ def test_embedding_outliers_flags_far_vector(spark):
     assert not out[1].is_outlier and out[1].centroid_sim > 0.9
     # singleton label: vector IS the centroid
     assert out[4].centroid_sim == 1.0 and not out[4].is_outlier
+
+
+def test_kmv_distinct_accuracy_and_partition_independence(spark):
+    from kafka_streams_homework_spark.operators.sketches import kmv_distinct
+
+    # 3000 distinct ids in one group, 40 in another (sub-k exact path)
+    rows = [("big", i) for i in range(3000)] + [("small", i) for i in range(40)]
+    rows *= 2  # duplicates must not change distinct estimates
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    out = {r.event_type: r for r in kmv_distinct(df, k=64).collect()}
+    # sub-k group: the sketch IS the distinct set — exact
+    assert out["small"].n_sketch == 40 and out["small"].est_distinct == 40.0
+    # estimator group: rsd ~ 1/sqrt(62) ~ 12.7%; allow 4x
+    assert abs(out["big"].est_distinct - 3000) / 3000 < 0.51
+    # deterministic under repartitioning (portable hashes, min-k merge)
+    out7 = {r.event_type: r for r in kmv_distinct(df.repartition(7), k=64).collect()}
+    assert {k: (v.n_sketch, v.est_distinct) for k, v in out.items()} == {
+        k: (v.n_sketch, v.est_distinct) for k, v in out7.items()
+    }
