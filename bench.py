@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "embedding_outliers",
     "dedup_containment",
     "association_rules",
+    "kmv_distinct",
 ]
 
 

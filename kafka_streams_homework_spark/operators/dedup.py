@@ -142,6 +142,25 @@ def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float) -> D
     )
 
 
+def _rarest_prefixes(exploded, threshold: float):
+    """AllPairs prefix selection shared by the Jaccard and containment
+    joins: rank each doc's shingles globally-rarest-first and keep the
+    pigeonhole prefix |prefix| = n_sh - ceil(tau * n_sh) + 1. One
+    global frequency agg + one row_number window (shuffle by doc_id);
+    no per-doc array materialization."""
+    freq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).cast("int")
+    return (
+        exploded.join(freq, "h")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= prefix_len)
+        .select("doc_id", "n_sh", "h")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (the verification-grade near-dup)
 # ---------------------------------------------------------------------------
@@ -171,22 +190,7 @@ def ngram_jaccard_pairs(
     """
     sh = _doc_shingle_hashes(documents, n)
     exploded = sh.select("doc_id", "n_sh", F.explode("hs").alias("h"))
-
-    freq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    # rank each doc's shingles rarest-first; keep the AllPairs prefix
-    # |prefix| = n_sh - ceil(τ·n_sh) + 1. A row_number window (one
-    # shuffle by doc_id) beats collect_list+sort+slice — no per-doc
-    # array materialization.
-    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
-    prefix_len = (
-        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).cast("int")
-    prefixes = (
-        exploded.join(freq, "h")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= prefix_len)
-        .select("doc_id", "n_sh", "h")
-    )
+    prefixes = _rarest_prefixes(exploded, threshold)
 
     # Length filter (also AllPairs): J(A,B) ≥ τ forces
     # τ·|A| ≤ |B| ≤ |A|/τ — applied inside the candidate join it
@@ -232,18 +236,7 @@ def containment_pairs(
     """
     sh = _doc_shingle_hashes(documents, n)
     exploded = sh.select("doc_id", "n_sh", F.explode("hs").alias("h"))
-
-    freq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
-    prefix_len = (
-        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).cast("int")
-    prefixes = (
-        exploded.join(freq, "h")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= prefix_len)
-        .select("doc_id", "n_sh", "h")
-    )
+    prefixes = _rarest_prefixes(exploded, threshold)
     a, b = prefixes.alias("a"), exploded.alias("b")
     candidates = (
         a.join(

@@ -80,9 +80,11 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # close the wedge: (v, w) must be an edge; und already holds each
     # edge once as (a < b), so it is the canonical closing set
     closing = und.select(F.col("a").alias("cv"), F.col("b").alias("cw"))
+    # v < w already holds (the wedge filter orders e1.hi < e2.hi), so
+    # the closing match is a plain equi-join on (v, w)
     tris = wedges.join(
         closing,
-        (F.least("v", "w") == F.col("cv")) & (F.greatest("v", "w") == F.col("cw")),
+        (F.col("v") == F.col("cv")) & (F.col("w") == F.col("cw")),
     ).select("u", "v", "w")
     # explode, not a 3-way unionAll: a union of three selects over
     # `tris` re-executes the wedge+closing joins once per branch

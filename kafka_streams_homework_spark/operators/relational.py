@@ -582,10 +582,21 @@ def resample_gapfill(
     Output: (key, bucket, value_filled, filled) where value_filled is
     the observed per-bucket mean or its interpolation, rounded to 6.
     """
-    obs = df.groupBy(
-        F.col(key_col).alias("k"),
-        F.date_trunc(step, F.col(ts_col)).alias("bucket"),
-    ).agg(F.avg(value_col).alias("v"))
+    # null measurements are GAPS, not observations: without this
+    # filter an all-null bucket yields avg = NULL, which the segment
+    # formulation would treat as an interpolation endpoint (NULL
+    # poisoning both adjacent segments) while an IGNORE NULLS oracle
+    # interpolates through it — a latent cross-engine divergence the
+    # current fixtures (no nulls) never trigger. Dropping null values
+    # up front gives both engines the same well-defined semantics.
+    obs = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("k"),
+            F.date_trunc(step, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(F.avg(value_col).alias("v"))
+    )
     # Segment formulation, NOT a dense-grid left join: a lead() window
     # over the OBSERVED buckets (one row per non-empty bucket) pairs
     # each observation with its successor, and each segment explodes

@@ -1229,8 +1229,6 @@ def embedding_outliers(
     reproducible cross-engine (the unrounded avg is order-sensitive
     at 1e-15, harmless after rounding).
     """
-    from kafka_streams_homework_spark.functions import cosine_similarity
-
     comps = embeddings.select(
         F.col(label_col).alias("lbl"),
         F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(

@@ -194,7 +194,10 @@ def kmv_distinct(
     def mink(batches):
         state: dict = {}
         for pdf in batches:
-            for g, grp in pdf.groupby("g"):
+            # dropna=False: a NULL group key is a group like any other
+            # (pandas silently discards it by default; the SQL GROUP BY
+            # twin keeps it)
+            for g, grp in pdf.groupby("g", dropna=False):
                 vs = grp["u"].to_numpy()
                 prev = state.get(g)
                 allv = np.concatenate([prev, vs]) if prev is not None else vs

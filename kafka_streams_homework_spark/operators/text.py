@@ -520,19 +520,15 @@ def classifier_score(
     scan-bound and embarrassingly parallel, exactly like the C4 /
     CCNet quality-filter pass it models.
     """
+    from kafka_streams_homework_spark.functions import shingles
+
+    # unigrams + token bigrams via the shared shingles() helper — the
+    # slice/arrays_zip formulation keeps tokenization CSE-able (an
+    # element_at-in-lambda expr re-evaluates split() per element,
+    # measured ~15x slower; see functions.shingles docstring). Bigram
+    # strings are identical to the oracle's tok[i] || ' ' || tok[i+1].
     toks = tokens(text_col)
-    # sequence(1, n-1) DESCENDS for n=1 in Spark (DuckDB's
-    # generate_series is empty there) — filter i < n instead of
-    # trusting the endpoint order
-    feats = F.concat(
-        toks,
-        F.expr(
-            "transform(filter(sequence(1, size({t})), i -> i < size({t})),"
-            " i -> concat(element_at({t}, i), ' ', element_at({t}, i + 1)))".format(
-                t=f"split(lower({text_col}), ' ')"
-            )
-        ),
-    )
+    feats = F.concat(toks, shingles(toks, 2))
     bucket = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast(
         "long"
     ) % F.lit(n_buckets)

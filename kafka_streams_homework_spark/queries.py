@@ -5144,7 +5144,7 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH obs AS (
             SELECT event_type AS k, date_trunc('minute', ts) AS bucket,
                    avg(value) AS v
-            FROM events GROUP BY 1, 2
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
         ), grid AS (
             SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE))
                        AS bucket
