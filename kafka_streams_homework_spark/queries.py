@@ -4462,6 +4462,46 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "upsample_mix",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, source,
+                   CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 1
+                        THEN 2 ELSE 1 END
+                   + CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 1
+                          AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+                          THEN 1 ELSE 0 END AS reps
+            FROM documents
+        )
+        SELECT doc_id, source,
+               CAST(unnest(generate_series(1, reps)) AS BIGINT) AS epoch
+        FROM w
+    """,
+    description="§7 pipeline — the UP-sampling half of temperature "
+    "mixing (domain_mix thins; this one repeats): odd-tier sources get "
+    "weight 2.5 as 2 guaranteed epochs + a deterministic md5 half-coin "
+    "for the third, even tiers 1 epoch. Map-side sequence explode, "
+    "fanout = mixture weight, membership engine-identical and stable "
+    "across re-runs — how Wikipedia-x3-style mixes are materialized",
+)
+def q_upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tier_odd = F.substring("source", 4, 10).cast("int") % 2 == 1
+    coin = (
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+        < "80"
+    )
+    reps = F.when(tier_odd, F.lit(2)).otherwise(F.lit(1)) + F.when(
+        tier_odd & coin, F.lit(1)
+    ).otherwise(F.lit(0))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), reps)).alias("epoch"),
+    ).withColumn("epoch", F.col("epoch").cast("bigint"))
+
+
+@register(
     "merge_apply_cdc",
     oracle="""
         WITH s AS (
