@@ -1227,7 +1227,10 @@ def embedding_outliers(
     never shuffles; driver holds nothing. Centroid components are
     rounded to 6 before the cosine so the flag decision is
     reproducible cross-engine (the unrounded avg is order-sensitive
-    at 1e-15, harmless after rounding).
+    at 1e-15, harmless after rounding). The cosine itself gets the
+    same +1e-9 pre-round nudge as resample_gapfill: a sim landing
+    exactly on a .5e-6 boundary (and the derived is_outlier flag at
+    threshold) would otherwise depend on the engine's tie direction.
     """
     comps = embeddings.select(
         F.col(label_col).alias("lbl"),
@@ -1247,7 +1250,7 @@ def embedding_outliers(
         )
     )
     sim = F.round(
-        cosine_similarity(F.col(vec_col), F.col("centroid")), 6
+        cosine_similarity(F.col(vec_col), F.col("centroid")) + F.lit(1e-9), 6
     )
     return (
         embeddings.join(

@@ -1994,21 +1994,28 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fuzzy_join",
     oracle="""
-        WITH n AS (SELECT DISTINCT p_name AS s FROM part)
+        WITH n AS (SELECT DISTINCT c_name AS s FROM customer
+                   UNION SELECT DISTINCT p_name FROM part)
         SELECT a.s AS name_a, b.s AS name_b,
                CAST(levenshtein(a.s, b.s) AS BIGINT) AS distance
         FROM n a JOIN n b ON a.s < b.s
-        WHERE levenshtein(a.s, b.s) <= 3
+        WHERE levenshtein(a.s, b.s) <= 2
     """,
-    description="Exact edit-distance similarity join (lev <= 3) via "
+    description="Exact edit-distance similarity join (lev <= 2) via "
     "PassJoin segment pigeonhole: b emits k+1 segments, a explodes "
     "substrings at the segment lengths, one equi-join on segment text "
     "+ length band + exact JVM levenshtein verify — never all-pairs; "
-    "oracle = naive O(n^2) filter",
+    "oracle = naive O(n^2) filter. Substrate is customer names UNION "
+    "part names: c_name shares a 13-char literal prefix with a digit "
+    "suffix (the collision-dense shape that kills a piece-only key — "
+    "~200k true pairs at sf0.01), p_name adds the diverse-vocabulary "
+    "family; together they exercise both PassJoin regimes in the "
+    "driver-checked entry, not just the synthetic SCALE.md stress",
 )
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = _t(spark, sf_dir, "part")
-    return D.edit_distance_pairs(part.select(F.col("p_name").alias("name")), 3)
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_name").alias("name"))
+    part = _t(spark, sf_dir, "part").select(F.col("p_name").alias("name"))
+    return D.edit_distance_pairs(cust.unionAll(part), 2)
 
 
 @register(
@@ -2158,7 +2165,8 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT e.vec_id, e.label,
                    round(list_inner_product(e.v, cl.centroid)
                          / (sqrt(list_inner_product(e.v, e.v))
-                            * sqrt(list_inner_product(cl.centroid, cl.centroid))),
+                            * sqrt(list_inner_product(cl.centroid, cl.centroid)))
+                         + 1e-9,
                          6) AS centroid_sim
             FROM e JOIN cl USING (label)
         )
@@ -5214,8 +5222,8 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT k AS event_type, bucket,
                round((CASE WHEN v IS NOT NULL THEN v
                       ELSE pv + (nv - pv)
-                           * (epoch(bucket) - epoch(pt))
-                           / (epoch(nt) - epoch(pt)) END) + 1e-9,
+                           * ((epoch(bucket) - epoch(pt))
+                              / (epoch(nt) - epoch(pt))) END) + 1e-9,
                      6) AS value_filled,
                v IS NULL AS filled
         FROM w
