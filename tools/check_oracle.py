@@ -5,7 +5,11 @@ oracle_sql() twin: row count, sorted-column schema names, and an
 order-insensitive value hash (per-cell stringification with float
 normalization). Prints one line per query.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, also writes one machine-readable record per query
+({status: ok|rows_only|fail, rows, detail}) plus a summary header —
+the committable evidence artifact for full-registry sweeps.
 """
 
 from __future__ import annotations
@@ -44,8 +48,14 @@ def table_digest(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    records: dict[str, dict] = {}
 
     import __spark_entry__ as E
 
@@ -68,10 +78,12 @@ def main() -> int:
             scols = sdf.columns
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
+            records[name] = {"status": "fail", "detail": f"spark error: {ex}"}
             failures += 1
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
+            records[name] = {"status": "rows_only", "rows": len(srows)}
             continue
         try:
             rel = con.sql(oracles[name])
@@ -79,6 +91,7 @@ def main() -> int:
             ocols = [d[0] for d in rel.description]
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {ex}")
+            records[name] = {"status": "fail", "detail": f"duckdb error: {ex}"}
             failures += 1
             continue
         problems = []
@@ -93,6 +106,11 @@ def main() -> int:
                 problems.append("value-hash mismatch")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
+            records[name] = {
+                "status": "fail",
+                "rows": len(srows),
+                "detail": "; ".join(problems),
+            }
             failures += 1
             # show a sample diff
             sset = {
@@ -109,10 +127,33 @@ def main() -> int:
                 print(f"      duckdb-only: {x}")
         else:
             print(f"OK    {name}: {len(srows)} rows")
-    from kafka_streams_homework_spark.caching import release_caches
+            records[name] = {"status": "ok", "rows": len(srows)}
+        # drop per-query persists right away: a 149-query sweep must not
+        # let one query's cached shingle table squat on executor storage
+        # (or heap) while the next hundred run
+        from kafka_streams_homework_spark.caching import release_caches
 
-    release_caches()
+        release_caches()
     print(f"\n{failures} failures")
+    if json_out:
+        import json
+
+        n_ok = sum(1 for r in records.values() if r["status"] == "ok")
+        n_rows = sum(1 for r in records.values() if r["status"] == "rows_only")
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(records),
+                    "ok": n_ok,
+                    "rows_only": n_rows,
+                    "failures": failures,
+                    "queries": records,
+                },
+                fh,
+                indent=1,
+            )
+            fh.write("\n")
     return 1 if failures else 0
 
 
