@@ -94,6 +94,14 @@ BENCH_QUERIES = [
     "dedup_containment",
     "association_rules",
     "kmv_distinct",
+    # round-5 additions: sort-based skyline, PMI collocations,
+    # common-neighbor link prediction, trailing-window anomaly score,
+    # lag-polynomial EWMA
+    "skyline_pareto",
+    "collocations_pmi",
+    "neighbor_jaccard",
+    "rolling_anomaly",
+    "ewma_smooth",
 ]
 
 

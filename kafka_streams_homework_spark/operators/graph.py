@@ -96,3 +96,75 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+def neighbor_jaccard(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Structural link prediction: Jaccard similarity of neighbor sets
+    for every node pair at distance <= 2 (pairs sharing at least one
+    neighbor) — the classic "people/products you may also like"
+    candidate scorer, and the graph twin of the document-shingle
+    Jaccard in ``dedup.ngram_jaccard_pairs``.
+
+    Input: one row per undirected edge with ``src < dst`` (dedup'd).
+    Output: (node_a, node_b, n_common, jaccard, is_edge) with
+    node_a < node_b, for pairs with n_common >= 1.
+
+    Plan: symmetrize the edge list into adjacency (node, neighbor),
+    self-join on the shared NEIGHBOR (the wedge center) to count
+    common neighbors — one equi-join plus a partial-agg count, never
+    an all-pairs set comparison — then join per-node degrees (a
+    bounded aggregate) and probe the edge list itself with a left
+    semi-style flag join for `is_edge`. jaccard = common /
+    (deg_a + deg_b - common), an integer ratio rounded identically in
+    the oracle.
+
+    Scale: the wedge self-join costs sum over centers of d(c)^2 —
+    inherent to EXACT common-neighbor counting (every common neighbor
+    must witness its pair once). Hub centers dominate that sum, so at
+    web scale the standard moves are (a) cap/exclude centers with
+    d(c) > t (a hub connecting millions contributes ~no signal per
+    pair — the same argument as stop-word removal in AllPairs
+    prefix filtering), or (b) switch the neighbor sets to the MinHash
+    substrate already in ``operators/dedup.py`` and estimate Jaccard
+    from banded signatures. Both are one-line preludes to this exact
+    operator; the exact form stays the oracle-checkable ground truth.
+    """
+    und = tracked_persist(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    )
+    adj = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # (center, spoke) adjacency — wedge pairs share the center c
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    l = adj.select(F.col("b").alias("c"), F.col("a").alias("na"))
+    r = adj.select(F.col("b").alias("c"), F.col("a").alias("nb"))
+    common = (
+        l.join(r, "c")
+        .filter(F.col("na") < F.col("nb"))
+        .groupBy("na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    withdeg = common.join(
+        F.broadcast(deg.select(F.col("a").alias("na"), F.col("d").alias("da"))),
+        "na",
+    ).join(
+        F.broadcast(deg.select(F.col("a").alias("nb"), F.col("d").alias("db"))),
+        "nb",
+    )
+    flagged = withdeg.join(
+        und.select(
+            F.col("a").alias("na"), F.col("b").alias("nb"), F.lit(True).alias("is_edge")
+        ),
+        ["na", "nb"],
+        "left",
+    )
+    return flagged.select(
+        F.col("na").alias("node_a"),
+        F.col("nb").alias("node_b"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.round(
+            F.col("n_common") / (F.col("da") + F.col("db") - F.col("n_common")), 6
+        ).alias("jaccard"),
+        F.coalesce(F.col("is_edge"), F.lit(False)).alias("is_edge"),
+    )

@@ -648,3 +648,202 @@ def resample_gapfill(
         F.round(interp + F.lit(1e-9), 6).alias("value_filled"),
         (~is_obs).alias("filled"),
     )
+
+
+def skyline_2d(
+    points: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, maximize both axes): the distinct
+    points not dominated by any other point — q dominates p when
+    q.x >= p.x, q.y >= p.y and at least one is strict. The classic
+    multi-criteria shortlist operator ("cheapest AND fastest"
+    candidates) from Borzsony/Kossmann/Stocker, *The Skyline
+    Operator* (ICDE 2001).
+
+    Plan — sort-based, NO pair join: over distinct points sorted by
+    (x desc, y desc), every earlier row has x > p.x, or x == p.x with
+    y > p.y; so p is dominated exactly when the running max of y over
+    strictly-preceding rows reaches p.y. One window scan replaces the
+    O(n^2) dominance join the oracle runs.
+
+    Scale: a global orderBy window is a single-partition sort, so the
+    operator first takes a partition-LOCAL skyline with the identical
+    running-max filter, partitioned by the physical partition id of
+    the deduped point set — any partitioning works (local survivors
+    of every partition form a superset of the global skyline, and a
+    random partition keeps only ~O(log n) survivors in expectation) —
+    and only survivors enter the global pass. 100 TB cost: the
+    distinct's own shuffle of unique points, one balanced exchange of
+    those unique points for the local pass (Catalyst cannot prove the
+    id expression matches the existing clustering), and a final
+    single-partition sort of a few thousand survivors. The raw corpus
+    is scanned once and never sorted globally.
+    """
+    pts = points.select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).dropna().distinct()
+    order = [F.col("x").desc(), F.col("y").desc()]
+
+    def survivors(df: DataFrame, w) -> DataFrame:
+        prevmax = F.max("y").over(
+            w.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return df.withColumn("pm", prevmax).filter(
+            F.col("pm").isNull() | (F.col("pm") < F.col("y"))
+        ).drop("pm")
+
+    local = survivors(pts, Window.partitionBy(F.spark_partition_id()))
+    return survivors(local, Window.partitionBy())
+
+
+def activity_streaks(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    min_len: int = 2,
+) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    key (engagement streaks — the calendar-unit complement of
+    ``sessionize``'s gap-based event sessions).
+
+    Plan — the textbook row_number trick, which needs no self-join and
+    no sequence materialization: over distinct (key, day),
+    day - row_number() is constant within a consecutive run, so one
+    dense groupBy on that anchor yields (start, end, length) per
+    island. Two shuffles total (distinct, island groupBy), both keyed
+    on (key, ...) so they scale out; no window spans more than one
+    key's days (bounded by the calendar, not the event volume).
+    """
+    days = df.select(
+        F.col(key_col).alias("k"), F.to_date(ts_col).alias("day")
+    ).distinct()
+    w = Window.partitionBy("k").orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.date_sub("day", F.row_number().over(w))
+    )
+    return (
+        anchored.groupBy("k", "anchor")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+            F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= min_len)
+        .select(
+            F.col("k").alias(key_col),
+            "streak_start",
+            "streak_end",
+            "streak_days",
+        )
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_tiebreak: str = "event_id",
+    lookback: int = 20,
+    min_obs: int = 5,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly flags: each observation scored against
+    the mean/stddev of its own trailing window of ``lookback`` PRIOR
+    observations (never itself — no self-masking), the standard
+    streaming-telemetry outlier detector.
+
+    The mean and sample variance are spelled out as explicit window
+    sums (sum, sum of squares, count) with the SAME algebraic form the
+    oracle uses — var = (sumsq - sum^2/n) / (n-1) — rather than the
+    engines' stddev_samp aggregates, whose internal update orders
+    differ; with the shared form, cross-engine drift is confined to
+    ulp-level summation associativity (absorbed by round+nudge), not
+    algorithmic difference.
+
+    Scale: one shuffle on the key; the rows frame is O(lookback) state
+    per row, evaluated in a single ordered pass per key partition.
+    Per-key data volume bounds the partition, so a hot key is the
+    skew concern — mitigate upstream like any windowed agg (split the
+    key, or bound the retained history).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(-lookback, -1)
+    )
+    v = F.col(val_col).cast("double")
+    n = F.count(v).over(w)
+    s = F.sum(v).over(w)
+    sq = F.sum(v * v).over(w)
+    mean = s / n
+    var = (sq - (s * s) / n) / (n - 1)
+    # clamp: the algebraic form can go epsilon-negative on constant
+    # windows; both sides clamp before sqrt
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = (v - mean) / std
+    scored = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(order_tiebreak),
+        v.alias(val_col),
+        n.alias("n_prior"),
+        F.when(n >= min_obs, F.round(mean + F.lit(1e-9), 6)).alias("roll_mean"),
+        F.when((n >= min_obs) & (std > 0), F.round(z + F.lit(1e-9), 6)).alias(
+            "zscore"
+        ),
+    )
+    return scored.withColumn(
+        "is_anomaly",
+        F.coalesce(F.abs(F.col("zscore")) > z_threshold, F.lit(False)),
+    )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_tiebreak: str = "event_id",
+    alpha: float = 0.5,
+    lookback: int = 8,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average: each row's
+    smoothed value is the (1-alpha)^j-weighted mean of its own and the
+    ``lookback - 1`` prior observations, normalized by the weights
+    actually present (series heads use fewer terms). Truncation makes
+    the operator a fixed-arity expression instead of an unbounded
+    recurrence: with alpha=0.5 and lookback=8 the dropped tail weighs
+    < 0.4% — and, unlike the recursive form, it is expressible in ANY
+    window-function engine, needs O(1) state, and is embarrassingly
+    parallel within a key partition.
+
+    Determinism: the value is a LITERAL polynomial in the lags —
+    sum_j w_j * lag_j evaluated left-to-right in the same order on
+    both engines — so the result is bit-reproducible, not just
+    round-stable.
+
+    Scale: one shuffle on the key; ``lookback`` lag expressions share
+    a single window sort pass.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    v = F.col(val_col).cast("double")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(lookback):
+        term = v if j == 0 else F.lag(v, j).over(w)
+        # un-normalized geometric weights (1-alpha)^j; dividing by
+        # `den` cancels the alpha constant, so it is omitted
+        wt = F.lit((1.0 - alpha) ** j)
+        num = num + F.when(term.isNotNull(), wt * term).otherwise(F.lit(0.0))
+        den = den + F.when(term.isNotNull(), wt).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(order_tiebreak),
+        v.alias(val_col),
+        F.round(num / den + F.lit(1e-9), 6).alias("ewma"),
+    )

@@ -545,3 +545,84 @@ def classifier_score(
         score.alias("clf_score"),
         (score >= 0.5).alias("kept"),
     )
+
+
+def collocations_pmi(
+    documents: DataFrame,
+    min_count: int = 5,
+    top_n: int = 100,
+) -> DataFrame:
+    """PMI-scored bigram collocations: adjacent token pairs that
+    co-occur far more often than their unigram frequencies predict —
+    the standard multi-word-expression miner (Church & Hanks 1990)
+    used to find phrases worth protecting from tokenizer splits in
+    LLM corpus prep.
+
+    pmi = log2( (c_ab / N_bigrams) / ((c_a / N_tokens) * (c_b / N_tokens)) )
+
+    Plan: tokens → adjacent pairs via a zip of the array with its own
+    tail (a pure JVM array expression — no window, no self-join) →
+    explode → two hash aggregates (bigrams; unigrams), both collapsed
+    map-side by partial aggregation, with the bounded unigram table
+    and the two scalar totals broadcast back onto the bigram counts.
+    The corpus is scanned once; everything after the explode is
+    vocabulary-sized.
+
+    Scale: bigram vocabulary is the largest intermediate (Heaps-law
+    sublinear in corpus size); the corpus itself never shuffles. The
+    min_count cut is applied BEFORE the join/top-k, so the ranked
+    stage sees only frequent pairs.
+    """
+    tok = tokens("text")
+    pairs = F.zip_with(
+        tok,
+        F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    # zip_with pads the shorter side with null b — drop the tail pair
+    bigrams = tracked_persist(
+        documents.select(F.explode(pairs).alias("p"))
+        .filter(F.col("p.w2").isNotNull())
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    unigrams = tracked_persist(
+        documents.select(F.explode(tok).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    n_tokens = unigrams.select(F.sum("cw").alias("n_tok"))
+    n_bigrams = bigrams.select(F.count(F.lit(1)).alias("n_big"))
+    cab = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    scored = (
+        cab.join(
+            F.broadcast(unigrams.select(F.col("w").alias("w1"), F.col("cw").alias("c_a"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(unigrams.select(F.col("w").alias("w2"), F.col("cw").alias("c_b"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_tokens))
+        .crossJoin(F.broadcast(n_bigrams))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.round(
+                F.log2(
+                    (F.col("c_ab") / F.col("n_big"))
+                    / ((F.col("c_a") / F.col("n_tok")) * (F.col("c_b") / F.col("n_tok")))
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_n)
+    )

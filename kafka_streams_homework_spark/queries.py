@@ -5525,6 +5525,330 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 analytics/curation additions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skyline_pareto",
+    oracle="""
+        WITH p AS (
+            SELECT DISTINCT l_extendedprice AS price, l_quantity AS quantity
+            FROM lineitem
+        )
+        SELECT price, quantity FROM p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p q
+            WHERE q.price >= p.price AND q.quantity >= p.quantity
+              AND (q.price > p.price OR q.quantity > p.quantity)
+        )
+    """,
+    description="2-D skyline / Pareto frontier (maximize price AND "
+    "quantity) over ~25k distinct lineitem points: sort-based "
+    "running-max filter — partition-local skyline then a global pass "
+    "over the tiny survivor set — vs the oracle's O(n^2) NOT-EXISTS "
+    "dominance join; the frontier being a handful of rows is the "
+    "operator's semantics, the input is the full fact table",
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return R.skyline_2d(li, "l_extendedprice", "l_quantity").select(
+        F.col("x").alias("price"), F.col("y").alias("quantity")
+    )
+
+
+@register(
+    "activity_streaks",
+    oracle="""
+        WITH d AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), r AS (
+            SELECT user_id, day,
+                   day - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+            FROM d
+        )
+        SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+               CAST(count(*) AS BIGINT) AS streak_days
+        FROM r GROUP BY user_id, anchor HAVING count(*) >= 2
+    """,
+    description="Gaps-and-islands: maximal consecutive-active-day "
+    "streaks per user via the row_number anchor trick — no self-join, "
+    "no calendar materialization; two key-partitioned shuffles "
+    "(distinct days, island groupBy), window state bounded by the "
+    "calendar not the event volume",
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return R.activity_streaks(events, "user_id", "ts", min_len=2)
+
+
+@register(
+    "rolling_anomaly",
+    oracle="""
+        WITH w AS (
+            SELECT event_type, ts, event_id, value,
+                   count(value) OVER f AS n_prior,
+                   sum(value) OVER f AS s,
+                   sum(value * value) OVER f AS sq
+            FROM events
+            WINDOW f AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, ts, event_id, value, n_prior,
+               CASE WHEN n_prior >= 5
+                    THEN round(s / n_prior + 1e-9, 6) END AS roll_mean,
+               CASE WHEN n_prior >= 5 AND
+                         sqrt(greatest((sq - (s * s) / n_prior)
+                                       / (n_prior - 1), 0.0)) > 0
+                    THEN round((value - s / n_prior)
+                               / sqrt(greatest((sq - (s * s) / n_prior)
+                                              / (n_prior - 1), 0.0))
+                               + 1e-9, 6) END AS zscore,
+               coalesce(abs(round((value - s / n_prior)
+                               / sqrt(greatest((sq - (s * s) / n_prior)
+                                              / (n_prior - 1), 0.0))
+                               + 1e-9, 6)) > 3.0
+                        AND n_prior >= 5
+                        AND sqrt(greatest((sq - (s * s) / n_prior)
+                                          / (n_prior - 1), 0.0)) > 0,
+                        false) AS is_anomaly
+        FROM w
+    """,
+    description="Rolling z-score anomaly flags: each event scored "
+    "against mean/stddev of its trailing 20 PRIOR observations per "
+    "type (no self-masking) — the complement of the global-stats "
+    "anomaly_zscore; variance spelled as explicit window sums with "
+    "the identical algebraic form on both engines, one key-partitioned "
+    "window pass with O(lookback) state",
+)
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return R.rolling_zscore(events, "event_type", "ts", "value", "event_id")
+
+
+def _ewma_oracle(alpha: float = 0.5, lookback: int = 8) -> str:
+    terms_n, terms_d = [], []
+    for j in range(lookback):
+        wt = repr((1.0 - alpha) ** j)
+        lagv = "value" if j == 0 else f"lag(value, {j}) OVER f"
+        terms_n.append(f"CASE WHEN {lagv} IS NOT NULL THEN {wt} * ({lagv}) ELSE 0.0 END")
+        terms_d.append(f"CASE WHEN {lagv} IS NOT NULL THEN {wt} ELSE 0.0 END")
+    num = " + ".join(["0.0"] + terms_n)
+    den = " + ".join(["0.0"] + terms_d)
+    return f"""
+        SELECT event_type, ts, event_id, value,
+               round(({num}) / ({den}) + 1e-9, 6) AS ewma
+        FROM events
+        WINDOW f AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """
+
+
+@register(
+    "ewma_smooth",
+    oracle=_ewma_oracle(),
+    description="Truncated EWMA smoothing (alpha=0.5, 8 taps, <0.4% "
+    "dropped tail): the unbounded recurrence recast as a literal lag "
+    "polynomial evaluated left-to-right identically on both engines — "
+    "bit-reproducible, O(1) window state, one key-partitioned sort "
+    "pass shared by all taps",
+)
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return R.ewma_smooth(events, "event_type", "ts", "value", "event_id")
+
+
+@register(
+    "markov_transitions",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ), c AS (
+            SELECT prev AS from_type, event_type AS to_type,
+                   count(*) AS n_transitions
+            FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type,
+               CAST(n_transitions AS BIGINT) AS n_transitions,
+               round(n_transitions::DOUBLE
+                     / sum(n_transitions) OVER (PARTITION BY from_type),
+                     6) AS prob
+        FROM c
+    """,
+    description="First-order Markov transition matrix over per-user "
+    "event sequences: lag window for successor pairs (one shuffle on "
+    "user), |types|^2-bounded count agg, row-normalized to transition "
+    "probabilities — the session-flow model behind next-event "
+    "prediction and funnel drop-off analysis",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    norm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(norm), 6
+        ).alias("prob"),
+    )
+
+
+@register(
+    "collocations_pmi",
+    oracle="""
+        WITH t AS (
+            SELECT str_split(lower(text), ' ') AS tok FROM documents
+        ), bigp AS (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(tok) - 1),
+                       i -> {'w1': tok[i], 'w2': tok[i + 1]})) AS p
+            FROM t
+        ), big AS (
+            SELECT p.w1 AS w1, p.w2 AS w2 FROM bigp
+        ), uni AS (
+            SELECT unnest(tok) AS w FROM t
+        ), cu AS (
+            SELECT w, count(*) AS cw FROM uni GROUP BY w
+        ), tot AS (
+            SELECT (SELECT count(*) FROM big) AS n_big,
+                   (SELECT sum(cw) FROM cu) AS n_tok
+        ), cab AS (
+            SELECT w1, w2, count(*) AS c_ab FROM big
+            GROUP BY 1, 2 HAVING count(*) >= 5
+        )
+        SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+               round(log2((c_ab / n_big)
+                          / ((a.cw / n_tok) * (b.cw / n_tok))) + 1e-9,
+                     6) AS pmi
+        FROM cab
+        JOIN cu a ON a.w = cab.w1
+        JOIN cu b ON b.w = cab.w2, tot
+        ORDER BY pmi DESC, w1, w2 LIMIT 100
+    """,
+    description="PMI bigram collocations (Church & Hanks): adjacent "
+    "token pairs scored log2(p(ab)/(p(a)p(b))), min count 5, top 100 "
+    "— phrase mining for tokenizer/corpus prep. Pairs come from a "
+    "JVM array zip (no window, no self-join); after the explode "
+    "everything is vocabulary-sized with broadcast unigram marginals",
+)
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.collocations_pmi(docs, min_count=5, top_n=100)
+
+
+@register(
+    "neighbor_jaccard",
+    oracle="""
+        WITH e AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ), adj AS (
+            SELECT pa AS a, pb AS b FROM e
+            UNION ALL SELECT pb, pa FROM e
+        ), deg AS (
+            SELECT a, count(*) AS d FROM adj GROUP BY a
+        ), common AS (
+            SELECT l.a AS node_a, r.a AS node_b, count(*) AS n_common
+            FROM adj l JOIN adj r ON l.b = r.b AND l.a < r.a
+            GROUP BY 1, 2
+        )
+        SELECT node_a, node_b, CAST(n_common AS BIGINT) AS n_common,
+               round(n_common::DOUBLE / (da.d + db.d - n_common), 6)
+                   AS jaccard,
+               EXISTS (SELECT 1 FROM e
+                       WHERE e.pa = node_a AND e.pb = node_b) AS is_edge
+        FROM common
+        JOIN deg da ON da.a = node_a
+        JOIN deg db ON db.a = node_b
+    """,
+    description="Link-prediction neighbor Jaccard over the co-purchase "
+    "graph: |N(a) n N(b)| / |N(a) u N(b)| for every wedge-connected "
+    "pair via one equi-join on the shared center + partial-agg count "
+    "(never a set comparison); degrees broadcast, existing edges "
+    "flagged. Scale: cost is sum d(c)^2 — inherent to exact common-"
+    "neighbor counting; hubs get capped or MinHashed (operators/"
+    "graph.py docstring)",
+)
+def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.operators.graph import neighbor_jaccard
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .drop("c")
+    )
+    return neighbor_jaccard(edges)
+
+
+@register(
+    "table_profile",
+    oracle="""
+        SELECT 'o_orderkey' AS column_name,
+               CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+        FROM orders
+        UNION ALL SELECT 'o_custkey', count(*) - count(o_custkey),
+               count(DISTINCT o_custkey) FROM orders
+        UNION ALL SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus) FROM orders
+        UNION ALL SELECT 'o_totalprice', count(*) - count(o_totalprice),
+               count(DISTINCT o_totalprice) FROM orders
+        UNION ALL SELECT 'o_orderdate', count(*) - count(o_orderdate),
+               count(DISTINCT o_orderdate) FROM orders
+        UNION ALL SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority) FROM orders
+    """,
+    description="Single-scan table profiler: every column unpivoted to "
+    "(column_name, value-as-string) in one pass — string casts are "
+    "injective so per-column distinct/null counts equal the native "
+    "ones — then one hash agg; the oracle's 6 per-column scans "
+    "collapse to 1, the first step of any ingest QA / drift monitor",
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cols = orders.columns
+    cells = orders.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.column_name", "cell.v")
+    return cells.groupBy("column_name").agg(
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.count_distinct("v").cast("bigint").alias("n_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------
 

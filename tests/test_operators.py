@@ -817,3 +817,134 @@ def test_kmv_distinct_accuracy_and_partition_independence(spark):
     assert {k: (v.n_sketch, v.est_distinct) for k, v in out.items()} == {
         k: (v.n_sketch, v.est_distinct) for k, v in out7.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: skyline_2d / activity_streaks / rolling_zscore /
+# ewma_smooth / collocations_pmi / neighbor_jaccard
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_2d_matches_naive_dominance(spark):
+    pts = [(1.0, 9.0), (5.0, 5.0), (9.0, 1.0), (4.0, 4.0), (5.0, 5.0),
+           (2.0, 8.0), (9.0, 1.0), (0.5, 0.5)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    out = sorted((r.x, r.y) for r in R.skyline_2d(df, "x", "y").collect())
+    distinct = set(pts)
+    naive = sorted(
+        p for p in distinct
+        if not any(
+            q[0] >= p[0] and q[1] >= p[1] and q != p for q in distinct
+        )
+    )
+    assert out == naive == [(1.0, 9.0), (2.0, 8.0), (5.0, 5.0), (9.0, 1.0)]
+
+
+def test_skyline_2d_partitioning_independent(spark):
+    import random
+
+    rnd = random.Random(7)
+    pts = [(rnd.uniform(0, 100), rnd.uniform(0, 100)) for _ in range(500)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    a = sorted(map(tuple, R.skyline_2d(df, "x", "y").collect()))
+    b = sorted(map(tuple, R.skyline_2d(df.repartition(13), "x", "y").collect()))
+    assert a == b and len(a) >= 1
+    # every non-skyline point is dominated by some skyline point
+    sky = set(a)
+    for p in set(pts) - sky:
+        assert any(q[0] >= p[0] and q[1] >= p[1] for q in sky)
+
+
+def test_activity_streaks_islands_and_gaps(spark):
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 1, 5)), (1, d(2024, 1, 2, 9)), (1, d(2024, 1, 2, 11)),
+        (1, d(2024, 1, 3, 1)),                       # 3-day island
+        (1, d(2024, 1, 7, 0)), (1, d(2024, 1, 8, 0)),  # 2-day island
+        (1, d(2024, 1, 15, 0)),                      # singleton (dropped)
+        (2, d(2024, 1, 1, 0)),                       # singleton (dropped)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sorted(
+        (r.user_id, str(r.streak_start), str(r.streak_end), r.streak_days)
+        for r in R.activity_streaks(df).collect()
+    )
+    assert out == [
+        (1, "2024-01-01", "2024-01-03", 3),
+        (1, "2024-01-07", "2024-01-08", 2),
+    ]
+
+
+def test_rolling_zscore_flags_spike_not_warmup(spark):
+    rows = [("a", ts(i), i + 1, 10.0 + (i % 2)) for i in range(10)]
+    rows.append(("a", ts(10), 11, 500.0))  # spike vs trailing window
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    out = {r.event_id: r for r in R.rolling_zscore(df).collect()}
+    # warmup rows (< 5 priors) are unscored and never flagged
+    for eid in (1, 2, 3, 4, 5):
+        assert out[eid].zscore is None and not out[eid].is_anomaly
+    assert out[11].is_anomaly and out[11].zscore > 3
+    # the spike does not poison its own window (trailing frame): row 11
+    # is scored against rows 1-10 only
+    assert abs(out[10].zscore) < 3 and not out[10].is_anomaly
+
+
+def test_rolling_zscore_constant_window_unscored(spark):
+    rows = [("a", ts(i), i + 1, 7.0) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    out = {r.event_id: r for r in R.rolling_zscore(df).collect()}
+    # stddev 0 -> z undefined -> null, never a divide-by-zero flag
+    assert all(r.zscore is None and not r.is_anomaly for r in out.values())
+
+
+def test_ewma_smooth_known_values_and_head(spark):
+    rows = [("a", ts(i), i + 1, v) for i, v in enumerate([10.0, 20.0, 40.0])]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    out = {r.event_id: r.ewma for r in R.ewma_smooth(df, alpha=0.5).collect()}
+    # head rows renormalize over the weights present
+    assert out[1] == 10.0
+    assert abs(out[2] - (20.0 + 0.5 * 10.0) / 1.5) < 1e-6
+    assert abs(out[3] - (40.0 + 0.5 * 20.0 + 0.25 * 10.0) / 1.75) < 1e-6
+
+
+def test_collocations_pmi_finds_planted_phrase(spark):
+    import itertools
+
+    filler = [
+        " ".join(w)
+        for w in itertools.islice(
+            itertools.permutations(["aa", "bb", "cc", "dd", "ee"]), 40
+        )
+    ]
+    docs = [(i, t + " zz qq") for i, t in enumerate(filler)]
+    from kafka_streams_homework_spark.operators import text as T
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = T.collocations_pmi(df, min_count=5, top_n=5).collect()
+    # "zz qq" always co-occurs and each word appears only in that pair
+    # -> highest PMI
+    assert (out[0].w1, out[0].w2) == ("zz", "qq")
+    assert out[0].c_ab == 40
+    for r in out:
+        assert r.pmi is not None
+
+
+def test_neighbor_jaccard_exact_small_graph(spark):
+    from kafka_streams_homework_spark.operators.graph import neighbor_jaccard
+
+    # path 1-2-3 plus edge 1-3 (triangle) and pendant 3-4
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {(r.node_a, r.node_b): r for r in neighbor_jaccard(df).collect()}
+    # N(1)={2,3}, N(2)={1,3}, N(3)={1,2,4}, N(4)={3}
+    assert out[(1, 2)].n_common == 1  # common neighbor 3
+    assert out[(1, 2)].jaccard == round(1 / 3, 6) and out[(1, 2)].is_edge
+    assert out[(1, 4)].n_common == 1 and not out[(1, 4)].is_edge
+    assert out[(1, 4)].jaccard == 0.5  # N(1)={2,3}, N(4)={3}
+    assert (3, 4) not in out or out[(3, 4)].n_common >= 1

@@ -434,3 +434,25 @@ def test_triangle_count_no_cartesian(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_skyline_is_sort_based_no_dominance_join(spark, sf_dir):
+    """The skyline must be the sort-based plan — window running-max
+    passes over the deduped points, never the oracle's O(n^2)
+    dominance join (no join operator of any kind in the plan)."""
+    df = Q.q_skyline_pareto(spark, sf_dir)
+    plan = physical_plan(df)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan, plan
+    # distinct + local-pass exchange + global single-partition pass
+    assert count_exchanges(df) <= 3, plan
+
+
+def test_collocations_corpus_single_scan_broadcast_marginals(spark, sf_dir):
+    """PMI joins are vocabulary-sized broadcasts; the corpus-side scan
+    must not enter a shuffle join (no SortMergeJoin anywhere)."""
+    df = Q.q_collocations_pmi(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
