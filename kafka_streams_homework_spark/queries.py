@@ -5877,21 +5877,15 @@ _WINDOW = [
     "timeseries_resample",
     # TPC-H battery — the nine shapes never driver-checked, rotated in
     "q1_pricing_summary",
-    "q2_min_cost_supplier",
     "q4_order_priority",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q13_customer_distribution",
     "q15_top_supplier",
     "q17_small_qty_revenue",
     "q20_part_promotion",
     "q22_idle_customers",
     # engine extensions never driver-checked, rotated in
     "scd2_history",
-    "scd2_lookup",
     "merge_apply_cdc",
     "geomean_udaf",
-    "quantile_rollup_hist",
     "anomaly_zscore",
     "cdc_chunks",
     # LLM-pipeline surface (kept anchors + rotated-in tail)
@@ -5913,13 +5907,28 @@ _WINDOW = [
     "triangle_count",
     "multimodal_meta",
     "copurchase_topk",
-    "split_leakage_free",
     "domain_mix",
     "bm25_rank",
-    "tfidf_top_terms",
     "inverted_index",
+    # round-5 additions, rotated in (see swap note below)
+    "skyline_pareto",
+    "activity_streaks",
+    "rolling_anomaly",
+    "ewma_smooth",
+    "markov_transitions",
+    "collocations_pmi",
+    "neighbor_jaccard",
+    "table_profile",
 ]
-# round-5 swaps (family stays represented, driver-green anchors out):
+# round-5 (this round) swaps — the 8 new ops in; 8 r04-driver-green
+# anchors out, each family still represented (TPC-H keeps 6 shapes incl.
+# the canonical q1/q4; scd2_history covers CDC; geomean_udaf +
+# anomaly_zscore cover UDAF/stats; bm25_rank covers ranked text):
+# q2_min_cost_supplier/q9_product_profit/q11_important_stock/
+# q13_customer_distribution/scd2_lookup/quantile_rollup_hist/
+# tfidf_top_terms/split_leakage_free out. Rotated-out entries remain
+# covered by the committed full-registry sweep (CORRECTNESS_FULL_r05).
+# earlier round-5 swaps (family stays represented, anchors out):
 # token_count→importance_sample, quality_score→quality_buckets,
 # dedup_exact→dedup_exact_normalized, frame_sample→copurchase_topk
 # round-4-continuation swaps (new ops in; r03-driver-green anchors out,
