@@ -102,6 +102,11 @@ BENCH_QUERIES = [
     "neighbor_jaccard",
     "rolling_anomaly",
     "ewma_smooth",
+    # round-5 second wave: corpus-drift JS divergence, one-scan DQ
+    # audit, weekly trend
+    "js_divergence",
+    "dq_rules",
+    "period_over_period",
 ]
 
 

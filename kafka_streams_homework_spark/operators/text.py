@@ -626,3 +626,74 @@ def collocations_pmi(
         scored.orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(top_n)
     )
+
+
+def js_divergence_sources(
+    documents: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (log2, in [0,1]) between the
+    unigram token distributions of every pair of document groups — the
+    corpus-drift / domain-shift monitor used to compare crawls,
+    snapshots, or pipeline stages before mixing them into training
+    data.
+
+    Only SHARED tokens ever join: for a token held by one side only,
+    the JS integrand collapses to p/2 (log2(p/(p/2)) == 1), so the
+    disjoint mass enters through the closed form
+
+        JS(P,Q) = sum_shared[ p/2 log2(2p/(p+q)) + q/2 log2(2q/(p+q)) ]
+                  + (1 - sum_shared p)/2 + (1 - sum_shared q)/2
+
+    and the all-pairs full-outer join a naive implementation needs
+    disappears. Corollary: a pair with ZERO shared tokens emits no
+    row (its JS is exactly 1 bit); absence from the output is that
+    maximal-divergence signal, which callers can materialize with a
+    cross join of the group list if they need explicit rows.
+
+    Plan: one corpus scan → (group, token) counts (vocabulary-sized,
+    partial-agg) → per-group totals broadcast → shared-token
+    equi-join with group_a < group_b → one (pair) aggregate. Scale:
+    pair-term volume is |shared vocab| x O(S^2) for S groups — the
+    operator is meant for group counts in the tens/hundreds (crawl
+    snapshots, domains); for larger S restrict to the pairs of
+    interest before the join.
+    """
+    tok = tokens("text")
+    freq = (
+        documents.select(F.col(group_col).alias("g"), F.explode(tok).alias("w"))
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = freq.groupBy("g").agg(F.sum("c").alias("t"))
+    dist = tracked_persist(
+        freq.join(F.broadcast(totals), "g").select(
+            "g", "w", (F.col("c") / F.col("t")).alias("p")
+        )
+    )
+    a = dist.select(F.col("g").alias("ga"), "w", F.col("p").alias("pa"))
+    b = dist.select(F.col("g").alias("gb"), "w", F.col("p").alias("pb"))
+    shared = a.join(b, "w").filter(F.col("ga") < F.col("gb"))
+    term = (
+        F.col("pa") / 2 * F.log2(2 * F.col("pa") / (F.col("pa") + F.col("pb")))
+        + F.col("pb") / 2 * F.log2(2 * F.col("pb") / (F.col("pa") + F.col("pb")))
+    )
+    return (
+        shared.groupBy("ga", "gb")
+        .agg(
+            F.sum(term).alias("s_term"),
+            F.sum("pa").alias("s_pa"),
+            F.sum("pb").alias("s_pb"),
+        )
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            F.round(
+                F.col("s_term")
+                + (1 - F.col("s_pa")) / 2
+                + (1 - F.col("s_pb")) / 2
+                + F.lit(1e-9),
+                6,
+            ).alias("js_div"),
+        )
+    )

@@ -5848,6 +5848,207 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DQ_RULES: list[tuple[str, str]] = [
+    # (rule name, SQL boolean that must hold; shared verbatim by both
+    # engines so the violation sets are definitionally identical)
+    ("totalprice_positive", "o_totalprice > 0"),
+    ("totalprice_under_cap", "o_totalprice < 400000"),
+    ("status_known", "o_orderstatus IN ('F', 'O', 'P')"),
+    ("priority_has_dash", "o_orderpriority LIKE '%-%'"),
+    ("date_before_2001", "o_orderdate < TIMESTAMP '2001-01-01'"),
+]
+
+
+@register(
+    "dq_rules",
+    oracle=f"""
+        WITH checks AS (
+            {" UNION ALL ".join(
+                f"SELECT '{n}' AS rule_name, "
+                f"count(*) AS n_rows, "
+                f"count(*) FILTER (WHERE NOT coalesce(({c}), false)) "
+                f"AS n_violations FROM orders"
+                for n, c in _DQ_RULES
+            )}
+        )
+        SELECT rule_name, CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_violations AS BIGINT) AS n_violations,
+               round(n_violations::DOUBLE / n_rows, 6) AS violation_rate,
+               n_violations = 0 AS passed
+        FROM checks
+    """,
+    description="Declarative data-quality audit (Deequ/expectations "
+    "shape): N boolean rules evaluated in ONE scan — each row explodes "
+    "to (rule, violated?) pairs and a single partial-agg groupBy "
+    "yields per-rule violation counts/rates; the oracle's N per-rule "
+    "scans collapse to 1. NULL rule results count as violations "
+    "(three-valued logic pinned on both engines)",
+)
+def q_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cells = orders.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("rule_name"),
+                        (~F.coalesce(F.expr(c), F.lit(False)))
+                        .alias("violated"),
+                    )
+                    for n, c in _DQ_RULES
+                ]
+            )
+        ).alias("chk")
+    ).select("chk.rule_name", "chk.violated")
+    return (
+        cells.groupBy("rule_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("violated").cast("int")).cast("bigint").alias(
+                "n_violations"
+            ),
+        )
+        .select(
+            "rule_name",
+            "n_rows",
+            "n_violations",
+            F.round(F.col("n_violations") / F.col("n_rows"), 6).alias(
+                "violation_rate"
+            ),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )
+
+
+@register(
+    "period_over_period",
+    oracle="""
+        WITH w AS (
+            SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT week, revenue, n_orders,
+               round((revenue - lag(revenue) OVER (ORDER BY week))
+                     / lag(revenue) OVER (ORDER BY week) + 1e-9,
+                     6) AS wow_growth
+        FROM w
+    """,
+    description="Period-over-period trend: weekly revenue with "
+    "week-over-week growth — one date_trunc groupBy (partial-agg) "
+    "then a lag window over the ~hundreds of week rows (single tiny "
+    "partition AFTER aggregation — the corpus itself never enters a "
+    "global sort); revenue rounded to cents before the ratio so both "
+    "engines difference identical values",
+)
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week",
+        "revenue",
+        "n_orders",
+        F.round((F.col("revenue") - prev) / prev + F.lit(1e-9), 6).alias(
+            "wow_growth"
+        ),
+    )
+
+
+@register(
+    "js_divergence",
+    oracle="""
+        WITH f AS (
+            SELECT source AS g, unnest(str_split(lower(text), ' ')) AS w
+            FROM documents
+        ), c AS (
+            SELECT g, w, count(*) AS c FROM f GROUP BY 1, 2
+        ), t AS (
+            SELECT g, sum(c) AS t FROM c GROUP BY 1
+        ), d AS (
+            SELECT c.g, c.w, c.c / t.t AS p FROM c JOIN t USING (g)
+        ), shared AS (
+            SELECT a.g AS ga, b.g AS gb,
+                   sum(a.p / 2 * log2(2 * a.p / (a.p + b.p))
+                       + b.p / 2 * log2(2 * b.p / (a.p + b.p))) AS s_term,
+                   sum(a.p) AS s_pa, sum(b.p) AS s_pb
+            FROM d a JOIN d b ON a.w = b.w AND a.g < b.g
+            GROUP BY 1, 2
+        )
+        SELECT ga AS source_a, gb AS source_b,
+               round(s_term + (1 - s_pa) / 2 + (1 - s_pb) / 2 + 1e-9, 6)
+                   AS js_div
+        FROM shared
+    """,
+    description="Pairwise Jensen-Shannon divergence between per-source "
+    "token distributions (corpus-drift / domain-shift monitor): "
+    "disjoint-vocabulary mass folded into a closed form so ONLY "
+    "shared tokens join — no all-pairs full-outer join; one corpus "
+    "scan, vocabulary-sized aggregates, broadcast totals",
+)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.js_divergence_sources(docs, "source")
+
+
+@register(
+    "streaming_activity_streaks",
+    oracle="""
+        WITH d AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), r AS (
+            SELECT user_id, day,
+                   day - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+            FROM d
+        )
+        SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+               CAST(count(*) AS BIGINT) AS streak_days
+        FROM r GROUP BY user_id, anchor HAVING count(*) >= 2
+    """,
+    description="Streaming twin of activity_streaks: events projected "
+    "to midnight-aligned day timestamps, then a per-user session "
+    "window with a 25-hour gap — consecutive midnights (24h apart) "
+    "merge, a skipped day (48h) splits, so each session IS a streak "
+    "and streak_days = span(min,max)+1 without any distinct-count "
+    "(order-independent, hence batch-count-independent). Complete "
+    "mode via run_replace like streaming_sessionize; same "
+    "gaps-and-islands oracle as the batch twin",
+)
+def q_streaming_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import run_replace
+
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    days = stream.select(
+        "user_id", F.date_trunc("day", "ts").alias("day_ts")
+    )
+    sess = (
+        days.groupBy("user_id", F.session_window("day_ts", "25 hours"))
+        .agg(
+            F.min("day_ts").alias("first_day"),
+            F.max("day_ts").alias("last_day"),
+        )
+        .select(
+            "user_id",
+            F.col("first_day").cast("date").alias("streak_start"),
+            F.col("last_day").cast("date").alias("streak_end"),
+            (
+                F.datediff(F.col("last_day"), F.col("first_day")) + 1
+            ).cast("bigint").alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= 2)
+    )
+    return run_replace(spark, sess)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

@@ -948,3 +948,42 @@ def test_neighbor_jaccard_exact_small_graph(spark):
     assert out[(1, 4)].n_common == 1 and not out[(1, 4)].is_edge
     assert out[(1, 4)].jaccard == 0.5  # N(1)={2,3}, N(4)={3}
     assert (3, 4) not in out or out[(3, 4)].n_common >= 1
+
+
+def test_js_divergence_bounds_and_disjoint(spark):
+    from kafka_streams_homework_spark.operators import text as T
+
+    docs = [
+        (1, "aa bb aa bb", "s1"),
+        (2, "aa bb", "s1"),
+        (3, "aa bb aa bb", "s2"),   # identical distribution to s1
+        (4, "aa bb", "s2"),
+        (5, "xx yy zz", "s3"),      # fully disjoint vocabulary
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = {(r.source_a, r.source_b): r.js_div
+           for r in T.js_divergence_sources(df).collect()}
+    # identical distributions -> 0
+    assert out[("s1", "s2")] == 0.0
+    # disjoint vocabularies -> maximal JS = 1 bit... but the pair never
+    # appears in the shared-token join; the closed form means absence
+    # IS the answer only for pairs with >=1 shared token, so fully
+    # disjoint pairs are absent from the output by design
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_js_divergence_known_value(spark):
+    import math
+
+    from kafka_streams_homework_spark.operators import text as T
+
+    # P = {a: 1/2, b: 1/2}, Q = {a: 1/2, c: 1/2}: shared token a with
+    # p=q=1/2 contributes 0; disjoint mass 1/2 each side -> JS = 1/2
+    docs = [(1, "aa bb", "p"), (2, "aa cc", "q")]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = {(r.source_a, r.source_b): r.js_div
+           for r in T.js_divergence_sources(df).collect()}
+    assert abs(out[("p", "q")] - 0.5) < 1e-6
+    # sanity: formula value via pure python
+    js = 0.5 * (0.5 * math.log2(2 * 0.5 / 1.0)) * 2 + 0.5 * 0.5 + 0.5 * 0.5
+    assert abs(js - 0.5) < 1e-12
