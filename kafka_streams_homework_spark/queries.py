@@ -6049,6 +6049,160 @@ def q_streaming_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_replace(spark, sess)
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
+RRF_LEG_N = 50  # per-leg candidate depth
+RRF_TOP_N = 20
+
+
+@register(
+    "rrf_hybrid_search",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok FROM documents
+        ), dl AS (
+            SELECT doc_id, len(tok) AS dl FROM t
+        ), avgdl AS (
+            SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(tok) AS term FROM t)
+            WHERE term IN ('spark', 'window')
+            GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), lex AS (
+            SELECT tf.doc_id AS doc_id, round(sum(
+                       ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                       * tf / (tf + {BM25_K1} * (1 - {BM25_B}
+                               + {BM25_B} * dl.dl / avgdl.avgdl))
+                   ), 6) AS score
+            FROM tf, df, dl, avgdl
+            WHERE tf.term = df.term AND tf.doc_id = dl.doc_id
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, tf.doc_id ASC LIMIT {RRF_LEG_N}
+        ), lexr AS (
+            SELECT doc_id, row_number() OVER (
+                ORDER BY score DESC, doc_id ASC) AS r FROM lex
+        ), e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), q AS (
+            SELECT v AS qv FROM e WHERE vec_id = 0
+        ), vec AS (
+            SELECT vec_id AS doc_id,
+                   round(list_inner_product(v, qv)
+                         / (sqrt(list_inner_product(v, v))
+                            * sqrt(list_inner_product(qv, qv))), 6) AS sim
+            FROM e, q WHERE vec_id != 0
+            ORDER BY sim DESC, vec_id ASC LIMIT {RRF_LEG_N}
+        ), vecr AS (
+            SELECT doc_id, row_number() OVER (
+                ORDER BY sim DESC, doc_id ASC) AS r FROM vec
+        ), fused AS (
+            SELECT coalesce(lexr.doc_id, vecr.doc_id) AS doc_id,
+                   round(coalesce(1.0 / ({RRF_K} + lexr.r), 0.0)
+                         + coalesce(1.0 / ({RRF_K} + vecr.r), 0.0),
+                         6) AS rrf_score,
+                   lexr.r AS lex_rank, vecr.r AS vec_rank
+            FROM lexr FULL OUTER JOIN vecr ON lexr.doc_id = vecr.doc_id
+        )
+        SELECT doc_id, rrf_score,
+               CAST(lex_rank AS BIGINT) AS lex_rank,
+               CAST(vec_rank AS BIGINT) AS vec_rank
+        FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT {RRF_TOP_N}
+    """,
+    description="Hybrid retrieval with reciprocal-rank fusion "
+    "(Cormack's RRF, k=60): BM25 top-50 for the fixed term query and "
+    "cosine top-50 to a fixed query vector, fused by sum 1/(k+rank) — "
+    "the RAG-stack pattern of merging lexical and semantic retrieval "
+    "without score calibration. Corpus-side cost is one term-filtered "
+    "BM25 pass + one JVM-cosine map scan, each cut to 50 rows by "
+    "TakeOrdered BEFORE any window ranks or the full-outer fuse — "
+    "the fusion stage touches <= 100 rows no matter the corpus size",
+)
+def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.functions import cosine_similarity
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    # lexical leg: the bm25_rank plan at depth RRF_LEG_N
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("tok")
+    )
+    dl = toks.select("doc_id", F.size("tok").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("tok").alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy(F.col("term").alias("df_term")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    lex = (
+        tf.join(F.broadcast(dfreq), tf["term"] == F.col("df_term"))
+        .join(
+            dl.withColumnRenamed("doc_id", "dl_doc"),
+            tf["doc_id"] == F.col("dl_doc"),
+        )
+        .join(F.broadcast(stats))
+        .groupBy(tf["doc_id"])
+        .agg(F.round(F.sum(idf * F.col("tf") / denom), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(RRF_LEG_N)
+    )
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("lex_rank"),
+    )
+    # vector leg: cosine to the query vector, corpus-side map scan
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    vec = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("q_emb")), 6
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+        .limit(RRF_LEG_N)
+    )
+    vecr = vec.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("sim").desc(), F.col("doc_id").asc()))
+        .alias("vec_rank"),
+    )
+    fused = lexr.join(vecr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        F.col("lex_rank").cast("bigint").alias("lex_rank"),
+        F.col("vec_rank").cast("bigint").alias("vec_rank"),
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    ).limit(RRF_TOP_N)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------
