@@ -6203,6 +6203,71 @@ def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(RRF_TOP_N)
 
 
+VOCAB_TARGETS = [100, 1000, 10000]
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+        WITH c AS (
+            SELECT w, count(*) AS c
+            FROM (SELECT unnest(str_split(lower(text), ' ')) AS w
+                  FROM documents)
+            GROUP BY w
+        ), r AS (
+            SELECT c,
+                   row_number() OVER (ORDER BY c DESC, w ASC) AS rnk,
+                   sum(c) OVER (ORDER BY c DESC, w ASC
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(c) OVER () AS total,
+                   count(*) OVER () AS vocab_n
+            FROM c
+        )
+        SELECT CAST(t.n AS BIGINT) AS vocab_size,
+               CAST(least(t.n, r.vocab_n) AS BIGINT) AS n_tokens_used,
+               round(r.cum::DOUBLE / r.total, 6) AS coverage
+        FROM (VALUES {", ".join(f"({n})" for n in VOCAB_TARGETS)}) AS t(n)
+        JOIN r ON r.rnk = least(t.n, r.vocab_n)
+    """,
+    description="Vocabulary coverage curve: fraction of corpus token "
+    "mass covered by the top-N most frequent tokens (N = 100/1k/10k) "
+    "— the Zipf diagnostic behind tokenizer vocab-size choices. One "
+    "corpus scan to vocabulary-sized counts; the exact-rank cumsum "
+    "window runs over the VOCABULARY (the scale knob: at web scale "
+    "swap the exact rank for a count-threshold cut, same one-scan "
+    "shape)",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    from kafka_streams_homework_spark.functions import tokens
+
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    ranked = counts.select(
+        F.row_number().over(w).alias("rnk"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("vocab_n"),
+    )
+    targets = spark.range(1).select(
+        F.explode(F.array(*[F.lit(n) for n in VOCAB_TARGETS])).alias("n")
+    )
+    return targets.join(
+        ranked,
+        ranked["rnk"] == F.least(F.col("n"), F.col("vocab_n")),
+    ).select(
+        F.col("n").cast("bigint").alias("vocab_size"),
+        F.least(F.col("n"), F.col("vocab_n")).cast("bigint").alias(
+            "n_tokens_used"
+        ),
+        F.round(F.col("cum") / F.col("total"), 6).alias("coverage"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------
