@@ -6268,6 +6268,112 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ohlc_bars",
+    oracle="""
+        WITH b AS (
+            SELECT event_type, value,
+                   time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+                   row_number() OVER (
+                       PARTITION BY event_type,
+                                    time_bucket(INTERVAL 1 HOUR, ts)
+                       ORDER BY ts ASC, event_id ASC) AS rn_a,
+                   row_number() OVER (
+                       PARTITION BY event_type,
+                                    time_bucket(INTERVAL 1 HOUR, ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        SELECT event_type, bucket,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high, min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               CAST(count(*) AS BIGINT) AS n_ticks,
+               round(sum(value), 2) AS volume
+        FROM b GROUP BY event_type, bucket
+    """,
+    description="OHLC candlestick bars per (series, hour): open/close "
+    "via deterministic (ts, event_id)-ordered row_number — never an "
+    "unordered first()/arg_min tie — high/low/count/volume in the "
+    "same single groupBy. Two window sorts + one partial-agg shuffle, "
+    "all keyed on (series, bucket); the financial-rollup shape for "
+    "hypertable tick stores",
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", "ts")
+    wa = Window.partitionBy("event_type", bucket).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("event_type", bucket).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    b = events.select(
+        "event_type",
+        "value",
+        bucket.alias("bucket"),
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        F.round(F.sum("value"), 2).alias("volume"),
+    )
+
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+        WITH s AS (
+            SELECT event_type, value,
+                   epoch(ts) AS t,
+                   lead(epoch(ts)) OVER w AS nt,
+                   lead(value) OVER w AS nv
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        )
+        SELECT event_type,
+               round(sum((nt - t) * ((value + nv) / 2))
+                     / (max(t) - min(t)) + 1e-9, 6) AS twa,
+               CAST(count(*) AS BIGINT) AS n_obs
+        FROM s GROUP BY event_type
+    """,
+    description="Time-weighted average per series (trapezoidal "
+    "integral over irregular samples / observed span) — the "
+    "timescaledb time_weight('linear') twin, the correct mean when "
+    "sampling is irregular. One lead window pass + one partial-agg "
+    "groupBy, both keyed on the series; identical product/sum "
+    "association on both engines, round+nudge on the final ratio",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = F.col("ts").cast("double")
+    s = events.select(
+        "event_type",
+        "value",
+        t.alias("t"),
+        F.lead(t).over(w).alias("nt"),
+        F.lead("value").over(w).alias("nv"),
+    )
+    return s.groupBy("event_type").agg(
+        F.round(
+            F.sum(
+                (F.col("nt") - F.col("t"))
+                * ((F.col("value") + F.col("nv")) / 2)
+            )
+            / (F.max("t") - F.min("t"))
+            + F.lit(1e-9),
+            6,
+        ).alias("twa"),
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------
