@@ -6374,6 +6374,156 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "chi_square_independence",
+    oracle="""
+        WITH o AS (
+            -- DuckDB dayofweek: Sunday=0; Spark: Sunday=1 — shift
+            SELECT event_type AS r, CAST(dayofweek(ts) + 1 AS BIGINT) AS c,
+                   count(*) AS obs
+            FROM events GROUP BY 1, 2
+        ), rm AS (
+            SELECT r, sum(obs) AS rt FROM o GROUP BY r
+        ), cm AS (
+            SELECT c, sum(obs) AS ct FROM o GROUP BY c
+        ), n AS (
+            SELECT sum(obs) AS n FROM o
+        ), cells AS (
+            SELECT o.r, o.c, obs,
+                   (rt * ct) / n AS exp
+            FROM o JOIN rm USING (r) JOIN cm USING (c), n
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST((SELECT count(*) FROM rm) - 1 AS BIGINT)
+                   * CAST((SELECT count(*) FROM cm) - 1 AS BIGINT) AS dof,
+               round(sum((obs - exp) * (obs - exp) / exp) + 1e-9, 6)
+                   AS chi2
+        FROM cells
+    """,
+    description="Chi-square test of independence (event_type x day-of-"
+    "week contingency): observed cell counts from ONE groupBy, "
+    "expected from broadcast marginals, the statistic one tiny "
+    "aggregate — the drift/segmentation-significance primitive; "
+    "identical (o-e)^2/e association on both engines. Contingency "
+    "table is |types| x 7 regardless of event volume",
+)
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    o = tracked_persist(
+        events.groupBy(
+            F.col("event_type").alias("r"),
+            F.dayofweek("ts").cast("bigint").alias("c"),
+        ).agg(F.count(F.lit(1)).alias("obs"))
+    )
+    rm = o.groupBy("r").agg(F.sum("obs").alias("rt"))
+    cm = o.groupBy("c").agg(F.sum("obs").alias("ct"))
+    n = o.agg(F.sum("obs").alias("n"))
+    nr = rm.agg(F.count(F.lit(1)).alias("nr"))
+    nc = cm.agg(F.count(F.lit(1)).alias("nc"))
+    exp = (F.col("rt") * F.col("ct")) / F.col("n")
+    cells = (
+        o.join(F.broadcast(rm), "r")
+        .join(F.broadcast(cm), "c")
+        .crossJoin(F.broadcast(n))
+        .select("obs", exp.alias("exp"))
+    )
+    return (
+        cells.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.round(
+                F.sum(
+                    (F.col("obs") - F.col("exp"))
+                    * (F.col("obs") - F.col("exp"))
+                    / F.col("exp")
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("chi2"),
+        )
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_cells",
+            ((F.col("nr") - 1) * (F.col("nc") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            "chi2",
+        )
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "corr_matrix",
+    oracle=f"""
+        WITH s AS (
+            SELECT {", ".join(
+                f"sum({c}) AS s_{c}, sum({c} * {c}) AS ss_{c}"
+                for c in _CORR_COLS
+            )},
+            {", ".join(
+                f"sum({a} * {b}) AS sp_{a}_{b}"
+                for i, a in enumerate(_CORR_COLS)
+                for b in _CORR_COLS[i + 1:]
+            )},
+            count(*)::DOUBLE AS n
+            FROM lineitem
+        )
+        {" UNION ALL ".join(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"round((n * sp_{a}_{b} - s_{a} * s_{b}) "
+            f"/ sqrt((n * ss_{a} - s_{a} * s_{a}) "
+            f"* (n * ss_{b} - s_{b} * s_{b})) + 1e-9, 6) AS pearson_r "
+            f"FROM s"
+            for i, a in enumerate(_CORR_COLS)
+            for b in _CORR_COLS[i + 1:]
+        )}
+    """,
+    description="Pairwise Pearson correlation matrix over the lineitem "
+    "numeric columns: ALL sums/cross-products from ONE scan-level "
+    "aggregate (a single partial-agg pass, no per-pair rescans), the "
+    "6 coefficients assembled from the 1-row moment table — the "
+    "feature-redundancy screen of any ML feature audit; the explicit "
+    "(n*sxy - sx*sy)/sqrt(...) moment form is shared verbatim with "
+    "the oracle instead of each engine's internal corr() updater",
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _CORR_COLS:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    aggs.append(F.count(F.lit(1)).cast("double").alias("n"))
+    mom = li.agg(*aggs)
+    rows = []
+    for a, b in pairs:
+        r = (
+            F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        ) / F.sqrt(
+            (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        )
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(r + F.lit(1e-9), 6).alias("pearson_r"),
+            )
+        )
+    return mom.select(F.explode(F.array(*rows)).alias("p")).select(
+        "p.col_a", "p.col_b", "p.pearson_r"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------
