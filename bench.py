@@ -107,6 +107,11 @@ BENCH_QUERIES = [
     "js_divergence",
     "dq_rules",
     "period_over_period",
+    # round-5 third wave: hybrid retrieval fusion, tick-store rollup,
+    # one-scan moment statistics
+    "rrf_hybrid_search",
+    "ohlc_bars",
+    "corr_matrix",
 ]
 
 
