@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -204,6 +205,66 @@ def decode_and_resize(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(fused, RESIZE_SCHEMA)
+
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("chunk", BinaryType()),
+    ]
+)
+
+CHUNK_SIZE = 256
+MIN_CHUNK = 64
+
+
+def audio_chunks(media: DataFrame) -> DataFrame:
+    """Fixed-size audio chunking: slice each audio payload into
+    CHUNK_SIZE-byte frames (trailing fragment kept only when >=
+    MIN_CHUNK bytes) — the segmentation step every ASR/audio-embedding
+    pipeline runs before batching into a model, expressed as the
+    standard Arrow hatch: payload bytes cross into Python ONCE per
+    batch, chunks come back as a binary column, and nothing else about
+    the corpus shuffles.
+
+    Unlike the decode stub, nothing here is faked: the byte slicing IS
+    the real operation (a PCM chunker is exactly this arithmetic; a
+    real pipeline would only add sample-rate-aware stride math). The
+    emitted chunk bytes make the op oracle-checkable end-to-end —
+    base64(chunk) is compared against the oracle's char-sliced
+    reconstruction, exact because the fixture corpus is pure ASCII
+    (byte == char; asserted per-SF in the repo, documented in the
+    query registration).
+
+    Scale: output bytes ~= input bytes (a repartition of the payload
+    column, not a blowup); chunk rows inherit the input partitioning,
+    so downstream per-chunk feature extraction is embarrassingly
+    parallel. MIN_CHUNK mirrors the real-world drop of sub-frame
+    tails.
+    """
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in CHUNK_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(0, len(b), CHUNK_SIZE):
+                    c = b[i : i + CHUNK_SIZE]
+                    if len(c) < MIN_CHUNK:
+                        break
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(i // CHUNK_SIZE)
+                    out["n_bytes"].append(len(c))
+                    out["chunk"].append(c)
+            yield pd.DataFrame(out).astype(
+                {"chunk_idx": "int32", "n_bytes": "int64"}
+            )
+
+    return media.filter(F.col("media_type") == "audio/wav").mapInPandas(
+        chunk, CHUNK_SCHEMA
+    )
 
 
 def decode_real(media: DataFrame) -> DataFrame:  # pragma: no cover

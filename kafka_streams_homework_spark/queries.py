@@ -6524,6 +6524,47 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "audio_chunks",
+    oracle="""
+        WITH a AS (
+            SELECT doc_id, text, length(text) AS n FROM documents
+            WHERE doc_id % 2 = 1 AND length(text) >= 64
+        ), c AS (
+            SELECT doc_id, n, text,
+                   unnest(list_transform(
+                       generate_series(0, CAST((n - 64) // 256 AS INT)),
+                       i -> {'idx': i, 's': i * 256 + 1})) AS u
+            FROM a
+        )
+        SELECT doc_id, CAST(u.idx AS INT) AS chunk_idx,
+               CAST(least(256, n - u.idx * 256) AS BIGINT) AS n_bytes,
+               base64(encode(substring(text, u.s, 256))) AS chunk_b64
+        FROM c
+    """,
+    description="Audio-modality segmentation: slice each audio payload "
+    "into 256-byte frames (trailing fragment kept when >= 64 bytes) "
+    "via the Arrow mapInPandas hatch — the ASR/audio-embedding "
+    "pre-batching step, with REAL byte slicing (nothing faked) and "
+    "the chunk bytes themselves oracle-checked via base64 against a "
+    "char-sliced reconstruction (exact because the fixture corpus is "
+    "pure ASCII — byte == char — verified per-SF). Payload bytes "
+    "cross into Python once per Arrow batch; output inherits the "
+    "input partitioning",
+)
+def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = M.to_media(docs)
+    return M.audio_chunks(media).select(
+        "doc_id",
+        "chunk_idx",
+        "n_bytes",
+        # Spark's base64 is MIME-wrapped (\r\n every 76 chars); DuckDB's
+        # is unwrapped — strip to the canonical unwrapped form
+        F.translate(F.base64("chunk"), "\r\n", "").alias("chunk_b64"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

@@ -987,3 +987,25 @@ def test_js_divergence_known_value(spark):
     # sanity: formula value via pure python
     js = 0.5 * (0.5 * math.log2(2 * 0.5 / 1.0)) * 2 + 0.5 * 0.5 + 0.5 * 0.5
     assert abs(js - 0.5) < 1e-12
+
+
+def test_audio_chunks_exact_slicing_roundtrip(spark):
+    from kafka_streams_homework_spark.operators import multimodal as M
+
+    texts = [
+        (1, "x" * 700),   # 2 full chunks + 188-byte tail (kept)
+        (3, "y" * 300),   # 1 full + 44-byte tail (dropped: < 64)
+        (5, "z" * 40),    # sub-minimum payload: no chunks
+        (2, "w" * 700),   # even doc_id -> image, excluded
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = M.audio_chunks(M.to_media(df)).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 3}
+    assert [r.n_bytes for r in by_doc[1]] == [256, 256, 188]
+    assert [r.n_bytes for r in by_doc[3]] == [256]
+    # chunks reassemble the exact payload prefix
+    assert b"".join(bytes(r.chunk) for r in by_doc[1]) == b"x" * 700
+    assert b"".join(bytes(r.chunk) for r in by_doc[3]) == b"y" * 256
