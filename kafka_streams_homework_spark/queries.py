@@ -6565,6 +6565,85 @@ def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rank_functions",
+    oracle="""
+        WITH u AS (
+            SELECT event_type, user_id,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, user_id, total_value,
+               CAST(dense_rank() OVER w AS BIGINT) AS drank,
+               round(percent_rank() OVER w, 6) AS prank,
+               round(cume_dist() OVER w, 6) AS cdist
+        FROM u WINDOW w AS (PARTITION BY event_type
+                            ORDER BY total_value DESC, user_id ASC)
+    """,
+    description="Ranking-function surface in one pass: dense_rank / "
+    "percent_rank / cume_dist of each user's total within their event "
+    "type — the leaderboard/percentile-position triple sharing ONE "
+    "window sort; ranks run over the rounded total so the ordering "
+    "(and the exact integer-ratio ranks) are engine-identical",
+)
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    u = events.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 2).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    return u.select(
+        "event_type",
+        "user_id",
+        "total_value",
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "grouping_sets_agg",
+    oracle="""
+        SELECT event_type,
+               CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+               CAST(GROUPING(event_type,
+                             CAST(dayofweek(ts) + 1 AS BIGINT)) AS BIGINT)
+                   AS grouping_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type),
+                                (CAST(dayofweek(ts) + 1 AS BIGINT)),
+                                ())
+    """,
+    description="Arbitrary GROUPING SETS (not the CUBE/ROLLUP "
+    "specializations): per-type totals, per-day-of-week totals, and "
+    "the grand total in ONE Expand pass + one partial-agg shuffle — "
+    "vs three scans for separate GROUP BYs; grouping_id "
+    "disambiguates all-null group keys from genuine nulls (DuckDB "
+    "dayofweek Sunday=0 shifted to Spark's Sunday=1)",
+)
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    events.createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(dayofweek(ts) AS BIGINT) AS dow,
+               CAST(grouping_id() AS BIGINT) AS grouping_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type),
+                                (CAST(dayofweek(ts) AS BIGINT)),
+                                ())
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------
