@@ -112,6 +112,13 @@ BENCH_QUERIES = [
     "rrf_hybrid_search",
     "ohlc_bars",
     "corr_matrix",
+    # round-5 fourth wave: unadapted TPC-H over the derived partsupp
+    # view (Q9's composite-key fact⋈fact join and Q11's persisted
+    # two-consumer aggregate are the heavy shapes) and the
+    # unbounded-state-safe append-mode sessionization twin
+    "q9_product_profit_ps",
+    "q11_important_stock_ps",
+    "streaming_sessionize_append",
 ]
 
 

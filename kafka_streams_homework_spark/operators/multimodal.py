@@ -275,6 +275,13 @@ def decode_real(media: DataFrame) -> DataFrame:  # pragma: no cover
     soundfile.read on io.BytesIO(payload) and emitting true
     width/height/duration; frame sampling for video via
     cv2.VideoCapture on a temp file, one row per sampled frame.
+
+    Env probe (round 5, VERDICT r4 task 7): ``import PIL`` →
+    ModuleNotFoundError; ``cv2``, ``soundfile``, ``librosa``, ``av``
+    likewise absent. No importable codec exists in this container, so
+    the gate stands; the closest real-bytes operation that IS
+    implementable — fixed-size payload segmentation — ships as
+    ``audio_chunks`` (oracle-checked end-to-end).
     """
     raise NotImplementedError(
         "media codecs are not installed in this environment; "

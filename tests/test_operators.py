@@ -1009,3 +1009,37 @@ def test_audio_chunks_exact_slicing_roundtrip(spark):
     # chunks reassemble the exact payload prefix
     assert b"".join(bytes(r.chunk) for r in by_doc[1]) == b"x" * 700
     assert b"".join(bytes(r.chunk) for r in by_doc[3]) == b"y" * 256
+
+
+def test_partsupp_view_referential_invariants(spark, sf_dir):
+    """The derived partsupp view (queries.PARTSUPP_CTE twin) must
+    restore dbgen's invariants: every lineitem (partkey, suppkey) pair
+    has exactly one partsupp row, every part has >= 4 suppliers, and
+    the md5-coin attributes stay inside dbgen's domains."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_homework_spark.queries import _partsupp, _t
+
+    ps = _partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    # referential closure: lineitem pairs are a subset of partsupp keys
+    assert li.join(ps, ["ps_partkey", "ps_suppkey"], "left_anti").count() == 0
+    # keys are unique (exactly one row per pair)
+    assert ps.count() == ps.select("ps_partkey", "ps_suppkey").distinct().count()
+    # dbgen branch: at least 4 distinct suppliers per part
+    min_supps = (
+        ps.groupBy("ps_partkey")
+        .agg(F.countDistinct("ps_suppkey").alias("n"))
+        .agg(F.min("n").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert min_supps >= 4
+    bounds = ps.agg(
+        F.min("ps_availqty").alias("aq_lo"), F.max("ps_availqty").alias("aq_hi"),
+        F.min("ps_supplycost").alias("sc_lo"), F.max("ps_supplycost").alias("sc_hi"),
+    ).collect()[0]
+    assert 1 <= bounds["aq_lo"] and bounds["aq_hi"] <= 9999
+    assert 1.0 <= bounds["sc_lo"] and bounds["sc_hi"] <= 1000.0
