@@ -847,3 +847,53 @@ def ewma_smooth(
         v.alias(val_col),
         F.round(num / den + F.lit(1e-9), 6).alias("ewma"),
     )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_units: str,
+    right_units: str,
+    band: int,
+) -> DataFrame:
+    """Epsilon-band similarity join: all (left, right) pairs whose
+    integer-unit values differ by at most ``band``.
+
+    The naive formulation is a theta-join (|l - r| <= eps) that every
+    engine executes as a cross product — quadratic and unusable at
+    scale. The classic interval-bucketing rewrite: bucket width =
+    band, the LEFT side explodes to 3 probe buckets {b-1, b, b+1},
+    the join is a plain EQUI-join on the bucket id (shuffles on a
+    uniform bounded key, AQE-balanceable), and the exact band
+    predicate verifies candidates. |l - r| <= band implies bucket
+    distance <= 1, so no qualifying pair is missed; each pair is seen
+    exactly once (the three probe buckets are distinct). Candidate
+    volume is sum over buckets of |L_b|·(|R_b-1|+|R_b|+|R_b+1|) —
+    band-width-bounded, never quadratic in the table.
+
+    Callers pass INTEGER unit columns (e.g. cents via
+    round(price*100)) — exact bucketing with no float-boundary
+    ambiguity. Reference parity: the reference has no similarity
+    join; this extends its join surface (SURVEY §2.3) the same way
+    asof_join/interval_join do.
+    """
+    bucket = (F.col(right_units) - F.col(right_units) % band) / band
+    probe = F.explode(
+        F.array(
+            *[
+                ((F.col(left_units) - F.col(left_units) % band) / band + d).cast(
+                    "bigint"
+                )
+                for d in (-1, 0, 1)
+            ]
+        )
+    )
+    lhs = left.withColumn("__probe", probe)
+    rhs = right.withColumn("__bucket", bucket.cast("bigint"))
+    return (
+        lhs.join(rhs, F.col("__probe") == F.col("__bucket"))
+        .filter(
+            F.abs(F.col(left_units) - F.col(right_units)) <= F.lit(band)
+        )
+        .drop("__probe", "__bucket")
+    )

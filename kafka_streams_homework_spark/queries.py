@@ -6729,6 +6729,399 @@ def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BAND_CENTS = 5
+
+
+@register(
+    "band_join_prices",
+    oracle=f"""
+        SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+               CAST(round(b.p_retailprice * 100) AS BIGINT)
+               - CAST(round(a.p_retailprice * 100) AS BIGINT) AS diff_cents
+        FROM part a, part b
+        WHERE b.p_partkey > a.p_partkey
+          AND abs(CAST(round(a.p_retailprice * 100) AS BIGINT)
+                  - CAST(round(b.p_retailprice * 100) AS BIGINT))
+              <= {BAND_CENTS}
+    """,
+    description="Epsilon-band similarity join (operators.relational."
+    "band_join): part pairs priced within 5 cents. The oracle is the "
+    "naive theta-join (cross product); the engine runs the "
+    "interval-bucketing rewrite — bucket width = band, left explodes "
+    "to 3 probe buckets, EQUI-join on bucket id, exact predicate "
+    "verifies — candidates are band-bounded, never quadratic. "
+    "Bucketing happens in integer CENTS (round(price*100)) so bucket "
+    "boundaries are exact, no float ambiguity",
+)
+def q_band_join_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+    )
+    a = parts.select(
+        F.col("p_partkey").alias("pk_a"), F.col("cents").alias("cents_a")
+    )
+    b = parts.select(
+        F.col("p_partkey").alias("pk_b"), F.col("cents").alias("cents_b")
+    )
+    return (
+        R.band_join(a, b, "cents_a", "cents_b", BAND_CENTS)
+        .filter(F.col("pk_b") > F.col("pk_a"))
+        .select(
+            "pk_a",
+            "pk_b",
+            (F.col("cents_b") - F.col("cents_a")).alias("diff_cents"),
+        )
+    )
+
+
+WEIGHTED_SAMPLE_K = 200
+
+
+@register(
+    "weighted_sample",
+    oracle=f"""
+        SELECT doc_id, lang, n_chars FROM (
+            SELECT doc_id, lang, n_chars,
+                   ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws'),
+                        1, 8))::BIGINT + 1) / 4294967296.0) / n_chars AS k
+            FROM documents WHERE n_chars > 0
+        ) ORDER BY k DESC, doc_id LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+    description="Weighted sampling WITHOUT replacement via "
+    "Efraimidis–Spirakis A-ES: each doc gets key u^(1/w) (equivalently "
+    "rank by ln(u)/w), u a deterministic md5 coin, w = n_chars; the "
+    "top-k by key IS a weight-proportional sample — the "
+    "training-data-mixing primitive when Poisson/Bernoulli sampling "
+    "(importance_sample) must not duplicate or drop the target count. "
+    "One scan + TakeOrderedAndProject (no global sort); deterministic "
+    "doc_id tiebreak. Adjacent-key gaps (~1/n) dwarf cross-engine "
+    "ln() ulp differences, so the selected SET is stable",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("ws"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967296.0)
+    return (
+        docs.select(
+            "doc_id", "lang", "n_chars", (F.log(u) / F.col("n_chars")).alias("__k")
+        )
+        .orderBy(F.col("__k").desc(), "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+        .drop("__k")
+    )
+
+
+MAD_SCALE = 1.4826  # consistency constant: MAD ≈ sigma for normal data
+MAD_K = 3.0
+
+
+@register(
+    "mad_outliers",
+    oracle=f"""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ), mad AS (
+            SELECT e.event_type, min(med) AS med,
+                   quantile_cont(abs(value - med), 0.5) AS mad
+            FROM events e JOIN med USING (event_type)
+            GROUP BY e.event_type
+        )
+        SELECT event_id, e.event_type, value
+        FROM events e JOIN mad USING (event_type)
+        WHERE value > med + {MAD_K} * {MAD_SCALE} * mad + 1e-9
+    """,
+    description="Robust outlier detection via median absolute "
+    "deviation: flag events whose value exceeds med + 3·1.4826·MAD "
+    "per event_type — the heavy-tail-safe alternative to z-scores "
+    "(anomaly_zscore), whose mean/std are themselves dragged by the "
+    "outliers they hunt. Two grouped EXACT percentiles (groups are "
+    "bounded — per-type state is a sort of that type's values, the "
+    "documented handoff to approx_percentile at unbounded group "
+    "sizes) broadcast back onto one flagging scan; threshold carries "
+    "the repo's 1e-9 tie nudge on both engines",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    thr = F.col("med") + MAD_K * MAD_SCALE * F.col("mad") + F.lit(1e-9)
+    return (
+        events.join(F.broadcast(mad), "event_type")
+        .filter(F.col("value") > thr)
+        .select("event_id", "event_type", "value")
+    )
+
+
+CUSUM_H = 3.0
+
+
+@register(
+    "cusum_changepoints",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   round(sum(value), 2) AS v
+            FROM events GROUP BY 1, 2
+        ), stats AS (
+            SELECT event_type, avg(v) AS mu, stddev_samp(v) AS sigma
+            FROM daily GROUP BY event_type
+        ), c AS (
+            SELECT event_type, day,
+                   round(sum((v - mu) / sigma)
+                             OVER (PARTITION BY event_type ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING)
+                         + 1e-9, 4) AS cusum
+            FROM daily JOIN stats USING (event_type)
+        )
+        SELECT event_type, day, cusum,
+               abs(cusum) > {CUSUM_H} AS is_changepoint
+        FROM c
+    """,
+    description="CUSUM change-point detection per event_type: daily "
+    "totals standardized against the series mean/std, cumulated in an "
+    "ORDERED window; |cusum| > h flags a sustained level shift (vs "
+    "rolling_anomaly's pointwise spikes). Determinism by "
+    "construction: daily sums round to 2dp BEFORE standardization "
+    "(collapsing engine-order ulp noise), the cumulative sum runs in "
+    "pinned day order on both engines, and the flag applies to the "
+    "ROUNDED cusum. Day grid per series is bounded; the corpus "
+    "shuffles once on (type, day)",
+)
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sigma")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = F.round(
+        F.sum((F.col("v") - F.col("mu")) / F.col("sigma")).over(w) + F.lit(1e-9),
+        4,
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select("event_type", "day", cusum.alias("cusum"))
+        .withColumn("is_changepoint", F.abs(F.col("cusum")) > CUSUM_H)
+    )
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+        WITH fp AS (SELECT l_partkey AS k, count(*) AS cnt
+                    FROM lineitem GROUP BY 1),
+        fs AS (SELECT l_suppkey AS k, count(*) AS cnt
+               FROM lineitem GROUP BY 1),
+        fc AS (SELECT o_custkey AS k, count(*) AS cnt
+               FROM orders GROUP BY 1),
+        prof AS (
+            SELECT 'lineitem.l_partkey' AS key_name,
+                   CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(cnt) AS BIGINT) AS max_freq,
+                   (SELECT min(k) FROM fp
+                    WHERE cnt = (SELECT max(cnt) FROM fp)) AS heavy_key,
+                   round(quantile_cont(cnt, 0.99), 2) AS p99_freq
+            FROM fp
+            UNION ALL
+            SELECT 'lineitem.l_suppkey', CAST(sum(cnt) AS BIGINT),
+                   CAST(count(*) AS BIGINT), CAST(max(cnt) AS BIGINT),
+                   (SELECT min(k) FROM fs
+                    WHERE cnt = (SELECT max(cnt) FROM fs)),
+                   round(quantile_cont(cnt, 0.99), 2)
+            FROM fs
+            UNION ALL
+            SELECT 'orders.o_custkey', CAST(sum(cnt) AS BIGINT),
+                   CAST(count(*) AS BIGINT), CAST(max(cnt) AS BIGINT),
+                   (SELECT min(k) FROM fc
+                    WHERE cnt = (SELECT max(cnt) FROM fc)),
+                   round(quantile_cont(cnt, 0.99), 2)
+            FROM fc
+        )
+        SELECT key_name, n_rows, n_keys, max_freq, heavy_key, p99_freq,
+               round(max_freq * n_keys * 1.0 / n_rows + 1e-9, 4)
+                   AS skew_ratio
+        FROM prof
+    """,
+    description="Join-key skew diagnostics — the pre-flight check a "
+    "100 TB pipeline runs BEFORE choosing a join strategy (salt? AQE "
+    "skew join? broadcast?): per candidate key, row/key counts, the "
+    "heaviest key and its frequency, p99 frequency, and "
+    "max_freq/(n_rows/n_keys) — the hot-partition amplification "
+    "factor. Each profile is one groupBy(key) count plus a key-space-"
+    "sized aggregate; the heavy-key argmax decorrelates into a "
+    "broadcast max joined back (min-key tiebreak). 1 row per audited "
+    "key, any table size",
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def profile(df: DataFrame, key: str, key_name: str) -> DataFrame:
+        freq = tracked_persist(
+            df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        top = freq.agg(F.max("cnt").alias("__mx"))
+        heavy = (
+            freq.join(F.broadcast(top), freq["cnt"] == F.col("__mx"))
+            .agg(F.min("k").alias("heavy_key"))
+        )
+        return (
+            freq.agg(
+                F.sum("cnt").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.max("cnt").cast("bigint").alias("max_freq"),
+                F.round(F.expr("percentile(cnt, 0.99)"), 2).alias("p99_freq"),
+            )
+            .crossJoin(F.broadcast(heavy))
+            .select(
+                F.lit(key_name).alias("key_name"),
+                "n_rows",
+                "n_keys",
+                "max_freq",
+                "heavy_key",
+                "p99_freq",
+                F.round(
+                    F.col("max_freq") * F.col("n_keys") / F.col("n_rows")
+                    + F.lit(1e-9),
+                    4,
+                ).alias("skew_ratio"),
+            )
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        profile(li, "l_partkey", "lineitem.l_partkey")
+        .unionByName(profile(li, "l_suppkey", "lineitem.l_suppkey"))
+        .unionByName(profile(orders, "o_custkey", "orders.o_custkey"))
+    )
+
+
+@register(
+    "winsorize_values",
+    oracle="""
+        WITH q AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.01) AS lo,
+                   quantile_cont(value, 0.99) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type,
+               round(lo + 1e-9, 4) AS lo,
+               round(hi + 1e-9, 4) AS hi,
+               round(avg(CASE WHEN value < lo THEN lo
+                              WHEN value > hi THEN hi
+                              ELSE value END) + 1e-9, 4) AS avg_winsorized,
+               CAST(sum(CASE WHEN value < lo OR value > hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+        FROM events JOIN q USING (event_type)
+        GROUP BY event_type, lo, hi
+    """,
+    description="Winsorization — clamp to per-group exact p01/p99 "
+    "before averaging, the standard feature-prep defense against "
+    "fat-tailed metrics. Grouped exact percentiles (bounded groups; "
+    "approx_percentile is the unbounded handoff) broadcast onto one "
+    "clamp-and-aggregate scan; comparisons use the identical "
+    "interpolated double on both engines",
+)
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    q = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    clamped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    out_of_band = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        events.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.round(F.avg(clamped) + F.lit(1e-9), 4).alias("avg_winsorized"),
+            F.sum(out_of_band.cast("int")).cast("bigint").alias("n_clamped"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("lo") + F.lit(1e-9), 4).alias("lo"),
+            F.round(F.col("hi") + F.lit(1e-9), 4).alias("hi"),
+            "avg_winsorized",
+            "n_clamped",
+        )
+    )
+
+
+@register(
+    "benford_digits",
+    oracle="""
+        WITH d AS (
+            SELECT substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS digit
+            FROM lineitem
+        ), obs AS (
+            SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1
+        ), tot AS (SELECT sum(n_obs) AS n FROM obs)
+        SELECT digit, n_obs,
+               round(n * ln(1 + 1.0 / CAST(digit AS BIGINT)) / ln(10)
+                     + 1e-9, 2) AS n_expected,
+               round(n_obs / (n * ln(1 + 1.0 / CAST(digit AS BIGINT))
+                              / ln(10)) + 1e-9, 4) AS obs_exp_ratio
+        FROM obs, tot
+    """,
+    description="Benford first-digit audit over line-item prices — "
+    "the classic fraud/data-integrity screen. The first significant "
+    "digit is extracted in EXACT integer space (first char of the "
+    "cent amount — no log10/pow float boundary): one map + a 9-row "
+    "aggregate, expected counts n·log10(1+1/d) against a broadcast "
+    "total. Flat per-byte scan, embarrassingly parallel",
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").cast("string"),
+        1,
+        1,
+    )
+    obs = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    expected = F.col("n") * F.log(1 + 1.0 / F.col("digit").cast("bigint")) / F.log(
+        F.lit(10.0)
+    )
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.round(expected + F.lit(1e-9), 2).alias("n_expected"),
+        F.round(F.col("n_obs") / expected + F.lit(1e-9), 4).alias("obs_exp_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Derived partsupp — the one TPC-H table absent from the fixtures
 # ---------------------------------------------------------------------------
@@ -7127,7 +7520,7 @@ def q_q9_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # twins out / their oracle-checked exact anchors stay). Rotated-out
 # entries still run in pytest and tools/check_oracle.py full sweeps.
 _WINDOW = [
-    # flagship pipeline + core §2 operator families (kept from r1-r3)
+    # flagship pipeline + core §2 operator families (kept from r1-r4)
     "source_scan",
     "latest_by_key",
     "join_stream_table",
@@ -7135,70 +7528,75 @@ _WINDOW = [
     "price_alerts",
     "sessionize",
     "partitioned_sink_scan",
-    "hierarchical_rollup",
     "asof_join",
-    "timeseries_resample",
-    # TPC-H battery — the nine shapes never driver-checked, rotated in
-    "q1_pricing_summary",
-    "q4_order_priority",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q20_part_promotion",
-    "q22_idle_customers",
-    # engine extensions never driver-checked, rotated in
-    "scd2_history",
-    "merge_apply_cdc",
-    "geomean_udaf",
-    "anomaly_zscore",
-    "cdc_chunks",
-    # LLM-pipeline surface (kept anchors + rotated-in tail)
-    "training_data_prep",
-    "doc_chunks",
-    "importance_sample",
-    "token_count_bpe",
-    "classifier_score",
-    "quality_buckets",
-    "repetition_score",
-    "dedup_containment",
+    # VERDICT r4 task 2 priority: the streaming family (judge-verified
+    # r04, never driver-checked)
+    "streaming_stateful_alerts",
+    "streaming_sessionize",
+    "streaming_dedup",
+    "streaming_interval_join",
+    "streaming_interval_join_left",
+    "streaming_windowed_distinct",
+    "streaming_latest_by_key",
+    # VERDICT r4 task 2 priority: the Avro/Kafka wire set
+    "avro_wire_roundtrip",
+    "avro_schema_evolution",
+    "kafka_corrupt_tolerant",
+    "kafka_wire_roundtrip",
+    # VERDICT r4 task 2 priority: remaining TPC-H shapes
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
+    "q16_supplier_count",
+    "q18_large_orders",
+    "q19_disjunctive_pushdown",
+    "q21_waiting_orders",
+    # VERDICT r4 task 2 priority: remaining never-driver-checked ops
+    "substring_dedup",
+    "unpivot_metrics",
+    "upsample_mix",
+    "udtf_chunks",
+    "heavy_hitter_tokens",
+    "kmv_distinct",
+    "training_data_prep_v2",
+    # VERDICT r4 task 3: the de-trivialized PassJoin entry
     "fuzzy_join",
-    "dedup_exact_normalized",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "embedding_outliers",
-    "knn_bruteforce",
-    "knn_ivf_indexed",
-    "triangle_count",
-    "multimodal_meta",
-    "copurchase_topk",
-    "domain_mix",
-    "bm25_rank",
-    "inverted_index",
-    # round-5 additions, rotated in (see swap note below)
+    # round-5 later additions (this session) — driver evidence for the
+    # newest surface: append-mode sessionization, the unadapted
+    # partsupp TPC-H shapes, band join, A-ES sampling, robust stats,
+    # change detection, skew diagnostics, winsorization, Benford
+    "streaming_sessionize_append",
+    "q11_important_stock_ps",
+    "q9_product_profit_ps",
+    "band_join_prices",
+    "weighted_sample",
+    "mad_outliers",
+    "cusum_changepoints",
+    "key_skew_profile",
+    "winsorize_values",
+    "benford_digits",
+    # round-5 earlier waves kept in-window (never driver-checked)
     "skyline_pareto",
-    "activity_streaks",
-    "rolling_anomaly",
-    "ewma_smooth",
-    "markov_transitions",
-    "collocations_pmi",
-    "neighbor_jaccard",
     "table_profile",
+    "rrf_hybrid_search",
+    "audio_chunks",
 ]
-# round-5 (this round) swaps — the 8 new ops in; 8 r04-driver-green
-# anchors out, each family still represented (TPC-H keeps 6 shapes incl.
-# the canonical q1/q4; scd2_history covers CDC; geomean_udaf +
-# anomaly_zscore cover UDAF/stats; bm25_rank covers ranked text):
-# q2_min_cost_supplier/q9_product_profit/q11_important_stock/
-# q13_customer_distribution/scd2_lookup/quantile_rollup_hist/
-# tfidf_top_terms/split_leakage_free out. Rotated-out entries remain
-# covered by the committed full-registry sweep (CORRECTNESS_FULL_r05).
-# earlier round-5 swaps (family stays represented, anchors out):
-# token_count→importance_sample, quality_score→quality_buckets,
-# dedup_exact→dedup_exact_normalized, frame_sample→copurchase_topk
-# round-4-continuation swaps (new ops in; r03-driver-green anchors out,
-# each family still represented): windowed_distinct→timeseries_resample,
-# lang_id→classifier_score, dedup_embedding→embedding_outliers,
-# knn_filtered→triangle_count, decontaminate→fuzzy_join,
-# pii_scrub→dedup_containment
+# round-5 FINAL rotation (VERDICT r4 task 2, applied late in the
+# round): the window now holds the judge's explicit priority list —
+# the 7-query streaming family, the 4-query Avro/Kafka wire set, the
+# 9 TPC-H shapes never driver-checked, the 7 remaining
+# never-driver-checked ops, the de-trivialized fuzzy_join (task 3) —
+# plus this session's 13 newest ops and 8 flagship anchors. Rotated
+# OUT (all r01–r04 driver-green and/or in the committed full-registry
+# sweeps CORRECTNESS_FULL_r05): the r04-green TPC-H head
+# (q1/q4/q15/q17/q20/q22), scd2/cdc/udaf/stats extensions, and the
+# LLM-surface anchors (dedup_*, knn_*, token/quality/classifier ops)
+# whose families stay represented via fuzzy_join,
+# training_data_prep_v2, heavy_hitter_tokens, kmv_distinct,
+# weighted_sample, audio_chunks.
+# Historical swap notes (r4 and earlier) are in git history.
 
 
 WINDOW = 50  # the driver gate's sample size

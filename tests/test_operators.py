@@ -1043,3 +1043,103 @@ def test_partsupp_view_referential_invariants(spark, sf_dir):
     ).collect()[0]
     assert 1 <= bounds["aq_lo"] and bounds["aq_hi"] <= 9999
     assert 1.0 <= bounds["sc_lo"] and bounds["sc_hi"] <= 1000.0
+
+
+def test_band_join_matches_bruteforce_including_boundaries(spark):
+    """band_join candidates must cover every qualifying pair — exact
+    band boundary (diff == band), bucket-edge pairs (same distance,
+    different buckets), and no duplicates from the 3-probe explode."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_homework_spark.operators.relational import band_join
+
+    vals = [0, 4, 5, 6, 9, 10, 11, 14, 15, 23, 100, 104, 105]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, units long")
+    a = df.select(F.col("id").alias("id_a"), F.col("units").alias("ua"))
+    b = df.select(F.col("id").alias("id_b"), F.col("units").alias("ub"))
+    got = {
+        (r.id_a, r.id_b)
+        for r in band_join(a, b, "ua", "ub", 5)
+        .filter(F.col("id_b") > F.col("id_a"))
+        .collect()
+    }
+    want = {
+        (i, j)
+        for i in range(len(vals))
+        for j in range(i + 1, len(vals))
+        if abs(vals[i] - vals[j]) <= 5
+    }
+    assert got == want
+    # no duplicate pairs from the probe explode
+    n = (
+        band_join(a, b, "ua", "ub", 5)
+        .filter(F.col("id_b") > F.col("id_a"))
+        .count()
+    )
+    assert n == len(want)
+
+
+def test_weighted_sample_matches_python_aes(spark, sf_dir):
+    """The A-ES top-k must equal a pure-Python replay of the same
+    md5-coin / ln(u)/w ordering over the same documents."""
+    import hashlib
+    import math
+
+    from kafka_streams_homework_spark.queries import (
+        WEIGHTED_SAMPLE_K,
+        REGISTRY,
+    )
+
+    out = [r.doc_id for r in REGISTRY["weighted_sample"].fn(spark, sf_dir).collect()]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).collect()
+    keyed = []
+    for r in docs:
+        if r.n_chars <= 0:
+            continue
+        h = int(hashlib.md5(f"{r.doc_id}ws".encode()).hexdigest()[:8], 16)
+        keyed.append((math.log((h + 1) / 4294967296.0) / r.n_chars, -r.doc_id, r.doc_id))
+    keyed.sort(reverse=True)
+    want = [d for _, _, d in keyed[:WEIGHTED_SAMPLE_K]]
+    assert sorted(out) == sorted(want)
+
+
+def test_mad_outliers_flags_known_spike(spark):
+    """Median 10, MAD 1 -> threshold ~14.45; 100 is flagged, 14 is not.
+    Mean-based z-scores would be dragged by the spike; MAD is not."""
+    import datetime as dtm
+
+    from kafka_streams_homework_spark.queries import MAD_K, MAD_SCALE
+    from pyspark.sql import functions as F
+
+    base = dtm.datetime(2024, 1, 1)
+    vals = [9.0, 9.5, 10.0, 10.5, 11.0, 14.0, 100.0]
+    rows = [
+        (i, base + dtm.timedelta(minutes=i), 1, "t", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    med = df.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        df.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    thr = F.col("med") + MAD_K * MAD_SCALE * F.col("mad") + F.lit(1e-9)
+    flagged = [
+        r.value
+        for r in df.join(F.broadcast(mad), "event_type")
+        .filter(F.col("value") > thr)
+        .collect()
+    ]
+    assert flagged == [100.0]

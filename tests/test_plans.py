@@ -456,3 +456,13 @@ def test_collocations_corpus_single_scan_broadcast_marginals(spark, sf_dir):
     plan = physical_plan(df)
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_band_join_is_equi_bucketed_not_cartesian(spark, sf_dir):
+    """band_join_prices must execute as an EQUI-join on the bucket id
+    (the whole point of the interval-bucketing rewrite) — the naive
+    |a-b|<=eps theta-join would appear as a cartesian/nested-loop."""
+    df = Q.q_band_join_prices(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
