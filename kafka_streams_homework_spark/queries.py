@@ -1108,6 +1108,56 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_asof_join",
+    oracle="""
+        WITH r AS (
+            SELECT o_custkey, o_orderdate,
+                   max(o_orderkey) AS last_order_key,
+                   o_orderdate AS last_order_date
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id, e.ts, r.last_order_key, r.last_order_date
+        FROM events e ASOF LEFT JOIN r
+          ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+    description="Streaming twin of asof_join via run_batch_transform: "
+    "Spark's stream-static join is equi-key only, so the point-in-time "
+    "lookup runs the BATCH asof operator inside foreachBatch against "
+    "the static order table — the documented production pattern for "
+    "non-equi stream-static joins. Per-row stateless w.r.t. batch "
+    "splits (each event's match depends on that event + static data), "
+    "hence batch-count-independent; same DuckDB ASOF LEFT JOIN oracle "
+    "as the batch twin (streaming/batch parity)",
+)
+def q_streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import (
+        run_batch_transform,
+    )
+
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    latest_orders = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_order_key"))
+        .withColumn("last_order_date", F.col("o_orderdate"))
+    )
+
+    def lookup(batch_df: DataFrame) -> DataFrame:
+        return R.asof_join(
+            batch_df,
+            latest_orders,
+            ["user_id"],
+            ["o_custkey"],
+            "ts",
+            "o_orderdate",
+            ["last_order_key", "last_order_date"],
+        ).select("event_id", "user_id", "ts", "last_order_key", "last_order_date")
+
+    return run_batch_transform(spark, stream, lookup)
+
+
+@register(
     "interval_join",
     oracle="""
         SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
@@ -6726,6 +6776,270 @@ def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (CAST(dayofweek(ts) AS BIGINT)),
                                 ())
         """
+    )
+
+
+@register(
+    "grouped_ols",
+    oracle="""
+        WITH m AS (
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(hour(ts) AS DOUBLE)) AS sx,
+                   sum(value) AS sy,
+                   sum(CAST(hour(ts) AS DOUBLE) * value) AS sxy,
+                   sum(CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE))
+                       AS sxx
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-9, 6)
+                   AS slope,
+               round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                     / n + 1e-9, 6) AS intercept
+        FROM m
+    """,
+    description="Grouped OLS regression (value vs hour-of-day per "
+    "event_type) from ONE moment aggregate — n/Σx/Σy/Σxy/Σxx partial-"
+    "aggregate map-side, the slope/intercept algebra runs on the "
+    "5-number summary. The same shared-explicit-moment discipline as "
+    "corr_matrix (never engine-internal regr_* whose association "
+    "differs); group count bounds the result regardless of volume",
+)
+def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    m = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum("value").alias("sy"),
+        F.sum(x * F.col("value")).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope + F.lit(1e-9), 6).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n") + F.lit(1e-9), 6
+        ).alias("intercept"),
+    )
+
+
+@register(
+    "abc_classification",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+            FROM orders GROUP BY o_custkey
+        ), r2 AS (
+            SELECT o_custkey, rev,
+                   sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(rev) OVER () AS tot
+            FROM rev
+        ), cls AS (
+            SELECT rev,
+                   CASE WHEN round(cum / tot + 1e-9, 6) <= 0.8 THEN 'A'
+                        WHEN round(cum / tot + 1e-9, 6) <= 0.95 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM r2
+        )
+        SELECT abc_class, CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(rev), 2) AS revenue
+        FROM cls GROUP BY abc_class
+    """,
+    description="ABC / Pareto contribution analysis: customers ranked "
+    "by revenue, classified by cumulative share (A ≤ 80%, B ≤ 95%, "
+    "C rest). Revenue rounds to 2dp BEFORE the ordered cumulative "
+    "window (pinned order ⇒ identical cumsum sequence on both "
+    "engines) and the class test applies to the ROUNDED share. The "
+    "global ordered window is customer-cardinality (already "
+    "aggregated), not fact-cardinality — bounded at any volume; the "
+    "fact table contributes one partial-agg shuffle",
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w_cum = (
+        Window.orderBy(F.col("rev").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    share = F.round(
+        F.sum("rev").over(w_cum) / F.sum("rev").over(w_all) + F.lit(1e-9), 6
+    )
+    cls = rev.select(
+        "rev",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "rolling_active_users",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   user_id
+            FROM events
+        ), days AS (SELECT DISTINCT day FROM pairs)
+        SELECT d.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS active_7d
+        FROM days d JOIN pairs p
+          ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        GROUP BY d.day
+    """,
+    description="Rolling 7-day distinct active users per day — the "
+    "DAU/WAU primitive. COUNT(DISTINCT) over a sliding range cannot "
+    "ride an incremental window, so the engine dedupes to (day, user) "
+    "pairs first (fact volume collapses to at most days×users), "
+    "EXPLODES each pair to the ≤7 target days it serves (a bounded "
+    "fan-out equi-join — no range join), and distinct-counts per "
+    "target day. The oracle is the naive interval join; HLL "
+    "(distinct_rollup_hll) is the documented unbounded-id handoff",
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    pairs = events.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    days = pairs.select("day").distinct()
+    target = pairs.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day_t"),
+        "user_id",
+    )
+    return (
+        target.join(F.broadcast(days), target["day_t"] == days["day"])
+        .groupBy(F.col("day_t").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_7d"))
+        .select(F.col("day").cast("timestamp").alias("day"), "active_7d")
+    )
+
+
+@register(
+    "gini_revenue",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+            FROM orders GROUP BY o_custkey
+        ), seg AS (
+            SELECT c_mktsegment AS segment, rev, c_custkey
+            FROM rev JOIN customer ON o_custkey = c_custkey
+        ), ranked AS (
+            SELECT segment, rev,
+                   row_number() OVER (PARTITION BY segment
+                                      ORDER BY rev, c_custkey) AS i,
+                   count(*) OVER (PARTITION BY segment) AS n,
+                   sum(rev) OVER (PARTITION BY segment) AS tot
+            FROM seg
+        )
+        SELECT segment, CAST(max(n) AS BIGINT) AS n_customers,
+               round(2.0 * sum(i * rev) / (max(n) * max(tot))
+                     - (max(n) + 1.0) / max(n) + 1e-9, 6) AS gini
+        FROM ranked GROUP BY segment
+    """,
+    description="Gini coefficient of customer revenue per market "
+    "segment — revenue-concentration analytics (the Lorenz-curve "
+    "scalar). Rank-weighted formulation G = 2Σ(i·xᵢ)/(nΣx) − (n+1)/n "
+    "over customers sorted ASC within segment (deterministic custkey "
+    "tiebreak): one fact partial-agg, then a SEGMENT-partitioned sort "
+    "over customer-cardinality rows — no global sort of facts. "
+    "Revenue rounds to 2dp before ranking so rank order and the "
+    "weighted sum are engine-identical",
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    seg = rev.join(
+        F.broadcast(customer),
+        rev["o_custkey"] == customer["c_custkey"],
+    ).select(F.col("c_mktsegment").alias("segment"), "rev", "c_custkey")
+    wp = Window.partitionBy("segment")
+    ranked = seg.select(
+        "segment",
+        "rev",
+        F.row_number()
+        .over(wp.orderBy("rev", "c_custkey"))
+        .alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("rev").over(wp).alias("tot"),
+    )
+    return ranked.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(
+            2.0
+            * F.sum(F.col("i") * F.col("rev"))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n")
+            + F.lit(1e-9),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "mutual_information",
+    oracle="""
+        WITH o AS (
+            SELECT event_type AS r, CAST(dayofweek(ts) + 1 AS BIGINT) AS c,
+                   count(*) AS obs
+            FROM events GROUP BY 1, 2
+        ), rm AS (SELECT r, sum(obs) AS rt FROM o GROUP BY r),
+        cm AS (SELECT c, sum(obs) AS ct FROM o GROUP BY c),
+        n AS (SELECT sum(obs) AS n FROM o)
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               round(sum((obs * 1.0 / n)
+                         * ln((obs * 1.0 * n) / (rt * 1.0 * ct)) / ln(2))
+                     + 1e-9, 6) AS mi_bits
+        FROM o JOIN rm USING (r) JOIN cm USING (c), n
+    """,
+    description="Mutual information MI(event_type; day-of-week) in "
+    "bits — the feature-relevance companion to chi_square_independence "
+    "over the SAME contingency plan shape: one groupBy for cell "
+    "counts, broadcast marginals, a tiny Σ p·log₂(p/(pq)) aggregate. "
+    "All ratios form from exact integer counts, so both engines log "
+    "identical doubles; day shift pins DuckDB dow(Sun=0) to Spark "
+    "(Sun=1)",
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    o = events.groupBy(
+        F.col("event_type").alias("r"),
+        F.dayofweek("ts").cast("bigint").alias("c"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    o = tracked_persist(o)
+    rm = o.groupBy("r").agg(F.sum("obs").alias("rt"))
+    cm = o.groupBy("c").agg(F.sum("obs").alias("ct"))
+    n = o.agg(F.sum("obs").alias("n"))
+    term = (F.col("obs") * 1.0 / F.col("n")) * F.log(
+        (F.col("obs") * 1.0 * F.col("n")) / (F.col("rt") * 1.0 * F.col("ct"))
+    ) / F.log(F.lit(2.0))
+    return (
+        o.join(F.broadcast(rm), "r")
+        .join(F.broadcast(cm), "c")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.round(F.sum(term) + F.lit(1e-9), 6).alias("mi_bits"),
+        )
     )
 
 

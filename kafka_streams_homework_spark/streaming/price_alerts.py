@@ -261,3 +261,37 @@ def windowed_distinct_stream(
             "n_distinct",
         )
     )
+
+
+def run_batch_transform(spark, stream, transform):
+    """Apply an arbitrary BATCH transformation to each micro-batch via
+    foreachBatch and collect every emission — the canonical escape for
+    stream-static operations Structured Streaming cannot express
+    declaratively (as-of/nearest joins, band joins, per-batch model
+    scoring). Spark's stream-static join supports only equi-keys; the
+    documented production pattern for anything richer is exactly this:
+    foreachBatch hands each micro-batch over as a plain DataFrame, the
+    batch operator runs against the static side, and results append
+    downstream (here: a collector; at scale: Kafka/Delta append).
+
+    CONTRACT: ``transform`` must be per-row stateless with respect to
+    batch boundaries (each output row a function of one input row plus
+    static data) — then the emission is batch-count-independent, same
+    as ``run_append``. Output schema is pinned by probing ``transform``
+    on an empty batch, so a zero-batch stream still returns a typed
+    empty DataFrame.
+    """
+    schema = transform(spark.createDataFrame([], stream.schema)).schema
+    rows: list = []
+
+    def body(batch_df: DataFrame, _batch_id: int) -> None:
+        rows.extend(transform(batch_df).collect())
+
+    q = (
+        stream.writeStream.foreachBatch(body)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(rows, schema=schema)
