@@ -724,3 +724,56 @@ def test_streaming_windowed_hll_within_error_of_exact(spark, sf_dir):
     assert set(est) == set(exact)
     for k, n in exact.items():
         assert abs(est[k] - n) <= max(1, 0.15 * n), (k, est[k], n)
+
+
+def test_run_batch_transform_is_batch_count_independent(spark, tmp_path):
+    """run_batch_transform (the foreachBatch escape for stream-static
+    ops beyond equi-joins) must emit exactly the batch result however
+    the source splits into micro-batches: a per-row-stateless asof
+    lookup over three micro-batches equals the single-batch answer."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_homework_spark.operators import relational as R
+    from kafka_streams_homework_spark.streaming.price_alerts import (
+        run_batch_transform,
+    )
+
+    path = _write_events(
+        spark,
+        tmp_path,
+        [
+            [(1, ts(0, 0), 1.0), (2, ts(1, 0), 2.0)],
+            [(1, ts(30, 0), 3.0)],
+            [(2, ts(59, 0), 4.0)],
+        ],
+    )
+    static = spark.createDataFrame(
+        [(1, ts(0, 0), 100), (1, ts(20, 0), 101), (2, ts(50, 0), 200)],
+        "k long, rts timestamp, ref long",
+    )
+
+    def lookup(batch_df):
+        return R.asof_join(
+            batch_df.select("user_id", "ts", "value"),
+            static,
+            ["user_id"],
+            ["k"],
+            "ts",
+            "rts",
+            ["ref"],
+        ).select("user_id", "ts", "value", "ref")
+
+    got = {
+        (r.user_id, r.ts.minute, r.value): r.ref
+        for r in run_batch_transform(
+            spark, _stream(spark, path), lookup
+        ).collect()
+    }
+    # batch answer: event@0 -> ref 100; event@30 -> 101 (asof 20);
+    # user2@1 -> no match (NULL); user2@59 -> 200
+    assert got == {
+        (1, 0, 1.0): 100,
+        (1, 30, 3.0): 101,
+        (2, 1, 2.0): None,
+        (2, 59, 4.0): 200,
+    }
