@@ -6780,6 +6780,145 @@ def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_explosion_audit",
+    oracle="""
+        WITH lo AS (SELECT o_orderkey AS k, count(*) AS n_o
+                    FROM orders GROUP BY 1),
+        ll AS (SELECT l_orderkey AS k, count(*) AS n_l
+               FROM lineitem GROUP BY 1),
+        m AS (
+            SELECT coalesce(lo.k, ll.k) AS k,
+                   coalesce(n_o, 0) AS n_o, coalesce(n_l, 0) AS n_l
+            FROM lo FULL OUTER JOIN ll ON lo.k = ll.k
+        )
+        SELECT CAST(sum(n_o) AS BIGINT) AS left_rows,
+               CAST(sum(n_l) AS BIGINT) AS right_rows,
+               CAST(sum(n_o * n_l) AS BIGINT) AS join_rows,
+               CAST(max(n_o * n_l) AS BIGINT) AS max_key_output,
+               CAST(sum(CASE WHEN n_o > 0 AND n_l = 0 THEN n_o ELSE 0 END)
+                    AS BIGINT) AS left_unmatched,
+               CAST(sum(CASE WHEN n_l > 0 AND n_o = 0 THEN n_l ELSE 0 END)
+                    AS BIGINT) AS right_unmatched,
+               round(sum(n_o * n_l) * 1.0
+                     / nullif(greatest(sum(n_o), sum(n_l)), 0) + 1e-9, 4)
+                   AS amplification
+        FROM m
+    """,
+    description="Join-explosion pre-flight: the EXACT output "
+    "cardinality of orders⋈lineitem computed WITHOUT running the join "
+    "— per-key counts from each side, a key-cardinality full outer "
+    "merge, Σ n_l·n_r plus the worst single key and unmatched-row "
+    "tallies. The companion to key_skew_profile in the 100 TB "
+    "pre-flight kit (run both before committing to a shuffle plan); "
+    "cost is two partial-agg scans + a key-sized merge, never the "
+    "join itself",
+)
+def q_join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lo = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_o")
+    )
+    ll = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    m = (
+        lo.join(ll, "k", "full_outer")
+        .select(
+            F.coalesce(F.col("n_o"), F.lit(0)).alias("n_o"),
+            F.coalesce(F.col("n_l"), F.lit(0)).alias("n_l"),
+        )
+    )
+    prod = F.col("n_o") * F.col("n_l")
+    return m.agg(
+        F.sum("n_o").cast("bigint").alias("left_rows"),
+        F.sum("n_l").cast("bigint").alias("right_rows"),
+        F.sum(prod).cast("bigint").alias("join_rows"),
+        F.max(prod).cast("bigint").alias("max_key_output"),
+        F.sum(
+            F.when((F.col("n_o") > 0) & (F.col("n_l") == 0), F.col("n_o")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("left_unmatched"),
+        F.sum(
+            F.when((F.col("n_l") > 0) & (F.col("n_o") == 0), F.col("n_l")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("right_unmatched"),
+        F.round(
+            F.sum(prod)
+            / F.nullif(F.greatest(F.sum("n_o"), F.sum("n_l")), F.lit(0))
+            + F.lit(1e-9),
+            4,
+        ).alias("amplification"),
+    )
+
+
+@register(
+    "lateness_audit",
+    oracle="""
+        WITH arr AS (
+            SELECT event_type, ts,
+                   max(ts) OVER (
+                       PARTITION BY event_type
+                       ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                 1, 8))::BIGINT, event_id
+                       ROWS UNBOUNDED PRECEDING) AS high_water
+            FROM events
+        ), lat AS (
+            SELECT event_type,
+                   CAST(date_diff('second', ts, high_water) AS DOUBLE)
+                       AS late_s
+            FROM arr
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_late,
+               round(max(late_s), 0) AS max_late_s,
+               round(quantile_cont(late_s, 0.99), 0) AS p99_late_s
+        FROM lat GROUP BY event_type
+    """,
+    description="Watermark-sizing audit: each event's lateness is the "
+    "high-water-mark ts at its ARRIVAL minus its own ts (an ordered "
+    "running max per type — the exact quantity a Structured Streaming "
+    "watermark bounds). The fixture stores events already ts-sorted "
+    "(zero lateness — nothing to size), so arrival order is a "
+    "deterministic md5 permutation of event_id simulating network "
+    "reordering, identical on both engines. Emits late-row counts and "
+    "max/p99 lateness per type — the empirical basis for choosing "
+    "withWatermark delay (streaming_dedup/sessionize docstrings point "
+    "here). One ordered window pass + a bounded per-type aggregate",
+)
+def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    arrival = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(arrival, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late_s = (
+        F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp(F.col("ts"))
+    ).cast("double")
+    lat = events.select("event_type", late_s.alias("late_s"))
+    return lat.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.round(F.max("late_s"), 0).alias("max_late_s"),
+        F.round(F.expr("percentile(late_s, 0.99)"), 0).alias("p99_late_s"),
+    )
+
+
+@register(
     "grouped_ols",
     oracle="""
         WITH m AS (
