@@ -119,6 +119,14 @@ BENCH_QUERIES = [
     "q9_product_profit_ps",
     "q11_important_stock_ps",
     "streaming_sessionize_append",
+    # round-5 closing waves: band-bucketed similarity join, the
+    # key-cardinality pre-flight audits, rolling distinct actives,
+    # and the foreachBatch stream-static asof escape
+    "band_join_prices",
+    "key_skew_profile",
+    "join_explosion_audit",
+    "rolling_active_users",
+    "streaming_asof_join",
 ]
 
 

@@ -7107,8 +7107,11 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("rev")
     )
+    # no broadcast hint: both sides are customer-cardinality (rev is
+    # already aggregated) — AQE picks broadcast at small SF, sort-merge
+    # on co-partitioned custkey at scale
     seg = rev.join(
-        F.broadcast(customer),
+        customer,
         rev["o_custkey"] == customer["c_custkey"],
     ).select(F.col("c_mktsegment").alias("segment"), "rev", "c_custkey")
     wp = Window.partitionBy("segment")
