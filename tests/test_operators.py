@@ -1143,3 +1143,144 @@ def test_mad_outliers_flags_known_spike(spark):
         .collect()
     ]
     assert flagged == [100.0]
+
+
+def test_join_explosion_audit_predicts_actual_join_count(spark):
+    """The audit's join_rows must equal the real join's output count,
+    and unmatched tallies must match the anti-join sides."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], "k long"
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (1,), (3,), (4,), (4,)], "k long"
+    )
+    lo = left.groupBy("k").agg(F.count(F.lit(1)).alias("n_o"))
+    ll = right.groupBy("k").agg(F.count(F.lit(1)).alias("n_l"))
+    m = lo.join(ll, "k", "full_outer").select(
+        F.coalesce("n_o", F.lit(0)).alias("n_o"),
+        F.coalesce("n_l", F.lit(0)).alias("n_l"),
+    )
+    row = m.agg(
+        F.sum(F.col("n_o") * F.col("n_l")).alias("join_rows"),
+        F.sum(
+            F.when((F.col("n_o") > 0) & (F.col("n_l") == 0), F.col("n_o"))
+            .otherwise(0)
+        ).alias("left_unmatched"),
+        F.sum(
+            F.when((F.col("n_l") > 0) & (F.col("n_o") == 0), F.col("n_l"))
+            .otherwise(0)
+        ).alias("right_unmatched"),
+    ).collect()[0]
+    assert row.join_rows == left.join(right, "k").count() == 7  # 2*3 + 1*1
+    assert row.left_unmatched == 1   # k=2
+    assert row.right_unmatched == 2  # k=4 twice
+
+
+def test_gini_formula_known_distributions(spark):
+    """Rank-weighted Gini: all-equal -> 0; a single holder of
+    everything among n -> (n-1)/n."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    def gini(vals):
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)], "ck long, rev double"
+        )
+        wp = Window.partitionBy(F.lit(1))
+        ranked = df.select(
+            "rev",
+            F.row_number().over(wp.orderBy("rev", "ck")).alias("i"),
+            F.count(F.lit(1)).over(wp).alias("n"),
+            F.sum("rev").over(wp).alias("tot"),
+        )
+        return ranked.agg(
+            (
+                2.0 * F.sum(F.col("i") * F.col("rev"))
+                / (F.max("n") * F.max("tot"))
+                - (F.max("n") + 1.0) / F.max("n")
+            ).alias("g")
+        ).collect()[0].g
+
+    assert abs(gini([5, 5, 5, 5])) < 1e-12
+    assert abs(gini([0, 0, 0, 100]) - 0.75) < 1e-12  # (n-1)/n, n=4
+
+
+def test_cusum_flags_planted_level_shift(spark):
+    """A series flat at 10 for 10 days then flat at 20 for 10 days:
+    the standardized cumulative sum must cross ±3 after the shift and
+    stay negative-cumulating before it never crossing -3 early."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    base = dtm.datetime(2024, 3, 1)
+    rows = [
+        ("t", base + dtm.timedelta(days=d), 10.0 if d < 10 else 20.0)
+        for d in range(20)
+    ]
+    daily = spark.createDataFrame(rows, "event_type string, day timestamp, v double")
+    stats = daily.groupBy("event_type").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sigma")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "day",
+            F.round(
+                F.sum((F.col("v") - F.col("mu")) / F.col("sigma")).over(w)
+                + F.lit(1e-9),
+                4,
+            ).alias("cusum"),
+        )
+        .orderBy("day")
+        .collect()
+    )
+    cusums = [r.cusum for r in out]
+    # pre-shift: monotonically decreasing, min at day 9; crosses -3
+    # only because the drift accumulates; post-shift climbs back to ~0
+    assert min(cusums) == cusums[9]
+    assert abs(cusums[-1]) < 1e-6
+    assert any(abs(c) > 3 for c in cusums)
+
+
+def test_winsorize_clamps_known_percentiles(spark):
+    """x = 1..100 with one 1000 outlier: p99 clamps the outlier, the
+    winsorized mean moves toward the bulk, n_clamped counts both tails."""
+    from pyspark.sql import functions as F
+
+    vals = [float(i) for i in range(1, 101)] + [1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    q = df.agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    ).collect()[0]
+    clamped = [min(max(v, q.lo), q.hi) for v in vals]
+    n_clamped = sum(1 for v in vals if v < q.lo or v > q.hi)
+    got = (
+        df.crossJoin(spark.createDataFrame([(q.lo, q.hi)], "lo double, hi double"))
+        .agg(
+            F.avg(
+                F.when(F.col("value") < F.col("lo"), F.col("lo"))
+                .when(F.col("value") > F.col("hi"), F.col("hi"))
+                .otherwise(F.col("value"))
+            ).alias("m"),
+            F.sum(
+                (
+                    (F.col("value") < F.col("lo"))
+                    | (F.col("value") > F.col("hi"))
+                ).cast("int")
+            ).alias("c"),
+        )
+        .collect()[0]
+    )
+    assert abs(got.m - sum(clamped) / len(clamped)) < 1e-9
+    assert got.c == n_clamped
+    assert got.m < sum(vals) / len(vals)  # outlier influence reduced
