@@ -6780,6 +6780,225 @@ def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "categorical_entropy",
+    oracle="""
+        WITH et AS (SELECT event_type AS v FROM events),
+        lg AS (SELECT lang AS v FROM documents),
+        sc AS (SELECT source AS v FROM documents),
+        h AS (
+            SELECT 'events.event_type' AS column_name, v,
+                   count(*) AS c FROM et GROUP BY v
+            UNION ALL
+            SELECT 'documents.lang', v, count(*) FROM lg GROUP BY v
+            UNION ALL
+            SELECT 'documents.source', v, count(*) FROM sc GROUP BY v
+        ), tot AS (
+            SELECT column_name, sum(c) AS n FROM h GROUP BY column_name
+        )
+        SELECT h.column_name,
+               CAST(count(*) AS BIGINT) AS n_values,
+               round(-sum((c * 1.0 / n) * ln(c * 1.0 / n) / ln(2))
+                     + 1e-9, 6) AS entropy_bits,
+               round(ln(count(*)) / ln(2) + 1e-9, 6) AS max_entropy_bits
+        FROM h JOIN tot USING (column_name)
+        GROUP BY h.column_name
+    """,
+    description="Per-column Shannon entropy of categorical columns — "
+    "the information-content DQ check (near-zero entropy = a dead "
+    "column; entropy ≈ log2(n_values) = uniform): one groupBy per "
+    "audited column, the entropy a tiny aggregate over value counts "
+    "against a broadcast total. All ratios from exact integer counts "
+    "(both engines log identical doubles); value-cardinality-sized "
+    "state, any corpus volume",
+)
+def q_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+
+    def h(df: DataFrame, col: str, name: str) -> DataFrame:
+        counts = df.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        tot = counts.agg(F.sum("c").alias("n"))
+        p = F.col("c") * 1.0 / F.col("n")
+        return (
+            counts.crossJoin(F.broadcast(tot))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_values"),
+                F.round(
+                    -F.sum(p * F.log(p) / F.log(F.lit(2.0))) + F.lit(1e-9), 6
+                ).alias("entropy_bits"),
+                F.round(
+                    F.log(F.count(F.lit(1))) / F.log(F.lit(2.0)) + F.lit(1e-9),
+                    6,
+                ).alias("max_entropy_bits"),
+            )
+            .select(
+                F.lit(name).alias("column_name"),
+                "n_values",
+                "entropy_bits",
+                "max_entropy_bits",
+            )
+        )
+
+    return (
+        h(events, "event_type", "events.event_type")
+        .unionByName(h(docs, "lang", "documents.lang"))
+        .unionByName(h(docs, "source", "documents.source"))
+    )
+
+
+@register(
+    "interarrival_stats",
+    oracle="""
+        WITH gaps AS (
+            SELECT event_type,
+                   CAST(date_diff('second',
+                        lag(ts) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id), ts)
+                        AS DOUBLE) AS gap_s
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(gap_s) AS BIGINT) AS n_gaps,
+               round(avg(gap_s) + 1e-9, 4) AS avg_gap_s,
+               round(quantile_cont(gap_s, 0.5), 0) AS p50_gap_s,
+               round(quantile_cont(gap_s, 0.95), 0) AS p95_gap_s
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY event_type
+    """,
+    description="Inter-arrival time statistics per event_type (lag "
+    "diff in whole seconds, deterministic event_id tiebreak) — the "
+    "traffic-model input for capacity planning and the empirical "
+    "basis for trigger intervals. One key-partitioned window sort + a "
+    "bounded per-type aggregate with exact percentiles (grouped, "
+    "bounded; approx_percentile the unbounded handoff)",
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gap = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ).cast("double")
+    gaps = events.select("event_type", gap.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").cast("bigint").alias("n_gaps"),
+        F.round(F.avg("gap_s") + F.lit(1e-9), 4).alias("avg_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 0).alias("p50_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.95)"), 0).alias("p95_gap_s"),
+    )
+
+
+KFOLD_K = 5
+
+
+@register(
+    "kfold_assign",
+    oracle=f"""
+        WITH f AS (
+            SELECT lang,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fold'),
+                    1, 8))::BIGINT % {KFOLD_K} AS fold
+            FROM documents
+        ), tot AS (SELECT lang, count(*) AS n FROM f GROUP BY lang)
+        SELECT f.lang, fold, CAST(count(*) AS BIGINT) AS n_docs,
+               round(count(*) * 1.0 / n + 1e-9, 4) AS share
+        FROM f JOIN tot USING (lang)
+        GROUP BY f.lang, fold, n
+    """,
+    description="Deterministic stratified k-fold assignment (md5 coin "
+    "% k per doc, audited per language stratum with fold shares) — "
+    "the cross-validation companion to train_test_split: "
+    "reproducible across runs/partitionings/engines, no RNG state. "
+    "One scan + a strata×k-sized aggregate; the fold column is what a "
+    "training pipeline writes, the share audit is what it monitors",
+)
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("fold"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % KFOLD_K
+    )
+    f = docs.select("lang", fold.alias("fold"))
+    tot = f.groupBy(F.col("lang").alias("t_lang")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        f.groupBy("lang", "fold")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .join(F.broadcast(tot), F.col("lang") == F.col("t_lang"))
+        .select(
+            "lang",
+            "fold",
+            "n_docs",
+            F.round(F.col("n_docs") * 1.0 / F.col("n") + F.lit(1e-9), 4).alias(
+                "share"
+            ),
+        )
+    )
+
+
+EMB_DIM = 64
+
+
+@register(
+    "embedding_dim_audit",
+    oracle=f"""
+        WITH x AS (
+            SELECT dim, embedding[dim + 1] AS v
+            FROM embeddings, (SELECT unnest(range({EMB_DIM})) AS dim) g
+        ), m AS (
+            SELECT dim, count(*) AS n, sum(CAST(v AS DOUBLE)) AS s,
+                   sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS ss
+            FROM x GROUP BY dim
+        )
+        SELECT CAST(dim AS BIGINT) AS dim,
+               round(s / n + 1e-9, 6) AS mean,
+               round((ss - s * s / n) / (n - 1) + 1e-9, 6) AS variance
+        FROM m
+    """,
+    description="Per-dimension embedding collapse audit: mean and "
+    "variance of each of the 64 dimensions across the corpus — dead "
+    "dimensions (variance ≈ 0) and biased dimensions (|mean| >> 0) "
+    "are the standard symptoms of a collapsed or mis-pooled encoder. "
+    "posexplode + one hash agg, dimension-count-sized state; variance "
+    "via the shared explicit sum/sumsq form (never engine-internal "
+    "var_samp whose association differs). The norm itself is NOT "
+    "audited — the fixture vectors are L2-normalized (avg norm "
+    "exactly 1.0, probed), so per-dim geometry is the informative "
+    "signal",
+)
+def q_embedding_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(F.posexplode("embedding").alias("dim", "v"))
+    m = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("double")).alias("s"),
+        F.sum(F.col("v").cast("double") * F.col("v").cast("double")).alias("ss"),
+    )
+    return m.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(F.col("s") / F.col("n") + F.lit(1e-9), 6).alias("mean"),
+        F.round(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+            + F.lit(1e-9),
+            6,
+        ).alias("variance"),
+    )
+
+
+@register(
     "join_explosion_audit",
     oracle="""
         WITH lo AS (SELECT o_orderkey AS k, count(*) AS n_o
