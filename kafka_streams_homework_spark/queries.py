@@ -6780,6 +6780,169 @@ def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionized_conversion",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, event_type,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM flagged
+        ), per_sess AS (
+            SELECT user_id, sess_id,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM sess GROUP BY user_id, sess_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(converted) AS BIGINT) AS n_converted,
+               round(sum(converted) * 1.0 / count(*) + 1e-9, 6)
+                   AS conversion_rate
+        FROM per_sess
+    """,
+    description="Session conversion rate — the product-analytics KPI "
+    "composed from the sessionize substrate: the same gaps-and-islands "
+    "session assignment as the three sessionize twins, a per-session "
+    "converted flag (one purchase anywhere in the session), one tiny "
+    "final aggregate. Cost ≡ sessionize (one key-partitioned window "
+    "pass + session-cardinality aggregate)",
+)
+def q_sessionized_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer-microsecond gap test ≡ the oracle's interval
+    # compare (truncating casts would disagree on sub-second ts)
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            >= 30 * 60 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = events.select(
+        "user_id",
+        "event_type",
+        F.sum(new_sess).over(cum).alias("sess_id"),
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    return per_sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(
+            F.sum("converted") * 1.0 / F.count(F.lit(1)) + F.lit(1e-9), 6
+        ).alias("conversion_rate"),
+    )
+
+
+DOUBLE_FIRE_WINDOW_S = 5
+
+
+@register(
+    "duplicate_burst_detect",
+    oracle=f"""
+        WITH lagged AS (
+            SELECT event_id, user_id, event_type, value, ts,
+                   lag(ts) OVER (PARTITION BY user_id, event_type, value
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                             AND date_diff('second', prev_ts, ts)
+                                 <= {DOUBLE_FIRE_WINDOW_S}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_double_fires,
+               CAST(min(CASE WHEN prev_ts IS NULL THEN NULL
+                             ELSE date_diff('second', prev_ts, ts) END)
+                    AS BIGINT) AS min_repeat_gap_s
+        FROM lagged GROUP BY event_type
+    """,
+    description="Double-fire / idempotency audit per event_type: "
+    "repeats of the SAME (user, type, value) within 5 s of the "
+    "previous occurrence — the at-least-once-delivery symptom a "
+    "pipeline monitors (the streaming cure is "
+    "dropDuplicatesWithinWatermark, streaming_dedup). Reported as "
+    "per-type counts + the observed minimum repeat gap, so a clean "
+    "corpus (this fixture: zero double-fires, min gaps in the "
+    "hundreds of seconds) still yields a meaningful audit row per "
+    "type; flagging semantics on dirty data are pinned by pytest with "
+    "planted bursts. One window pass partitioned by the identity key; "
+    "no self-join, no range join",
+)
+def q_duplicate_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type", "value").orderBy(
+        "ts", "event_id"
+    )
+    gap = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    )
+    lagged = events.select("event_type", gap.alias("gap_s"))
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("gap_s").isNotNull()
+                & (F.col("gap_s") <= DOUBLE_FIRE_WINDOW_S),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_double_fires"),
+        F.min("gap_s").cast("bigint").alias("min_repeat_gap_s"),
+    )
+
+
+@register(
+    "fulfillment_latency",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_lineitems,
+               round(avg(CAST(date_diff('day', o_orderdate, l_shipdate)
+                              AS DOUBLE)) + 1e-9, 4) AS avg_days,
+               round(quantile_cont(CAST(date_diff('day', o_orderdate,
+                                        l_shipdate) AS DOUBLE), 0.95), 0)
+                   AS p95_days
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+    """,
+    description="Order-to-ship fulfillment latency per order priority "
+    "— the operational SLA rollup: one orders⋈lineitem equi-join "
+    "(co-partitioned on orderkey at scale), day-difference in exact "
+    "integer days, avg + exact p95 per bounded priority group",
+)
+def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("double")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select("o_orderpriority", days.alias("days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+            F.round(F.avg("days") + F.lit(1e-9), 4).alias("avg_days"),
+            F.round(F.expr("percentile(days, 0.95)"), 0).alias("p95_days"),
+        )
+    )
+
+
+@register(
     "categorical_entropy",
     oracle="""
         WITH et AS (SELECT event_type AS v FROM events),

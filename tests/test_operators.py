@@ -1284,3 +1284,47 @@ def test_winsorize_clamps_known_percentiles(spark):
     assert abs(got.m - sum(clamped) / len(clamped)) < 1e-9
     assert got.c == n_clamped
     assert got.m < sum(vals) / len(vals)  # outlier influence reduced
+
+
+def test_duplicate_burst_flags_planted_double_fires(spark):
+    """Planted at-least-once duplicates: same (user, type, value) 3 s
+    apart is flagged; same pair 100 s apart or a different value 1 s
+    apart is not."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    base = dtm.datetime(2024, 1, 1)
+    rows = [
+        # double fire: same identity 3s apart
+        (1, base, 1, "click", 5.0, "{}"),
+        (2, base + dtm.timedelta(seconds=3), 1, "click", 5.0, "{}"),
+        # same identity but 100s apart: not a double fire
+        (3, base + dtm.timedelta(seconds=103), 1, "click", 5.0, "{}"),
+        # different value 1s later: not a double fire
+        (4, base + dtm.timedelta(seconds=104), 1, "click", 6.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    w = Window.partitionBy("user_id", "event_type", "value").orderBy(
+        "ts", "event_id"
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    out = (
+        df.select("event_type", gap.alias("gap_s"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("gap_s").isNotNull() & (F.col("gap_s") <= 5), 1
+                ).otherwise(0)
+            ).alias("n_double_fires"),
+            F.min("gap_s").alias("min_gap"),
+        )
+        .collect()[0]
+    )
+    assert out.n_double_fires == 1
+    assert out.min_gap == 3
