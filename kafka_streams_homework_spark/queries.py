@@ -6780,6 +6780,227 @@ def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_overlap",
+    oracle="""
+        WITH t AS (
+            SELECT source, str_split(lower(text), ' ') AS tok FROM documents
+        ), e0 AS (
+            SELECT source, unnest(list_distinct(list_transform(
+                       generate_series(1, len(tok) - 2),
+                       i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])))
+                   AS shingle
+            FROM t WHERE len(tok) >= 3
+        ), e AS (SELECT DISTINCT source, shingle FROM e0),
+        sizes AS (SELECT source, count(*) AS n FROM e GROUP BY source),
+        inter AS (
+            SELECT a.source AS sa, b.source AS sb, count(*) AS ni
+            FROM e a JOIN e b ON a.shingle = b.shingle AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT sa AS source_a, sb AS source_b,
+               CAST(ni AS BIGINT) AS n_shared_shingles,
+               round(ni * 1.0 / (za.n + zb.n - ni) + 1e-9, 6) AS jaccard
+        FROM inter JOIN sizes za ON za.source = sa
+        JOIN sizes zb ON zb.source = sb
+    """,
+    description="Cross-source corpus overlap (syndication audit): "
+    "word-trigram shingle Jaccard between every source pair — the "
+    "curation signal for source-level dedup priorities (the fixture "
+    "has zero EXACT cross-source duplicates, probed, so hash-identity "
+    "overlap would be degenerate; shingle overlap measures the real "
+    "shared-content mass). The pair join runs on distinct (source, "
+    "shingle) rows — |sources|×shingle-vocab, never |docs|²; shingle "
+    "strings stay pre-aggregated per source before the join; source "
+    "sizes broadcast",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = F.split(F.lower(F.col("text")), " ")
+    sh = F.array_distinct(
+        F.expr(
+            "transform(sequence(0, size(split(lower(text), ' ')) - 3), "
+            "i -> concat_ws(' ', split(lower(text), ' ')[i], "
+            "split(lower(text), ' ')[i+1], split(lower(text), ' ')[i+2]))"
+        )
+    )
+    e = tracked_persist(
+        docs.filter(F.size(tok) >= 3)
+        .select("source", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+    sizes = e.groupBy(F.col("source").alias("z_source")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = e.select(F.col("source").alias("source_a"), "shingle")
+    b = e.select(
+        F.col("source").alias("source_b"), F.col("shingle").alias("sh_b")
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("shingle") == F.col("sh_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    za = sizes.select(
+        F.col("z_source").alias("za_source"), F.col("n").alias("na")
+    )
+    zb = sizes.select(
+        F.col("z_source").alias("zb_source"), F.col("n").alias("nb")
+    )
+    return (
+        inter.join(F.broadcast(za), F.col("source_a") == F.col("za_source"))
+        .join(F.broadcast(zb), F.col("source_b") == F.col("zb_source"))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("ni").cast("bigint").alias("n_shared_shingles"),
+            F.round(
+                F.col("ni") * 1.0 / (F.col("na") + F.col("nb") - F.col("ni"))
+                + F.lit(1e-9),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "first_session_metrics",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_type, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, event_type, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM flagged
+        ), first_sess AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS total_value,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM sess WHERE sess_id = 1 GROUP BY user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               round(avg(n_events) + 1e-9, 4) AS avg_first_session_events,
+               round(avg(total_value) + 1e-9, 4) AS avg_first_session_value,
+               round(sum(converted) * 1.0 / count(*) + 1e-9, 6)
+                   AS first_session_conversion
+        FROM first_sess
+    """,
+    description="First-session (new-user onboarding) cohort metrics: "
+    "per user's FIRST gaps-and-islands session — event count, value, "
+    "converted flag — aggregated to the onboarding KPI row. Same "
+    "session substrate and exact integer-microsecond gap test as "
+    "sessionized_conversion; the first-session filter is sess_id = 1 "
+    "on the running island id, no extra pass",
+)
+def q_first_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            >= 30 * 60 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = events.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.sum(new_sess).over(cum).alias("sess_id"),
+    )
+    first = (
+        sess.filter(F.col("sess_id") == 1)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    return first.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.avg("n_events") + F.lit(1e-9), 4).alias(
+            "avg_first_session_events"
+        ),
+        F.round(F.avg("total_value") + F.lit(1e-9), 4).alias(
+            "avg_first_session_value"
+        ),
+        F.round(
+            F.sum("converted") * 1.0 / F.count(F.lit(1)) + F.lit(1e-9), 6
+        ).alias("first_session_conversion"),
+    )
+
+
+@register(
+    "hhi_concentration",
+    oracle="""
+        WITH rev AS (
+            SELECT p_type, l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS r
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type, l_suppkey
+        ), tot AS (
+            SELECT p_type, sum(r) AS t, count(*) AS n_suppliers
+            FROM rev GROUP BY p_type
+        )
+        SELECT rev.p_type,
+               CAST(max(n_suppliers) AS BIGINT) AS n_suppliers,
+               round(sum((r / t) * (r / t)) + 1e-9, 6) AS hhi
+        FROM rev JOIN tot USING (p_type)
+        GROUP BY rev.p_type
+    """,
+    description="Herfindahl–Hirschman supplier-concentration index per "
+    "part type: Σ share² of supplier revenue — the market-structure "
+    "metric (1/n = perfectly split, 1.0 = monopoly). Per-supplier "
+    "revenue rounds to 2dp before share formation (identical doubles "
+    "both engines), totals broadcast back; group state is "
+    "supplier-cardinality per type",
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("r")
+        )
+    )
+    rev = tracked_persist(rev)
+    tot = rev.groupBy(F.col("p_type").alias("t_type")).agg(
+        F.sum("r").alias("t"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    share = F.col("r") / F.col("t")
+    return (
+        rev.join(F.broadcast(tot), F.col("p_type") == F.col("t_type"))
+        .groupBy("p_type")
+        .agg(
+            F.max("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.round(F.sum(share * share) + F.lit(1e-9), 6).alias("hhi"),
+        )
+    )
+
+
+@register(
     "sessionized_conversion",
     oracle="""
         WITH flagged AS (
