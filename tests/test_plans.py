@@ -466,3 +466,34 @@ def test_band_join_is_equi_bucketed_not_cartesian(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_partsupp_materialized_bucketed_agg_is_shuffle_free(spark, sf_dir):
+    """The PARTSUPP_CTE docstring's 100 TB claim, pinned: materialize
+    the derived partsupp ONCE bucketed by ps_partkey, and the Q11-style
+    per-part stock aggregate reuses the stored hash partitioning —
+    zero Exchange, bucketed scan confirmed. The derivation shuffle is
+    paid at write time, never again per query."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_homework_spark.queries import _partsupp
+
+    ps = _partsupp(spark, sf_dir)
+    try:
+        ps.write.bucketBy(8, "ps_partkey").sortBy("ps_partkey").mode(
+            "overwrite"
+        ).saveAsTable("b_partsupp")
+        agg = (
+            spark.table("b_partsupp")
+            .groupBy("ps_partkey")
+            .agg(
+                F.round(
+                    F.sum(F.col("ps_supplycost") * F.col("ps_availqty")), 2
+                ).alias("value")
+            )
+        )
+        assert count_exchanges(agg) == 0, physical_plan(agg)
+        assert "Bucketed: true" in formatted_plan(agg), formatted_plan(agg)
+        assert agg.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_partsupp")
