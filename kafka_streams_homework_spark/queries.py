@@ -6779,6 +6779,62 @@ def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOPK_WINDOW_N = 3
+
+
+@register(
+    "streaming_windowed_topk",
+    oracle=f"""
+        WITH c AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                   event_type, CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ), r AS (
+            SELECT window_start, event_type, n_events,
+                   row_number() OVER (PARTITION BY window_start
+                                      ORDER BY n_events DESC, event_type)
+                       AS rk
+            FROM c
+        )
+        SELECT window_start, event_type, n_events, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= {TOPK_WINDOW_N}
+    """,
+    description="Top-N event types per hour under Structured Streaming "
+    "— the canonical windowed-leaderboard shape (Kafka Streams' "
+    "windowed KTable top-N example). The streaming stage maintains "
+    "per-(window, type) counts (complete mode through run_replace — "
+    "rank over a streaming agg is not incrementally expressible, the "
+    "documented KTable-reader pattern ranks downstream); the rank "
+    "runs on the emitted window×type table, which is bounded "
+    "regardless of event volume. Deterministic event_type tiebreak; "
+    "same batch oracle shape as topk_per_group",
+)
+def q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import run_replace
+
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    counts = (
+        stream.groupBy(
+            F.window(F.col("ts"), "1 hour"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    emitted = run_replace(spark, counts, mode="complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        emitted.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOPK_WINDOW_N)
+    )
+
+
 @register(
     "source_overlap",
     oracle="""
