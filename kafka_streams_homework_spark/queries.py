@@ -6779,6 +6779,143 @@ def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "anova_f_test",
+    oracle="""
+        WITH g AS (
+            SELECT event_type, count(*) AS n, sum(value) AS s,
+                   sum(value * value) AS ss
+            FROM events GROUP BY event_type
+        ), tot AS (
+            SELECT sum(n) AS big_n, sum(s) AS grand_s,
+                   count(*) AS k FROM g
+        )
+        SELECT CAST(max(k) AS BIGINT) AS k_groups,
+               CAST(max(big_n) AS BIGINT) AS n_rows,
+               round(sum(s * s / n) - max(grand_s) * max(grand_s)
+                     / max(big_n) + 1e-9, 4) AS ss_between,
+               round(sum(ss) - sum(s * s / n) + 1e-9, 4) AS ss_within,
+               round(((sum(s * s / n) - max(grand_s) * max(grand_s)
+                       / max(big_n)) / (max(k) - 1))
+                     / ((sum(ss) - sum(s * s / n)) / (max(big_n) - max(k)))
+                     + 1e-9, 6) AS f_stat
+        FROM g, tot
+    """,
+    description="One-way ANOVA F-test (does mean value differ across "
+    "event types) — completes the statistical-testing family next to "
+    "chi_square_independence / mutual_information / grouped_ols: "
+    "between/within sums of squares from per-group n/Σx/Σx² partial "
+    "aggregates only (the shared-explicit-moment discipline — one "
+    "corpus scan, group-cardinality state, identical association on "
+    "both engines)",
+)
+def q_anova_f_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    g = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    ssb = F.sum(F.col("s") * F.col("s") / F.col("n")) - F.sum("s") * F.sum(
+        "s"
+    ) / F.sum("n")
+    ssw = F.sum("ss") - F.sum(F.col("s") * F.col("s") / F.col("n"))
+    k = F.count(F.lit(1))
+    big_n = F.sum("n")
+    return g.agg(
+        k.cast("bigint").alias("k_groups"),
+        big_n.cast("bigint").alias("n_rows"),
+        F.round(ssb + F.lit(1e-9), 4).alias("ss_between"),
+        F.round(ssw + F.lit(1e-9), 4).alias("ss_within"),
+        F.round(
+            (ssb / (k - 1)) / (ssw / (big_n - k)) + F.lit(1e-9), 6
+        ).alias("f_stat"),
+    )
+
+
+NEG_CANDIDATES = 10
+NEG_PER_USER = 5
+
+
+@register(
+    "negative_sampling",
+    oracle=f"""
+        WITH seen AS (
+            SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM part),
+        cust AS (SELECT DISTINCT o_custkey AS ck FROM orders),
+        cand AS (
+            SELECT ck, i,
+                   ('0x' || substr(md5(CAST(ck AS VARCHAR) || '#'
+                        || CAST(i AS VARCHAR)), 1, 8))::BIGINT % n AS pk
+            FROM cust, (SELECT unnest(range({NEG_CANDIDATES})) AS i) g, np
+        ), neg AS (
+            SELECT c.ck, c.pk,
+                   row_number() OVER (PARTITION BY c.ck ORDER BY c.i) AS rk
+            FROM cand c ANTI JOIN seen s ON c.ck = s.ck AND c.pk = s.pk
+        )
+        SELECT ck AS custkey, pk AS neg_partkey, CAST(rk AS BIGINT) AS rk
+        FROM neg WHERE rk <= {NEG_PER_USER}
+    """,
+    description="Deterministic negative sampling for contrastive/"
+    "recommender training: per customer, 10 md5-derived candidate "
+    "parts, anti-joined against the truly-purchased set, first 5 "
+    "survivors kept in coin order — reproducible negatives with no "
+    "RNG state, the standard (user, unseen-item) pair generator. "
+    "Candidate volume is |customers|×10 (bounded fan-out, never "
+    "customers×parts); the anti-join runs on the distinct "
+    "(customer, part) purchase set",
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    seen = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("s_ck"), F.col("l_partkey").alias("s_pk"))
+        .distinct()
+    )
+    np_ = part.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cust = orders.select(F.col("o_custkey").alias("ck")).distinct()
+    coin = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("ck").cast("string"), F.lit("#"), F.col("i").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    cand = (
+        cust.select(
+            "ck",
+            F.explode(F.sequence(F.lit(0), F.lit(NEG_CANDIDATES - 1))).alias("i"),
+        )
+        .crossJoin(F.broadcast(np_))
+        .select("ck", "i", (coin % F.col("n")).alias("pk"))
+    )
+    neg = cand.join(
+        seen,
+        (F.col("ck") == F.col("s_ck")) & (F.col("pk") == F.col("s_pk")),
+        "left_anti",
+    )
+    w = Window.partitionBy("ck").orderBy("i")
+    return (
+        neg.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= NEG_PER_USER)
+        .select(
+            F.col("ck").alias("custkey"),
+            F.col("pk").alias("neg_partkey"),
+            "rk",
+        )
+    )
+
+
 TOPK_WINDOW_N = 3
 
 
