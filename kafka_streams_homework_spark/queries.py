@@ -6780,6 +6780,176 @@ def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rfm_segmentation",
+    oracle="""
+        WITH rfm AS (
+            SELECT o_custkey,
+                   date_diff('day', max(o_orderdate),
+                             (SELECT max(o_orderdate) FROM orders))
+                       AS recency_days,
+                   count(*) AS frequency,
+                   round(sum(o_totalprice), 2) AS monetary
+            FROM orders GROUP BY o_custkey
+        ), scored AS (
+            SELECT o_custkey, recency_days, CAST(frequency AS BIGINT)
+                       AS frequency, monetary,
+                   ntile(5) OVER (ORDER BY recency_days ASC, o_custkey)
+                       AS r_score,
+                   ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+                       AS f_score,
+                   ntile(5) OVER (ORDER BY monetary DESC, o_custkey)
+                       AS m_score
+            FROM rfm
+        )
+        SELECT CAST(r_score AS BIGINT) AS r_score,
+               CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(monetary), 2) AS segment_revenue
+        FROM scored GROUP BY r_score, f_score, m_score
+    """,
+    description="RFM (recency / frequency / monetary) customer "
+    "segmentation — the classic marketing-analytics rollup: per-"
+    "customer RFM from one orders aggregate (recency anchored to the "
+    "corpus max date — deterministic, no now()), quintile scores via "
+    "NTILE with pinned custkey tiebreaks (ties would otherwise "
+    "straddle quintile boundaries nondeterministically), segment "
+    "cells aggregated. NTILE sorts run on customer-cardinality rows, "
+    "never facts; 2dp-rounded monetary pins the sort order "
+    "cross-engine",
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("__anchor"))
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("__anchor"), F.col("last_order")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = rfm.select(
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").asc(), "o_custkey"))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .cast("bigint")
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum("monetary"), 2).alias("segment_revenue"),
+    )
+
+
+@register(
+    "degree_distribution",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), deg AS (
+            SELECT node, count(*) AS degree FROM (
+                SELECT pa AS node, pb FROM pairs
+                UNION ALL SELECT pb, pa FROM pairs
+            ) GROUP BY node
+        )
+        SELECT CAST(degree AS BIGINT) AS degree,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY degree
+    """,
+    description="Co-purchase graph degree distribution — the graph "
+    "observability diagnostic behind the triangle/jaccard/pagerank "
+    "family's hub-skew levers (a heavy tail here is what motivates "
+    "degree orientation and hub caps). Distinct within-order part "
+    "pairs (the same edge substrate as copurchase_*), symmetric "
+    "degree count, then a degree-cardinality histogram — node-"
+    "cardinality state, no new quadratic stage",
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("pa").alias("node"))
+        .unionByName(pairs.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy(F.col("degree").cast("bigint").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
+CHURN_WINDOW_DAYS = 7
+
+
+@register(
+    "churn_flag",
+    oracle=f"""
+        WITH anchor AS (SELECT max(ts) AS mx FROM events),
+        last_seen AS (
+            SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id
+        )
+        SELECT (date_diff('day', last_ts, mx) >= {CHURN_WINDOW_DAYS})
+                   AS churned,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(min(date_diff('day', last_ts, mx)) AS BIGINT)
+                   AS min_idle_days,
+               CAST(max(date_diff('day', last_ts, mx)) AS BIGINT)
+                   AS max_idle_days
+        FROM last_seen, anchor
+        GROUP BY churned
+    """,
+    description="Churn cohort flag: users idle ≥7 days at the corpus "
+    "high-water mark (deterministic anchor — no now()), rolled up to "
+    "cohort counts with idle-day bounds. One per-user max + a "
+    "broadcast anchor; the retention counterpart to "
+    "first_session_metrics / retention_cohorts",
+)
+def q_churn_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    anchor = events.agg(F.max("ts").alias("mx"))
+    last_seen = events.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    idle = F.datediff(F.col("mx"), F.col("last_ts"))
+    return (
+        last_seen.crossJoin(F.broadcast(anchor))
+        .select(idle.alias("idle_days"))
+        .groupBy((F.col("idle_days") >= CHURN_WINDOW_DAYS).alias("churned"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("idle_days").cast("bigint").alias("min_idle_days"),
+            F.max("idle_days").cast("bigint").alias("max_idle_days"),
+        )
+    )
+
+
+@register(
     "anova_f_test",
     oracle="""
         WITH g AS (
