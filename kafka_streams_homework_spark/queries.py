@@ -6780,6 +6780,105 @@ def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "path_to_purchase",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, event_type,
+                   lag(event_type, 1) OVER w AS prev1,
+                   lag(event_type, 2) OVER w AS prev2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT coalesce(prev2, 'START') || '>' || coalesce(prev1, 'START')
+                   AS path,
+               CAST(count(*) AS BIGINT) AS n_purchases
+        FROM seq WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    description="Path-to-purchase mining: the two-event journey "
+    "preceding each purchase (lag window over the per-user event "
+    "sequence, START-padded), counted per path — the attribution/"
+    "journey-analytics primitive beyond single-step "
+    "markov_transitions. One key-partitioned window pass + a "
+    "path-vocabulary-sized aggregate",
+)
+def q_path_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        F.coalesce(F.lag("event_type", 1).over(w), F.lit("START")).alias(
+            "prev1"
+        ),
+        F.coalesce(F.lag("event_type", 2).over(w), F.lit("START")).alias(
+            "prev2"
+        ),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .select(
+            F.concat(F.col("prev2"), F.lit(">"), F.col("prev1")).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+    )
+
+
+@register(
+    "dedup_savings",
+    oracle=f"""
+        WITH RECURSIVE p AS ({_NGRAM_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM p
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM p
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        cc(node, root) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst, cc.root FROM cc JOIN edges e ON cc.node = e.src
+        ), membership AS (
+            SELECT node AS doc_id, min(root) AS cluster_id FROM cc
+            GROUP BY node
+        )
+        SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+               CAST(sum(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs_dropped,
+               CAST(sum(CASE WHEN doc_id <> cluster_id THEN n_chars
+                             ELSE 0 END) AS BIGINT) AS chars_saved
+        FROM membership JOIN documents USING (doc_id)
+    """,
+    description="Dedup survivorship report: near-dup clusters from "
+    "the shared trigram-Jaccard substrate (same CC election as "
+    "dedup_clusters — min-label canonical survives), rolled up to the "
+    "curation KPI a 100 TB pipeline actually reports: clusters found, "
+    "documents droppable, bytes saved. Adds one doc-metadata join + a "
+    "1-row aggregate on top of the existing iterative CC; oracle = "
+    "the same recursive-CTE closure",
+)
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, 3, NGRAM_JACCARD_THRESHOLD)
+    membership = D.dedup_clusters(pairs).select("doc_id", "cluster_id")
+    dropped = F.when(F.col("doc_id") != F.col("cluster_id"), 1).otherwise(0)
+    return (
+        membership.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .agg(
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+            F.sum(dropped).cast("bigint").alias("n_docs_dropped"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") != F.col("cluster_id"), F.col("n_chars")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("chars_saved"),
+        )
+    )
+
+
+@register(
     "rfm_segmentation",
     oracle="""
         WITH rfm AS (
@@ -8924,6 +9023,74 @@ def q_q9_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
     )
+
+
+DOS_UNDERSTOCK_DAYS = 30.0
+
+
+@register(
+    "days_of_supply",
+    oracle=f"""
+        WITH {PARTSUPP_CTE},
+        span AS (
+            SELECT CAST(date_diff('day', min(l_shipdate), max(l_shipdate))
+                        + 1 AS BIGINT) AS days FROM lineitem
+        ), demand AS (
+            SELECT l_partkey AS pk, l_suppkey AS sk,
+                   round(sum(l_quantity), 2) AS qty
+            FROM lineitem GROUP BY 1, 2
+        )
+        SELECT p_type,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(avg(ps_availqty * days / qty) + 1e-9, 4)
+                   AS avg_days_of_supply,
+               CAST(sum(CASE WHEN ps_availqty * days / qty
+                                  < {DOS_UNDERSTOCK_DAYS}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_understocked
+        FROM partsupp
+        JOIN demand ON ps_partkey = pk AND ps_suppkey = sk
+        JOIN part ON p_partkey = ps_partkey, span
+        GROUP BY p_type
+    """,
+    description="Inventory days-of-supply on the derived partsupp "
+    "view: stock ÷ observed daily demand per (part, supplier) pair, "
+    "rolled up per part type with an understocked count — the "
+    "replenishment analytics the partsupp relation exists for. "
+    "Demand is a lineitem partial agg (2dp-rounded before division), "
+    "the shipping-span scalar broadcasts, partsupp⋈demand rides the "
+    "same composite key as q9_ps",
+)
+def q_days_of_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    span = li.agg(
+        (
+            F.datediff(F.max("l_shipdate"), F.min("l_shipdate")) + 1
+        ).cast("bigint").alias("days")
+    )
+    demand = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+    dos = F.col("ps_availqty") * F.col("days") / F.col("qty")
+    return (
+        _partsupp(spark, sf_dir)
+        .join(
+            demand,
+            (F.col("ps_partkey") == F.col("pk"))
+            & (F.col("ps_suppkey") == F.col("sk")),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+        .crossJoin(F.broadcast(span))
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.avg(dos) + F.lit(1e-9), 4).alias("avg_days_of_supply"),
+            F.sum(F.when(dos < DOS_UNDERSTOCK_DAYS, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_understocked"),
+        )
+    )
+
 
 
 # ---------------------------------------------------------------------------
