@@ -220,3 +220,79 @@ def kmv_distinct(
         n_sk.cast("bigint").alias("n_sketch"),
         F.round(est, 2).alias("est_distinct"),
     )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter-pruned semi join — Spark's runtime-filter /
+    "dynamic data pruning" pattern made explicit as an operator.
+
+    A plain semi join against a large dim shuffles (or at best
+    broadcast-hash-probes) EVERY fact row. At 100 TB the win is to
+    discard the non-matching ~99% of fact rows inside the scan
+    stage with a few bit tests, before any join machinery runs:
+
+    1. BUILD: hash each dim key with ``n_hashes`` seeded xxhash64
+       lanes into an ``n_bits`` bitmap. The bitmap is aggregated
+       distributively (bit_or partial-aggregates map-side), and the
+       collected driver state is bounded at n_bits/64 longs (8 KB
+       for the default 64 Ki bits) — independent of dim row count.
+    2. PROBE: the bitmap rides into the fact scan as an 8 KB array
+       literal; each fact row tests its n_hashes bit positions with
+       pure JVM expressions (xxhash64 / pmod / bit_get) inside
+       WholeStageCodegen — no shuffle, no Python, no join yet.
+    3. VERIFY: Bloom filters have false positives (~0.6% at 16
+       bits/key, k=4), so survivors take an exact broadcast
+       left-semi join against the (distinct) dim keys. The result
+       is therefore EXACTLY the semi join — the bloom stage only
+       sheds rows early.
+
+    The same bitmap is mergeable across partitions/batches (bit_or),
+    so an incremental pipeline can maintain it as dim churns.
+    Reference analogue: the reference has no runtime filters; its
+    lookup join probes every record (dsl/PriceAlertsApp.java:87-90).
+    """
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
+    n_words = n_bits // 64
+
+    def positions(col):  # k seeded hash lanes -> bit positions
+        return [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits))
+            for i in range(n_hashes)
+        ]
+
+    keys = dim.select(F.col(dim_key)).distinct()
+    pos = keys.select(
+        F.explode(F.array(*positions(F.col(dim_key)))).alias("pos")
+    ).distinct()
+    words = (
+        pos.groupBy((F.col("pos") / 64).cast("int").alias("word"))
+        .agg(
+            F.expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").alias(
+                "bits"
+            )
+        )
+        .collect()  # bounded: <= n_bits/64 rows (1024 longs = 8 KB)
+    )
+    bitmap = [0] * n_words
+    for r in words:
+        bitmap[r["word"]] = r["bits"]
+    bm = F.lit(bitmap)
+
+    might = F.lit(True)
+    for p in positions(F.col(fact_key)):
+        word = F.element_at(bm, (p / 64).cast("int") + F.lit(1))
+        might = might & (F.bit_get(word, F.pmod(p, F.lit(64))) == 1)
+    pruned = fact.filter(might)
+    return pruned.join(
+        F.broadcast(keys),
+        pruned[fact_key] == keys[dim_key],
+        "left_semi",
+    )

@@ -9092,6 +9092,311 @@ def q_days_of_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bloom_prune_join",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag
+    """,
+    description="Runtime-filter semi join: a 64 Ki-bit / 4-lane Bloom "
+    "filter built distributively over the urgent-order keys (bit_or "
+    "partial-aggregates map-side; driver state bounded at 1024 longs "
+    "= 8 KB regardless of dim size) rides into the lineitem scan as "
+    "an array literal, so ~80% of fact rows die on pure-JVM "
+    "xxhash64/bit_get tests inside WholeStageCodegen before any join "
+    "runs; the ~0.6%-fp survivor set then takes an exact broadcast "
+    "left-semi verify, making the result IDENTICAL to the plain semi "
+    "join the oracle runs — Spark's dynamic-pruning pattern as an "
+    "explicit, mergeable operator",
+)
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    kept = SK.bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+IVM_CUTOFF = "2001-06-01"
+
+
+@register(
+    "incremental_agg",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+                          AS DOUBLE), 2) AS sum_qty,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+                          AS DOUBLE) / count(*) + 1e-9, 6) AS avg_qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    description="Incremental materialized-view maintenance: the stored "
+    "per-(returnflag, linestatus) partial state (count + DECIMAL sum) "
+    "from the pre-cutoff base absorbs the post-cutoff delta batch by "
+    "MERGING partials (sum-of-sums, sum-of-counts) — the base fact "
+    "data is never rescanned, which is the whole point of a "
+    "maintained aggregate at 100 TB. avg is deliberately NOT "
+    "maintained directly (it is not self-maintainable); it is derived "
+    "from the merged sum/count, and DECIMAL(18,4) accumulation makes "
+    "the merge bit-identical to the oracle's one-shot full recompute",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit(IVM_CUTOFF).cast("timestamp")
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"),
+        )
+
+    base = partial(li.filter(F.col("l_shipdate") < cutoff))
+    delta = partial(li.filter(F.col("l_shipdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("sum_qty").alias("sum_dec"),
+        )
+    )
+    return merged.select(
+        *keys,
+        "n_rows",
+        F.round(F.col("sum_dec").cast("double"), 2).alias("sum_qty"),
+        F.round(
+            F.col("sum_dec").cast("double") / F.col("n_rows") + F.lit(1e-9), 6
+        ).alias("avg_qty"),
+    )
+
+
+@register(
+    "linear_attribution",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, event_id, ts, value, event_type,
+                   sum(CASE WHEN event_type IN ('view', 'click')
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS n_before
+            FROM events
+        ), p AS (
+            SELECT user_id, ts AS pts, event_id AS pid, value, n_before
+            FROM o WHERE event_type = 'purchase' AND n_before > 0
+        ), t AS (
+            SELECT user_id, event_type AS touch_type,
+                   ts AS tts, event_id AS tid
+            FROM events WHERE event_type IN ('view', 'click')
+        )
+        SELECT touch_type,
+               CAST(count(*) AS BIGINT) AS n_credits,
+               round(CAST(sum(CAST(value / n_before AS DECIMAL(18,6)))
+                          AS DOUBLE), 2) AS credited
+        FROM t JOIN p ON t.user_id = p.user_id
+                     AND (t.tts < p.pts
+                          OR (t.tts = p.pts AND t.tid < p.pid))
+        GROUP BY touch_type
+    """,
+    description="Linear multi-touch attribution: each purchase's value "
+    "is split equally across every view/click touchpoint that "
+    "preceded it in the user's timeline. The denominator is a running "
+    "touch count from ONE user-partitioned window pass (no per-pair "
+    "recount), and the touch-to-purchase pairing is a user-keyed "
+    "band join whose blow-up is bounded by per-user activity (AQE "
+    "skew-split handles heavy users). Per-credit amounts accumulate "
+    "in DECIMAL(18,6) so the sum is order-independent across engines; "
+    "the strict (ts, event_id) lexicographic pairing matches the "
+    "window order exactly, so denominator and pair set agree",
+)
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("view", "click")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        "event_type",
+        F.sum(is_touch.cast("int")).over(w).alias("n_before"),
+    )
+    purch = flagged.filter(
+        (F.col("event_type") == "purchase") & (F.col("n_before") > 0)
+    ).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+        "value",
+        "n_before",
+    )
+    touch = events.filter(is_touch).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+    )
+    pairs = touch.join(
+        purch,
+        (F.col("t_user") == F.col("p_user"))
+        & (
+            (F.col("tts") < F.col("pts"))
+            | ((F.col("tts") == F.col("pts")) & (F.col("tid") < F.col("pid")))
+        ),
+    )
+    credit = (F.col("value") / F.col("n_before")).cast("decimal(18,6)")
+    return pairs.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.round(F.sum(credit).cast("double"), 2).alias("credited"),
+    )
+
+
+BOOTSTRAP_B = 100
+# Poisson(1) inverse-CDF thresholds: P(X <= k) for k = 0..4; md5
+# fractions above the last threshold cap at w = 5 (identical, and
+# deterministic, on both engines — the tail mass is 6e-5)
+POISSON_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+
+
+def _poisson_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(POISSON_CDF)
+    )
+    return f"CASE {cases} ELSE 5 END"
+
+
+@register(
+    "bootstrap_ci",
+    oracle=f"""
+        WITH reps AS (
+            SELECT e.event_type, e.event_id, e.value, r.b
+            FROM events e CROSS JOIN range(1, {BOOTSTRAP_B + 1}) r(b)
+        ), wt AS (
+            SELECT event_type, b, value,
+                   {_poisson_w_sql(
+                       "(('0x' || substr(md5(event_id || '_' || b), 1, 8))"
+                       "::BIGINT / 4294967296.0)"
+                   )} AS w
+            FROM reps
+        ), means AS (
+            SELECT event_type, b,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,4)) * w)
+                              AS DOUBLE) / sum(w) + 1e-9, 6) AS mean_b
+            FROM wt GROUP BY event_type, b
+        ), ranked AS (
+            SELECT event_type, mean_b,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY mean_b, b) AS rk
+            FROM means
+        ), ci AS (
+            SELECT event_type,
+                   max(CASE WHEN rk = 3 THEN mean_b END) AS ci_lo,
+                   max(CASE WHEN rk = {BOOTSTRAP_B - 2} THEN mean_b END)
+                       AS ci_hi
+            FROM ranked GROUP BY event_type
+        ), pt AS (
+            SELECT event_type,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                         / count(*) + 1e-9, 6) AS mean_value
+            FROM events GROUP BY event_type
+        )
+        SELECT pt.event_type, mean_value, ci_lo, ci_hi
+        FROM pt JOIN ci ON pt.event_type = ci.event_type
+    """,
+    description="Poisson bootstrap 95% CI for the per-type mean value "
+    "— THE bootstrap that works on distributed data (classic "
+    "with-replacement resampling needs global row sampling per "
+    "replicate; Poisson(1) per-row weights are exchangeable with it "
+    "and embarrassingly parallel). Weights come from the engine-"
+    "portable md5-fraction inverse-CDF (deterministic, oracle-"
+    "checkable), the B=100 replicate means partial-aggregate map-side "
+    "(the x100 explode never reaches the shuffle: exchange carries "
+    "|types| x B partials per partition), DECIMAL accumulation makes "
+    "each replicate mean order-independent, and the CI is the "
+    "explicit 3rd/98th order statistic of the replicate means (ties "
+    "broken by replicate id) — no engine-specific quantile",
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    reps = events.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(BOOTSTRAP_B))
+        ).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("event_id"), F.col("b"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(5)
+    for k in range(len(POISSON_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON_CDF[k]), F.lit(k)).otherwise(w)
+    means = reps.groupBy("event_type", "b").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)") * w).cast("double")
+            / F.sum(w)
+            + F.lit(1e-9),
+            6,
+        ).alias("mean_b")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("mean_b", "b")
+    )
+    ci = (
+        means.withColumn("rk", rk)
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rk") == 3, F.col("mean_b"))).alias("ci_lo"),
+            F.max(
+                F.when(F.col("rk") == BOOTSTRAP_B - 2, F.col("mean_b"))
+            ).alias("ci_hi"),
+        )
+    )
+    pt = events.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(1e-9),
+            6,
+        ).alias("mean_value")
+    )
+    return pt.join(F.broadcast(ci), "event_type").select(
+        "event_type", "mean_value", "ci_lo", "ci_hi"
+    )
+
+
 
 # ---------------------------------------------------------------------------
 # Driver contract accessors

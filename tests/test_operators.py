@@ -1328,3 +1328,102 @@ def test_duplicate_burst_flags_planted_double_fires(spark):
     )
     assert out.n_double_fires == 1
     assert out.min_gap == 3
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark, sf_dir):
+    from kafka_streams_homework_spark.operators import sketches as SK
+    from kafka_streams_homework_spark.sources.batch import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    got = SK.bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    want = li.join(
+        urgent.select("o_orderkey").distinct(),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_bloom_filter_no_false_negatives_and_prunes(spark):
+    from kafka_streams_homework_spark.operators import sketches as SK
+
+    fact = spark.range(0, 20000).select(F.col("id").alias("k"))
+    dim = spark.range(0, 20000, 100).select(F.col("id").alias("d"))
+    out = SK.bloom_semi_join(fact, dim, "k", "d")
+    # exact: every dim key present in fact must survive (no false
+    # negatives — the Bloom guarantee), and nothing else
+    assert sorted(r.k for r in out.collect()) == list(range(0, 20000, 100))
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark, sf_dir):
+    from kafka_streams_homework_spark.queries import REGISTRY
+
+    got = REGISTRY["incremental_agg"].fn(spark, sf_dir)
+    from kafka_streams_homework_spark.sources.batch import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    want = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("sum_qty"),
+    )
+    g = {(r.l_returnflag, r.l_linestatus): (r.n_rows, r.sum_qty)
+         for r in got.collect()}
+    w = {(r.l_returnflag, r.l_linestatus): (r.n_rows, r.sum_qty)
+         for r in want.collect()}
+    assert g == w
+
+
+def test_linear_attribution_known_credits(spark):
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import shutil
+    import tempfile
+
+    # user 1: view, click, purchase(12.0) -> view 6, click 6;
+    # then another view, purchase(9.0) with 3 prior touches -> 3 each
+    rows = [
+        (1, 1, ts(1), "view", 0.0),
+        (2, 1, ts(2), "click", 0.0),
+        (3, 1, ts(3), "purchase", 12.0),
+        (4, 1, ts(4), "view", 0.0),
+        (5, 1, ts(5), "purchase", 9.0),
+        # user 2: purchase with no prior touches -> unattributed
+        (6, 2, ts(1), "purchase", 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+    d = tempfile.mkdtemp(prefix="attr_")
+    try:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {
+            r.touch_type: (r.n_credits, r.credited)
+            for r in REGISTRY["linear_attribution"].fn(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # view: 6 + (3+3) = 12 over 3 credit rows; click: 6 + 3 = 9 over 2
+    assert out == {"view": (3, 12.0), "click": (2, 9.0)}
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark, sf_dir):
+    from kafka_streams_homework_spark.queries import REGISTRY
+
+    a = REGISTRY["bootstrap_ci"].fn(spark, sf_dir)
+    rows = {r.event_type: r for r in a.collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r.ci_lo < r.ci_hi
+        # the 95% CI of the mean should bracket the full-sample mean
+        assert r.ci_lo <= r.mean_value <= r.ci_hi
+    again = {
+        r.event_type: (r.ci_lo, r.ci_hi)
+        for r in REGISTRY["bootstrap_ci"].fn(spark, sf_dir).collect()
+    }
+    assert again == {k: (v.ci_lo, v.ci_hi) for k, v in rows.items()}
