@@ -9337,8 +9337,11 @@ def _poisson_w_sql(u: str) -> str:
     "broken by replicate id) — no engine-specific quantile",
 )
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _t(spark, sf_dir, "events").select(
-        "event_type", "event_id", "value"
+    # the x B explode makes this scan compute-heavy (B md5s per input
+    # row): redistribute a single-row-group fixture scan first — no-op
+    # when the source already has >= defaultParallelism splits
+    events = spread(
+        _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
     )
     reps = events.select(
         "event_type",

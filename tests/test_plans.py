@@ -497,3 +497,18 @@ def test_partsupp_materialized_bucketed_agg_is_shuffle_free(spark, sf_dir):
         assert agg.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS b_partsupp")
+
+
+def test_bloom_prune_filter_runs_in_scan_stage_before_join(spark, sf_dir):
+    """The runtime-filter contract: the bloom bit tests (xxhash64 +
+    bit_get on the bitmap literal) must sit in a Filter BELOW the
+    exact left-semi verify join — rows die inside the scan stage, not
+    in the join — and the verify join must be a broadcast (never a
+    shuffled SortMergeJoin on the full fact table)."""
+    df = Q.q_bloom_prune_join(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "bit_get" in plan and "xxhash64" in plan, plan
+    join_at = plan.index("BroadcastHashJoin")
+    filter_at = plan.index("bit_get")
+    assert filter_at > join_at, "bloom filter must be under the join"
+    assert "SortMergeJoin" not in plan, plan
