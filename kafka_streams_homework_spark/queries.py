@@ -9400,6 +9400,102 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KS_CRITICAL_05 = 1.358  # two-sample KS c(alpha) at alpha = 0.05
+
+
+@register(
+    "ks_test",
+    oracle=f"""
+        WITH s AS (
+            SELECT value AS v,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i1,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS i2
+            FROM events WHERE event_type IN ('purchase', 'click')
+        ), per_v AS (
+            SELECT v, sum(i1) AS c1, sum(i2) AS c2 FROM s GROUP BY v
+        ), cum AS (
+            SELECT sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r1,
+                   sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r2,
+                   sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+            FROM per_v
+        ), d AS (
+            SELECT CAST(max(n1) AS BIGINT) AS n1,
+                   CAST(max(n2) AS BIGINT) AS n2,
+                   max(round(abs(r1 / CAST(n1 AS DOUBLE)
+                                 - r2 / CAST(n2 AS DOUBLE))
+                             + 1e-9, 6)) AS d_stat
+            FROM cum
+        )
+        SELECT n1, n2, d_stat,
+               round(sqrt(n1 * n2 / CAST(n1 + n2 AS DOUBLE)) * d_stat
+                     + 1e-9, 6) AS ks_scaled,
+               round(sqrt(n1 * n2 / CAST(n1 + n2 AS DOUBLE)) * d_stat
+                     + 1e-9, 6) > {KS_CRITICAL_05} AS reject_05
+        FROM d
+    """,
+    description="Exact two-sample Kolmogorov-Smirnov test (purchase vs "
+    "click value distributions): D = max |F1 - F2| over the POOLED "
+    "distinct values. The global cumulative runs over the per-value "
+    "aggregate, not the raw rows — the groupBy collapses the corpus "
+    "to |distinct 2dp values| rows first, so the single-partition "
+    "ordered window is bounded by value cardinality, not data volume "
+    "(the same distinct-first discipline as equidepth_histogram). "
+    "Counts are integers, so D is order-independent; the scaled "
+    "statistic and the alpha=0.05 decision apply to the ROUNDED D. "
+    "Complements js_divergence (binned, approximate) with the exact "
+    "distribution-free test",
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    per_v = ev.groupBy(F.col("value").alias("v")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("c1"),
+        F.sum((F.col("event_type") == "click").cast("int")).alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_v.select(
+        F.sum("c1").over(w).alias("r1"),
+        F.sum("c2").over(w).alias("r2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    d = cum.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        F.max(
+            F.round(
+                F.abs(
+                    F.col("r1") / F.col("n1").cast("double")
+                    - F.col("r2") / F.col("n2").cast("double")
+                )
+                + F.lit(1e-9),
+                6,
+            )
+        ).alias("d_stat"),
+    )
+    scaled = F.round(
+        F.sqrt(
+            F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")).cast("double")
+        )
+        * F.col("d_stat")
+        + F.lit(1e-9),
+        6,
+    )
+    return d.select(
+        "n1",
+        "n2",
+        "d_stat",
+        scaled.alias("ks_scaled"),
+        (scaled > F.lit(KS_CRITICAL_05)).alias("reject_05"),
+    )
+
+
 
 # ---------------------------------------------------------------------------
 # Driver contract accessors

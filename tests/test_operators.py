@@ -1427,3 +1427,43 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark, sf_dir):
         for r in REGISTRY["bootstrap_ci"].fn(spark, sf_dir).collect()
     }
     assert again == {k: (v.ci_lo, v.ci_hi) for k, v in rows.items()}
+
+
+def test_ks_test_known_distributions(spark):
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import shutil
+    import tempfile
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, "
+            "event_type string, value double"
+        )
+        d = tempfile.mkdtemp(prefix="ks_")
+        try:
+            df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+            return REGISTRY["ks_test"].fn(spark, d).collect()[0]
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    # identical samples -> D = 0, never rejects
+    same = [
+        (i, 1, ts(i), t, float(v))
+        for i, (t, v) in enumerate(
+            [("purchase", 1), ("purchase", 2), ("purchase", 3),
+             ("click", 1), ("click", 2), ("click", 3)]
+        )
+    ]
+    r = run(same)
+    assert (r.n1, r.n2, r.d_stat, r.reject_05) == (3, 3, 0.0, False)
+
+    # disjoint supports -> D = 1 (max gap at the last purchase value)
+    disjoint = [
+        (i, 1, ts(i), t, float(v))
+        for i, (t, v) in enumerate(
+            [("purchase", 1), ("purchase", 2),
+             ("click", 30), ("click", 40)]
+        )
+    ]
+    r = run(disjoint)
+    assert (r.d_stat, r.n1, r.n2) == (1.0, 2, 2)
