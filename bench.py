@@ -127,6 +127,14 @@ BENCH_QUERIES = [
     "join_explosion_audit",
     "rolling_active_users",
     "streaming_asof_join",
+    # round-5 final wave: runtime-filter semi join, maintained
+    # aggregate merge, touch-band attribution, Poisson bootstrap
+    # (B=100 map-side replicates), exact KS test
+    "bloom_prune_join",
+    "incremental_agg",
+    "linear_attribution",
+    "bootstrap_ci",
+    "ks_test",
 ]
 
 
