@@ -9210,58 +9210,55 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Linear multi-touch attribution: each purchase's value "
     "is split equally across every view/click touchpoint that "
-    "preceded it in the user's timeline. The denominator is a running "
-    "touch count from ONE user-partitioned window pass (no per-pair "
-    "recount), and the touch-to-purchase pairing is a user-keyed "
-    "band join whose blow-up is bounded by per-user activity (AQE "
-    "skew-split handles heavy users). Per-credit amounts accumulate "
-    "in DECIMAL(18,6) so the sum is order-independent across engines; "
-    "the strict (ts, event_id) lexicographic pairing matches the "
-    "window order exactly, so denominator and pair set agree",
+    "preceded it in the user's timeline. NO touch-to-purchase pair "
+    "join ever runs (the naive pairing the oracle uses blows up as "
+    "touches x purchases per user — measured 159x at the 100x probe): "
+    "because the touch-type set is a bounded enum, ONE user-"
+    "partitioned window pass carries a running count per type, and "
+    "each purchase row already knows how many credits of each type it "
+    "owes — the per-pair sum collapses to value x n_type / n_total "
+    "per purchase, grouped over |types| rows. Per-pair parity is kept "
+    "exactly: the grouped credit multiplies the DECIMAL(18,6)-rounded "
+    "per-credit amount by the integer count, which equals the pair "
+    "join's sum of identical rounded terms — bit-for-bit the oracle's "
+    "band-join result",
 )
 def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
-    is_touch = F.col("event_type").isin("view", "click")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     flagged = events.select(
-        "user_id",
-        "event_id",
-        "ts",
         "value",
         "event_type",
-        F.sum(is_touch.cast("int")).over(w).alias("n_before"),
+        F.sum((F.col("event_type") == "view").cast("int"))
+        .over(w)
+        .alias("nv"),
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .over(w)
+        .alias("nc"),
     )
     purch = flagged.filter(
-        (F.col("event_type") == "purchase") & (F.col("n_before") > 0)
-    ).select(
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("pts"),
-        F.col("event_id").alias("pid"),
+        (F.col("event_type") == "purchase")
+        & ((F.col("nv") + F.col("nc")) > 0)
+    ).select("value", "nv", "nc", (F.col("nv") + F.col("nc")).alias("n_before"))
+    per_type = purch.select(
         "value",
         "n_before",
-    )
-    touch = events.filter(is_touch).select(
-        F.col("user_id").alias("t_user"),
-        F.col("event_type").alias("touch_type"),
-        F.col("ts").alias("tts"),
-        F.col("event_id").alias("tid"),
-    )
-    pairs = touch.join(
-        purch,
-        (F.col("t_user") == F.col("p_user"))
-        & (
-            (F.col("tts") < F.col("pts"))
-            | ((F.col("tts") == F.col("pts")) & (F.col("tid") < F.col("pid")))
-        ),
-    )
+        F.explode(
+            F.create_map(
+                F.lit("view"), F.col("nv"), F.lit("click"), F.col("nc")
+            )
+        ).alias("touch_type", "k"),
+    ).filter(F.col("k") > 0)
+    # k x round6(value/n) == the pair join's sum of k identical
+    # DECIMAL(18,6) terms — exact, order-independent
     credit = (F.col("value") / F.col("n_before")).cast("decimal(18,6)")
-    return pairs.groupBy("touch_type").agg(
-        F.count(F.lit(1)).alias("n_credits"),
-        F.round(F.sum(credit).cast("double"), 2).alias("credited"),
+    return per_type.groupBy("touch_type").agg(
+        F.sum("k").cast("bigint").alias("n_credits"),
+        F.round(F.sum(credit * F.col("k")).cast("double"), 2).alias("credited"),
     )
 
 
@@ -9493,6 +9490,258 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_stat",
         scaled.alias("ks_scaled"),
         (scaled > F.lit(KS_CRITICAL_05)).alias("reject_05"),
+    )
+
+
+@register(
+    "welch_ttest",
+    oracle="""
+        WITH m AS (
+            SELECT
+                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS n1,
+                sum(CASE WHEN event_type = 'purchase' THEN value
+                         ELSE 0.0 END) AS s1,
+                sum(CASE WHEN event_type = 'purchase' THEN value * value
+                         ELSE 0.0 END) AS q1,
+                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n2,
+                sum(CASE WHEN event_type = 'click' THEN value
+                         ELSE 0.0 END) AS s2,
+                sum(CASE WHEN event_type = 'click' THEN value * value
+                         ELSE 0.0 END) AS q2
+            FROM events WHERE event_type IN ('purchase', 'click')
+        ), v AS (
+            SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                   s1 / n1 - s2 / n2 AS mean_diff,
+                   (q1 - s1 * s1 / n1) / (n1 - 1) / n1
+                       + (q2 - s2 * s2 / n2) / (n2 - 1) / n2 AS se2,
+                   (q1 - s1 * s1 / n1) / (n1 - 1) / n1 AS a1,
+                   (q2 - s2 * s2 / n2) / (n2 - 1) / n2 AS a2
+            FROM m
+        )
+        SELECT n1, n2,
+               round(mean_diff + 1e-9, 6) AS mean_diff,
+               round(mean_diff / sqrt(se2) + 1e-9, 6) AS t_stat,
+               round(se2 * se2 / (a1 * a1 / (n1 - 1) + a2 * a2 / (n2 - 1))
+                     + 1e-9, 2) AS df_welch
+        FROM v
+    """,
+    description="Welch's unequal-variance two-sample t-test (purchase "
+    "vs click mean value) from ONE conditional moment aggregate — "
+    "n/Σx/Σx² per group partial-aggregate map-side, the t statistic "
+    "and Welch-Satterthwaite df run on the 6-number summary. Same "
+    "shared-explicit-moments discipline as grouped_ols / anova_f_test "
+    "(identical expression tree on both engines, never engine-internal "
+    "stddev whose association differs). Completes the parametric leg "
+    "of the testing battery next to anova (k-group), chi-square "
+    "(categorical) and ks_test (distribution-free)",
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    is1 = F.col("event_type") == "purchase"
+    is2 = F.col("event_type") == "click"
+    zero = F.lit(0.0)
+    m = ev.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(is1, F.col("value")).otherwise(zero)).alias("s1"),
+        F.sum(F.when(is1, F.col("value") * F.col("value")).otherwise(zero)).alias("q1"),
+        F.sum(F.when(is2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(is2, F.col("value")).otherwise(zero)).alias("s2"),
+        F.sum(F.when(is2, F.col("value") * F.col("value")).otherwise(zero)).alias("q2"),
+    )
+    a1 = (
+        (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1"))
+        / (F.col("n1") - 1)
+        / F.col("n1")
+    )
+    a2 = (
+        (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2"))
+        / (F.col("n2") - 1)
+        / F.col("n2")
+    )
+    mean_diff = F.col("s1") / F.col("n1") - F.col("s2") / F.col("n2")
+    se2 = a1 + a2
+    return m.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(mean_diff + F.lit(1e-9), 6).alias("mean_diff"),
+        F.round(mean_diff / F.sqrt(se2) + F.lit(1e-9), 6).alias("t_stat"),
+        F.round(
+            se2 * se2 / (a1 * a1 / (F.col("n1") - 1) + a2 * a2 / (F.col("n2") - 1))
+            + F.lit(1e-9),
+            2,
+        ).alias("df_welch"),
+    )
+
+
+@register(
+    "mann_whitney_u",
+    oracle="""
+        WITH s AS (
+            SELECT value AS v,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i1,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS i2
+            FROM events WHERE event_type IN ('purchase', 'click')
+        ), per_v AS (
+            SELECT v, sum(i1) AS c1, sum(i2) AS c2, count(*) AS c
+            FROM s GROUP BY v
+        ), rk AS (
+            SELECT c1, c2, c,
+                   sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c
+                       AS below
+            FROM per_v
+        ), agg AS (
+            SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c2) AS BIGINT) AS n2,
+                   sum(c1 * (below + (c + 1) / 2.0)) AS r1,
+                   sum(CAST(c AS DOUBLE) * c * c - c) AS tie_term
+            FROM rk
+        )
+        SELECT n1, n2,
+               round(r1 - n1 * (n1 + 1) / 2.0 + 1e-9, 2) AS u_stat,
+               round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                     / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                            * ((n1 + n2 + 1)
+                               - tie_term / (CAST(n1 + n2 AS DOUBLE)
+                                             * (n1 + n2 - 1))))
+                     + 1e-9, 6) AS z_stat
+        FROM agg
+    """,
+    description="Mann-Whitney U rank-sum test (purchase vs click), "
+    "exact tie handling via midranks: the corpus collapses to "
+    "per-distinct-value counts first (same distinct-first discipline "
+    "as ks_test — the ordered cumulative is bounded by value "
+    "cardinality, not volume), midranks come from the running count "
+    "below each value, and the tie-corrected normal approximation "
+    "z = (U - mu)/sigma_ties is computed from integer-exact rank "
+    "sums. The nonparametric location test next to Welch's "
+    "(parametric) and KS (full-distribution)",
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    per_v = ev.groupBy(F.col("value").alias("v")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("c1"),
+        F.sum((F.col("event_type") == "click").cast("int")).alias("c2"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rk = per_v.select(
+        "c1",
+        "c2",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).alias("below"),
+    )
+    agg = rk.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * (F.col("below") + (F.col("c") + 1) / 2.0)).alias("r1"),
+        F.sum(
+            F.col("c").cast("double") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie_term"),
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    sigma = F.sqrt(
+        F.col("n1").cast("double") * F.col("n2") / 12.0
+        * (
+            (F.col("n1") + F.col("n2") + 1)
+            - F.col("tie_term")
+            / (
+                (F.col("n1") + F.col("n2")).cast("double")
+                * (F.col("n1") + F.col("n2") - 1)
+            )
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(u + F.lit(1e-9), 2).alias("u_stat"),
+        F.round(
+            (u - F.col("n1") * F.col("n2") / 2.0) / sigma + F.lit(1e-9), 6
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "seasonality_profile",
+    oracle="""
+        WITH e AS (
+            SELECT event_type, dayname(ts) AS dow, value FROM events
+        ), dm AS (
+            SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+                   round(avg(value) + 1e-9, 6) AS seasonal_mean
+            FROM e GROUP BY event_type, dow
+        ), tm AS (
+            SELECT event_type, round(avg(value) + 1e-9, 6) AS type_mean
+            FROM e GROUP BY event_type
+        ), r AS (
+            SELECT e.event_type, e.dow,
+                   round(avg(abs(e.value - dm.seasonal_mean)) + 1e-9, 6)
+                       AS mean_abs_resid
+            FROM e JOIN dm ON e.event_type = dm.event_type
+                          AND e.dow = dm.dow
+            GROUP BY e.event_type, e.dow
+        )
+        SELECT dm.event_type, dm.dow, dm.n, dm.seasonal_mean,
+               round(dm.seasonal_mean / tm.type_mean + 1e-9, 6)
+                   AS seasonal_index,
+               r.mean_abs_resid
+        FROM dm
+        JOIN tm ON dm.event_type = tm.event_type
+        JOIN r ON dm.event_type = r.event_type AND dm.dow = r.dow
+    """,
+    description="Day-of-week seasonality decomposition per event_type: "
+    "seasonal means by weekday name (day NAMES, not engine-specific "
+    "weekday numbering — Spark dayofweek is 1-based Sunday, DuckDB "
+    "0-based), a seasonal index vs the type-level mean, and the "
+    "remainder magnitude (mean |value - seasonal_mean|, residuals "
+    "taken against the ROUNDED seasonal mean so both engines subtract "
+    "the identical constant). The |types| x 7 profile table is "
+    "broadcast back onto one corpus scan for the residual pass — "
+    "classic seasonal-naive decomposition (trend/seasonal/remainder) "
+    "as two bounded aggregates",
+)
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "EEEE").alias("dow"), "value"
+    )
+    dm = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value") + F.lit(1e-9), 6).alias("seasonal_mean"),
+    )
+    tm = ev.groupBy("event_type").agg(
+        F.round(F.avg("value") + F.lit(1e-9), 6).alias("type_mean")
+    )
+    r = (
+        ev.join(F.broadcast(dm.select("event_type", "dow", "seasonal_mean")),
+                ["event_type", "dow"])
+        .groupBy("event_type", "dow")
+        .agg(
+            F.round(
+                F.avg(F.abs(F.col("value") - F.col("seasonal_mean")))
+                + F.lit(1e-9),
+                6,
+            ).alias("mean_abs_resid")
+        )
+    )
+    return (
+        dm.join(F.broadcast(tm), "event_type")
+        .join(F.broadcast(r), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            "seasonal_mean",
+            F.round(
+                F.col("seasonal_mean") / F.col("type_mean") + F.lit(1e-9), 6
+            ).alias("seasonal_index"),
+            "mean_abs_resid",
+        )
     )
 
 

@@ -1467,3 +1467,95 @@ def test_ks_test_known_distributions(spark):
     ]
     r = run(disjoint)
     assert (r.d_stat, r.n1, r.n2) == (1.0, 2, 2)
+
+
+def _write_events(spark, rows, tmpdir):
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+    df.write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+
+
+def test_welch_ttest_known_values(spark):
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import shutil
+    import tempfile
+
+    # purchase [1,2,3,4]: mean 2.5, s^2 = 5/3; click [2,2,2,2]: s^2 = 0
+    # -> mean_diff 0.5, se^2 = (5/3)/4, t = 0.5/sqrt(5/12),
+    #    df = se2^2 / (a1^2/3) = 3.0 exactly when the other leg is 0
+    rows = [
+        (i, 1, ts(i), t, float(v))
+        for i, (t, v) in enumerate(
+            [("purchase", 1), ("purchase", 2), ("purchase", 3),
+             ("purchase", 4), ("click", 2), ("click", 2),
+             ("click", 2), ("click", 2)]
+        )
+    ]
+    d = tempfile.mkdtemp(prefix="welch_")
+    try:
+        _write_events(spark, rows, d)
+        r = REGISTRY["welch_ttest"].fn(spark, d).collect()[0]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert (r.n1, r.n2, r.mean_diff) == (4, 4, 0.5)
+    assert abs(r.t_stat - 0.5 / (5.0 / 12.0) ** 0.5) < 1e-5
+    assert r.df_welch == 3.0
+
+
+def test_mann_whitney_known_values(spark):
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import shutil
+    import tempfile
+
+    def run(vals):
+        rows = [
+            (i, 1, ts(i), t, float(v)) for i, (t, v) in enumerate(vals)
+        ]
+        d = tempfile.mkdtemp(prefix="mwu_")
+        try:
+            _write_events(spark, rows, d)
+            return REGISTRY["mann_whitney_u"].fn(spark, d).collect()[0]
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    # disjoint: purchase {1,2} below click {3,4} -> U = 0,
+    # z = (0 - 2)/sqrt(4/12 * 5) = -1.549193
+    r = run([("purchase", 1), ("purchase", 2), ("click", 3), ("click", 4)])
+    assert (r.u_stat, r.z_stat) == (0.0, -1.549193)
+
+    # symmetric with ties: purchase {1,2} vs click {1,2} -> midranks
+    # make R1 = 5, U = n1*n2/2 = 2, z = 0
+    r = run([("purchase", 1), ("purchase", 2), ("click", 1), ("click", 2)])
+    assert (r.u_stat, r.z_stat) == (2.0, 0.0)
+
+
+def test_seasonality_profile_known_days(spark):
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import datetime as dtm
+    import shutil
+    import tempfile
+
+    mon = dtm.datetime(2024, 1, 1, 10, 0)   # a Monday
+    tue = dtm.datetime(2024, 1, 2, 10, 0)
+    rows = [
+        (1, 1, mon, "view", 1.0),
+        (2, 1, mon, "view", 3.0),
+        (3, 1, tue, "view", 5.0),
+    ]
+    d = tempfile.mkdtemp(prefix="season_")
+    try:
+        _write_events(spark, rows, d)
+        out = {
+            r.dow: r
+            for r in REGISTRY["seasonality_profile"].fn(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert set(out) == {"Monday", "Tuesday"}
+    m, t = out["Monday"], out["Tuesday"]
+    assert (m.n, m.seasonal_mean, m.mean_abs_resid) == (2, 2.0, 1.0)
+    assert abs(m.seasonal_index - 0.666667) < 1e-6
+    assert (t.n, t.seasonal_mean, t.mean_abs_resid) == (1, 5.0, 0.0)
+    assert abs(t.seasonal_index - 1.666667) < 1e-6
