@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -282,8 +283,123 @@ def decode_real(media: DataFrame) -> DataFrame:  # pragma: no cover
     the gate stands; the closest real-bytes operation that IS
     implementable — fixed-size payload segmentation — ships as
     ``audio_chunks`` (oracle-checked end-to-end).
+
+    Round-5 addendum: the probe missed that Python's STDLIB ``wave``
+    module is itself a real RIFF/PCM codec — the audio/wav leg now
+    decodes for real via ``synth_wav`` / ``wav_decode`` below
+    (queries.wav_pipeline, oracle-hash-checked). This gate remains
+    only for image (PIL) and video (cv2) payloads.
     """
     raise NotImplementedError(
         "media codecs are not installed in this environment; "
         "use decode_stub (same Spark plumbing, deterministic fake codec)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real WAV codec path (round 5): the env probe above found no
+# third-party codec, but Python's STDLIB `wave` module is a real
+# RIFF/PCM codec — so the "media decode" gap closes for audio/wav
+# with genuine bytes and a genuine parser, no fake codec involved.
+# ---------------------------------------------------------------------------
+
+WAV_SR = 8000
+WAV_PERIOD = 8  # samples per sine period -> peak lands ON a sample
+
+WAV_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", DoubleType()),
+        StructField("peak", IntegerType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def synth_wav(documents: DataFrame) -> DataFrame:
+    """Synthesize a REAL PCM16 mono WAV per document (stdlib `wave`).
+
+    Deterministic per doc_id: amplitude A = 1000 + (doc_id % 20)*1000,
+    n_frames = 8 * (1 + doc_id % 50) (whole sine periods at 8
+    samples/period, sr 8000). Samples quantize with round-half-up
+    (floor(x + 0.5)) so every byte is reproducible arithmetic — which
+    is what lets the downstream features be ORACLE-HASH-CHECKED in
+    SQL even though DuckDB cannot parse RIFF. The payloads are true
+    WAV files (RIFF header, fmt/data chunks) playable by any reader.
+    """
+    import io
+    import wave as wavmod
+
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n_per = 1 + d % 50
+                amp = 1000 + (d % 20) * 1000
+                k = np.arange(WAV_PERIOD * n_per, dtype="float64")
+                samples = np.floor(
+                    amp * np.sin(2.0 * np.pi * k / WAV_PERIOD) + 0.5
+                ).astype("<i2")
+                buf = io.BytesIO()
+                w = wavmod.open(buf, "wb")
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(WAV_SR)
+                w.writeframes(samples.tobytes())
+                w.close()
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def wav_decode(media: DataFrame) -> DataFrame:
+    """REAL decode: parse the RIFF container with stdlib `wave` and
+    compute signal features from the PCM samples themselves.
+
+    Same Arrow-batched mapInPandas shape as decode_stub, but nothing
+    is faked: header fields (channels / rate / frames) come from the
+    parser, peak and RMS from the decoded int16 waveform. Sample
+    sums stay < 2^53 (A <= 20000, <= 400 frames), so the float64 RMS
+    is exact arithmetic — reproducible down to the hash.
+    """
+    import io
+    import wave as wavmod
+
+    import numpy as np
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "n_channels": [], "sample_rate": [],
+                "n_frames": [], "duration_ms": [], "peak": [], "rms": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w = wavmod.open(io.BytesIO(bytes(payload)))
+                nch, sr, nf = (
+                    w.getnchannels(), w.getframerate(), w.getnframes(),
+                )
+                data = np.frombuffer(
+                    w.readframes(nf), dtype="<i2"
+                ).astype("float64")
+                out["doc_id"].append(doc_id)
+                out["n_channels"].append(nch)
+                out["sample_rate"].append(sr)
+                out["n_frames"].append(nf)
+                out["duration_ms"].append(nf * 1000.0 / sr)
+                out["peak"].append(int(np.max(np.abs(data))))
+                out["rms"].append(float(np.sqrt(np.mean(data * data))))
+            yield pd.DataFrame(out).astype(
+                {"n_channels": "int32", "sample_rate": "int32",
+                 "n_frames": "int64", "peak": "int32"}
+            )
+
+    return media.mapInPandas(dec, WAV_FEATURES_SCHEMA)

@@ -9745,6 +9745,56 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "wav_pipeline",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id,
+                   1000 + (doc_id % 20) * 1000 AS amp,
+                   8 * (1 + doc_id % 50) AS nf
+            FROM documents
+        ), q AS (
+            SELECT doc_id, amp, nf,
+                   CAST(floor(amp * 0.7071067811865476 + 0.5) AS BIGINT) AS r
+            FROM p
+        )
+        SELECT doc_id,
+               1 AS n_channels,
+               8000 AS sample_rate,
+               CAST(nf AS BIGINT) AS n_frames,
+               round(nf * 1000.0 / 8000 + 1e-9, 3) AS duration_ms,
+               CAST(amp AS INT) AS peak,
+               round(sqrt((4.0 * r * r + 2.0 * amp * amp) / 8.0) + 1e-9, 6)
+                   AS rms
+        FROM q
+    """,
+    description="REAL media decode, no fake codec: per document a true "
+    "PCM16 RIFF/WAV file is synthesized (stdlib `wave` writer — "
+    "deterministic sine, amplitude and length derived from doc_id), "
+    "then parsed back by the stdlib `wave` READER in a second Arrow-"
+    "batched mapInPandas, with peak and RMS computed from the decoded "
+    "int16 waveform itself. DuckDB cannot parse RIFF, so the oracle "
+    "recomputes the expected features ARITHMETICALLY (the sine peaks "
+    "on-sample at 8 samples/period; round-half-up quantization makes "
+    "every byte closed-form; integer-exact float64 sums make the RMS "
+    "bit-identical) — a full hash check of a genuine codec round-trip. "
+    "Closes the audio leg of the decode_real gate "
+    "(operators/multimodal.py:271); image/video stay gated on PIL/cv2",
+)
+def q_wav_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = M.wav_decode(M.synth_wav(docs))
+    return feats.select(
+        "doc_id",
+        "n_channels",
+        "sample_rate",
+        "n_frames",
+        F.round(F.col("duration_ms") + F.lit(1e-9), 3).alias("duration_ms"),
+        "peak",
+        F.round(F.col("rms") + F.lit(1e-9), 6).alias("rms"),
+    )
+
+
 
 # ---------------------------------------------------------------------------
 # Driver contract accessors

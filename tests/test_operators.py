@@ -1559,3 +1559,42 @@ def test_seasonality_profile_known_days(spark):
     assert abs(m.seasonal_index - 0.666667) < 1e-6
     assert (t.n, t.seasonal_mean, t.mean_abs_resid) == (1, 5.0, 0.0)
     assert abs(t.seasonal_index - 1.666667) < 1e-6
+
+
+def test_wav_pipeline_real_riff_roundtrip(spark, sf_dir):
+    from kafka_streams_homework_spark.operators import multimodal as M
+    from kafka_streams_homework_spark.sources.batch import load_table
+    import io
+    import wave as wavmod
+
+    docs = load_table(spark, sf_dir, "documents").limit(8)
+    media = M.synth_wav(docs).collect()
+    # genuine RIFF containers: stdlib reader accepts them and the
+    # header fields match the synth parameters
+    for row in media:
+        b = bytes(row.payload)
+        assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+        w = wavmod.open(io.BytesIO(b))
+        assert w.getnchannels() == 1
+        assert w.getframerate() == M.WAV_SR
+        assert w.getnframes() == 8 * (1 + row.doc_id % 50)
+    # decoded features: peak equals the synth amplitude exactly
+    # (the sine peaks on-sample at 8 samples/period)
+    feats = {r.doc_id: r for r in M.wav_decode(M.synth_wav(docs)).collect()}
+    for doc_id, r in feats.items():
+        amp = 1000 + (doc_id % 20) * 1000
+        assert r.peak == amp
+        assert abs(r.rms - amp / 2 ** 0.5) / amp < 1e-3  # quantization
+
+
+def test_wav_decode_rejects_corrupt_container(spark):
+    from kafka_streams_homework_spark.operators import multimodal as M
+    import pytest
+    from pyspark.errors import PythonException
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"not a riff file at all"))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(PythonException):
+        M.wav_decode(bad).collect()
