@@ -287,8 +287,13 @@ def decode_real(media: DataFrame) -> DataFrame:  # pragma: no cover
     Round-5 addendum: the probe missed that Python's STDLIB ``wave``
     module is itself a real RIFF/PCM codec — the audio/wav leg now
     decodes for real via ``synth_wav`` / ``wav_decode`` below
-    (queries.wav_pipeline, oracle-hash-checked). This gate remains
-    only for image (PIL) and video (cv2) payloads.
+    (queries.wav_pipeline, oracle-hash-checked). Likewise the image
+    leg: PNG's compression layer is stdlib ``zlib``, so
+    ``encode_png_gray8`` / ``decode_png_gray8`` below implement a
+    genuine spec-conformant grayscale-8 PNG codec (CRC32 chunk walk,
+    inflate, all five scanline filters; queries.png_pipeline,
+    oracle-hash-checked). This gate remains only for lossy/complex
+    codecs: JPEG (PIL) and video (cv2/av).
     """
     raise NotImplementedError(
         "media codecs are not installed in this environment; "
@@ -403,3 +408,208 @@ def wav_decode(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(dec, WAV_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec path (round 5): zlib — the actual compression layer
+# of PNG — is stdlib too, and the PNG container (chunks + CRC32 +
+# scanline filters) is pure struct arithmetic. A minimal but genuine
+# grayscale-8 PNG encoder/decoder closes the IMAGE leg of the
+# decode_real gate the same way `wave` closed the audio leg: real
+# bytes, real inflate, real unfiltering, real CRC integrity checks.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+PNG_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bit_depth", IntegerType()),
+        StructField("color_type", IntegerType()),
+        StructField("mean_pixel", DoubleType()),
+    ]
+)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib as z
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", z.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray8(pixels) -> bytes:
+    """Spec-conformant grayscale-8 PNG encoder (stdlib only).
+
+    ``pixels`` is an H x W uint8 array. Scanline filters rotate
+    through all five spec filter types (None/Sub/Up/Average/Paeth,
+    filter = y % 5) so a decoder must implement real unfiltering —
+    no shortcut survives the round-trip test.
+    """
+    import struct
+    import zlib as z
+
+    h, w = len(pixels), len(pixels[0])
+    raw = bytearray()
+    zero = [0] * w
+    for y in range(h):
+        row = [int(v) for v in pixels[y]]
+        prev = [int(v) for v in pixels[y - 1]] if y else zero
+        t = y % 5
+        raw.append(t)
+        for x in range(w):
+            a = row[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if t == 0:
+                f = row[x]
+            elif t == 1:
+                f = row[x] - a
+            elif t == 2:
+                f = row[x] - b
+            elif t == 3:
+                f = row[x] - (a + b) // 2
+            else:
+                f = row[x] - _paeth(a, b, c)
+            raw.append(f & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", z.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray8(data: bytes):
+    """Real PNG decode: chunk walk with CRC32 verification, zlib
+    inflate, and full 5-filter scanline reconstruction. Returns
+    (width, height, bit_depth, color_type, pixels as list of rows).
+    """
+    import struct
+    import zlib as z
+
+    if bytes(data[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, idat, meta = 8, bytearray(), None
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = bytes(data[pos + 4 : pos + 8])
+        body = bytes(data[pos + 8 : pos + 8 + ln])
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + ln : pos + 12 + ln]
+        )
+        if z.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if meta is None:
+        raise ValueError("no IHDR chunk")
+    w, h, depth, ctype = meta[0], meta[1], meta[2], meta[3]
+    if (depth, ctype) != (8, 0):
+        raise ValueError("minimal decoder: grayscale-8 only")
+    raw = z.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("bad scanline payload length")
+    out, prev = [], [0] * w
+    for y in range(h):
+        t = raw[y * (w + 1)]
+        line = raw[y * (w + 1) + 1 : (y + 1) * (w + 1)]
+        row: list[int] = []
+        for x in range(w):
+            a = row[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            f = line[x]
+            if t == 0:
+                v = f
+            elif t == 1:
+                v = f + a
+            elif t == 2:
+                v = f + b
+            elif t == 3:
+                v = f + (a + b) // 2
+            elif t == 4:
+                v = f + _paeth(a, b, c)
+            else:
+                raise ValueError(f"unknown filter type {t}")
+            row.append(v & 0xFF)
+        out.append(row)
+        prev = row
+    return w, h, depth, ctype, out
+
+
+def synth_png(documents: DataFrame) -> DataFrame:
+    """Synthesize a REAL grayscale PNG per document.
+
+    Deterministic per doc_id: W = 16 + doc_id % 16, H = 16 + doc_id
+    % 8, pixel(x, y) = (7x + 13y + doc_id) % 256 — closed-form, so
+    the decoded mean pixel is ORACLE-recomputable in SQL via a
+    lateral range() grid, even though DuckDB cannot inflate PNGs.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 + d % 16, 16 + d % 8
+                px = [
+                    [(7 * x + 13 * y + d) % 256 for x in range(w)]
+                    for y in range(h)
+                ]
+                payloads.append(encode_png_gray8(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def png_decode(media: DataFrame) -> DataFrame:
+    """Arrow-batched real PNG decode: CRC-checked chunk walk, zlib
+    inflate, 5-filter unfiltering; mean pixel from the reconstructed
+    bitmap (integer-exact float64 sum / (W*H) — bit-identical to the
+    oracle's integer avg)."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "bit_depth": [], "color_type": [], "mean_pixel": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, depth, ctype, px = decode_png_gray8(bytes(payload))
+                total = sum(sum(r) for r in px)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bit_depth"].append(depth)
+                out["color_type"].append(ctype)
+                out["mean_pixel"].append(total / (w * h))
+            yield pd.DataFrame(out).astype(
+                {"width": "int32", "height": "int32",
+                 "bit_depth": "int32", "color_type": "int32"}
+            )
+
+    return media.mapInPandas(dec, PNG_FEATURES_SCHEMA)

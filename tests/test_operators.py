@@ -1598,3 +1598,45 @@ def test_wav_decode_rejects_corrupt_container(spark):
     )
     with pytest.raises(PythonException):
         M.wav_decode(bad).collect()
+
+
+def test_png_pipeline_real_codec_roundtrip(spark, sf_dir):
+    from kafka_streams_homework_spark.operators import multimodal as M
+    from kafka_streams_homework_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(8)
+    media = M.synth_png(docs).collect()
+    # genuine PNG containers: signature, CRC-verified chunk walk, and
+    # the decoded bitmap matches the closed-form pixel function
+    for row in media:
+        b = bytes(row.payload)
+        assert b[:8] == M._PNG_SIG
+        w, h, depth, ctype, px = M.decode_png_gray8(b)
+        d = int(row.doc_id)
+        assert (w, h, depth, ctype) == (16 + d % 16, 16 + d % 8, 8, 0)
+        assert px == [
+            [(7 * x + 13 * y + d) % 256 for x in range(w)]
+            for y in range(h)
+        ]
+    feats = {r.doc_id: r for r in M.png_decode(M.synth_png(docs)).collect()}
+    for doc_id, r in feats.items():
+        d = int(doc_id)
+        w, h = 16 + d % 16, 16 + d % 8
+        total = sum(
+            (7 * x + 13 * y + d) % 256 for x in range(w) for y in range(h)
+        )
+        assert (r.width, r.height) == (w, h)
+        assert r.mean_pixel == total / (w * h)
+
+
+def test_png_decode_rejects_corrupt_chunk_crc(spark):
+    from kafka_streams_homework_spark.operators import multimodal as M
+    import pytest
+
+    # flip one byte inside the IDAT payload: the CRC walk must reject
+    good = bytearray(M.encode_png_gray8([[1, 2], [3, 4]]))
+    good[-20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch|bad scanline"):
+        M.decode_png_gray8(bytes(good))
+    with pytest.raises(ValueError, match="bad signature"):
+        M.decode_png_gray8(b"not a png")
