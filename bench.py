@@ -135,6 +135,11 @@ BENCH_QUERIES = [
     "linear_attribution",
     "bootstrap_ci",
     "ks_test",
+    # real-codec round-trips (Arrow-batched Python — honest codec CPU)
+    # and the oracle-checked exact simhash twin
+    "wav_pipeline",
+    "png_pipeline",
+    "dedup_simhash_exact",
 ]
 
 

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_homework_spark.caching import tracked_persist
-from kafka_streams_homework_spark.functions import shingle_hashes, tokens
+from kafka_streams_homework_spark.functions import shingle_hashes, shingles, tokens
 from kafka_streams_homework_spark.sources.batch import spread
 
 # ---------------------------------------------------------------------------
@@ -505,6 +505,90 @@ def simhash_pairs(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_md5(
+    documents: DataFrame, n: int = 3, max_hamming: int = 3
+) -> DataFrame:
+    """Exact Hamming-threshold SimHash pair join, ENGINE-PORTABLE.
+
+    Same algorithm as simhash_pairs — per-bit ±1 votes over shingle
+    hashes, pigeonhole band equi-join (4 bands for distance ≤ 3, so
+    candidate generation is never O(n²)), exact bit_count verify —
+    but the shingle hash is the cross-engine md5 idiom
+    (conv(substr(md5(shingle),1,8),16,10): 32 uniform bits) instead
+    of Spark-private xxhash64, and the signature is 32-bit with
+    4×8-bit bands. That makes the ENTIRE result — signatures included
+    — recomputable in ANSI SQL, so this twin is oracle-HASH-checked
+    where dedup_simhash is rows-only; random 32-bit collisions at
+    distance ≤ 3 are ~5.5e3/2^32 per pair (negligible below ~10⁶
+    docs per cell, plenty for a verification twin). Production path
+    stays simhash_pairs (variadic xxhash64, no shingle-string
+    materialization); this proves its algorithm exactly.
+    """
+    sh = (
+        spread(documents.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.explode(shingles(tokens("text"), n)).alias("s"),
+        )
+        .distinct()
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{bit}")
+        for bit in range(32)
+    ]
+    voted = sh.groupBy("doc_id").agg(*votes)
+    sig = None
+    for bit in range(32):
+        contrib = F.when(
+            F.col(f"v{bit}") > 0, F.lit(2**bit).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = contrib if sig is None else sig + contrib
+    # persisted: the band self-join references the signature table on
+    # both sides — without this each side re-runs tokenize+shingle+md5
+    # +vote (the expensive part); the table itself is (doc_id, long).
+    sigs = tracked_persist(voted.select("doc_id", sig.alias("sig")))
+
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("sig"), 8 * i)
+            .bitwiseAND(F.lit(0xFF))
+            .alias("bucket"),
+        )
+        for i in range(4)
+    ]
+    buckets = sigs.select(
+        "doc_id", "sig", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

@@ -2155,6 +2155,53 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_exact",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok
+            FROM documents
+        ), s AS (
+            SELECT DISTINCT doc_id, u.s
+            FROM t, unnest(list_transform(
+                       generate_series(1, len(tok) - 2),
+                       i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))
+                     AS u(s)
+            WHERE len(tok) >= 3
+        ), e AS (
+            SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+            FROM s
+        ), v AS (
+            SELECT doc_id, b.bit,
+                   SUM(CASE WHEN (h >> b.bit) & 1 = 1
+                            THEN 1 ELSE -1 END) AS vote
+            FROM e, range(0, 32) AS b(bit)
+            GROUP BY doc_id, b.bit
+        ), g AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN vote > 0
+                            THEN (1::BIGINT << bit) ELSE 0 END) AS sig
+            FROM v GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+    description="SimHash near-dup join, oracle-HASH-checked end to end: "
+    "same algorithm as dedup_simhash (per-bit ±1 votes, pigeonhole "
+    "band equi-join — 4 bands guarantee every Hamming≤3 pair shares "
+    "one, so candidates are never O(n²) — exact bit_count verify) but "
+    "with the cross-engine md5 shingle hash and a 32-bit signature, "
+    "so DuckDB recomputes the signatures and brute-forces the pairs. "
+    "Upgrades the simhash family from rows-only to exact evidence; "
+    "production path remains the xxhash64 64-bit variant",
+)
+def q_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_pairs_md5(docs, 3, 3)
+
+
+@register(
     "dedup_embedding",
     oracle=f"""
         WITH e AS (

@@ -1640,3 +1640,46 @@ def test_png_decode_rejects_corrupt_chunk_crc(spark):
         M.decode_png_gray8(bytes(good))
     with pytest.raises(ValueError, match="bad signature"):
         M.decode_png_gray8(b"not a png")
+
+
+def test_simhash_md5_matches_bruteforce(spark):
+    """dedup_simhash_exact's banded join ≡ brute-force O(n²) over the
+    same md5 32-bit signatures (pigeonhole completeness + verify)."""
+    import hashlib
+    from kafka_streams_homework_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = []
+    for i in range(12):
+        words = base.split()
+        if i % 3 == 1:
+            words[5] = f"w{i}"          # near-dup of the i-1 doc
+        elif i % 3 == 2:
+            words = [f"u{i}x{j}" for j in range(12)]  # unrelated
+        docs.append((i, " ".join(words)))
+
+    def sig(text):
+        toks = text.lower().split(" ")
+        sh = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        votes = [0] * 32
+        for s in sh:
+            h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+            for b in range(32):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(32) if votes[b] > 0)
+
+    sigs = {i: sig(t) for i, t in docs}
+    expected = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert expected, "planted near-dups must produce pairs"
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.simhash_pairs_md5(df, 3, 3).collect()
+    }
+    assert got == expected
