@@ -595,6 +595,111 @@ def simhash_pairs_md5(
     )
 
 
+def minhash_lsh_pairs_md5(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, ENGINE-PORTABLE and therefore
+    oracle-HASH-checked end to end (dedup_minhash_lsh stays rows-only
+    because seeded xxhash64 is Spark-private).
+
+    Same algorithm: per-doc signature of `num_hashes` minima over
+    shingle hashes, banded into `bands` groups; a pair is a candidate
+    iff it collides on >=1 full band; candidates verify with EXACT
+    Jaccard >= threshold. Hash family is the md5 idiom with the seed
+    prefixed into the digest input (h_i(s) = first 32 bits of
+    md5(i || ':' || s)), and the band key is md5 over the
+    comma-joined minima — every step ANSI-SQL-recomputable, so DuckDB
+    replays signatures, banding, collision AND verification exactly.
+    Production path stays minhash_lsh_pairs (variadic xxhash64).
+    """
+    sh = (
+        spread(documents.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.explode(shingles(tokens("text"), n)).alias("s"),
+        )
+        .distinct()
+    )
+    mins = [
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    sig = tracked_persist(sh.groupBy("doc_id").agg(*mins))
+
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # exact verify on the STRING shingle sets (portable: the oracle
+    # re-runs the identical intersection on list_distinct shingles)
+    sets_ = tracked_persist(
+        sh.groupBy("doc_id").agg(
+            F.collect_set("s").alias("ss"), F.count(F.lit(1)).alias("n_sh")
+        )
+    )
+    sa = sets_.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ss").alias("ss_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sets_.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ss").alias("ss_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("ss_a", "ss_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac + F.lit(1e-9), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Leakage-free splitting
 # ---------------------------------------------------------------------------

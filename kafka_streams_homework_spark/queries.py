@@ -2143,6 +2143,82 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, 3, 32, 8, NGRAM_JACCARD_THRESHOLD)
 
 
+_MINHASH_K, _MINHASH_BANDS = 16, 4
+_MINHASH_MINS_SQL = ",\n                   ".join(
+    f"MIN(('0x' || substr(md5('{i}:' || s), 1, 8))::BIGINT) AS m{i}"
+    for i in range(_MINHASH_K)
+)
+_MINHASH_BAND_CASE_SQL = "\n                   ".join(
+    "WHEN {b} THEN {expr}".format(
+        b=b,
+        expr=" || ',' || ".join(
+            f"m{b * (_MINHASH_K // _MINHASH_BANDS) + r}::VARCHAR"
+            for r in range(_MINHASH_K // _MINHASH_BANDS)
+        ),
+    )
+    for b in range(_MINHASH_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_exact",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok
+            FROM documents
+        ), s AS (
+            SELECT DISTINCT doc_id, u.s
+            FROM t, unnest(list_transform(
+                       generate_series(1, len(tok) - 2),
+                       i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))
+                     AS u(s)
+            WHERE len(tok) >= 3
+        ), sig AS (
+            SELECT doc_id,
+                   {_MINHASH_MINS_SQL}
+            FROM s GROUP BY doc_id
+        ), bu AS (
+            SELECT doc_id, b.band,
+                   md5(CASE b.band
+                   {_MINHASH_BAND_CASE_SQL}
+                   END) AS bucket
+            FROM sig, range(0, {_MINHASH_BANDS}) AS b(band)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+            FROM bu a JOIN bu b2
+              ON a.band = b2.band AND a.bucket = b2.bucket
+             AND a.doc_id < b2.doc_id
+        ), sets AS (
+            SELECT doc_id, list(s) AS ss, count(*) AS n_sh
+            FROM s GROUP BY doc_id
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT c.doc_a, c.doc_b,
+                   round(len(list_intersect(x.ss, y.ss))::DOUBLE
+                         / (x.n_sh + y.n_sh
+                            - len(list_intersect(x.ss, y.ss)))
+                         + 1e-9, 6) AS jaccard
+            FROM cand c
+            JOIN sets x ON x.doc_id = c.doc_a
+            JOIN sets y ON y.doc_id = c.doc_b
+        ) WHERE jaccard >= {NGRAM_JACCARD_THRESHOLD}
+    """,
+    description="MinHash+LSH near-dup join, oracle-HASH-checked end to "
+    "end: same algorithm as dedup_minhash_lsh (16-minima signature, "
+    "4 bands x 4 rows, full-band collision -> candidate, exact "
+    "Jaccard >= 0.8 verify) but the hash family is the seed-prefixed "
+    "md5 idiom and the band key is md5 of the joined minima, so DuckDB "
+    "replays signatures, banding, collisions AND verification exactly. "
+    "Upgrades the MinHash family from rows-only to exact evidence; "
+    "production path remains seeded-xxhash64 minhash_lsh_pairs",
+)
+def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs_md5(
+        docs, 3, _MINHASH_K, _MINHASH_BANDS, NGRAM_JACCARD_THRESHOLD
+    )
+
+
 @register(
     "dedup_simhash",
     oracle=None,  # signature bits depend on xxhash64 — not SQL-portable

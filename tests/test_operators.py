@@ -1683,3 +1683,60 @@ def test_simhash_md5_matches_bruteforce(spark):
         for r in D.simhash_pairs_md5(df, 3, 3).collect()
     }
     assert got == expected
+
+
+def test_minhash_md5_matches_bruteforce(spark):
+    """dedup_minhash_exact's banded LSH ≡ brute-force replay of the
+    same md5 signature/banding/verify pipeline in plain Python."""
+    import hashlib
+    from kafka_streams_homework_spark.operators import dedup as D
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = []
+    for i in range(10):
+        words = base.split()
+        if i % 2 == 1:
+            words[-1] = f"tail{i}"      # near-dup of doc i-1
+        words.append(f"doc{i // 2}")    # pairs share all but one token
+        docs.append((i, " ".join(words)))
+
+    def h(seed, s):
+        return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:8], 16)
+
+    def shingle_set(text):
+        toks = text.lower().split(" ")
+        return {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+
+    sh = {i: shingle_set(t) for i, t in docs}
+    sig = {
+        i: [min(h(k, s) for s in ss) for k in range(16)]
+        for i, ss in sh.items()
+    }
+    buckets = {}
+    for i, m in sig.items():
+        for b in range(4):
+            key = (b, hashlib.md5(
+                ",".join(str(v) for v in m[4 * b : 4 * b + 4]).encode()
+            ).hexdigest())
+            buckets.setdefault(key, []).append(i)
+    cand = {
+        (a, b)
+        for ids in buckets.values()
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    expected = set()
+    for a, b in cand:
+        inter = len(sh[a] & sh[b])
+        jac = round(inter / (len(sh[a]) + len(sh[b]) - inter) + 1e-9, 6)
+        if jac >= 0.8:
+            expected.add((a, b, jac))
+    assert expected, "planted near-dups must produce pairs"
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.minhash_lsh_pairs_md5(df, 3, 16, 4, 0.8).collect()
+    }
+    assert got == expected
