@@ -554,6 +554,105 @@ def cosine_pairs_lsh(
     )
 
 
+def md5_hyperplanes(dim: int, nbits: int) -> list[list[float]]:
+    """Engine-portable hyperplanes: component w(j, i) is the md5
+    fraction of "j:i" mapped to [-1, 1) — int(md5[:8], 16) / 2^32 is
+    a dyadic rational, so the Python value here and the SQL
+    expression ('0x' || substr(md5(j||':'||i), 1, 8))::BIGINT
+    / 4294967296.0 produce bit-identical doubles. Uniform symmetric
+    components give the same sign-LSH family shape as Gaussian
+    (collision probability monotone in angle); the Gaussian variant
+    stays the production default."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+            * 2
+            - 1
+            for i in range(dim)
+        ]
+        for j in range(nbits)
+    ]
+
+
+def cosine_pairs_lsh_md5(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    bands: int = 32,
+    bits_per_band: int = 4,
+) -> DataFrame:
+    """Random-hyperplane LSH pairs, ENGINE-PORTABLE and therefore
+    oracle-HASH-checked end to end (cosine_pairs_lsh stays rows-only:
+    numpy Gaussian planes + xxhash64 buckets are Spark-private).
+
+    Identical pipeline: sign-bit signature over plan-literal
+    hyperplanes → banded candidate equi-join → exact cosine verify
+    (no false positives; banding affects recall only). Differences
+    are purely representational: md5-fraction hyperplanes
+    (md5_hyperplanes) and the 4-bit band bucket kept as the literal
+    integer 8b₀+4b₁+2b₂+b₃ instead of an xxhash64 — both replayable
+    in ANSI SQL, so DuckDB recomputes signatures, banding, collision
+    AND verification exactly.
+    """
+    first = embeddings.select(F.size("embedding").alias("d")).first()
+    if first is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, sim double"
+        )
+    planes = md5_hyperplanes(first["d"], bands * bits_per_band)
+
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        _hyperplane_signature(F.col("embedding"), planes).alias("sig"),
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            sum(
+                F.col("sig")[b * bits_per_band + r]
+                * F.lit(2 ** (bits_per_band - 1 - r))
+                for r in range(bits_per_band)
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "vec_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("vec_id", "bb.band", "bb.bucket")
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    return (
+        candidates.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_similarity(F.col("e_a"), F.col("e_b")) + F.lit(1e-9), 6
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def ivf_write_index(
     embeddings: DataFrame,
     path: str,

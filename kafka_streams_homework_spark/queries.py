@@ -2317,6 +2317,62 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_pairs_lsh(emb, EMB_SIM_THRESHOLD)
 
 
+@register(
+    "dedup_embedding_lsh_exact",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), planes AS (
+            SELECT j.j AS j,
+                   list((('0x' || substr(md5(j.j::VARCHAR || ':'
+                                             || i.i::VARCHAR), 1, 8))::BIGINT
+                         / 4294967296.0) * 2 - 1 ORDER BY i.i) AS h
+            FROM range(0, 128) AS j(j), range(0, 64) AS i(i)
+            GROUP BY j.j
+        ), bits AS (
+            SELECT e.vec_id, p.j,
+                   CASE WHEN list_inner_product(e.v, p.h) >= 0
+                        THEN 1 ELSE 0 END AS bit
+            FROM e, planes p
+        ), bu AS (
+            SELECT vec_id, j // 4 AS band,
+                   SUM(bit * (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                         WHEN 2 THEN 2 ELSE 1 END)) AS bucket
+            FROM bits GROUP BY vec_id, j // 4
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+            FROM bu a JOIN bu b2
+              ON a.band = b2.band AND a.bucket = b2.bucket
+             AND a.vec_id < b2.vec_id
+        )
+        SELECT id_a, id_b, sim FROM (
+            SELECT c.id_a, c.id_b,
+                   round(list_inner_product(x.v, y.v)
+                         / (sqrt(list_inner_product(x.v, x.v))
+                            * sqrt(list_inner_product(y.v, y.v)))
+                         + 1e-9, 6) AS sim
+            FROM cand c
+            JOIN e x ON x.vec_id = c.id_a
+            JOIN e y ON y.vec_id = c.id_b
+        ) WHERE sim >= {EMB_SIM_THRESHOLD}
+    """,
+    description="Random-hyperplane LSH pairs, oracle-HASH-checked end "
+    "to end: same pipeline as dedup_embedding_lsh (sign-bit signature "
+    "over 128 plan-literal hyperplanes, 32 bands x 4 bits, banded "
+    "candidate equi-join, exact cosine >= 0.35 verify) but the planes "
+    "are md5-fraction components (bit-identical doubles in Python and "
+    "SQL) and the band bucket is the literal 4-bit integer, so DuckDB "
+    "replays signatures, banding, collisions AND verification. "
+    "Closes the last convertible rows-only family; production path "
+    "remains Gaussian-plane cosine_pairs_lsh",
+)
+def q_dedup_embedding_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_pairs_lsh_md5(emb, EMB_SIM_THRESHOLD, 32, 4)
+
+
 # ===========================================================================
 # Similarity search (north-star §7)
 # ===========================================================================
