@@ -653,6 +653,101 @@ def cosine_pairs_lsh_md5(
     )
 
 
+def knn_lsh_md5(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bands: int = 32,
+    bits_per_band: int = 4,
+) -> DataFrame:
+    """ANN top-k via md5-hyperplane LSH candidate pruning + exact
+    re-rank — the first ANN family member that is oracle-HASH-checked
+    end to end (the IVF/PQ members are rows-only: k-means centroids
+    are float-iteration artifacts no second engine can replay).
+
+    Candidates are corpus vectors sharing ≥1 of `bands` 4-bit sign
+    buckets with the query (same portable signature construction as
+    cosine_pairs_lsh_md5); candidates then re-rank by EXACT cosine
+    with deterministic tie order (sim DESC, neighbor_id ASC) over the
+    6-digit-rounded similarity — every step ANSI-SQL-replayable, so
+    recall loss (a genuine LSH property) is itself pinned by the
+    oracle, not just sampled. Scale shape: signatures are per-row
+    projections over plan-literal planes (no shuffle), the candidate
+    join keys are (band, 4-bit bucket) against a broadcast-size query
+    side, and only candidates reach the exact-cosine stage.
+    """
+    first = embeddings.select(F.size("embedding").alias("d")).first()
+    if first is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank long"
+        )
+    planes = md5_hyperplanes(first["d"], bands * bits_per_band)
+
+    def with_buckets(df: DataFrame, id_alias: str) -> DataFrame:
+        sig = df.select(
+            F.col("vec_id").alias(id_alias),
+            F.col("embedding").cast("array<double>").alias("emb"),
+            _hyperplane_signature(
+                F.col("embedding").cast("array<double>"), planes
+            ).alias("sig"),
+        )
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    F.col("sig")[b * bits_per_band + r]
+                    * F.lit(2 ** (bits_per_band - 1 - r))
+                    for r in range(bits_per_band)
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+        return sig.select(
+            id_alias, F.explode(F.array(*band_cols)).alias("bb")
+        ).select(id_alias, "bb.band", "bb.bucket")
+
+    qb = with_buckets(queries, "query_id")
+    cb = with_buckets(embeddings, "neighbor_id")
+    candidates = (
+        F.broadcast(qb)
+        .join(
+            cb,
+            (qb["band"] == cb["band"])
+            & (qb["bucket"] == cb["bucket"])
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qe = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("e_q"),
+    )
+    ce = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("e_c"),
+    )
+    scored = (
+        candidates.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("e_q"), F.col("e_c")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rank").cast("long"))
+    )
+
+
 def ivf_write_index(
     embeddings: DataFrame,
     path: str,

@@ -2450,6 +2450,124 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_lsh",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), planes AS (
+            SELECT j.j AS j,
+                   list((('0x' || substr(md5(j.j::VARCHAR || ':'
+                                             || i.i::VARCHAR), 1, 8))::BIGINT
+                         / 4294967296.0) * 2 - 1 ORDER BY i.i) AS h
+            FROM range(0, 128) AS j(j), range(0, 64) AS i(i)
+            GROUP BY j.j
+        ), bu AS (
+            SELECT e.vec_id, p.j // 4 AS band,
+                   SUM((CASE WHEN list_inner_product(e.v, p.h) >= 0
+                             THEN 1 ELSE 0 END)
+                       * (CASE p.j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                       WHEN 2 THEN 2 ELSE 1 END)) AS bucket
+            FROM e, planes p GROUP BY e.vec_id, p.j // 4
+        ), cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM bu q JOIN bu c
+              ON q.band = c.band AND q.bucket = c.bucket
+             AND q.vec_id != c.vec_id
+            WHERE q.vec_id < {KNN_QUERY_MAX_ID}
+        ), scored AS (
+            SELECT cd.query_id, cd.neighbor_id,
+                   round(list_inner_product(x.v, y.v)
+                         / (sqrt(list_inner_product(x.v, x.v))
+                            * sqrt(list_inner_product(y.v, y.v))), 6) AS sim
+            FROM cand cd
+            JOIN e x ON x.vec_id = cd.query_id
+            JOIN e y ON y.vec_id = cd.neighbor_id
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {KNN_K}
+    """,
+    description="ANN top-k via md5-hyperplane LSH pruning + exact "
+    "re-rank — the ANN family's oracle-HASH-checked member (IVF/PQ "
+    "stay rows-only: k-means centroids are not replayable). "
+    "Candidates share >=1 of 32 portable 4-bit sign buckets with the "
+    "query; exact cosine re-rank with deterministic ties. DuckDB "
+    "replays signatures, banding, candidates and ranking, so the "
+    "LSH recall behavior itself is pinned exactly",
+)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding"
+    )
+    return S.knn_lsh_md5(emb, queries, KNN_K, 32, 4)
+
+
+@register(
+    "ann_recall_at_k",
+    # Composed from the two member pipelines' own oracles: the eval op
+    # is exactly the join of what those oracles define, so the oracle
+    # is assembled, not re-derived (no drift between op and eval).
+    oracle=f"""
+        WITH exact AS (SELECT * FROM ({REGISTRY['knn_bruteforce'].oracle})),
+             approx AS (SELECT * FROM ({REGISTRY['knn_lsh'].oracle}))
+        SELECT e.query_id,
+               count(*) AS n_exact,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               round(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*) + 1e-9, 6) AS recall
+        FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+        GROUP BY e.query_id
+    """,
+    description="In-engine ANN evaluation: per-query recall@k of the "
+    "LSH index (knn_lsh) against the exact brute-force top-k — the "
+    "eval harness a vector-search deployment runs before trusting an "
+    "index. Both member pipelines are themselves oracle-replayable, "
+    "so the recall numbers are hash-checked, not sampled; the oracle "
+    "SQL is COMPOSED from the members' own oracle strings (zero "
+    "drift). Left join on (query_id, neighbor_id); k is the "
+    "registry-wide KNN_K",
+)
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding"
+    )
+    exact = S.knn_bruteforce(emb, queries, KNN_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = S.knn_lsh_md5(emb, queries, KNN_K, 32, 4).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    j = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["hit_id"]),
+        "left",
+    ).select(exact["query_id"], "neighbor_id", "hit_id")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(
+            F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
+        ).alias("n_hit"),
+        F.round(
+            F.sum(F.when(F.col("hit_id").isNotNull(), 1).otherwise(0))
+            / F.count(F.lit(1))
+            + F.lit(1e-9),
+            6,
+        ).alias("recall"),
+    )
+
+
+@register(
     "knn_ivf",
     oracle=None,  # approximate by design; recall vs brute force in pytest
     description="IVF-partitioned ANN (cells = label clustering, centroid "
@@ -9921,6 +10039,107 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seasonal_index"),
             "mean_abs_resid",
         )
+    )
+
+
+@register(
+    "survival_km",
+    oracle="""
+        WITH u AS (
+            SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+        ), p AS (
+            SELECT user_id, min(ts) AS tp FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id
+        ), lives AS (
+            SELECT CASE WHEN h IS NULL OR h > 48 THEN 48 ELSE h END AS t,
+                   (h IS NOT NULL AND h <= 48) AS died
+            FROM (
+                SELECT (epoch(date_trunc('hour', p.tp))::BIGINT
+                        - epoch(date_trunc('hour', u.t0))::BIGINT)
+                       // 3600 AS h
+                FROM u LEFT JOIN p USING (user_id)
+            )
+        ), g AS (
+            SELECT t, count(*) AS n_all,
+                   SUM(CASE WHEN died THEN 1 ELSE 0 END) AS deaths
+            FROM lives GROUP BY t
+        ), k AS (
+            SELECT t, deaths,
+                   SUM(n_all) OVER (ORDER BY t
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS n_at_risk
+            FROM g
+        ), s AS (
+            SELECT t, deaths, n_at_risk,
+                   SUM(ln(1.0 - deaths::DOUBLE / n_at_risk)) OVER (
+                       ORDER BY t) AS logsurv
+            FROM k
+        )
+        SELECT CAST(t AS BIGINT) AS t_hours,
+               CAST(n_at_risk AS BIGINT) AS n_at_risk,
+               CAST(deaths AS BIGINT) AS deaths,
+               round(exp(logsurv) + 1e-9, 6) AS survival
+        FROM s WHERE deaths > 0
+    """,
+    description="Kaplan-Meier survival estimator: time-to-first-purchase "
+    "in hours from each user's first event, right-censored at a 48 h "
+    "administrative window (~26% of the fixture cohort censored). "
+    "S(t) = prod(1 - d_s/n_s) computed in log space over the ordered "
+    "event times; n_at_risk is a suffix window sum (exact integers), "
+    "deaths-before-censoring tie convention. Aggregation state is "
+    "bounded by the observation window (<=49 rows), not corpus size — "
+    "the per-user reduce is the only data-sized stage",
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def hour(c):  # hour-boundary index: trunc-then-epoch, both engines
+        return (
+            F.unix_timestamp(F.date_trunc("hour", c)) / 3600
+        ).cast("long")
+
+    u = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    lives = (
+        u.join(p, "user_id", "left")
+        .select((hour(F.col("tp")) - hour(F.col("t0"))).alias("h"))
+        .select(
+            F.when(
+                F.col("h").isNull() | (F.col("h") > 48), F.lit(48)
+            )
+            .otherwise(F.col("h"))
+            .alias("t"),
+            (F.col("h").isNotNull() & (F.col("h") <= 48)).alias("died"),
+        )
+    )
+    g = lives.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("died"), 1).otherwise(0)).alias("deaths"),
+    )
+    w_risk = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    k = g.select(
+        "t", "deaths", F.sum("n_all").over(w_risk).alias("n_at_risk")
+    )
+    s = k.withColumn(
+        "logsurv",
+        F.sum(
+            F.log(F.lit(1.0) - F.col("deaths") / F.col("n_at_risk"))
+        ).over(w_cum),
+    )
+    return s.filter(F.col("deaths") > 0).select(
+        F.col("t").cast("long").alias("t_hours"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("deaths").cast("long").alias("deaths"),
+        F.round(F.exp("logsurv") + F.lit(1e-9), 6).alias("survival"),
     )
 
 

@@ -394,3 +394,33 @@ def test_containment_catches_doc_inside_doc(spark):
     # symmetric Jaccard misses the pair entirely at the same threshold
     jac = D.ngram_jaccard_pairs(df, 3, 0.8).collect()
     assert not any({r.doc_a, r.doc_b} == {1, 2} for r in jac)
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """md5-hyperplane LSH ANN: with 32 bands of 4 bits a random pair
+    collides on >=1 band w.p. ~0.87, and similar pairs higher still,
+    so recall vs exact top-k stays high while the oracle pins the
+    exact candidate/ranking behavior (hash-checked in the registry)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 10").select("vec_id", "embedding")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_bruteforce(emb, queries, 5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_lsh_md5(emb, queries, 5, 32, 4).collect()
+    }
+    assert len(approx & exact) >= 0.8 * len(exact)
+
+
+def test_ann_recall_at_k_registry_entry(spark, sf_dir):
+    """The composed eval op: per-query recall of knn_lsh vs exact.
+    At 32x4 banding the fixture recall is exactly 1.0 for all 10
+    queries — pinned so a banding regression is caught here before
+    the oracle diff."""
+    from kafka_streams_homework_spark.queries import REGISTRY
+
+    rows = REGISTRY["ann_recall_at_k"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r.n_exact == 5 and r.recall == 1.0 for r in rows)

@@ -1793,3 +1793,39 @@ def test_embedding_lsh_md5_matches_bruteforce(spark):
         for r in S.cosine_pairs_lsh_md5(df, 0.9, bands, bits).collect()
     }
     assert got == expected
+
+
+def test_survival_km_known_values(spark):
+    """Hand-computed KM: 5 users, deaths at t=0 (1) and t=2 (2), two
+    censored at the 48 h window -> S(0)=4/5, S(2)=0.8*(1-2/4)=0.4."""
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import datetime as dtm
+    import shutil
+    import tempfile
+
+    t0 = dtm.datetime(2024, 1, 1, 10, 0)
+
+    def at(h, m=0):
+        return t0 + dtm.timedelta(hours=h, minutes=m)
+
+    rows = [
+        (1, 1, t0, "purchase", 1.0),             # died t=0
+        (2, 2, t0, "view", 1.0),
+        (3, 2, at(2, 30), "purchase", 1.0),      # died t=2
+        (4, 3, t0, "view", 1.0),
+        (5, 3, at(100), "purchase", 1.0),        # censored (h>48)
+        (6, 4, t0, "view", 1.0),                 # censored (no purchase)
+        (7, 5, t0, "view", 1.0),
+        (8, 5, at(2), "purchase", 1.0),          # died t=2
+    ]
+    d = tempfile.mkdtemp(prefix="km_")
+    try:
+        _write_events(spark, rows, d)
+        out = {r.t_hours: r for r in REGISTRY["survival_km"].fn(spark, d).collect()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert set(out) == {0, 2}
+    assert (out[0].n_at_risk, out[0].deaths) == (5, 1)
+    assert abs(out[0].survival - 0.8) < 1e-6
+    assert (out[2].n_at_risk, out[2].deaths) == (4, 2)
+    assert abs(out[2].survival - 0.4) < 1e-6
