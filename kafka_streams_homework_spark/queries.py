@@ -1934,6 +1934,144 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lang_id_auc",
+    oracle=f"""
+        WITH scored AS (
+            SELECT (lang = 'en') AS label,
+                   round(len(list_filter(str_split(lower(text), ' '),
+                        x -> x IN ('{_STOPWORD_SQL}')))::DOUBLE
+                         / len(str_split(lower(text), ' ')), 6) AS s
+            FROM documents
+        ), g AS (
+            SELECT s, count(*) AS n,
+                   SUM(CASE WHEN label THEN 1 ELSE 0 END) AS npos
+            FROM scored GROUP BY s
+        ), r AS (
+            SELECT s, n, npos,
+                   SUM(n) OVER (ORDER BY s) - n AS cum_lt
+            FROM g
+        ), tot AS (
+            SELECT SUM(npos) AS p, SUM(n - npos) AS q,
+                   SUM(npos * (cum_lt + (n + 1) / 2.0)) AS rpos
+            FROM r
+        )
+        SELECT CAST(p AS BIGINT) AS n_pos, CAST(q AS BIGINT) AS n_neg,
+               round((rpos - p * (p + 1) / 2.0) / (p * q) + 1e-9, 6)
+                   AS auc
+        FROM tot
+    """,
+    description="ROC-AUC of the lang_id scorer against its own labels "
+    "(stopword_ratio vs lang='en'): exact tie-corrected rank-sum "
+    "(Mann-Whitney) formulation — per distinct score, average rank = "
+    "strictly-below count + (ties+1)/2, AUC = (R_pos - P(P+1)/2)/(PN). "
+    "Aggregation state is |distinct scores| rows, never a per-doc "
+    "sort at the driver; average-rank products are exact multiples of "
+    "0.5 so the sum is order-independent in float64. The model-eval "
+    "harness op a scoring pipeline runs before trusting a filter "
+    "threshold; fixture AUC ≈0.53 honestly reflects the synthetic "
+    "corpus's weak language signal",
+)
+def q_lang_id_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = T.lang_id_heuristic(docs, 0.1).select(
+        (F.col("lang") == "en").alias("label"),
+        F.col("stopword_ratio").alias("s"),
+    )
+    g = scored.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("npos"),
+    )
+    w = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.withColumn("cum_lt", F.sum("n").over(w) - F.col("n"))
+    tot = r.agg(
+        F.sum("npos").alias("p"),
+        F.sum(F.col("n") - F.col("npos")).alias("q"),
+        F.sum(
+            F.col("npos") * (F.col("cum_lt") + (F.col("n") + 1) / 2.0)
+        ).alias("rpos"),
+    )
+    return tot.select(
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("q").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("rpos") - F.col("p") * (F.col("p") + 1) / 2.0)
+            / (F.col("p") * F.col("q"))
+            + F.lit(1e-9),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "score_calibration",
+    oracle=f"""
+        WITH scored AS (
+            SELECT (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS label,
+                   CAST(round(len(list_filter(str_split(lower(text), ' '),
+                        x -> x IN ('{_STOPWORD_SQL}')))::DOUBLE
+                         / len(str_split(lower(text), ' '))
+                         * 1000000, 0) AS BIGINT) AS m
+            FROM documents
+        )
+        SELECT CAST(least(m // 100000, 9) AS BIGINT) AS bucket,
+               count(*) AS n,
+               CAST(SUM(label) AS BIGINT) AS n_pos,
+               round(SUM(m)::DOUBLE / (count(*) * 1000000.0) + 1e-9, 6)
+                   AS mean_score,
+               round(SUM(label)::DOUBLE / count(*) + 1e-9, 6) AS pos_rate,
+               round(SUM((m - label * 1000000) * (m - label * 1000000))
+                         ::DOUBLE
+                     / (count(*) * 1000000000000.0) + 1e-9, 6) AS brier
+        FROM scored GROUP BY 1
+    """,
+    description="Calibration table + per-bucket Brier for the lang_id "
+    "scorer: equi-width decile buckets of stopword_ratio vs observed "
+    "lang='en' rate. Scores quantize to integer micro-units (1e-6) "
+    "FIRST, so bucket assignment, mean, rate and the Brier sum of "
+    "squares are all exact BIGINT arithmetic until one final division "
+    "— no float-summation order anywhere, the pattern for "
+    "cross-engine-stable score aggregation. State is 10 buckets "
+    "regardless of corpus size",
+)
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = T.lang_id_heuristic(docs, 0.1).select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        F.round(F.col("stopword_ratio") * 1000000, 0)
+        .cast("long")
+        .alias("m"),
+    )
+    err = F.col("m") - F.col("label") * 1000000
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("m") / 100000), F.lit(9))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.round(
+                F.sum("m") / (F.count(F.lit(1)) * 1000000.0) + F.lit(1e-9),
+                6,
+            ).alias("mean_score"),
+            F.round(
+                F.sum("label") / F.count(F.lit(1)) + F.lit(1e-9), 6
+            ).alias("pos_rate"),
+            F.round(
+                F.sum(err * err)
+                / (F.count(F.lit(1)) * 1000000000000.0)
+                + F.lit(1e-9),
+                6,
+            ).alias("brier"),
+        )
+    )
+
+
+
+@register(
     "quality_score",
     oracle=f"""
         WITH t AS (

@@ -1829,3 +1829,64 @@ def test_survival_km_known_values(spark):
     assert abs(out[0].survival - 0.8) < 1e-6
     assert (out[2].n_at_risk, out[2].deaths) == (4, 2)
     assert abs(out[2].survival - 0.4) < 1e-6
+
+
+def test_lang_id_auc_known_values(spark):
+    """Hand-computed tie-corrected AUC: scores pos={0.5,0.25},
+    neg={0.25,0}; ranks 4,{2.5 tie},1 -> AUC=(6.5-3)/4=0.875."""
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import shutil
+    import tempfile
+
+    rows = [
+        (1, "the a x y", "en", "s", 9),
+        (2, "the x y z", "en", "s", 9),
+        (3, "the x y z", "de", "s", 9),
+        (4, "x y z w", "fr", "s", 7),
+    ]
+    d = tempfile.mkdtemp(prefix="auc_")
+    try:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, "
+            "source string, n_chars long"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        (r,) = REGISTRY["lang_id_auc"].fn(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert (r.n_pos, r.n_neg) == (2, 2)
+    assert abs(r.auc - 0.875) < 1e-6
+
+
+def test_score_calibration_known_values(spark):
+    """Same 4-doc fixture as the AUC test: buckets 5/2/0 with
+    hand-computed mean, rate and Brier (e.g. bucket 2 holds one en and
+    one de doc at s=0.25 -> brier=((0.75)^2+(0.25)^2)/2=0.3125)."""
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import shutil
+    import tempfile
+
+    rows = [
+        (1, "the a x y", "en", "s", 9),
+        (2, "the x y z", "en", "s", 9),
+        (3, "the x y z", "de", "s", 9),
+        (4, "x y z w", "fr", "s", 7),
+    ]
+    d = tempfile.mkdtemp(prefix="calib_")
+    try:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, "
+            "source string, n_chars long"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {
+            r.bucket: r
+            for r in REGISTRY["score_calibration"].fn(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert set(out) == {0, 2, 5}
+    b5, b2, b0 = out[5], out[2], out[0]
+    assert (b5.n, b5.n_pos, b5.mean_score, b5.pos_rate, b5.brier) == (
+        1, 1, 0.5, 1.0, 0.25)
+    assert (b2.n, b2.n_pos, b2.mean_score, b2.pos_rate, b2.brier) == (
+        2, 1, 0.25, 0.5, 0.3125)
+    assert (b0.n, b0.n_pos, b0.pos_rate, b0.brier) == (1, 0, 0.0, 0.0)
