@@ -2206,6 +2206,81 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.edit_distance_pairs(cust.unionAll(part), 2)
 
 
+_ER_FUZZY_SQL = REGISTRY["fuzzy_join"].oracle.replace(
+    "SELECT DISTINCT c_name AS s FROM customer",
+    "SELECT DISTINCT c_name AS s FROM customer WHERE c_custkey < 150",
+)
+
+
+@register(
+    "entity_resolution",
+    oracle=f"""
+        WITH RECURSIVE n AS (
+            SELECT DISTINCT c_name AS name FROM customer
+            WHERE c_custkey < 150
+            UNION SELECT DISTINCT p_name FROM part
+        ), p AS (SELECT * FROM ({_ER_FUZZY_SQL})),
+        edges AS (
+            SELECT name_a AS src, name_b AS dst FROM p
+            UNION SELECT name_b AS src, name_a AS dst FROM p
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        cc(node, root) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst, cc.root FROM cc JOIN edges e ON cc.node = e.src
+        ),
+        lab AS (SELECT node, min(root) AS entity FROM cc GROUP BY node),
+        asg AS (
+            SELECT n.name, coalesce(l.entity, n.name) AS entity_id
+            FROM n LEFT JOIN lab l ON l.node = n.name
+        )
+        SELECT name, entity_id, (name = entity_id) AS is_canonical,
+               CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT)
+                   AS entity_size
+        FROM asg
+    """,
+    description="End-to-end entity resolution: PassJoin edit-distance "
+    "blocking (lev<=2) -> similarity edges -> min-label connected "
+    "components -> canonical-entity election with singleton "
+    "pass-through and entity sizes — the full linkage pipeline as one "
+    "declarative composition of fuzzy_join + dedup_clusters. Driver "
+    "substrate is bounded (150 customer names + the part-name family, "
+    "one 150-member near-clique + 40 diverse entities) because the "
+    "recursive-CTE closure oracle is quadratic per component; the "
+    "Spark path is the identical code fuzzy_join stress-tests at 100k "
+    "strings (SCALE.md) and min-label CC runs rounds = diameter, "
+    "never closure",
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 150)
+        .select(F.col("c_name").alias("name"))
+    )
+    part = _t(spark, sf_dir, "part").select(F.col("p_name").alias("name"))
+    names = cust.unionAll(part).distinct()
+    pairs = D.edit_distance_pairs(names, 2).select(
+        F.col("name_a").alias("doc_a"), F.col("name_b").alias("doc_b")
+    )
+    cc = D.dedup_clusters(pairs).select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("entity")
+    )
+    asg = (
+        names.join(cc, names["name"] == cc["node"], "left")
+        .select(
+            "name", F.coalesce("entity", F.col("name")).alias("entity_id")
+        )
+    )
+    w = Window.partitionBy("entity_id")
+    return asg.select(
+        "name",
+        "entity_id",
+        (F.col("name") == F.col("entity_id")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).cast("long").alias("entity_size"),
+    )
+
+
 @register(
     "dedup_containment",
     oracle=f"""

@@ -1890,3 +1890,32 @@ def test_score_calibration_known_values(spark):
     assert (b2.n, b2.n_pos, b2.mean_score, b2.pos_rate, b2.brier) == (
         2, 1, 0.25, 0.5, 0.3125)
     assert (b0.n, b0.n_pos, b0.pos_rate, b0.brier) == (1, 0, 0.0, 0.0)
+
+
+def test_entity_resolution_known_clusters(spark):
+    """Planted linkage: {alpha,alphb} and {gamma,gamna} merge (lev 1),
+    beta and omega stay singletons; canonical = lexicographic min."""
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="er_")
+    try:
+        spark.createDataFrame(
+            [(1, "alpha"), (2, "alphb"), (3, "beta")],
+            "c_custkey long, c_name string",
+        ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+        spark.createDataFrame(
+            [("gamma",), ("gamna",), ("omega",)], "p_name string"
+        ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+        out = {
+            r.name: r for r in REGISTRY["entity_resolution"].fn(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert len(out) == 6
+    assert out["alpha"].entity_id == "alpha" and out["alpha"].is_canonical
+    assert out["alphb"].entity_id == "alpha" and not out["alphb"].is_canonical
+    assert out["gamna"].entity_id == "gamma"
+    assert out["beta"].entity_id == "beta" and out["beta"].entity_size == 1
+    assert {out[n].entity_size for n in ("alpha", "alphb", "gamma", "gamna")} == {2}
