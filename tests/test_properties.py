@@ -261,3 +261,150 @@ def test_edit_distance_pairs_matches_bruteforce(spark, names):
         if a < b and lev(a, b) <= 2
     }
     assert got == want
+
+
+word = st.sampled_from(["the", "a", "of", "red", "blue", "widget", "gadget"])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(st.lists(word, min_size=3, max_size=8), min_size=2, max_size=8))
+def test_simhash_md5_banding_is_complete(spark, docs):
+    """Pigeonhole completeness on random corpora: the banded join must
+    emit EXACTLY the pairs the brute-force md5-signature scan finds at
+    Hamming <= 3 (4 bands of 8 bits cannot miss a <=3-bit difference)."""
+    import hashlib
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+
+    def sig(text):
+        toks = text.lower().split(" ")
+        sh = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        votes = [0] * 32
+        for s in sh:
+            h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+            for b in range(32):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(32) if votes[b] > 0)
+
+    sigs = {i: sig(t) for i, t in rows}
+    expected = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b) for r in D.simhash_pairs_md5(df, 3, 3).collect()}
+    assert got == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.integers(0, 4), st.integers(5, 9)),
+        min_size=2,
+        max_size=12,
+    ).filter(lambda v: len({x[0] for x in v}) == 2)
+)
+def test_rank_sum_auc_equals_pairwise_counting(spark, cases):
+    """The tie-corrected rank-sum AUC (lang_id_auc) must equal the
+    naive pairwise definition sum([s_p > s_n] + 0.5[s_p == s_n])/PN on
+    random (label, k-of-n stopwords) corpora."""
+    import shutil
+    import tempfile
+
+    from kafka_streams_homework_spark.queries import REGISTRY
+
+    rows, scores = [], []
+    for i, (pos, k, n) in enumerate(cases):
+        text = " ".join(["the"] * k + ["widget"] * (n - k))
+        rows.append((i, text, "en" if pos else "de", "s", len(text)))
+        scores.append((pos, round(k / n, 6)))
+    pos_s = [s for p, s in scores if p]
+    neg_s = [s for p, s in scores if not p]
+    naive = sum(
+        (1.0 if sp > sn else 0.5 if sp == sn else 0.0)
+        for sp in pos_s
+        for sn in neg_s
+    ) / (len(pos_s) * len(neg_s))
+
+    d = tempfile.mkdtemp(prefix="aucprop_")
+    try:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, "
+            "source string, n_chars long"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        (r,) = REGISTRY["lang_id_auc"].fn(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert abs(r.auc - naive) < 2e-6
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        # per user: (first-event hour offset, purchase delay hours | None)
+        st.tuples(st.integers(0, 5), st.none() | st.integers(0, 96)),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_survival_km_equals_naive_estimator(spark, users):
+    """survival_km must equal the naive KM product computed in Python
+    over random cohorts (48 h administrative censoring)."""
+    import shutil
+    import tempfile
+
+    from kafka_streams_homework_spark.queries import REGISTRY
+
+    rows, eid = [], 0
+    lives = []
+    for uid, (start, delay) in enumerate(users):
+        eid += 1
+        rows.append((eid, uid, BASE + dt.timedelta(hours=start), "view", 1.0))
+        if delay is not None:
+            eid += 1
+            rows.append(
+                (eid, uid, BASE + dt.timedelta(hours=start + delay),
+                 "purchase", 1.0)
+            )
+        died = delay is not None and delay <= 48
+        lives.append((delay if died else 48, died))
+
+    # naive KM over event times
+    times = sorted({t for t, d in lives if d})
+    surv, expected = 1.0, {}
+    for t in times:
+        n_at_risk = sum(1 for tt, _ in lives if tt >= t)
+        deaths = sum(1 for tt, d in lives if d and tt == t)
+        surv *= 1.0 - deaths / n_at_risk
+        expected[t] = (n_at_risk, deaths, round(surv + 1e-9, 6))
+
+    d = tempfile.mkdtemp(prefix="kmprop_")
+    try:
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, "
+            "event_type string, value double"
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r.t_hours: (r.n_at_risk, r.deaths, r.survival)
+            for r in REGISTRY["survival_km"].fn(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert set(got) == set(expected)
+    for t in expected:
+        assert got[t][:2] == expected[t][:2]
+        assert abs(got[t][2] - expected[t][2]) < 2e-6
