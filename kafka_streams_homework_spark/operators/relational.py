@@ -897,3 +897,65 @@ def band_join(
         )
         .drop("__probe", "__bucket")
     )
+
+
+def holt_smooth(
+    daily: DataFrame,
+    key_col: str = "event_type",
+    day_col: str = "day",
+    y_col: str = "y",
+    alpha: float = 0.5,
+    beta: float = 0.5,
+) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) per series.
+
+    The recurrence l_t = a*y_t + (1-a)*(l + b); b_t = B*(l_t - l) +
+    (1-B)*b is NOT associative, so no window/scan expresses it — this
+    is the canonical use of the grouped Arrow-batched escape hatch:
+    ``groupBy(key).applyInPandas`` runs the per-series sequential loop
+    in one Python crossing per series, on the DAILY AGGREGATE (state
+    and batch size bounded by the calendar, not corpus rows; the
+    data-sized work stays in the JVM aggregation upstream). Inputs are
+    pre-rounded so both engines feed the recurrence identical doubles;
+    the float expressions are written in the exact order the DuckDB
+    recursive-CTE oracle uses, making the trajectory bit-reproducible.
+    Init: l_1 = y_1, b_1 = y_2 - y_1; series shorter than 2 points are
+    dropped (no trend is identifiable).
+    """
+    import pandas as pd
+
+    schema = (
+        f"{key_col} string, {day_col} timestamp, "
+        "level double, trend double, forecast_next double"
+    )
+
+    def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(day_col)
+        ys = [float(v) for v in pdf[y_col]]
+        if len(ys) < 2:
+            empty = pdf.iloc[0:0]
+            return pd.DataFrame(
+                {key_col: empty[key_col], day_col: empty[day_col],
+                 "level": pd.Series([], dtype="float64"),
+                 "trend": pd.Series([], dtype="float64"),
+                 "forecast_next": pd.Series([], dtype="float64")}
+            )
+        l, b = ys[0], ys[1] - ys[0]
+        levels, trends = [l], [b]
+        for y in ys[1:]:
+            l_new = alpha * y + (1 - alpha) * (l + b)
+            b_new = beta * (l_new - l) + (1 - beta) * b
+            l, b = l_new, b_new
+            levels.append(l)
+            trends.append(b)
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col].iloc[0],
+                day_col: pdf[day_col].values,
+                "level": levels,
+                "trend": trends,
+                "forecast_next": [x + y for x, y in zip(levels, trends)],
+            }
+        )
+
+    return daily.groupBy(key_col).applyInPandas(holt, schema)

@@ -6304,6 +6304,71 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "holt_forecast",
+    oracle="""
+        WITH RECURSIVE d0 AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   round(avg(value) + 1e-9, 6) AS y
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), d AS (
+            SELECT event_type, day, y,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY day) AS i
+            FROM d0
+        ), init AS (
+            SELECT a.event_type, a.day, a.i, a.y,
+                   a.y AS l, b.y - a.y AS b
+            FROM d a JOIN d b ON b.event_type = a.event_type AND b.i = 2
+            WHERE a.i = 1
+        ), h(event_type, day, i, y, l, b) AS (
+            SELECT event_type, day, i, y, l, b FROM init
+            UNION ALL
+            SELECT d.event_type, d.day, d.i, d.y,
+                   0.5 * d.y + 0.5 * (h.l + h.b),
+                   0.5 * ((0.5 * d.y + 0.5 * (h.l + h.b)) - h.l)
+                       + 0.5 * h.b
+            FROM h JOIN d ON d.event_type = h.event_type
+                         AND d.i = h.i + 1
+        )
+        SELECT event_type, day,
+               round(l + 1e-9, 6) AS level,
+               round(b + 1e-9, 6) AS trend,
+               round(l + b + 1e-9, 6) AS forecast_next
+        FROM h
+    """,
+    description="Holt double exponential smoothing (alpha=beta=0.5) "
+    "per series on the daily aggregate: a NON-associative coupled "
+    "recurrence no window/scan expresses — the canonical grouped "
+    "applyInPandas escape (one Arrow crossing per series, state "
+    "bounded by the calendar; the data-sized aggregation stays JVM). "
+    "Inputs pre-rounded and float expressions ordered identically to "
+    "the recursive-CTE oracle, so the whole trajectory is "
+    "bit-reproducible cross-engine — the exactness standard for "
+    "escape-hatch operators",
+)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.round(F.avg("value") + F.lit(1e-9), 6).alias("y"))
+    )
+    out = R.holt_smooth(daily, "event_type", "day", "y", 0.5, 0.5)
+    return out.select(
+        "event_type",
+        "day",
+        F.round(F.col("level") + F.lit(1e-9), 6).alias("level"),
+        F.round(F.col("trend") + F.lit(1e-9), 6).alias("trend"),
+        F.round(F.col("forecast_next") + F.lit(1e-9), 6).alias(
+            "forecast_next"
+        ),
+    )
+
+
+@register(
     "markov_transitions",
     oracle="""
         WITH s AS (

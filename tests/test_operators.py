@@ -1919,3 +1919,35 @@ def test_entity_resolution_known_clusters(spark):
     assert out["gamna"].entity_id == "gamma"
     assert out["beta"].entity_id == "beta" and out["beta"].entity_size == 1
     assert {out[n].entity_size for n in ("alpha", "alphb", "gamma", "gamna")} == {2}
+
+
+def test_holt_forecast_known_values(spark):
+    """Hand-computed Holt (alpha=beta=0.5) on y=[2,4,8]:
+    (l,b) = (2,2) -> (4,2) -> (7,2.5); forecast_next ends at 9.5."""
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import datetime as dtm
+    import shutil
+    import tempfile
+
+    t0 = dtm.datetime(2024, 3, 1, 12, 0)
+    rows = [
+        (1, 1, t0, "view", 2.0),
+        (2, 1, t0 + dtm.timedelta(days=1), "view", 4.0),
+        (3, 1, t0 + dtm.timedelta(days=2), "view", 8.0),
+        (4, 1, t0, "click", 1.0),  # 1-point series: dropped (no trend)
+    ]
+    d = tempfile.mkdtemp(prefix="holt_")
+    try:
+        _write_events(spark, rows, d)
+        out = sorted(
+            REGISTRY["holt_forecast"].fn(spark, d).collect(),
+            key=lambda r: r.day,
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert [r.event_type for r in out] == ["view"] * 3
+    assert [(r.level, r.trend, r.forecast_next) for r in out] == [
+        (2.0, 2.0, 4.0),
+        (4.0, 2.0, 6.0),
+        (7.0, 2.5, 9.5),
+    ]
