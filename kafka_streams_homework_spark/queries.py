@@ -6369,6 +6369,261 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantile_normalize",
+    oracle="""
+        WITH r AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars, doc_id
+                   ) AS rk
+            FROM documents
+        ), m AS (
+            SELECT rk, round(avg(n_chars) + 1e-9, 6) AS ref
+            FROM r GROUP BY rk
+        )
+        SELECT r.doc_id, r.source, CAST(r.n_chars AS BIGINT) AS n_chars,
+               CAST(r.rk AS BIGINT) AS rank, m.ref AS normalized
+        FROM r JOIN m USING (rk)
+    """,
+    description="Cross-source quantile normalization (the batch-effect "
+    "correction a multi-source corpus needs before mixing): rank each "
+    "doc's n_chars within its source (ties broken by doc_id for "
+    "determinism), replace with the cross-source mean at that rank — "
+    "after which every source's distribution is IDENTICAL (pinned in "
+    "pytest). Exact for the fixture's equal-sized sources; two window/"
+    "agg passes, reference table is max-group-size rows. At 100 TB "
+    "the rank pass is the standard sort-within-partition shape",
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = docs.select(
+        "doc_id", "source", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    m = r.groupBy("rk").agg(
+        F.round(F.avg("n_chars") + F.lit(1e-9), 6).alias("ref")
+    )
+    return r.join(F.broadcast(m), "rk").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("rk").cast("long").alias("rank"),
+        F.col("ref").alias("normalized"),
+    )
+
+
+@register(
+    "theil_sen_trend",
+    oracle="""
+        WITH d0 AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   round(avg(value) + 1e-9, 6) AS y
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), d AS (
+            SELECT event_type, y,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY day) AS i
+            FROM d0
+        ), s AS (
+            SELECT a.event_type,
+                   (b.y - a.y) / (b.i - a.i) AS slope
+            FROM d a JOIN d b
+              ON b.event_type = a.event_type AND b.i > a.i
+        ), sm AS (
+            SELECT event_type, slope,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY slope) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM s
+        ), sel AS (
+            SELECT event_type, slope, n FROM sm WHERE rn = (n + 1) // 2
+        ), res AS (
+            SELECT d.event_type, d.y - sel.slope * d.i AS r
+            FROM d JOIN sel USING (event_type)
+        ), rm AS (
+            SELECT event_type, r,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY r) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM res
+        )
+        SELECT sel.event_type,
+               round(sel.slope + 1e-9, 6) AS slope,
+               round(rm.r + 1e-9, 6) AS intercept,
+               CAST(sel.n AS BIGINT) AS n_pairs
+        FROM sel JOIN rm ON rm.event_type = sel.event_type
+                        AND rm.rn = (rm.n + 1) // 2
+    """,
+    description="Theil-Sen robust trend per series (up to ~29% outlier "
+    "breakdown vs OLS's zero): lower median of all pairwise slopes "
+    "over the daily aggregate, intercept = lower median of residuals. "
+    "Median selection by row_number — deterministic cross-engine, no "
+    "approx percentile. Pair generation is per-series C(days,2), "
+    "bounded by the calendar squared, never corpus rows; the data-"
+    "sized work is the upstream daily aggregate",
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    d0 = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.avg("value") + F.lit(1e-9), 6).alias("y"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    d = d0.select(
+        "event_type", "y", F.row_number().over(wd).alias("i")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    s = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.i") > F.col("a.i")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.i") - F.col("a.i"))).alias(
+            "slope"
+        ),
+    )
+    ws = Window.partitionBy("event_type").orderBy("slope")
+    wn = Window.partitionBy("event_type")
+    sm = s.select(
+        "event_type",
+        "slope",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    sel = sm.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select("event_type", "slope", "n")
+    res = d.join(F.broadcast(sel), "event_type").select(
+        "event_type",
+        (F.col("y") - F.col("slope") * F.col("i")).alias("r"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("r")
+    rm = res.select(
+        "event_type",
+        "r",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("nn"),
+    ).filter(F.col("rn") == F.floor((F.col("nn") + 1) / 2))
+    return sel.join(rm, "event_type").select(
+        "event_type",
+        F.round(F.col("slope") + F.lit(1e-9), 6).alias("slope"),
+        F.round(F.col("r") + F.lit(1e-9), 6).alias("intercept"),
+        F.col("n").cast("long").alias("n_pairs"),
+    )
+
+
+@register(
+    "mann_kendall_trend",
+    oracle="""
+        WITH d0 AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   round(avg(value) + 1e-9, 6) AS y
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), d AS (
+            SELECT event_type, y, row_number() OVER (
+                PARTITION BY event_type ORDER BY day) AS i
+            FROM d0
+        ), s AS (
+            SELECT a.event_type,
+                   SUM(CASE WHEN b.y > a.y THEN 1
+                            WHEN b.y < a.y THEN -1 ELSE 0 END) AS stat
+            FROM d a JOIN d b
+              ON b.event_type = a.event_type AND b.i > a.i
+            GROUP BY a.event_type
+        ), nn AS (
+            SELECT event_type, count(*) AS n FROM d GROUP BY event_type
+        ), ties AS (
+            SELECT event_type,
+                   SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+            FROM (SELECT event_type, count(*) AS t FROM d
+                  GROUP BY event_type, y HAVING count(*) > 1)
+            GROUP BY event_type
+        )
+        SELECT nn.event_type, CAST(nn.n AS BIGINT) AS n_days,
+               CAST(s.stat AS BIGINT) AS s_statistic,
+               round((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                      - COALESCE(ties.tie_term, 0)) / 18.0 + 1e-9, 6)
+                   AS var_s,
+               round(CASE WHEN s.stat > 0 THEN (s.stat - 1)
+                          WHEN s.stat < 0 THEN (s.stat + 1)
+                          ELSE 0 END
+                     / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                             - COALESCE(ties.tie_term, 0)) / 18.0)
+                     + 1e-9, 6) AS z
+        FROM nn JOIN s USING (event_type)
+        LEFT JOIN ties USING (event_type)
+    """,
+    description="Mann-Kendall monotonic-trend test per series "
+    "(nonparametric sibling of theil_sen_trend on the same pair "
+    "substrate): S = sum of pairwise value signs in day order, "
+    "tie-corrected variance n(n-1)(2n+5)/18 - sum t(t-1)(2t+5)/18, "
+    "continuity-corrected z. Integer-exact until one sqrt; pair "
+    "generation bounded by the calendar squared",
+)
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    d0 = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.avg("value") + F.lit(1e-9), 6).alias("y"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    d = d0.select("event_type", "y", F.row_number().over(wd).alias("i"))
+    a, b = d.alias("a"), d.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.i") > F.col("a.i")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.y") > F.col("a.y"), 1)
+                .when(F.col("b.y") < F.col("a.y"), -1)
+                .otherwise(0)
+            ).alias("stat")
+        )
+    )
+    nn = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = (
+        d.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    var_raw = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.coalesce(F.col("tie_term"), F.lit(0))
+    ) / 18.0
+    z_num = (
+        F.when(F.col("stat") > 0, F.col("stat") - 1)
+        .when(F.col("stat") < 0, F.col("stat") + 1)
+        .otherwise(0)
+    )
+    return (
+        nn.join(s, "event_type")
+        .join(t, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("stat").cast("long").alias("s_statistic"),
+            F.round(var_raw + F.lit(1e-9), 6).alias("var_s"),
+            F.round(z_num / F.sqrt(var_raw) + F.lit(1e-9), 6).alias("z"),
+        )
+    )
+
+
+@register(
     "markov_transitions",
     oracle="""
         WITH s AS (
@@ -10538,13 +10793,20 @@ def q_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # twins out / their oracle-checked exact anchors stay). Rotated-out
 # entries still run in pytest and tools/check_oracle.py full sweeps.
 _WINDOW = [
-    # flagship pipeline + core §2 operator families (kept from r1-r4)
+    # flagship pipeline + core §2 operator families (kept from r1-r4).
+    # Late-r5 swap: latest_by_key / windowed_sum / sessionize (all
+    # driver-green r01-r04) rotate out — their §2 families stay
+    # represented by streaming_latest_by_key (identical semantics),
+    # price_alerts (windowed SUM + threshold), and the two streaming
+    # sessionize twins — making room for three never-driver-checked
+    # round-5 flagships: the real-codec WAV round-trip, the exact
+    # simhash twin, and the entity-resolution composite.
     "source_scan",
-    "latest_by_key",
+    "wav_pipeline",
     "join_stream_table",
-    "windowed_sum",
+    "dedup_simhash_exact",
     "price_alerts",
-    "sessionize",
+    "entity_resolution",
     "partitioned_sink_scan",
     "asof_join",
     # VERDICT r4 task 2 priority: the streaming family (judge-verified

@@ -1951,3 +1951,84 @@ def test_holt_forecast_known_values(spark):
         (4.0, 2.0, 6.0),
         (7.0, 2.5, 9.5),
     ]
+
+
+def test_quantile_normalize_distributions_identical(spark, sf_dir):
+    """The defining QN property: after normalization every source has
+    the IDENTICAL value multiset (the cross-source reference)."""
+    from kafka_streams_homework_spark.queries import REGISTRY
+
+    rows = REGISTRY["quantile_normalize"].fn(spark, sf_dir).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r.normalized)
+    dists = {tuple(sorted(v)) for v in by_source.values()}
+    assert len(dists) == 1
+    # rank-preserving within source: order by n_chars implies order
+    # by normalized
+    for src in by_source:
+        sr = sorted(
+            (r for r in rows if r.source == src),
+            key=lambda r: (r.n_chars, r.doc_id),
+        )
+        assert [r.normalized for r in sr] == sorted(by_source[src])
+
+
+def test_theil_sen_ignores_outlier(spark):
+    """y = x - 1 with one wild outlier at x=2: pairwise slopes sort to
+    [-8,-3.5,1,1,1,10] -> lower median 1; residuals [-1,8,-1,-1] ->
+    intercept -1. OLS would be dragged; Theil-Sen recovers the line."""
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import datetime as dtm
+    import shutil
+    import tempfile
+
+    t0 = dtm.datetime(2024, 5, 1, 9, 0)
+    ys = [0.0, 10.0, 2.0, 3.0]
+    rows = [
+        (i + 1, 1, t0 + dtm.timedelta(days=i), "view", y)
+        for i, y in enumerate(ys)
+    ]
+    d = tempfile.mkdtemp(prefix="ts_")
+    try:
+        _write_events(spark, rows, d)
+        (r,) = REGISTRY["theil_sen_trend"].fn(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert r.event_type == "view"
+    assert (r.slope, r.intercept, r.n_pairs) == (1.0, -1.0, 6)
+
+
+def test_mann_kendall_known_values(spark):
+    """Monotone series y=[1,2,3,4] with one tie pair [5,5,6,7]:
+    view: S = 6 (all concordant), var = 4*3*13/18 = 8.6667,
+    z = 5/sqrt(8.6667); click: tie t=2 -> var = (156 - 18)/18 = 7.6667,
+    S = 5, z = 4/sqrt(7.6667)."""
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import datetime as dtm
+    import math
+    import shutil
+    import tempfile
+
+    t0 = dtm.datetime(2024, 6, 1, 8, 0)
+    rows = []
+    for i, y in enumerate([1.0, 2.0, 3.0, 4.0]):
+        rows.append((i + 1, 1, t0 + dtm.timedelta(days=i), "view", y))
+    for i, y in enumerate([5.0, 5.0, 6.0, 7.0]):
+        rows.append((10 + i, 1, t0 + dtm.timedelta(days=i), "click", y))
+    d = tempfile.mkdtemp(prefix="mk_")
+    try:
+        _write_events(spark, rows, d)
+        out = {
+            r.event_type: r
+            for r in REGISTRY["mann_kendall_trend"].fn(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    v, c = out["view"], out["click"]
+    assert (v.n_days, v.s_statistic) == (4, 6)
+    assert abs(v.var_s - 156 / 18) < 1e-6
+    assert abs(v.z - 5 / math.sqrt(156 / 18)) < 1e-6
+    assert (c.n_days, c.s_statistic) == (4, 5)
+    assert abs(c.var_s - 138 / 18) < 1e-6
+    assert abs(c.z - 4 / math.sqrt(138 / 18)) < 1e-6
