@@ -6624,6 +6624,142 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cuped_adjustment",
+    oracle="""
+        WITH bounds AS (
+            SELECT min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d0
+            FROM events
+        ), u AS (
+            SELECT user_id,
+                   round(avg(CASE WHEN ts < d0 + INTERVAL 15 DAY
+                                  THEN value END) + 1e-9, 6) AS x,
+                   round(avg(CASE WHEN ts >= d0 + INTERVAL 15 DAY
+                                  THEN value END) + 1e-9, 6) AS y,
+                   ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+                       % 2 AS t
+            FROM events, bounds
+            WHERE value IS NOT NULL
+            GROUP BY user_id, d0
+            HAVING x IS NOT NULL AND y IS NOT NULL
+        ), agg AS (
+            SELECT count(*) AS n,
+                   SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS nt,
+                   SUM(CAST(x AS DECIMAL(18,6)))::DOUBLE AS sx,
+                   SUM(CAST(y AS DECIMAL(18,6)))::DOUBLE AS sy,
+                   SUM(CAST(x AS DECIMAL(18,6))
+                       * CAST(x AS DECIMAL(18,6)))::DOUBLE AS sxx,
+                   SUM(CAST(x AS DECIMAL(18,6))
+                       * CAST(y AS DECIMAL(18,6)))::DOUBLE AS sxy,
+                   SUM(CAST(y AS DECIMAL(18,6))
+                       * CAST(y AS DECIMAL(18,6)))::DOUBLE AS syy,
+                   SUM(CASE WHEN t = 1
+                            THEN CAST(x AS DECIMAL(18,6)) END)::DOUBLE
+                       AS sxt,
+                   SUM(CASE WHEN t = 1
+                            THEN CAST(y AS DECIMAL(18,6)) END)::DOUBLE
+                       AS syt
+            FROM u
+        )
+        SELECT CAST(nt AS BIGINT) AS n_treat,
+               CAST(n - nt AS BIGINT) AS n_control,
+               round(syt / nt - (sy - syt) / (n - nt) + 1e-9, 6)
+                   AS diff_raw,
+               round((sxy - sx * sy / n) / (sxx - sx * sx / n) + 1e-9, 6)
+                   AS theta,
+               round((syt / nt - (sy - syt) / (n - nt))
+                     - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                       * (sxt / nt - (sx - sxt) / (n - nt)) + 1e-9, 6)
+                   AS diff_cuped,
+               round((sxy - sx * sy / n)
+                     / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+                     + 1e-9, 6) AS corr_xy
+        FROM agg
+    """,
+    description="CUPED variance-reduced A/B readout: pre-period "
+    "covariate x (days 1-15 per-user mean) adjusts the post-period "
+    "metric y (days 16-30); theta = cov(x,y)/var(x) pooled, and BY "
+    "LINEARITY the adjusted lift is (yt-yc) - theta*(xt-xc), so every "
+    "group mean reduces to DECIMAL-exact sums of the pre-rounded "
+    "per-user aggregates — no float-order dependence anywhere. "
+    "Assignment is the deterministic md5 user coin (a synthetic null "
+    "experiment: the op's value is the machinery, and the fixture's "
+    "weak pre/post correlation honestly yields theta ~= 0.05). "
+    "Exchange carries one row per user, then one partial-agg row",
+)
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    d0 = events.agg(
+        F.min(F.date_trunc("day", "ts")).alias("d0")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,6)")
+    u = (
+        events.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("ts") < F.col("d0") + F.expr("INTERVAL 15 DAY"),
+                        F.col("value"),
+                    )
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("x"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("ts") >= F.col("d0") + F.expr("INTERVAL 15 DAY"),
+                        F.col("value"),
+                    )
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .withColumn(
+            "t",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 2,
+        )
+    )
+    agg = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).alias("nt"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x") * dec("x")).cast("double").alias("sxx"),
+        F.sum(dec("x") * dec("y")).cast("double").alias("sxy"),
+        F.sum(dec("y") * dec("y")).cast("double").alias("syy"),
+        F.sum(F.when(F.col("t") == 1, dec("x"))).cast("double").alias("sxt"),
+        F.sum(F.when(F.col("t") == 1, dec("y"))).cast("double").alias("syt"),
+    )
+    n, nt = F.col("n"), F.col("nt")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    sxt, syt = F.col("sxt"), F.col("syt")
+    theta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    dy = syt / nt - (sy - syt) / (n - nt)
+    dx = sxt / nt - (sx - sxt) / (n - nt)
+    return agg.select(
+        nt.cast("long").alias("n_treat"),
+        (n - nt).cast("long").alias("n_control"),
+        F.round(dy + F.lit(1e-9), 6).alias("diff_raw"),
+        F.round(theta + F.lit(1e-9), 6).alias("theta"),
+        F.round(dy - theta * dx + F.lit(1e-9), 6).alias("diff_cuped"),
+        F.round(
+            (sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+            + F.lit(1e-9),
+            6,
+        ).alias("corr_xy"),
+    )
+
+
+@register(
     "markov_transitions",
     oracle="""
         WITH s AS (

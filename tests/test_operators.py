@@ -2032,3 +2032,56 @@ def test_mann_kendall_known_values(spark):
     assert (c.n_days, c.s_statistic) == (4, 5)
     assert abs(c.var_s - 138 / 18) < 1e-6
     assert abs(c.z - 4 / math.sqrt(138 / 18)) < 1e-6
+
+
+def test_cuped_adjustment_matches_python_replay(spark):
+    """Planted 6-user experiment (one event per period -> x,y exact):
+    Python replays the pooled-theta CUPED formulas with the same md5
+    assignment coins; results must agree to rounding tolerance."""
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import datetime as dtm
+    import hashlib
+    import math
+    import shutil
+    import tempfile
+
+    t0 = dtm.datetime(2024, 7, 1, 0, 0)
+    xy = {1: (10.0, 12.0), 2: (20.0, 19.0), 3: (30.0, 33.0),
+          4: (15.0, 14.0), 5: (25.0, 27.0), 6: (35.0, 33.0)}
+    rows, eid = [], 0
+    for uid, (x, y) in xy.items():
+        eid += 1
+        rows.append((eid, uid, t0 + dtm.timedelta(days=2), "view", x))
+        eid += 1
+        rows.append((eid, uid, t0 + dtm.timedelta(days=20), "view", y))
+    coin = {
+        uid: int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+        for uid in xy
+    }
+    assert len(set(coin.values())) == 2  # both arms populated
+
+    n = len(xy)
+    nt = sum(coin.values())
+    sx = sum(x for x, _ in xy.values()); sy = sum(y for _, y in xy.values())
+    sxx = sum(x * x for x, _ in xy.values())
+    sxy = sum(x * y for x, y in xy.values())
+    syy = sum(y * y for _, y in xy.values())
+    sxt = sum(x for u, (x, _) in xy.items() if coin[u])
+    syt = sum(y for u, (_, y) in xy.items() if coin[u])
+    theta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    dy = syt / nt - (sy - syt) / (n - nt)
+    dx = sxt / nt - (sx - sxt) / (n - nt)
+    corr = (sxy - sx * sy / n) / math.sqrt(
+        (sxx - sx * sx / n) * (syy - sy * sy / n))
+
+    d = tempfile.mkdtemp(prefix="cuped_")
+    try:
+        _write_events(spark, rows, d)
+        (r,) = REGISTRY["cuped_adjustment"].fn(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert (r.n_treat, r.n_control) == (nt, n - nt)
+    assert abs(r.diff_raw - dy) < 2e-6
+    assert abs(r.theta - theta) < 2e-6
+    assert abs(r.diff_cuped - (dy - theta * dx)) < 2e-6
+    assert abs(r.corr_xy - corr) < 2e-6
