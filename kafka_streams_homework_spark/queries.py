@@ -6760,6 +6760,422 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "spearman_corr",
+    oracle="""
+        WITH li AS (
+            SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+        ), dx AS (
+            SELECT x, count(*) AS c FROM li GROUP BY x
+        ), rx AS (
+            SELECT x, sum(c) OVER (ORDER BY x) - c + (c + 1) / 2.0 AS mr
+            FROM dx
+        ), dy AS (
+            SELECT y, count(*) AS c FROM li GROUP BY y
+        ), ry AS (
+            SELECT y, sum(c) OVER (ORDER BY y) - c + (c + 1) / 2.0 AS mr
+            FROM dy
+        ), pc AS (
+            SELECT x, y, count(*) AS c FROM li GROUP BY x, y
+        ), j AS (
+            SELECT CAST(pc.c AS DECIMAL(9,0)) AS c,
+                   CAST(rx.mr AS DECIMAL(8,1)) AS u,
+                   CAST(ry.mr AS DECIMAL(8,1)) AS v,
+                   CAST(pc.x AS DECIMAL(9,2)) AS xr,
+                   CAST(pc.y AS DECIMAL(9,2)) AS yr
+            FROM pc JOIN rx USING (x) JOIN ry USING (y)
+        ), m AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n,
+                   sum(c * u)::DOUBLE AS su, sum(c * v)::DOUBLE AS sv,
+                   sum(c * u * u)::DOUBLE AS suu,
+                   sum(c * u * v)::DOUBLE AS suv,
+                   sum(c * v * v)::DOUBLE AS svv,
+                   sum(c * xr)::DOUBLE AS sx, sum(c * yr)::DOUBLE AS sy,
+                   sum(c * xr * xr)::DOUBLE AS sxx,
+                   sum(c * xr * yr)::DOUBLE AS sxy,
+                   sum(c * yr * yr)::DOUBLE AS syy
+            FROM j
+        )
+        SELECT n,
+               round((n * suv - su * sv)
+                     / sqrt((n * suu - su * su) * (n * svv - sv * sv))
+                     + 1e-9, 6) AS rho_spearman,
+               round((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                     + 1e-9, 6) AS corr_pearson
+        FROM m
+    """,
+    description="Spearman rank correlation (quantity vs extendedprice) "
+    "with exact average-rank tie handling, Pearson on raw values "
+    "alongside: midranks come from per-DISTINCT-value counts (the "
+    "distinct-first discipline of mann_whitney_u/ks_test — the ordered "
+    "cumulative is bounded by value cardinality, ~50 quantities x "
+    "~1000 retail prices, never a per-row global sort), joined back "
+    "onto the (x, y) PAIR-count table so the corpus contributes only "
+    "one grouped pass. Midranks are exact halves and raw values "
+    "2-decimal money, so every moment accumulates in DECIMAL exactly "
+    "(order-free); the correlation ratio runs on the identical "
+    "11-number summary in both engines",
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    wx = Window.orderBy("x")
+    wy = Window.orderBy("y")
+    rx = (
+        li.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "x",
+            (
+                F.sum("c").over(wx) - F.col("c") + (F.col("c") + 1) / 2.0
+            ).alias("mr"),
+        )
+    )
+    ry = (
+        li.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "y",
+            (
+                F.sum("c").over(wy) - F.col("c") + (F.col("c") + 1) / 2.0
+            ).alias("mr"),
+        )
+    )
+    pc = li.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    j = (
+        pc.join(F.broadcast(rx.withColumnRenamed("mr", "mru")), "x")
+        .join(ry.withColumnRenamed("mr", "mrv"), "y")
+        .select(
+            F.col("c").cast("decimal(9,0)").alias("c"),
+            F.col("mru").cast("decimal(8,1)").alias("u"),
+            F.col("mrv").cast("decimal(8,1)").alias("v"),
+            F.col("x").cast("decimal(9,2)").alias("xr"),
+            F.col("y").cast("decimal(9,2)").alias("yr"),
+        )
+    )
+    c = F.col("c")
+    m = j.agg(
+        F.sum(c).cast("bigint").alias("n"),
+        F.sum(c * F.col("u")).cast("double").alias("su"),
+        F.sum(c * F.col("v")).cast("double").alias("sv"),
+        F.sum(c * F.col("u") * F.col("u")).cast("double").alias("suu"),
+        F.sum(c * F.col("u") * F.col("v")).cast("double").alias("suv"),
+        F.sum(c * F.col("v") * F.col("v")).cast("double").alias("svv"),
+        F.sum(c * F.col("xr")).cast("double").alias("sx"),
+        F.sum(c * F.col("yr")).cast("double").alias("sy"),
+        F.sum(c * F.col("xr") * F.col("xr")).cast("double").alias("sxx"),
+        F.sum(c * F.col("xr") * F.col("yr")).cast("double").alias("sxy"),
+        F.sum(c * F.col("yr") * F.col("yr")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    su, sv = F.col("su"), F.col("sv")
+    suu, suv, svv = F.col("suu"), F.col("suv"), F.col("svv")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    return m.select(
+        n,
+        F.round(
+            (n * suv - su * sv)
+            / F.sqrt((n * suu - su * su) * (n * svv - sv * sv))
+            + F.lit(1e-9),
+            6,
+        ).alias("rho_spearman"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            + F.lit(1e-9),
+            6,
+        ).alias("corr_pearson"),
+    )
+
+
+@register(
+    "acf_lags",
+    oracle="""
+        WITH d0 AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   round(avg(value) + 1e-9, 6) AS y
+            FROM events WHERE value IS NOT NULL GROUP BY 1
+        ), d AS (
+            SELECT y, row_number() OVER (ORDER BY day) AS i FROM d0
+        ), mm AS (
+            SELECT count(*) AS n,
+                   sum(CAST(y AS DECIMAL(18,6)))::DOUBLE / count(*)
+                       AS mean
+            FROM d
+        ), m AS (
+            SELECT mm.n, mm.mean,
+                   sum((d.y - mm.mean) * (d.y - mm.mean)) AS denom
+            FROM d, mm GROUP BY mm.n, mm.mean
+        ), lags AS (
+            SELECT CAST(k AS BIGINT) AS lag FROM range(1, 8) t(k)
+        ), num AS (
+            SELECT lags.lag,
+                   count(*) AS n_terms,
+                   sum((a.y - m.mean) * (b.y - m.mean)) AS s
+            FROM lags
+            JOIN d a ON TRUE
+            JOIN d b ON b.i = a.i + lags.lag, m
+            GROUP BY lags.lag
+        )
+        SELECT num.lag, CAST(num.n_terms AS BIGINT) AS n_terms,
+               round(num.s / m.denom + 1e-9, 6) AS acf
+        FROM num, m
+        ORDER BY num.lag
+    """,
+    description="Autocorrelation function of the daily mean-value "
+    "series at lags 1-7 (the seasonality/persistence diagnostic next "
+    "to seasonality_profile and holt_forecast): the corpus collapses "
+    "to the calendar-bounded daily aggregate first (same pre-rounded "
+    "series as holt_forecast), the series mean accumulates in DECIMAL "
+    "(exact), and each lag's covariance is a self-join on the "
+    "row-number index — 30 x 7 term pairs, all post-aggregate. The "
+    "centered products sum over <=30 doubles, well inside the 1e-9 "
+    "nudge",
+)
+def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    d = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.avg("value") + F.lit(1e-9), 6).alias("y"))
+        .select("y", F.row_number().over(Window.orderBy("day")).alias("i"))
+    )
+    m = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("y").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean"),
+    )
+    dm = d.crossJoin(F.broadcast(m))
+    denom = dm.agg(
+        F.sum(
+            (F.col("y") - F.col("mean")) * (F.col("y") - F.col("mean"))
+        ).alias("denom")
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = dm.select("i", "y", "mean")
+    b = d.select(
+        F.col("i").alias("bi"), F.col("y").alias("by")
+    )
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bi") == F.col("i") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(
+                (F.col("y") - F.col("mean")) * (F.col("by") - F.col("mean"))
+            ).alias("s"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(denom))
+        .select(
+            "lag",
+            F.col("n_terms").cast("bigint").alias("n_terms"),
+            F.round(F.col("s") / F.col("denom") + F.lit(1e-9), 6).alias(
+                "acf"
+            ),
+        )
+        .orderBy("lag")
+    )
+
+
+@register(
+    "psi_drift",
+    oracle="""
+        WITH b0 AS (
+            SELECT min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d0
+            FROM events
+        ), binned AS (
+            SELECT event_type,
+                   least(CAST(floor(value / 20) AS BIGINT), 24) AS bin,
+                   CASE WHEN ts < d0 + INTERVAL 15 DAY THEN 1 ELSE 0 END
+                       AS pre
+            FROM events, b0 WHERE value IS NOT NULL
+        ), cnt AS (
+            SELECT event_type, bin,
+                   sum(pre) AS c_pre, sum(1 - pre) AS c_post
+            FROM binned GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, sum(c_pre) AS n_pre, sum(c_post) AS n_post,
+                   count(*) AS n_bins
+            FROM cnt GROUP BY 1
+        ), terms AS (
+            SELECT c.event_type,
+                   ((c.c_pre + 0.5) / (t.n_pre + 0.5 * t.n_bins)
+                    - (c.c_post + 0.5) / (t.n_post + 0.5 * t.n_bins))
+                   * ln(((c.c_pre + 0.5) / (t.n_pre + 0.5 * t.n_bins))
+                        / ((c.c_post + 0.5)
+                           / (t.n_post + 0.5 * t.n_bins))) AS term
+            FROM cnt c JOIN tot t USING (event_type)
+        )
+        SELECT t.event_type,
+               CAST(t.n_pre AS BIGINT) AS n_pre,
+               CAST(t.n_post AS BIGINT) AS n_post,
+               CAST(t.n_bins AS BIGINT) AS n_bins,
+               round(s.psi + 1e-9, 6) AS psi,
+               round(s.psi + 1e-9, 6) > 0.02 AS drifted
+        FROM tot t JOIN (
+            SELECT event_type, sum(term) AS psi FROM terms GROUP BY 1
+        ) s USING (event_type)
+    """,
+    description="Population stability index per event_type between the "
+    "first and last 15 days (the drift monitor a feature pipeline "
+    "runs between training and serving windows): values bucket into "
+    "25 fixed-width bins, both period distributions Laplace-smoothed "
+    "(+0.5 per observed bin) so empty bins stay finite, PSI = "
+    "sum (p-q) ln(p/q). Everything after the one grouped count is "
+    "arithmetic on <=25 bin rows per type; the drift flag applies to "
+    "the ROUNDED psi so membership is engine-identical. Counts are "
+    "exact integers -> identical doubles cross-engine",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    b0 = events.agg(
+        F.min(F.date_trunc("day", "ts")).alias("d0")
+    )
+    binned = (
+        events.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(b0))
+        .select(
+            "event_type",
+            F.least(
+                F.floor(F.col("value") / 20).cast("bigint"), F.lit(24)
+            ).alias("bin"),
+            F.when(
+                F.col("ts") < F.col("d0") + F.expr("INTERVAL 15 DAY"), 1
+            )
+            .otherwise(0)
+            .alias("pre"),
+        )
+    )
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.sum("pre").alias("c_pre"),
+        F.sum(1 - F.col("pre")).alias("c_post"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("c_pre").alias("n_pre"),
+        F.sum("c_post").alias("n_post"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    j = cnt.join(F.broadcast(tot), "event_type")
+    p = (F.col("c_pre") + 0.5) / (F.col("n_pre") + 0.5 * F.col("n_bins"))
+    q = (F.col("c_post") + 0.5) / (F.col("n_post") + 0.5 * F.col("n_bins"))
+    terms = j.select(
+        "event_type", ((p - q) * F.log(p / q)).alias("term")
+    )
+    psi = terms.groupBy("event_type").agg(F.sum("term").alias("psi"))
+    return tot.join(psi, "event_type").select(
+        "event_type",
+        F.col("n_pre").cast("bigint").alias("n_pre"),
+        F.col("n_post").cast("bigint").alias("n_post"),
+        F.col("n_bins").cast("bigint").alias("n_bins"),
+        F.round(F.col("psi") + F.lit(1e-9), 6).alias("psi"),
+        (F.round(F.col("psi") + F.lit(1e-9), 6) > 0.02).alias("drifted"),
+    )
+
+
+@register(
+    "cohort_ltv",
+    oracle="""
+        WITH s AS (
+            SELECT user_id AS u,
+                   CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+            FROM events WHERE event_type = 'signup' GROUP BY 1
+        ), size_ AS (
+            SELECT cohort, count(*) AS n_users FROM s GROUP BY 1
+        ), rev AS (
+            SELECT s.cohort,
+                   CAST((epoch(date_trunc('week', e.ts)) - epoch(s.cohort))
+                        / 604800 AS BIGINT) AS week_offset,
+                   round(sum(e.value) + 1e-9, 2) AS rev_week
+            FROM events e JOIN s ON e.user_id = s.u
+            WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+              AND date_trunc('week', e.ts) >= s.cohort
+            GROUP BY 1, 2
+        ), c AS (
+            SELECT cohort, week_offset, rev_week,
+                   CAST(sum(CAST(rev_week AS DECIMAL(18,2))) OVER (
+                       PARTITION BY cohort ORDER BY week_offset
+                   ) AS DOUBLE) AS cum_rev
+            FROM rev
+        )
+        SELECT c.cohort, c.week_offset,
+               CAST(z.n_users AS BIGINT) AS n_users,
+               c.rev_week, c.cum_rev,
+               round(c.cum_rev / z.n_users + 1e-9, 6) AS ltv_per_user
+        FROM c JOIN size_ z USING (cohort)
+    """,
+    description="Cohort lifetime-value curve: purchase revenue per "
+    "signup-week cohort by week offset, accumulated into the running "
+    "LTV-per-user a growth team tracks (the revenue twin of "
+    "retention_cohorts). Weekly sums are rounded to money precision "
+    "BEFORE the ordered cumulative and the cumulative runs in "
+    "DECIMAL(18,2) (exact, order-free — the round-before-cumsum "
+    "discipline); cohort sizing is the same min-agg + user-keyed "
+    "join as retention_cohorts, so the whole curve costs one user "
+    "join + one (cohort, week) agg + a calendar-bounded window",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy(F.col("user_id").alias("u"))
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    )
+    size_ = s.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = (
+        events.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .join(F.broadcast(s), F.col("user_id") == F.col("u"))
+        .filter(F.date_trunc("week", "ts") >= F.col("cohort"))
+        .groupBy(
+            "cohort",
+            (
+                (
+                    F.unix_timestamp(F.date_trunc("week", "ts"))
+                    - F.unix_timestamp("cohort")
+                )
+                / 604800
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.round(F.sum("value") + F.lit(1e-9), 2).alias("rev_week"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = rev.select(
+        "cohort",
+        "week_offset",
+        "rev_week",
+        F.sum(F.col("rev_week").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_rev"),
+    )
+    return c.join(F.broadcast(size_), "cohort").select(
+        "cohort",
+        "week_offset",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        "rev_week",
+        "cum_rev",
+        F.round(F.col("cum_rev") / F.col("n_users") + F.lit(1e-9), 6).alias(
+            "ltv_per_user"
+        ),
+    )
+
+
+@register(
     "markov_transitions",
     oracle="""
         WITH s AS (

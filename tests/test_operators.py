@@ -2085,3 +2085,134 @@ def test_cuped_adjustment_matches_python_replay(spark):
     assert abs(r.theta - theta) < 2e-6
     assert abs(r.diff_cuped - (dy - theta * dx)) < 2e-6
     assert abs(r.corr_xy - corr) < 2e-6
+
+
+def test_spearman_corr_matches_pandas_rank_replay(spark):
+    """Planted (qty, price) rows with ties in both columns: pandas
+    average-rank + Pearson-on-ranks is the textbook Spearman; the
+    engine's distinct-first midrank formulation must agree exactly."""
+    from kafka_streams_homework_spark import queries as Q
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    rows = [(1.0, 10.0), (1.0, 20.0), (2.0, 15.0), (3.0, 30.0),
+            (3.0, 5.0), (2.0, 15.0), (4.0, 40.0)]
+    pdf = pd.DataFrame(rows, columns=["x", "y"])
+    rho = pdf["x"].rank(method="average").corr(
+        pdf["y"].rank(method="average"))
+    pear = pdf["x"].corr(pdf["y"])
+    li = spark.createDataFrame(
+        rows, "l_quantity double, l_extendedprice double")
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        (r,) = Q.queries()["spearman_corr"](spark, d).collect()
+    assert r.n == len(rows)
+    assert abs(r.rho_spearman - rho) < 2e-6
+    assert abs(r.corr_pearson - pear) < 2e-6
+
+
+def test_acf_lags_linear_series_replay(spark):
+    """One event per day with value = day index: the daily series is
+    1..10 and each lag's autocorrelation has the closed textbook form
+    sum((t-m)(t+k-m))/sum((t-m)^2) — replayed in Python."""
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import datetime as dtm
+    import shutil
+    import tempfile
+
+    t0 = dtm.datetime(2024, 7, 1, 0, 0)
+    n = 10
+    rows = [
+        (i, 1, t0 + dtm.timedelta(days=i), "view", float(i + 1))
+        for i in range(n)
+    ]
+    ys = [float(i + 1) for i in range(n)]
+    m = sum(ys) / n
+    denom = sum((y - m) ** 2 for y in ys)
+    d = tempfile.mkdtemp(prefix="acf_")
+    try:
+        _write_events(spark, rows, d)
+        out = {r.lag: r for r in REGISTRY["acf_lags"].fn(spark, d).collect()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert set(out) == set(range(1, 8))
+    for k in range(1, 8):
+        expect = sum(
+            (ys[t] - m) * (ys[t + k] - m) for t in range(n - k)
+        ) / denom
+        assert out[k].n_terms == n - k
+        assert abs(out[k].acf - expect) < 2e-6
+
+
+def test_psi_drift_shift_vs_stable(spark):
+    """'shift' type moves all mass bin0 -> bin1 across the period cut
+    (high PSI, flagged); 'stable' type keeps the identical histogram
+    (PSI exactly 0 after smoothing, not flagged)."""
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import datetime as dtm
+    import math
+    import shutil
+    import tempfile
+
+    t0 = dtm.datetime(2024, 7, 1, 0, 0)
+    pre, post = t0 + dtm.timedelta(days=2), t0 + dtm.timedelta(days=20)
+    rows, eid = [], 0
+    for _ in range(4):
+        eid += 1; rows.append((eid, 1, pre, "shift", 5.0))
+        eid += 1; rows.append((eid, 1, post, "shift", 25.0))
+        eid += 1; rows.append((eid, 1, pre, "stable", 5.0))
+        eid += 1; rows.append((eid, 1, post, "stable", 5.0))
+    d = tempfile.mkdtemp(prefix="psi_")
+    try:
+        _write_events(spark, rows, d)
+        out = {
+            r.event_type: r
+            for r in REGISTRY["psi_drift"].fn(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    st, sh = out["stable"], out["shift"]
+    assert (st.n_pre, st.n_post, st.n_bins) == (4, 4, 1)
+    assert st.psi == 0.0 and not st.drifted
+    assert (sh.n_pre, sh.n_post, sh.n_bins) == (4, 4, 2)
+    # replay the smoothed two-bin PSI: p = (4.5/5, 0.5/5) vs mirrored q
+    p0, p1 = 4.5 / 5, 0.5 / 5
+    expect = (p0 - p1) * math.log(p0 / p1) + (p1 - p0) * math.log(p1 / p0)
+    assert abs(sh.psi - expect) < 2e-6
+    assert sh.drifted
+
+
+def test_cohort_ltv_two_week_curve(spark):
+    """Two users signing up the same (Monday-aligned) week; purchases
+    land in offsets 0 and 1 -> the running LTV-per-user curve is
+    hand-checkable: 10 then 60 cumulative over 2 users."""
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import datetime as dtm
+    import shutil
+    import tempfile
+
+    t0 = dtm.datetime(2024, 7, 1, 0, 0)  # a Monday
+    rows = [
+        (1, 1, t0, "signup", 0.0),
+        (2, 2, t0 + dtm.timedelta(hours=5), "signup", 0.0),
+        (3, 1, t0 + dtm.timedelta(days=2), "purchase", 10.0),
+        (4, 1, t0 + dtm.timedelta(days=8), "purchase", 20.0),
+        (5, 2, t0 + dtm.timedelta(days=9), "purchase", 30.0),
+    ]
+    d = tempfile.mkdtemp(prefix="ltv_")
+    try:
+        _write_events(spark, rows, d)
+        out = {
+            r.week_offset: r
+            for r in REGISTRY["cohort_ltv"].fn(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert set(out) == {0, 1}
+    assert out[0].n_users == 2 and out[1].n_users == 2
+    assert (out[0].rev_week, out[0].cum_rev) == (10.0, 10.0)
+    assert (out[1].rev_week, out[1].cum_rev) == (50.0, 60.0)
+    assert abs(out[0].ltv_per_user - 5.0) < 1e-9
+    assert abs(out[1].ltv_per_user - 30.0) < 1e-9
