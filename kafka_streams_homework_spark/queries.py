@@ -7176,6 +7176,408 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ndcg_eval",
+    # Composed from the member pipelines' own oracles (the
+    # ann_recall_at_k pattern): the graded-relevance metrics are
+    # exactly a join+agg over what those oracles define.
+    oracle=f"""
+        WITH exact AS (SELECT * FROM ({REGISTRY['knn_bruteforce'].oracle})),
+             approx AS (SELECT * FROM ({REGISTRY['knn_lsh'].oracle})),
+        i AS (
+            SELECT query_id,
+                   SUM(CAST(round(sim / log2(rank + 1.0), 6)
+                            AS DECIMAL(18,6))) AS idcg
+            FROM exact GROUP BY query_id
+        ), s AS (
+            SELECT query_id, count(*) AS n_sys,
+                   SUM(CAST(round(sim / log2(rank + 1.0), 6)
+                            AS DECIMAL(18,6))) AS dcg
+            FROM approx GROUP BY query_id
+        ), h AS (
+            SELECT a.query_id, min(a.rank) AS mr
+            FROM approx a JOIN exact e USING (query_id, neighbor_id)
+            GROUP BY a.query_id
+        )
+        SELECT i.query_id,
+               CAST(coalesce(s.n_sys, 0) AS BIGINT) AS n_sys,
+               coalesce(CAST(s.dcg AS DOUBLE), 0.0) AS dcg,
+               CAST(i.idcg AS DOUBLE) AS idcg,
+               round(coalesce(CAST(s.dcg AS DOUBLE), 0.0)
+                     / CAST(i.idcg AS DOUBLE) + 1e-9, 6) AS ndcg,
+               coalesce(round(1.0 / h.mr, 6), 0.0) AS mrr
+        FROM i LEFT JOIN s USING (query_id) LEFT JOIN h USING (query_id)
+    """,
+    description="Graded-relevance ranking eval of the LSH index: "
+    "per-query NDCG@k (gain = exact cosine sim, discount log2(rank+1)) "
+    "and MRR (first system hit inside the exact top-k), the metric "
+    "pair a retrieval deployment tracks beyond plain recall "
+    "(ann_recall_at_k). Both member pipelines are oracle-replayable "
+    "and the oracle SQL is COMPOSED from their oracle strings (zero "
+    "drift); each discounted gain is rounded to 6 then accumulated in "
+    "DECIMAL so the DCG sums are order-free, and the one log2 per "
+    "rank acts on small integers (cross-engine 1-ulp noise absorbed "
+    "by the nudge)",
+)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding"
+    )
+    exact = S.knn_bruteforce(emb, qs, KNN_K)
+    approx = S.knn_lsh_md5(emb, qs, KNN_K, 32, 4)
+    gain = F.round(
+        F.col("sim") / F.log2(F.col("rank") + F.lit(1.0)), 6
+    ).cast("decimal(18,6)")
+    i = exact.groupBy("query_id").agg(
+        F.sum(gain).cast("double").alias("idcg")
+    )
+    s = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_sys"),
+        F.sum(gain).cast("double").alias("dcg"),
+    )
+    h = (
+        approx.join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("mr"))
+    )
+    return (
+        i.join(s, "query_id", "left")
+        .join(h, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_sys"), F.lit(0))
+            .cast("bigint")
+            .alias("n_sys"),
+            F.coalesce(F.col("dcg"), F.lit(0.0)).alias("dcg"),
+            F.col("idcg"),
+            F.round(
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")
+                + F.lit(1e-9),
+                6,
+            ).alias("ndcg"),
+            F.coalesce(F.round(1.0 / F.col("mr"), 6), F.lit(0.0)).alias(
+                "mrr"
+            ),
+        )
+    )
+
+
+@register(
+    "bh_fdr_control",
+    oracle="""
+        WITH m AS (
+            SELECT p.p_brand AS brand,
+                   count(*) AS n,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS s,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l.l_extendedprice AS DECIMAL(18,2))) AS q
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1
+        ), g AS (
+            SELECT SUM(n) AS gn, SUM(s) AS gs, SUM(q) AS gq,
+                   count(*) AS n_brands
+            FROM m
+        ), z0 AS (
+            SELECT m.brand, m.n, g.n_brands,
+                   s::DOUBLE / n AS mb,
+                   (g.gs - s)::DOUBLE / (g.gn - n) AS mr,
+                   (q::DOUBLE - s::DOUBLE * s::DOUBLE / n) / (n - 1) / n
+                       AS vb,
+                   ((g.gq - q)::DOUBLE
+                    - (g.gs - s)::DOUBLE * (g.gs - s)::DOUBLE
+                      / (g.gn - n))
+                       / (g.gn - n - 1) / (g.gn - n) AS vr
+            FROM m, g
+        ), z1 AS (
+            SELECT brand, n, n_brands, mb,
+                   (mb - mr) / sqrt(vb + vr) AS z
+            FROM z0
+        ), p1 AS (
+            SELECT brand, n, n_brands, mb, z,
+                   1.0 / (1.0 + 0.2316419 * abs(z)) AS k
+            FROM z1
+        ), p2 AS (
+            SELECT brand, n, n_brands, mb, z,
+                   round(2.0 * (exp(-abs(z) * abs(z) / 2.0)
+                                * 0.3989422804014327)
+                         * (k * (0.319381530
+                            + k * (-0.356563782
+                               + k * (1.781477937
+                                  + k * (-1.821255978
+                                     + k * 1.330274429)))))
+                         + 1e-9, 6) AS p_value
+            FROM p1
+        ), r AS (
+            SELECT brand, n, n_brands, mb, z, p_value,
+                   row_number() OVER (ORDER BY p_value, brand) AS i
+            FROM p2
+        ), k_ AS (
+            SELECT max(CASE WHEN p_value <= 0.05 * i / n_brands
+                            THEN i ELSE 0 END) AS kstar
+            FROM r
+        )
+        SELECT r.brand, CAST(r.n AS BIGINT) AS n,
+               round(r.mb + 1e-9, 4) AS mean_brand,
+               round(r.z + 1e-9, 6) AS z_stat,
+               r.p_value,
+               CAST(r.i AS BIGINT) AS bh_rank,
+               round(0.05 * r.i / r.n_brands + 1e-9, 6) AS bh_crit,
+               r.i <= k_.kstar AS rejected
+        FROM r, k_
+    """,
+    description="Benjamini-Hochberg FDR control over the 25-brand "
+    "family of Welch z-tests (brand mean extendedprice vs rest): "
+    "moments accumulate in DECIMAL(18,2) (money is 2-decimal, so "
+    "n/Sx/Sx2 are EXACT and order-free — tightening the plain-double "
+    "welch_ttest discipline), the rest-of-corpus leg is derived by "
+    "subtraction from the global moments (one scan, no second pass), "
+    "two-sided p via the Abramowitz-Stegun 26.2.17 normal-CDF "
+    "polynomial (identical literal constants both engines, |eps| < "
+    "7.5e-8 << the 1e-6 rounding grain), then the BH step-up: rank "
+    "ROUNDED p (brand tiebreak), k* = max{i: p_i <= 0.05 i/m}, "
+    "reject ranks <= k*. The multiple-testing closer for the "
+    "testing battery — 25 post-agg rows, all window work driver-side "
+    "scale-free",
+)
+def q_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).alias("s"),
+            F.sum(dec * dec).alias("q"),
+        )
+    )
+    g = m.agg(
+        F.sum("n").alias("gn"),
+        F.sum("s").alias("gs"),
+        F.sum("q").alias("gq"),
+        F.count(F.lit(1)).alias("n_brands"),
+    )
+    z0 = m.crossJoin(F.broadcast(g))
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    gn, gs, gq = F.col("gn"), F.col("gs"), F.col("gq")
+    mb = s.cast("double") / n
+    mr = (gs - s).cast("double") / (gn - n)
+    vb = (q.cast("double") - s.cast("double") * s.cast("double") / n) / (
+        n - 1
+    ) / n
+    vr = (
+        (gq - q).cast("double")
+        - (gs - s).cast("double") * (gs - s).cast("double") / (gn - n)
+    ) / (gn - n - 1) / (gn - n)
+    z1 = z0.select(
+        "brand",
+        "n",
+        "n_brands",
+        mb.alias("mb"),
+        ((mb - mr) / F.sqrt(vb + vr)).alias("z"),
+    )
+    k = 1.0 / (1.0 + 0.2316419 * F.abs(F.col("z")))
+    poly = k * (
+        F.lit(0.319381530)
+        + k
+        * (
+            F.lit(-0.356563782)
+            + k
+            * (
+                F.lit(1.781477937)
+                + k * (F.lit(-1.821255978) + k * F.lit(1.330274429))
+            )
+        )
+    )
+    p2 = z1.select(
+        "brand",
+        "n",
+        "n_brands",
+        "mb",
+        "z",
+        F.round(
+            2.0
+            * (
+                F.exp(-F.abs(F.col("z")) * F.abs(F.col("z")) / 2.0)
+                * F.lit(0.3989422804014327)
+            )
+            * poly
+            + F.lit(1e-9),
+            6,
+        ).alias("p_value"),
+    )
+    r = p2.withColumn(
+        "i", F.row_number().over(Window.orderBy("p_value", "brand"))
+    )
+    kstar = r.agg(
+        F.max(
+            F.when(
+                F.col("p_value") <= 0.05 * F.col("i") / F.col("n_brands"),
+                F.col("i"),
+            ).otherwise(0)
+        ).alias("kstar")
+    )
+    return r.crossJoin(F.broadcast(kstar)).select(
+        "brand",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("mb") + F.lit(1e-9), 4).alias("mean_brand"),
+        F.round(F.col("z") + F.lit(1e-9), 6).alias("z_stat"),
+        "p_value",
+        F.col("i").cast("bigint").alias("bh_rank"),
+        F.round(0.05 * F.col("i") / F.col("n_brands") + F.lit(1e-9), 6).alias(
+            "bh_crit"
+        ),
+        (F.col("i") <= F.col("kstar")).alias("rejected"),
+    )
+
+
+@register(
+    "stratified_ate",
+    oracle="""
+        WITH bounds AS (
+            SELECT min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d0
+            FROM events
+        ), u AS (
+            SELECT user_id,
+                   round(avg(CASE WHEN ts < d0 + INTERVAL 15 DAY
+                                  THEN value END) + 1e-9, 6) AS x,
+                   round(avg(CASE WHEN ts >= d0 + INTERVAL 15 DAY
+                                  THEN value END) + 1e-9, 6) AS y,
+                   ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+                       % 2 AS t
+            FROM events, bounds
+            WHERE value IS NOT NULL
+            GROUP BY user_id, d0
+            HAVING x IS NOT NULL AND y IS NOT NULL
+        ), st AS (
+            SELECT user_id, y, t,
+                   ntile(4) OVER (ORDER BY x, user_id) AS stratum
+            FROM u
+        ), agg AS (
+            SELECT stratum,
+                   SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS n_t,
+                   SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS n_c,
+                   SUM(CASE WHEN t = 1
+                            THEN CAST(y AS DECIMAL(18,6)) END) AS s_t,
+                   SUM(CASE WHEN t = 0
+                            THEN CAST(y AS DECIMAL(18,6)) END) AS s_c
+            FROM st GROUP BY stratum
+        ), d AS (
+            SELECT stratum, n_t, n_c,
+                   round(s_t::DOUBLE / n_t + 1e-9, 6) AS mean_treat,
+                   round(s_c::DOUBLE / n_c + 1e-9, 6) AS mean_control,
+                   round(s_t::DOUBLE / n_t - s_c::DOUBLE / n_c + 1e-9, 6)
+                       AS diff,
+                   (n_t + n_c)::DOUBLE
+                       / SUM(n_t + n_c) OVER () AS w
+            FROM agg
+        )
+        SELECT CAST(stratum AS BIGINT) AS stratum,
+               CAST(n_t AS BIGINT) AS n_treat,
+               CAST(n_c AS BIGINT) AS n_control,
+               mean_treat, mean_control, diff,
+               round(w + 1e-9, 6) AS weight,
+               round(SUM(w * diff) OVER () + 1e-9, 6) AS ate_overall
+        FROM d
+    """,
+    description="Stratified average-treatment-effect readout (the "
+    "post-stratification sibling of cuped_adjustment): users bucket "
+    "into quartile strata of the pre-period covariate (ntile over the "
+    "deterministic (x, user_id) order — identical bucketing cross-"
+    "engine), arms are the md5 user coin, and the overall ATE is the "
+    "stratum-size-weighted sum of per-stratum mean differences. "
+    "Per-stratum means reduce to DECIMAL-exact sums of pre-rounded "
+    "per-user aggregates (the CUPED linearity discipline); the "
+    "weighted combine runs over 4 post-agg rows. Exchange: one row "
+    "per user, then 4",
+)
+def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    d0 = events.agg(F.min(F.date_trunc("day", "ts")).alias("d0"))
+    u = (
+        events.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("ts") < F.col("d0") + F.expr("INTERVAL 15 DAY"),
+                        F.col("value"),
+                    )
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("x"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("ts")
+                        >= F.col("d0") + F.expr("INTERVAL 15 DAY"),
+                        F.col("value"),
+                    )
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .withColumn(
+            "t",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2,
+        )
+    )
+    st = u.select(
+        "y",
+        "t",
+        F.ntile(4).over(Window.orderBy("x", "user_id")).alias("stratum"),
+    )
+    ydec = F.col("y").cast("decimal(18,6)")
+    agg = st.groupBy("stratum").agg(
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("t") == 1, ydec)).alias("s_t"),
+        F.sum(F.when(F.col("t") == 0, ydec)).alias("s_c"),
+    )
+    mt = F.col("s_t").cast("double") / F.col("n_t")
+    mc = F.col("s_c").cast("double") / F.col("n_c")
+    wall = Window.partitionBy()
+    d = agg.select(
+        "stratum",
+        "n_t",
+        "n_c",
+        F.round(mt + F.lit(1e-9), 6).alias("mean_treat"),
+        F.round(mc + F.lit(1e-9), 6).alias("mean_control"),
+        F.round(mt - mc + F.lit(1e-9), 6).alias("diff"),
+        (
+            (F.col("n_t") + F.col("n_c")).cast("double")
+            / F.sum(F.col("n_t") + F.col("n_c")).over(wall)
+        ).alias("w"),
+    )
+    return d.select(
+        F.col("stratum").cast("bigint").alias("stratum"),
+        F.col("n_t").cast("bigint").alias("n_treat"),
+        F.col("n_c").cast("bigint").alias("n_control"),
+        "mean_treat",
+        "mean_control",
+        "diff",
+        F.round(F.col("w") + F.lit(1e-9), 6).alias("weight"),
+        F.round(
+            F.sum(F.col("w") * F.col("diff")).over(wall) + F.lit(1e-9), 6
+        ).alias("ate_overall"),
+    )
+
+
+@register(
     "markov_transitions",
     oracle="""
         WITH s AS (
