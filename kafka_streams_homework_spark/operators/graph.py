@@ -168,3 +168,36 @@ def neighbor_jaccard(
         ).alias("jaccard"),
         F.coalesce(F.col("is_edge"), F.lit(False)).alias("is_edge"),
     )
+
+
+def bfs_hops(edges: DataFrame, seed: DataFrame, max_hops: int) -> DataFrame:
+    """Multi-source BFS hop distance, bounded at ``max_hops`` rounds.
+
+    ``edges``: directed (src, dst) — pass both directions for an
+    undirected graph. ``seed``: rows with a ``node`` column (hop 0).
+    Each round is one frontier-to-edges equi-join + anti-join against
+    the visited set — rounds = min(diameter, max_hops), never the
+    transitive closure (the oracle twin replays the closure because
+    SQL recursion cannot re-aggregate; the engine path stays linear
+    in reached edges per round). Frontiers are persisted so lineage
+    depth stays constant.
+    """
+    visited = tracked_persist(
+        seed.select("node", F.lit(0).cast("long").alias("hops"))
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select(F.col("node").alias("vn")),
+                  F.col("node") == F.col("vn"), "left_anti")
+            .select("node", F.lit(h).cast("long").alias("hops"))
+        )
+        nxt = tracked_persist(nxt)
+        if not nxt.take(1):
+            break
+        visited = tracked_persist(visited.unionAll(nxt))
+        frontier = nxt
+    return visited

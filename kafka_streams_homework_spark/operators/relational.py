@@ -959,3 +959,69 @@ def holt_smooth(
         )
 
     return daily.groupBy(key_col).applyInPandas(holt, schema)
+
+
+def dtw_pairs(
+    series: DataFrame, key_col: str = "event_type", ys_col: str = "ys"
+) -> DataFrame:
+    """Dynamic-time-warping distance between every unordered pair of
+    series (L1 local cost, no warping-window constraint).
+
+    The DP recurrence dtw[i][j] = |x_i - y_j| + min(dtw[i-1][j],
+    dtw[i-1][j-1], dtw[i][j-1]) is a 2-D NON-associative recurrence no
+    window/scan expresses — like ``holt_smooth`` it runs through the
+    Arrow-batched escape hatch (``mapInPandas``), but on the PAIRED
+    series table: upstream aggregation collapses the corpus to one
+    array row per series (calendar-bounded), the pair join is
+    |keys|^2/2 tiny rows, and each pair's O(n*m) loop touches only its
+    two arrays. Every dp cell's value is parent + cost evaluated in
+    the same order as the DuckDB cell-stepping recursive-CTE oracle,
+    so the distances are bit-reproducible cross-engine (inputs are
+    pre-rounded daily aggregates).
+
+    ``series``: one row per key, ``ys_col`` an array<double> in time
+    order. Returns (type_a, type_b, n_a, n_b, dtw) with dtw raw
+    (callers round).
+    """
+    import math
+
+    import pandas as pd
+
+    a = series.select(
+        F.col(key_col).alias("type_a"), F.col(ys_col).alias("xs")
+    )
+    b = series.select(
+        F.col(key_col).alias("type_b"), F.col(ys_col).alias("ys")
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    schema = "type_a string, type_b string, n_a long, n_b long, dtw double"
+
+    def compute(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                xs = [float(v) for v in r.xs]
+                ys = [float(v) for v in r.ys]
+                n, m = len(xs), len(ys)
+                if n == 0 or m == 0:
+                    continue
+                inf = math.inf
+                dp_prev = None
+                for i in range(1, n + 1):
+                    dp_cur = [0.0] * (m + 1)
+                    for j in range(1, m + 1):
+                        c = abs(xs[i - 1] - ys[j - 1])
+                        if i == 1 and j == 1:
+                            dp_cur[j] = c
+                            continue
+                        up = dp_prev[j] if i > 1 else inf
+                        diag = dp_prev[j - 1] if (i > 1 and j > 1) else inf
+                        left = dp_cur[j - 1] if j > 1 else inf
+                        dp_cur[j] = c + min(up, diag, left)
+                    dp_prev = dp_cur
+                out.append((r.type_a, r.type_b, n, m, dp_prev[m]))
+            yield pd.DataFrame(
+                out, columns=["type_a", "type_b", "n_a", "n_b", "dtw"]
+            )
+
+    return pairs.mapInPandas(compute, schema)

@@ -7578,6 +7578,149 @@ def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dtw_distance",
+    oracle="""
+        WITH RECURSIVE d0 AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   round(avg(value) + 1e-9, 6) AS y
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), srt AS (
+            SELECT event_type, list(y ORDER BY day) AS ys
+            FROM d0 GROUP BY 1
+        ), pr AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   a.ys AS xs, b.ys AS ys,
+                   len(a.ys) AS n, len(b.ys) AS m
+            FROM srt a JOIN srt b ON a.event_type < b.event_type
+        ), dp(type_a, type_b, xs, ys, n, m, i, j, prev, curp) AS (
+            SELECT type_a, type_b, xs, ys, n, m, 1, 1,
+                   CAST([] AS DOUBLE[]), [abs(xs[1] - ys[1])]
+            FROM pr
+            UNION ALL
+            SELECT type_a, type_b, xs, ys, n, m,
+                   CASE WHEN j < m THEN i ELSE i + 1 END,
+                   CASE WHEN j < m THEN j + 1 ELSE 1 END,
+                   CASE WHEN j < m THEN prev ELSE curp END,
+                   list_append(
+                       CASE WHEN j < m THEN curp
+                            ELSE CAST([] AS DOUBLE[]) END,
+                       abs(xs[CASE WHEN j < m THEN i ELSE i + 1 END]
+                           - ys[CASE WHEN j < m THEN j + 1 ELSE 1 END])
+                       + least(
+                           coalesce(
+                               (CASE WHEN j < m THEN prev ELSE curp END)
+                               [CASE WHEN j < m THEN j + 1 ELSE 1 END],
+                               1e308),
+                           CASE WHEN j < m
+                                THEN coalesce(prev[j], 1e308)
+                                ELSE 1e308 END,
+                           CASE WHEN j < m
+                                THEN coalesce(curp[j], 1e308)
+                                ELSE 1e308 END))
+            FROM dp WHERE NOT (i = n AND j = m)
+        )
+        SELECT type_a, type_b,
+               CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+               round(curp[m] + 1e-9, 6) AS dtw,
+               round(curp[m] / (n + m) + 1e-9, 6) AS dtw_per_step
+        FROM dp WHERE i = n AND j = m
+    """,
+    description="Dynamic-time-warping distance between every pair of "
+    "event-type daily series (L1 cost): the shape-similarity measure "
+    "for series that drift out of phase, where ks_test/acf see only "
+    "marginals. A 2-D non-associative DP -> the mapInPandas escape "
+    "hatch on the PAIRED array table (corpus collapses to one "
+    "calendar-bounded array per series first; each pair is one O(n*m) "
+    "loop over two 30-point arrays). The oracle replays the identical "
+    "DP as a cell-stepping recursive CTE carrying (prev row, current "
+    "row prefix) as lists — every dp cell is parent + cost in the "
+    "same order, so distances are bit-reproducible cross-engine "
+    "(holt_forecast's exactness standard, extended to 2-D recurrences)",
+)
+def q_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.round(F.avg("value") + F.lit(1e-9), 6).alias("y"))
+    )
+    srt = (
+        daily.groupBy("event_type")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("day", "y"))).alias("s")
+        )
+        .select("event_type", F.col("s.y").alias("ys"))
+    )
+    out = R.dtw_pairs(srt, "event_type", "ys")
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        F.round(F.col("dtw") + F.lit(1e-9), 6).alias("dtw"),
+        F.round(
+            F.col("dtw") / (F.col("n_a") + F.col("n_b")) + F.lit(1e-9), 6
+        ).alias("dtw_per_step"),
+    )
+
+
+@register(
+    "graph_hops",
+    oracle="""
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey != b.l_partkey
+        ), seed AS (
+            SELECT min(src) AS node FROM e
+        ), bfs(node, dist) AS (
+            SELECT node, 0 FROM seed
+            UNION
+            SELECT e.dst, bfs.dist + 1
+            FROM bfs JOIN e ON e.src = bfs.node
+            WHERE bfs.dist < 4
+        )
+        SELECT node AS part, CAST(min(dist) AS BIGINT) AS hops
+        FROM bfs GROUP BY node
+    """,
+    description="BFS hop distance over the co-purchase graph from the "
+    "lowest co-purchased part (capped at 4 hops): the "
+    "reachability/radius primitive under copurchase_pagerank and "
+    "triangle_count. The engine runs level-synchronous BFS — one "
+    "frontier-edges equi-join + anti-join per round, rounds = "
+    "min(diameter, 4), frontiers persisted so lineage stays flat; at "
+    "100 TB this is the standard Pregel-style iteration with state "
+    "linear in reached nodes. The oracle replays the (node, dist) "
+    "closure with a recursive CTE and min-aggregates after (SQL "
+    "recursion cannot maintain a visited set — bounded here by "
+    "nodes x 5 rows)",
+)
+def q_graph_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    from kafka_streams_homework_spark.operators.graph import bfs_hops
+
+    edges = tracked_persist(edges)
+    seed = edges.agg(F.min("src").alias("node"))
+    out = bfs_hops(edges, seed, 4)
+    return out.select(F.col("node").alias("part"), F.col("hops"))
+
+
+@register(
     "markov_transitions",
     oracle="""
         WITH s AS (

@@ -2356,3 +2356,81 @@ def test_stratified_ate_python_replay(spark):
         assert abs(r.diff - 3.0) < 2e-6
         assert abs(r.weight - 0.25) < 1e-9
         assert abs(r.ate_overall - 3.0) < 2e-6
+
+
+def test_dtw_distance_identity_and_known_warp(spark):
+    """Two series: 'aa' == 'ab' pointwise (DTW 0 would need equal
+    types, so instead 'ab' is a 1-step lag of 'aa') — the planted DP
+    is replayed in Python; identical series give DTW = 0."""
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import datetime as dtm
+    import math
+    import shutil
+    import tempfile
+
+    t0 = dtm.datetime(2024, 7, 1, 0, 0)
+    series = {"aa": [1.0, 2.0, 3.0, 4.0], "ab": [1.0, 1.0, 2.0, 3.0],
+              "ac": [1.0, 2.0, 3.0, 4.0]}
+    rows, eid = [], 0
+    for etype, ys in series.items():
+        for i, y in enumerate(ys):
+            eid += 1
+            rows.append((eid, 1, t0 + dtm.timedelta(days=i), etype, y))
+
+    def dtw_ref(xs, ys):
+        n, m = len(xs), len(ys)
+        inf = math.inf
+        dp_prev = None
+        for i in range(1, n + 1):
+            dp_cur = [0.0] * (m + 1)
+            for j in range(1, m + 1):
+                c = abs(xs[i - 1] - ys[j - 1])
+                if i == 1 and j == 1:
+                    dp_cur[j] = c
+                    continue
+                up = dp_prev[j] if i > 1 else inf
+                diag = dp_prev[j - 1] if (i > 1 and j > 1) else inf
+                left = dp_cur[j - 1] if j > 1 else inf
+                dp_cur[j] = c + min(up, diag, left)
+            dp_prev = dp_cur
+        return dp_prev[m]
+
+    d = tempfile.mkdtemp(prefix="dtw_")
+    try:
+        _write_events(spark, rows, d)
+        out = {
+            (r.type_a, r.type_b): r
+            for r in REGISTRY["dtw_distance"].fn(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert set(out) == {("aa", "ab"), ("aa", "ac"), ("ab", "ac")}
+    # identical series -> zero distance
+    assert out[("aa", "ac")].dtw == 0.0
+    for (a, b), r in out.items():
+        expect = dtw_ref(series[a], series[b])
+        assert abs(r.dtw - expect) < 2e-6, (a, b)
+        assert (r.n_a, r.n_b) == (len(series[a]), len(series[b]))
+    # the lagged pair warps cheaply: far below the pointwise L1 sum
+    l1 = sum(abs(x - y) for x, y in zip(series["aa"], series["ab"]))
+    assert out[("aa", "ab")].dtw < l1
+
+
+def test_graph_hops_chain_cap(spark):
+    """Part chain 1-2-...-7 via 2-part orders: hops count up from the
+    min part; the 4-hop cap drops parts 6 (dist 5) and 7 (dist 6)."""
+    from kafka_streams_homework_spark import queries as Q
+    import os
+    import tempfile
+
+    rows = []
+    for i in range(1, 7):  # orders (1,2) (2,3) ... (6,7)
+        rows += [(i, i), (i, i + 1)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        out = {
+            r.part: r.hops
+            for r in Q.queries()["graph_hops"](spark, d).collect()
+        }
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
