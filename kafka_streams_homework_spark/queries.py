@@ -7721,6 +7721,545 @@ def q_graph_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmv_overlap",
+    oracle="""
+        WITH u AS (
+            SELECT DISTINCT event_type,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       ::BIGINT / 4294967296.0 AS u
+            FROM events
+        ), r AS (
+            SELECT event_type, u,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY u) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n_set
+            FROM u
+        ), sk AS (
+            SELECT * FROM r WHERE rn <= 64
+        ), th AS (
+            SELECT event_type,
+                   CASE WHEN max(n_set) >= 64 THEN max(u)
+                        ELSE 1.0 END AS theta,
+                   CASE WHEN max(n_set) >= 64 THEN 63.0 / max(u)
+                        ELSE max(n_set)::DOUBLE END AS est
+            FROM sk GROUP BY event_type
+        ), pr AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   least(a.theta, b.theta) AS theta,
+                   a.est AS est_a, b.est AS est_b
+            FROM th a JOIN th b ON a.event_type < b.event_type
+        ), com AS (
+            SELECT pr.type_a, pr.type_b, count(*) AS n_common
+            FROM pr
+            JOIN sk x ON x.event_type = pr.type_a AND x.u < pr.theta
+            JOIN sk y ON y.event_type = pr.type_b AND y.u = x.u
+            GROUP BY 1, 2
+        ), ex AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS exact_intersection
+            FROM u a JOIN u b
+              ON a.u = b.u AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT pr.type_a, pr.type_b,
+               CAST(coalesce(com.n_common, 0) AS BIGINT) AS n_common,
+               round(pr.theta, 6) AS theta,
+               round(pr.est_a, 2) AS est_a,
+               round(pr.est_b, 2) AS est_b,
+               round(coalesce(com.n_common, 0) / pr.theta, 2)
+                   AS est_intersection,
+               round(coalesce(com.n_common, 0) / pr.theta
+                     / (pr.est_a + pr.est_b
+                        - coalesce(com.n_common, 0) / pr.theta)
+                     + 1e-9, 6) AS est_jaccard,
+               CAST(coalesce(ex.exact_intersection, 0) AS BIGINT)
+                   AS exact_intersection
+        FROM pr
+        LEFT JOIN com USING (type_a, type_b)
+        LEFT JOIN ex USING (type_a, type_b)
+    """,
+    description="Theta-sketch audience overlap between every pair of "
+    "event-type user sets: each set keeps its k=64 minimum "
+    "md5-fraction hashes (bounded state per set, mergeable — the "
+    "sketch shape that lets 100 TB of per-segment audiences intersect "
+    "without co-shuffling raw ids), pair estimates use theta = "
+    "min(theta_a, theta_b) and |{common hashes < theta}|/theta, "
+    "Jaccard by inclusion-exclusion; the exact intersection rides "
+    "along so the estimate's error is itself driver-visible. Like "
+    "kmv_distinct the hashes are engine-portable, so the ESTIMATES "
+    "are deterministic and oracle-hash-checked — the sketch family's "
+    "second exact-twin member",
+)
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    u = events.select(
+        "event_type",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("u")
+    wn = Window.partitionBy("event_type")
+    r = u.select(
+        "event_type",
+        "u",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_set"),
+    )
+    sk = r.filter(F.col("rn") <= 64)
+    th = sk.groupBy("event_type").agg(
+        F.when(F.max("n_set") >= 64, F.max("u"))
+        .otherwise(F.lit(1.0))
+        .alias("theta"),
+        F.when(F.max("n_set") >= 64, F.lit(63.0) / F.max("u"))
+        .otherwise(F.max("n_set").cast("double"))
+        .alias("est"),
+    )
+    a = th.select(
+        F.col("event_type").alias("type_a"),
+        F.col("theta").alias("ta"),
+        F.col("est").alias("est_a"),
+    )
+    b = th.select(
+        F.col("event_type").alias("type_b"),
+        F.col("theta").alias("tb"),
+        F.col("est").alias("est_b"),
+    )
+    pr = a.join(b, F.col("type_a") < F.col("type_b")).select(
+        "type_a",
+        "type_b",
+        F.least("ta", "tb").alias("theta"),
+        "est_a",
+        "est_b",
+    )
+    x = sk.select(F.col("event_type").alias("type_a"), F.col("u").alias("ux"))
+    y = sk.select(F.col("event_type").alias("yt"), F.col("u").alias("uy"))
+    com = (
+        pr.join(x, ["type_a"])
+        .filter(F.col("ux") < F.col("theta"))
+        .join(
+            y,
+            (F.col("type_b") == F.col("yt")) & (F.col("uy") == F.col("ux")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ua = u.select(F.col("event_type").alias("type_a"), F.col("u").alias("ux"))
+    ub = u.select(F.col("event_type").alias("type_b"), F.col("u").alias("uy"))
+    ex = (
+        ua.join(
+            ub,
+            (F.col("ux") == F.col("uy"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    est_i = nc / F.col("theta")
+    return (
+        pr.join(com, ["type_a", "type_b"], "left")
+        .join(ex, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            nc.cast("bigint").alias("n_common"),
+            F.round(F.col("theta"), 6).alias("theta"),
+            F.round(F.col("est_a"), 2).alias("est_a"),
+            F.round(F.col("est_b"), 2).alias("est_b"),
+            F.round(est_i, 2).alias("est_intersection"),
+            F.round(
+                est_i / (F.col("est_a") + F.col("est_b") - est_i)
+                + F.lit(1e-9),
+                6,
+            ).alias("est_jaccard"),
+            F.coalesce(F.col("exact_intersection"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_intersection"),
+        )
+    )
+
+
+@register(
+    "rake_keywords",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok
+            FROM documents
+        ), tk0 AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(tok)),
+                          i -> {{'i': i, 'w': tok[i]}})) AS s
+            FROM t
+        ), tk AS (
+            SELECT doc_id, s.i AS i, s.w AS w FROM tk0
+        ), cand AS (
+            SELECT doc_id, i, w,
+                   i - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY i) AS grp
+            FROM tk
+            WHERE w != '' AND w NOT IN ('{_STOPWORD_SQL}')
+        ), ph AS (
+            SELECT doc_id, grp, count(*) AS plen,
+                   string_agg(w, ' ' ORDER BY i) AS phrase
+            FROM cand GROUP BY 1, 2
+        ), wst AS (
+            SELECT c.doc_id, c.w,
+                   count(*) AS freq, sum(p.plen) AS deg
+            FROM cand c JOIN ph p USING (doc_id, grp)
+            GROUP BY 1, 2
+        ), ps AS (
+            SELECT c.doc_id, c.grp,
+                   round(sum(s.deg::DOUBLE / s.freq) + 1e-9, 6) AS score
+            FROM cand c JOIN wst s ON s.doc_id = c.doc_id AND s.w = c.w
+            GROUP BY 1, 2
+        ), uniq AS (
+            SELECT p.doc_id, p.phrase,
+                   max(p.plen) AS phrase_len, max(ps.score) AS score
+            FROM ph p JOIN ps ON ps.doc_id = p.doc_id AND ps.grp = p.grp
+            GROUP BY 1, 2
+        )
+        SELECT doc_id, phrase,
+               CAST(phrase_len AS BIGINT) AS phrase_len, score,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, phrase) AS rank
+            FROM uniq
+        ) WHERE rank <= 3
+    """,
+    description="RAKE keyword extraction, top-3 phrases per document: "
+    "candidate phrases are maximal stopword-free token runs (the "
+    "gaps-and-islands index-minus-row_number device, same as "
+    "activity_streaks), per-doc word stats freq(w) and degree(w) = "
+    "sum of lengths of phrases containing each occurrence, phrase "
+    "score = sum of deg/freq over its words — the classic "
+    "co-occurrence keyword scorer, expressed as three grouped joins "
+    "with no UDF. Scores are rounded before the rank and ties break "
+    "on phrase text, so the top-3 cut is engine-identical; all "
+    "shuffles are doc-keyed (the corpus never leaves its document "
+    "partitioning)",
+)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("tok")
+    )
+    tk = t.select(
+        "doc_id", F.posexplode("tok").alias("i0", "w")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "w")
+    cand = (
+        tk.filter((F.col("w") != "") & ~F.col("w").isin(*T.EN_STOPWORDS))
+        .withColumn(
+            "grp",
+            F.col("i")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("i")
+            ),
+        )
+    )
+    ph = cand.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("plen"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("i", "w"))).getField("w"),
+            " ",
+        ).alias("phrase"),
+    )
+    wst = (
+        cand.join(ph.select("doc_id", "grp", "plen"), ["doc_id", "grp"])
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+    )
+    ps = (
+        cand.join(wst, ["doc_id", "w"])
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.round(
+                F.sum(F.col("deg").cast("double") / F.col("freq"))
+                + F.lit(1e-9),
+                6,
+            ).alias("score")
+        )
+    )
+    uniq = (
+        ph.join(ps, ["doc_id", "grp"])
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.max("plen").alias("phrase_len"), F.max("score").alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "phrase"
+    )
+    return (
+        uniq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "phrase",
+            F.col("phrase_len").cast("bigint").alias("phrase_len"),
+            "score",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+@register(
+    "phrase_search",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok
+            FROM documents WHERE len(str_split(lower(text), ' ')) >= 2
+        ), bg0 AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(tok) - 1),
+                          i -> {'w1': tok[i], 'w2': tok[i + 1]})) AS p
+            FROM t
+        ), bg AS (
+            SELECT doc_id, p.w1 || ' ' || p.w2 AS bigram
+            FROM bg0 WHERE p.w1 != '' AND p.w2 != ''
+        ), top AS (
+            SELECT bigram FROM (
+                SELECT bigram, count(*) AS c FROM bg GROUP BY 1
+            ) ORDER BY c DESC, bigram LIMIT 1
+        )
+        SELECT b.doc_id, b.bigram AS phrase,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM bg b JOIN top USING (bigram)
+        GROUP BY 1, 2
+    """,
+    description="Exact phrase (adjacent-bigram) search: the corpus's "
+    "most frequent bigram is derived first (count desc, text "
+    "tiebreak — deterministic), then every document containing it is "
+    "returned with its occurrence count — the positional-adjacency "
+    "retrieval primitive the flat inverted_index cannot answer. One "
+    "doc-partitioned bigram explode feeds both the global top-1 agg "
+    "(broadcast back) and the match scan; at 100 TB the phrase "
+    "postings join replaces the explode-side rescan",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("tok")
+    ).filter(F.size("tok") >= 2)
+    bg = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tok) - 1),"
+                    " i -> concat(tok[i - 1], ' ', tok[i]))"
+                )
+            ).alias("bigram"),
+        )
+        .filter(
+            (F.substring_index("bigram", " ", 1) != "")
+            & (F.substring_index("bigram", " ", -1) != "")
+        )
+    )
+    top = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "bigram")
+        .limit(1)
+        .select("bigram")
+    )
+    return (
+        bg.join(F.broadcast(top), "bigram")
+        .groupBy("doc_id", F.col("bigram").alias("phrase"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .select("doc_id", "phrase", "n_occurrences")
+    )
+
+
+@register(
+    "decayed_leaderboard",
+    oracle="""
+        WITH b AS (
+            SELECT epoch(date_trunc('second', max(ts))) AS tmax
+            FROM events
+        ), s AS (
+            SELECT user_id,
+                   count(*) AS n_events,
+                   round(sum(exp(-0.099021025794278
+                                 * (b.tmax
+                                    - epoch(date_trunc('second', ts)))
+                                 / 86400.0)) + 1e-9, 6) AS decayed_score
+            FROM events, b GROUP BY user_id, b.tmax
+        )
+        SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+               decayed_score, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY decayed_score DESC, user_id) AS rank
+            FROM s
+        ) WHERE rank <= 20
+    """,
+    description="Exponentially time-decayed activity leaderboard "
+    "(7-day half-life, lambda = ln2/7 as a shared literal): each "
+    "event contributes exp(-lambda * age_days) against the corpus "
+    "max-timestamp anchor, so recent activity dominates without any "
+    "window cutoff — the freshness-weighted ranking a trending/"
+    "engagement surface runs. Timestamps floor to whole seconds on "
+    "both engines (nanos-vs-epoch parity), the per-user sum is one "
+    "partial-aggregable pass, and the top-20 cut ranks the ROUNDED "
+    "score with user_id ties — TakeOrdered, no global sort",
+)
+def q_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    b = events.agg(
+        F.unix_timestamp(F.date_trunc("second", F.max("ts"))).alias("tmax")
+    )
+    s = (
+        events.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(
+                    F.exp(
+                        F.lit(-0.099021025794278)
+                        * (
+                            F.col("tmax")
+                            - F.unix_timestamp(
+                                F.date_trunc("second", F.col("ts"))
+                            )
+                        )
+                        / F.lit(86400.0)
+                    )
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("decayed_score"),
+        )
+    )
+    w = Window.orderBy(F.col("decayed_score").desc(), "user_id")
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "decayed_score",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+@register(
+    "sprt_monitor",
+    oracle="""
+        WITH tr AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   count(*) AS n_trials,
+                   SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS n_success
+            FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+              AND ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+                  % 2 = 1
+            GROUP BY 1
+        ), l AS (
+            SELECT day, n_trials, n_success,
+                   round(n_success * 0.22314355131420976
+                         + (n_trials - n_success)
+                           * (-0.1823215567939546) + 1e-9, 6) AS llr_day
+            FROM tr
+        ), c AS (
+            SELECT day, n_trials, n_success, llr_day,
+                   round(CAST(sum(CAST(llr_day AS DECIMAL(18,6)))
+                              OVER (ORDER BY day) AS DOUBLE) + 1e-9, 6)
+                       AS llr_cum
+            FROM l
+        )
+        SELECT day, CAST(n_trials AS BIGINT) AS n_trials,
+               CAST(n_success AS BIGINT) AS n_success,
+               llr_day, llr_cum,
+               CASE WHEN llr_cum >= 2.944439 THEN 'reject_h0'
+                    WHEN llr_cum <= -2.944439 THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM c
+    """,
+    description="Sequential probability ratio test monitor (Wald "
+    "SPRT, H0 p=0.4 vs H1 p=0.5, alpha=beta=0.05): daily "
+    "success/trial counts in the md5-coin treatment arm accumulate a "
+    "log-likelihood ratio whose boundary crossings give the "
+    "early-stopping decision — the always-valid sibling of the "
+    "fixed-horizon welch/cuped readouts. LLR coefficients ln(p1/p0) "
+    "and ln((1-p1)/(1-p0)) are shared literals, day terms are "
+    "rounded then accumulated in DECIMAL (round-before-cumsum), and "
+    "the +/-ln(19) thresholds compare against the ROUNDED cumulative "
+    "so the decision string is engine-identical. State is one row "
+    "per calendar day",
+)
+def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    tr = (
+        events.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+            & (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+                == 1
+            )
+        )
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_trials"),
+            F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).alias(
+                "n_success"
+            ),
+        )
+    )
+    l = tr.withColumn(
+        "llr_day",
+        F.round(
+            F.col("n_success") * F.lit(0.22314355131420976)
+            + (F.col("n_trials") - F.col("n_success"))
+            * F.lit(-0.1823215567939546)
+            + F.lit(1e-9),
+            6,
+        ),
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = l.withColumn(
+        "llr_cum",
+        F.round(
+            F.sum(F.col("llr_day").cast("decimal(18,6)"))
+            .over(w)
+            .cast("double")
+            + F.lit(1e-9),
+            6,
+        ),
+    )
+    return c.select(
+        "day",
+        F.col("n_trials").cast("bigint").alias("n_trials"),
+        F.col("n_success").cast("bigint").alias("n_success"),
+        "llr_day",
+        "llr_cum",
+        F.when(F.col("llr_cum") >= 2.944439, "reject_h0")
+        .when(F.col("llr_cum") <= -2.944439, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+
+
+@register(
     "markov_transitions",
     oracle="""
         WITH s AS (

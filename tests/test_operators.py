@@ -2434,3 +2434,167 @@ def test_graph_hops_chain_cap(spark):
             for r in Q.queries()["graph_hops"](spark, d).collect()
         }
     assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_kmv_overlap_small_sets_exact(spark):
+    """Sets below the sketch size k=64 keep every hash (theta = 1), so
+    the 'estimate' degenerates to the exact overlap: 5 shared users of
+    10+10 -> intersection 5, Jaccard 5/15."""
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import datetime as dtm
+    import shutil
+    import tempfile
+
+    t0 = dtm.datetime(2024, 7, 1)
+    rows, eid = [], 0
+    for u in range(1, 11):       # x: users 1..10
+        eid += 1
+        rows.append((eid, u, t0, "x", 1.0))
+    for u in range(6, 16):       # y: users 6..15 (share 6..10)
+        eid += 1
+        rows.append((eid, u, t0, "y", 1.0))
+    d = tempfile.mkdtemp(prefix="kmv_")
+    try:
+        _write_events(spark, rows, d)
+        (r,) = REGISTRY["kmv_overlap"].fn(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert (r.type_a, r.type_b) == ("x", "y")
+    assert r.theta == 1.0
+    assert r.exact_intersection == 5 and r.n_common == 5
+    assert r.est_intersection == 5.0
+    assert abs(r.est_jaccard - 5.0 / 15.0) < 2e-6
+
+
+def test_kmv_overlap_large_sets_estimates(spark):
+    """Sets above k=64 truncate to sketches: the estimate is no longer
+    exact but must stay in a sane band around the true 50-user overlap
+    of 100+100-user sets."""
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import datetime as dtm
+    import shutil
+    import tempfile
+
+    t0 = dtm.datetime(2024, 7, 1)
+    rows, eid = [], 0
+    for u in range(1, 101):      # x: users 1..100
+        eid += 1
+        rows.append((eid, u, t0, "x", 1.0))
+    for u in range(51, 151):     # y: users 51..150
+        eid += 1
+        rows.append((eid, u, t0, "y", 1.0))
+    d = tempfile.mkdtemp(prefix="kmv2_")
+    try:
+        _write_events(spark, rows, d)
+        (r,) = REGISTRY["kmv_overlap"].fn(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert r.exact_intersection == 50
+    assert r.theta < 1.0 and r.n_common <= 64
+    assert 20.0 <= r.est_intersection <= 90.0
+    assert 0.05 <= r.est_jaccard <= 0.6
+
+
+def test_rake_keywords_hand_scored_doc(spark):
+    """'deep learning is the best deep learning': phrase degrees and
+    frequencies are hand-computable — 'best deep learning' scores
+    3 + 2.5 + 2.5 = 8 over 'deep learning' at 2.5 + 2.5 = 5."""
+    from kafka_streams_homework_spark import queries as Q
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(1, "deep learning is the best deep learning")],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.rank: r for r in
+               Q.queries()["rake_keywords"](spark, d).collect()}
+    assert out[1].phrase == "best deep learning"
+    assert abs(out[1].score - 8.0) < 2e-6 and out[1].phrase_len == 3
+    assert out[2].phrase == "deep learning"
+    assert abs(out[2].score - 5.0) < 2e-6 and out[2].phrase_len == 2
+    assert len(out) == 2
+
+
+def test_phrase_search_top_bigram_counts(spark):
+    """Bigram 'a b' wins 3-2 over 'b a'; per-doc occurrence counts."""
+    from kafka_streams_homework_spark import queries as Q
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "a b"), (4, "c")],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.doc_id: r for r in
+               Q.queries()["phrase_search"](spark, d).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].phrase == "a b" and out[1].n_occurrences == 2
+    assert out[3].n_occurrences == 1
+
+
+def test_decayed_leaderboard_half_life(spark):
+    """One event at the anchor scores 1.0; one exactly 7 days earlier
+    scores the 0.5 half-life weight."""
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import datetime as dtm
+    import shutil
+    import tempfile
+
+    t0 = dtm.datetime(2024, 7, 8)
+    rows = [
+        (1, 1, t0, "view", 1.0),
+        (2, 2, t0 - dtm.timedelta(days=7), "view", 1.0),
+    ]
+    d = tempfile.mkdtemp(prefix="decay_")
+    try:
+        _write_events(spark, rows, d)
+        out = {r.rank: r for r in
+               REGISTRY["decayed_leaderboard"].fn(spark, d).collect()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert out[1].user_id == 1 and out[1].decayed_score == 1.0
+    assert out[2].user_id == 2 and abs(out[2].decayed_score - 0.5) < 2e-6
+
+
+def test_sprt_monitor_crosses_reject_boundary(spark):
+    """All-success days in the treated arm push the LLR up by
+    ~2.2314/day (10 successes x ln(1.25)); the cumulative crosses the
+    +ln(19) boundary on day 2 and the decision flips to reject_h0."""
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import datetime as dtm
+    import hashlib
+    import shutil
+    import tempfile
+
+    coin = lambda uid: int(
+        hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+    treated = [u for u in range(1, 40) if coin(u) == 1][:10]
+    t0 = dtm.datetime(2024, 7, 1)
+    rows, eid = [], 0
+    for day in range(3):
+        for u in treated:
+            eid += 1
+            rows.append(
+                (eid, u, t0 + dtm.timedelta(days=day), "purchase", 90.0)
+            )
+    d = tempfile.mkdtemp(prefix="sprt_")
+    try:
+        _write_events(spark, rows, d)
+        out = sorted(
+            REGISTRY["sprt_monitor"].fn(spark, d).collect(),
+            key=lambda r: r.day,
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert [r.n_trials for r in out] == [10, 10, 10]
+    assert [r.n_success for r in out] == [10, 10, 10]
+    assert abs(out[0].llr_day - 2.231436) < 2e-6
+    assert out[0].decision == "continue"
+    assert out[1].decision == "reject_h0"
+    assert out[2].decision == "reject_h0"
+    assert abs(out[1].llr_cum - 2 * 2.231436) < 1e-5
