@@ -8260,6 +8260,349 @@ def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_median",
+    oracle="""
+        WITH g AS (
+            SELECT l_returnflag AS flag, l_quantity AS qty,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS w,
+                   count(*) AS c
+            FROM lineitem GROUP BY 1, 2
+        ), cum AS (
+            SELECT flag, qty, c,
+                   SUM(w) OVER (PARTITION BY flag ORDER BY qty) AS cw,
+                   SUM(w) OVER (PARTITION BY flag) AS tw,
+                   SUM(c) OVER (PARTITION BY flag) AS n
+            FROM g
+        )
+        SELECT flag, min(qty) AS weighted_median,
+               CAST(max(tw) AS DOUBLE) AS total_weight,
+               CAST(max(n) AS BIGINT) AS n
+        FROM cum WHERE 2 * cw >= tw
+        GROUP BY flag
+    """,
+    description="Exact revenue-weighted median quantity per return "
+    "flag: the 50%-of-weight crossing point over the per-DISTINCT-"
+    "value weight distribution (distinct-first discipline — the "
+    "ordered cumulative runs over ~50 quantity rows per flag, never "
+    "corpus rows). Weights accumulate in DECIMAL(18,2) so the "
+    "crossing comparison 2*cum >= total is integer-exact on both "
+    "engines — no float threshold anywhere. The weighted sibling of "
+    "value_percentiles for 'median order size by dollars, not rows'",
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("qty"),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("w"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    wc = Window.partitionBy("flag").orderBy("qty")
+    wt = Window.partitionBy("flag")
+    cum = g.select(
+        "flag",
+        "qty",
+        "c",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+        F.sum("c").over(wt).alias("n"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("qty").alias("weighted_median"),
+            F.max("tw").cast("double").alias("total_weight"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+@register(
+    "cmh_test",
+    oracle="""
+        WITH p AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+                       % 2 AS arm,
+                   CASE WHEN value > 50 THEN 1 ELSE 0 END AS succ
+            FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+        ), s AS (
+            SELECT day,
+                   SUM(CASE WHEN arm = 1 AND succ = 1
+                            THEN 1 ELSE 0 END) AS a,
+                   SUM(CASE WHEN arm = 1 AND succ = 0
+                            THEN 1 ELSE 0 END) AS b,
+                   SUM(CASE WHEN arm = 0 AND succ = 1
+                            THEN 1 ELSE 0 END) AS c,
+                   SUM(CASE WHEN arm = 0 AND succ = 0
+                            THEN 1 ELSE 0 END) AS d
+            FROM p GROUP BY day
+            HAVING SUM(1) >= 2
+        ), terms AS (
+            SELECT a, b, c, d, (a + b + c + d)::DOUBLE AS t,
+                   (a + b)::DOUBLE AS n1, (c + d)::DOUBLE AS n0,
+                   (a + c)::DOUBLE AS m1, (b + d)::DOUBLE AS m0
+            FROM s
+        ), agg AS (
+            SELECT count(*) AS k_strata,
+                   CAST(SUM(a) AS BIGINT) AS sum_a,
+                   SUM(n1 * m1 / t) AS sum_e,
+                   SUM(n1 * n0 * m1 * m0 / (t * t * (t - 1))) AS var_s,
+                   SUM(a * d / t) AS orn,
+                   SUM(b * c / t) AS ord_
+            FROM terms
+        )
+        SELECT CAST(k_strata AS BIGINT) AS k_strata, sum_a,
+               round(sum_e + 1e-9, 6) AS sum_expected,
+               round(var_s + 1e-9, 6) AS var_sum,
+               round((sum_a - sum_e) * (sum_a - sum_e) / var_s + 1e-9, 6)
+                   AS cmh_chi2,
+               round(orn / ord_ + 1e-9, 6) AS mh_odds_ratio
+        FROM agg
+    """,
+    description="Cochran-Mantel-Haenszel stratified 2x2xK test (arm x "
+    "conversion across day strata) with the Mantel-Haenszel pooled "
+    "odds ratio: the categorical companion of stratified_ate — "
+    "controls day-level confounding a pooled chi-square would absorb "
+    "(Simpson guard). One grouped count produces the K contingency "
+    "tables; expectation/variance/OR terms are rationals of integer "
+    "counts (identical doubles cross-engine) summed over ~30 strata "
+    "inside the 1e-9 nudge. Arms are the md5 user coin, conversion "
+    "the value>50 cut shared with sprt_monitor",
+)
+def q_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    p = events.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.date_trunc("day", "ts").alias("day"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("succ"),
+    )
+    s = (
+        p.groupBy("day")
+        .agg(
+            F.sum(
+                F.when((F.col("arm") == 1) & (F.col("succ") == 1), 1)
+                .otherwise(0)
+            ).alias("a"),
+            F.sum(
+                F.when((F.col("arm") == 1) & (F.col("succ") == 0), 1)
+                .otherwise(0)
+            ).alias("b"),
+            F.sum(
+                F.when((F.col("arm") == 0) & (F.col("succ") == 1), 1)
+                .otherwise(0)
+            ).alias("c"),
+            F.sum(
+                F.when((F.col("arm") == 0) & (F.col("succ") == 0), 1)
+                .otherwise(0)
+            ).alias("d"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") >= 2)
+    )
+    t = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    n1 = (F.col("a") + F.col("b")).cast("double")
+    n0 = (F.col("c") + F.col("d")).cast("double")
+    m1 = (F.col("a") + F.col("c")).cast("double")
+    m0 = (F.col("b") + F.col("d")).cast("double")
+    agg = s.agg(
+        F.count(F.lit(1)).alias("k_strata"),
+        F.sum("a").cast("bigint").alias("sum_a"),
+        F.sum(n1 * m1 / t).alias("sum_e"),
+        F.sum(n1 * n0 * m1 * m0 / (t * t * (t - 1))).alias("var_s"),
+        F.sum(F.col("a") * F.col("d") / t).alias("orn"),
+        F.sum(F.col("b") * F.col("c") / t).alias("ord_"),
+    )
+    return agg.select(
+        F.col("k_strata").cast("bigint").alias("k_strata"),
+        "sum_a",
+        F.round(F.col("sum_e") + F.lit(1e-9), 6).alias("sum_expected"),
+        F.round(F.col("var_s") + F.lit(1e-9), 6).alias("var_sum"),
+        F.round(
+            (F.col("sum_a") - F.col("sum_e"))
+            * (F.col("sum_a") - F.col("sum_e"))
+            / F.col("var_s")
+            + F.lit(1e-9),
+            6,
+        ).alias("cmh_chi2"),
+        F.round(F.col("orn") / F.col("ord_") + F.lit(1e-9), 6).alias(
+            "mh_odds_ratio"
+        ),
+    )
+
+
+@register(
+    "winnow_fingerprints",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok
+            FROM documents WHERE len(str_split(lower(text), ' ')) >= 3
+        ), kg AS (
+            SELECT doc_id, s.i AS pos,
+                   ('0x' || substr(md5(s.g), 1, 8))::BIGINT AS h
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(tok) - 2),
+                           i -> {'i': i, 'g': tok[i] || ' ' || tok[i+1]
+                                 || ' ' || tok[i+2]})) AS s
+                FROM t
+            )
+        ), nk AS (
+            SELECT doc_id, count(*) AS n_kgrams FROM kg GROUP BY 1
+        ), wmin AS (
+            SELECT doc_id, pos AS wstart,
+                   min(h) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                   ) AS minh
+            FROM kg
+        ), w4 AS (
+            SELECT w.doc_id, w.wstart, w.minh
+            FROM wmin w JOIN nk USING (doc_id)
+            WHERE w.wstart <= nk.n_kgrams - 3
+        ), sel AS (
+            SELECT DISTINCT k.doc_id, k.h AS fp,
+                   max(k.pos) OVER (
+                       PARTITION BY k.doc_id, w.wstart) AS pos
+            FROM w4 w JOIN kg k
+              ON k.doc_id = w.doc_id AND k.h = w.minh
+             AND k.pos BETWEEN w.wstart AND w.wstart + 3
+        )
+        SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
+        FROM sel
+    """,
+    description="MOSS-style robust winnowing fingerprints: 3-word "
+    "shingles hash to portable md5 values, every window of 4 "
+    "consecutive k-grams selects its minimum hash (ties -> rightmost "
+    "position, the robust-winnowing rule), selections dedupe to the "
+    "document's fingerprint set — the guaranteed-coverage sampler "
+    "(any shared run >= 6 words shares a fingerprint) that turns "
+    "doc_fingerprint's single rolling hash into a localized-match "
+    "sketch. Window min is one doc-partitioned frame scan; the "
+    "tie-break join fans out x4 bounded. Fingerprint sets are "
+    "hash-exact cross-engine",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("tok")
+    ).filter(F.size("tok") >= 3)
+    kg = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(tok) - 2),"
+                " i -> concat(tok[i - 1], ' ', tok[i], ' ', tok[i + 1]))"
+            )
+        ).alias("p0", "g"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    nk = kg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_kgrams"))
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, 3)
+    )
+    wmin = kg.select(
+        "doc_id",
+        F.col("pos").alias("wstart"),
+        F.min("h").over(wf).alias("minh"),
+    )
+    w4 = wmin.join(F.broadcast(nk), "doc_id").filter(
+        F.col("wstart") <= F.col("n_kgrams") - 3
+    )
+    k2 = kg.select(
+        F.col("doc_id").alias("kd"),
+        F.col("pos").alias("kpos"),
+        F.col("h").alias("kh"),
+    )
+    sel = (
+        w4.join(
+            k2,
+            (F.col("kd") == F.col("doc_id"))
+            & (F.col("kh") == F.col("minh"))
+            & F.col("kpos").between(
+                F.col("wstart"), F.col("wstart") + 3
+            ),
+        )
+        .groupBy("doc_id", "wstart", F.col("kh").alias("fp"))
+        .agg(F.max("kpos").alias("pos"))
+    )
+    return sel.select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"), "fp"
+    ).distinct()
+
+
+@register(
+    "feature_hashing",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, unnest(str_split(lower(text), ' ')) AS w
+            FROM documents
+        ), h AS (
+            SELECT doc_id, w,
+                   ('0x' || substr(md5(w), 1, 8))::BIGINT % 32 AS bucket,
+                   CASE WHEN ('0x' || substr(md5(w), 9, 1))::BIGINT % 2
+                             = 0
+                        THEN 1 ELSE -1 END AS sgn
+            FROM t WHERE w != ''
+        )
+        SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+               CAST(SUM(sgn) AS BIGINT) AS feat
+        FROM h GROUP BY 1, 2
+    """,
+    description="Hashing-trick vectorizer (32 buckets, signed): each "
+    "token lands in an md5 bucket with an independent md5 sign bit, "
+    "features are signed counts — the fixed-width, vocabulary-free "
+    "featurization a 100 TB text pipeline uses when a fitted "
+    "vocabulary is either too large or a training-serving skew risk. "
+    "Sparse (doc, bucket) output rows; one token explode + one "
+    "grouped sum, all integers, engine-portable hashes",
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    h = t.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
+            % 32
+        ).alias("bucket"),
+        F.when(
+            F.conv(F.substring(F.md5("w"), 9, 1), 16, 10).cast("bigint")
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    return h.groupBy("doc_id", "bucket").agg(
+        F.sum("sgn").cast("bigint").alias("feat")
+    )
+
+
+@register(
     "markov_transitions",
     oracle="""
         WITH s AS (

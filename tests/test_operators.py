@@ -2598,3 +2598,149 @@ def test_sprt_monitor_crosses_reject_boundary(spark):
     assert out[1].decision == "reject_h0"
     assert out[2].decision == "reject_h0"
     assert abs(out[1].llr_cum - 2 * 2.231436) < 1e-5
+
+
+def test_weighted_median_dollars_not_rows(spark):
+    """Three quantities with one row each but lopsided revenue: the
+    row-median is 2, the revenue-weighted median is 3."""
+    from kafka_streams_homework_spark import queries as Q
+    import os
+    import tempfile
+
+    li = spark.createDataFrame(
+        [("A", 1.0, 10.0), ("A", 2.0, 10.0), ("A", 3.0, 100.0),
+         ("B", 5.0, 1.0), ("B", 6.0, 1.0)],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        out = {r.flag: r for r in
+               Q.queries()["weighted_median"](spark, d).collect()}
+    assert out["A"].weighted_median == 3.0
+    assert out["A"].total_weight == 120.0 and out["A"].n == 3
+    # equal weights -> lower weighted median (2*cw >= tw at qty 5)
+    assert out["B"].weighted_median == 5.0
+
+
+def test_cmh_test_python_replay(spark):
+    """Two planted day strata with hand-built 2x2 tables (arms from
+    the md5 coin): the CMH chi-square and MH odds ratio must match a
+    direct Python evaluation of the textbook formulas."""
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import datetime as dtm
+    import hashlib
+    import shutil
+    import tempfile
+
+    coin = lambda uid: int(
+        hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+    tr = [u for u in range(1, 80) if coin(u) == 1]
+    ct = [u for u in range(1, 80) if coin(u) == 0]
+    t0 = dtm.datetime(2024, 7, 1)
+    # day 0: treated 3 succ / 1 fail, control 1 succ / 3 fail
+    # day 1: treated 2 succ / 2 fail, control 2 succ / 2 fail
+    plan = [((3, 1), (1, 3)), ((2, 2), (2, 2))]
+    rows, eid = [], 0
+    tables = []
+    for day, ((ts_, tf), (cs, cf)) in enumerate(plan):
+        when = t0 + dtm.timedelta(days=day)
+        k = 0
+        for n, users, val in ((ts_, tr, 90.0), (tf, tr, 10.0)):
+            for i in range(n):
+                eid += 1
+                rows.append((eid, users[k], when, "purchase", val))
+                k += 1
+        k = 0
+        for n, users, val in ((cs, ct, 90.0), (cf, ct, 10.0)):
+            for i in range(n):
+                eid += 1
+                rows.append((eid, ct[k], when, "purchase", val))
+                k += 1
+        tables.append((ts_, tf, cs, cf))
+    sum_a = sum(t[0] for t in tables)
+    sum_e = sum((a + b) * (a + c) / (a + b + c + d)
+                for a, b, c, d in tables)
+    var_s = sum((a + b) * (c + d) * (a + c) * (b + d)
+                / ((a + b + c + d) ** 2 * (a + b + c + d - 1))
+                for a, b, c, d in tables)
+    orn = sum(a * d / (a + b + c + d) for a, b, c, d in tables)
+    ord_ = sum(b * c / (a + b + c + d) for a, b, c, d in tables)
+    d = tempfile.mkdtemp(prefix="cmh_")
+    try:
+        _write_events(spark, rows, d)
+        (r,) = REGISTRY["cmh_test"].fn(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert (r.k_strata, r.sum_a) == (2, sum_a)
+    assert abs(r.sum_expected - sum_e) < 2e-6
+    assert abs(r.var_sum - var_s) < 2e-6
+    assert abs(r.cmh_chi2 - (sum_a - sum_e) ** 2 / var_s) < 2e-5
+    assert abs(r.mh_odds_ratio - orn / ord_) < 2e-6
+
+
+def test_winnow_fingerprints_replay_and_coverage(spark):
+    """Python replays robust winnowing (min per 4-window, rightmost
+    tie) on a planted doc; two docs sharing a 6-word run must share a
+    fingerprint."""
+    from kafka_streams_homework_spark import queries as Q
+    import hashlib
+    import os
+    import tempfile
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = [(1, "one two three " + shared),
+            (2, shared + " seven eight nine")]
+
+    def replay(text):
+        tok = text.lower().split(" ")
+        kg = [(i + 1, int(hashlib.md5(
+            " ".join(tok[i:i + 3]).encode()).hexdigest()[:8], 16))
+            for i in range(len(tok) - 2)]
+        sel = set()
+        for s in range(len(kg) - 3):
+            win = kg[s:s + 4]
+            mh = min(h for _, h in win)
+            pos = max(p for p, h in win if h == mh)
+            sel.add((pos, mh))
+        return sel
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        sdf.write.parquet(os.path.join(d, "documents.parquet"))
+        out = Q.queries()["winnow_fingerprints"](spark, d).collect()
+    got = {1: set(), 2: set()}
+    for r in out:
+        got[r.doc_id].add((r.pos, r.fp))
+    for doc_id, text in docs:
+        assert got[doc_id] == replay(text), doc_id
+    # coverage guarantee: the shared >=6-word run shares a fingerprint
+    fps1 = {fp for _, fp in got[1]}
+    fps2 = {fp for _, fp in got[2]}
+    assert fps1 & fps2
+
+
+def test_feature_hashing_signed_counts(spark):
+    """Replay the md5 bucket and sign for a 3-token doc."""
+    from kafka_streams_homework_spark import queries as Q
+    import hashlib
+    import os
+    import tempfile
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 32
+
+    def sgn(w):
+        return 1 if int(hashlib.md5(w.encode()).hexdigest()[8], 16) % 2 == 0 else -1
+
+    docs = spark.createDataFrame(
+        [(1, "x x y")], "doc_id long, text string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {(r.doc_id, r.bucket): r.feat for r in
+               Q.queries()["feature_hashing"](spark, d).collect()}
+    expect = {}
+    for w, c in (("x", 2), ("y", 1)):
+        key = (1, bucket(w))
+        expect[key] = expect.get(key, 0) + sgn(w) * c
+    assert out == expect
