@@ -8603,6 +8603,393 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "isotonic_calibration",
+    oracle=f"""
+        WITH s0 AS (
+            SELECT round(len(list_filter(str_split(lower(text), ' '),
+                        x -> x IN ('{_STOPWORD_SQL}')))::DOUBLE
+                     / len(str_split(lower(text), ' ')), 6) AS s,
+                   (lang = 'en') AS label
+            FROM documents
+        ), sb AS (
+            SELECT least(CAST(floor(s * 50) AS BIGINT), 49) AS bin, label
+            FROM s0
+        ), b AS (
+            SELECT bin, count(*) AS w,
+                   SUM(CASE WHEN label THEN 1 ELSE 0 END) AS c
+            FROM sb GROUP BY bin
+        ), o AS (
+            SELECT bin, w, c,
+                   row_number() OVER (ORDER BY bin) AS i,
+                   SUM(w) OVER (ORDER BY bin) AS nw,
+                   SUM(c) OVER (ORDER BY bin) AS nc
+            FROM b
+        ), pre AS (
+            SELECT i, nw, nc FROM o
+            UNION ALL SELECT 0, 0, 0
+        ), a AS (
+            SELECT j0.i + 1 AS j, k.i AS k,
+                   (k.nc - j0.nc)::DOUBLE / (k.nw - j0.nw) AS avgjk
+            FROM pre j0 JOIN o k ON k.i >= j0.i + 1
+        ), m AS (
+            SELECT j, k AS i,
+                   min(avgjk) OVER (PARTITION BY j ORDER BY k DESC) AS msuf
+            FROM a
+        ), fit AS (
+            SELECT m.i, max(m.msuf) AS iso
+            FROM m WHERE m.j <= m.i GROUP BY m.i
+        )
+        SELECT o.bin, CAST(o.w AS BIGINT) AS n,
+               CAST(o.c AS BIGINT) AS n_pos,
+               round(o.c::DOUBLE / o.w + 1e-9, 6) AS rate_raw,
+               round(fit.iso + 1e-9, 6) AS rate_isotonic
+        FROM o JOIN fit ON fit.i = o.i
+    """,
+    description="Isotonic (PAVA) calibration of the lang_id scorer "
+    "against its own labels: per score-bin empirical rates replaced "
+    "by the exact isotonic fit via the minimax identity fit(i) = "
+    "max_(j<=i) min_(k>=i) mean(y[j..k]) — the closed form that turns "
+    "the sequential pool-adjacent-violators loop into two windowed "
+    "scans and a triangular join over BIN prefix sums (bins <= 50, "
+    "so the |B|^2 pair table is driver-trivial while the corpus "
+    "contributes one grouped count). Cumulative counts are integers, "
+    "every candidate mean a ratio of integers -> identical doubles "
+    "cross-engine; monotonicity of the fit is pinned in pytest. "
+    "Completes the eval chain score_calibration (binned rates) -> "
+    "isotonic_calibration (monotone-regularized rates)",
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    s0 = T.lang_id_heuristic(docs, 0.1).select(
+        F.col("stopword_ratio").alias("s"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    sb = s0.select(
+        F.least(
+            F.floor(F.col("s") * 50).cast("bigint"), F.lit(49)
+        ).alias("bin"),
+        "label",
+    )
+    b = sb.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("c"),
+    )
+    wo = Window.orderBy("bin")
+    o = b.select(
+        "bin",
+        "w",
+        "c",
+        F.row_number().over(wo).alias("i"),
+        F.sum("w").over(wo).alias("nw"),
+        F.sum("c").over(wo).alias("nc"),
+    )
+    pre = o.select("i", "nw", "nc").unionAll(
+        o.sparkSession.createDataFrame(
+            [(0, 0, 0)], "i int, nw long, nc long"
+        ).select(
+            F.col("i").cast("int"),
+            F.col("nw").cast("long"),
+            F.col("nc").cast("long"),
+        )
+    )
+    j0 = pre.select(
+        (F.col("i") + 1).alias("j"),
+        F.col("nw").alias("jw"),
+        F.col("nc").alias("jc"),
+    )
+    k = o.select(
+        F.col("i").alias("k"), F.col("nw").alias("kw"), F.col("nc").alias("kc")
+    )
+    a = j0.join(k, F.col("k") >= F.col("j")).select(
+        "j",
+        "k",
+        (
+            (F.col("kc") - F.col("jc")).cast("double")
+            / (F.col("kw") - F.col("jw"))
+        ).alias("avgjk"),
+    )
+    wm = Window.partitionBy("j").orderBy(F.col("k").desc())
+    m = a.select(
+        "j", F.col("k").alias("i"), F.min("avgjk").over(wm).alias("msuf")
+    )
+    fit = (
+        m.filter(F.col("j") <= F.col("i"))
+        .groupBy("i")
+        .agg(F.max("msuf").alias("iso"))
+    )
+    return o.join(fit, "i").select(
+        "bin",
+        F.col("w").cast("bigint").alias("n"),
+        F.col("c").cast("bigint").alias("n_pos"),
+        F.round(
+            F.col("c").cast("double") / F.col("w") + F.lit(1e-9), 6
+        ).alias("rate_raw"),
+        F.round(F.col("iso") + F.lit(1e-9), 6).alias("rate_isotonic"),
+    )
+
+
+@register(
+    "winnow_pairs",
+    # Composed from winnow_fingerprints' own oracle (the
+    # ann_recall_at_k pattern): candidate pairs are exactly a join
+    # over what that oracle defines.
+    oracle=None,  # assigned below via _WINNOW_PAIRS_ORACLE (f-string
+    # interpolation inside the decorator would run before this module
+    # constant block reads cleanly; the assignment right after the
+    # function keeps the composition explicit)
+    description="Winnowing-based near-dup candidate pairs: documents "
+    "sharing >= 2 selected fingerprints (MOSS's match step over "
+    "winnow_fingerprints' output), scored by shared/min(|fp set|) "
+    "containment. Fingerprints seen in > 50 docs are dropped first "
+    "(stop-fingerprint guard — at 100 TB the hot-key cut that keeps "
+    "the fp-bucket self-join fanout bounded; a no-op on this corpus, "
+    "pinned in the oracle identically). The oracle SQL is COMPOSED "
+    "from the member op's oracle string (zero drift)",
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = REGISTRY["winnow_fingerprints"].fn(spark, sf_dir)
+    df = fp.select("doc_id", "fp").distinct()
+    df = tracked_persist(df)
+    cnt = df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    pop = (
+        df.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") <= 50)
+        .select("fp")
+    )
+    a = df.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = df.select(F.col("doc_id").alias("doc_b"), "fp")
+    p = (
+        a.join(pop, "fp")
+        .join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("fa"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("fb"))
+    return (
+        p.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("fa", "fb"),
+                6,
+            ).alias("overlap"),
+        )
+    )
+
+
+REGISTRY["winnow_pairs"] = QuerySpec(
+    fn=REGISTRY["winnow_pairs"].fn,
+    oracle=f"""
+        WITH fp AS (SELECT * FROM ({REGISTRY['winnow_fingerprints'].oracle})),
+        df AS (SELECT DISTINCT doc_id, fp FROM fp),
+        cnt AS (SELECT doc_id, count(*) AS n_fp FROM df GROUP BY 1),
+        pop AS (
+            SELECT fp FROM df GROUP BY fp HAVING count(*) <= 50
+        ), p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_shared
+            FROM df a JOIN pop USING (fp) JOIN df b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+               round(n_shared::DOUBLE / least(ca.n_fp, cb.n_fp), 6)
+                   AS overlap
+        FROM p
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+    """,
+    description=REGISTRY["winnow_pairs"].description,
+)
+
+
+@register(
+    "conformal_interval",
+    oracle="""
+        WITH bounds AS (
+            SELECT min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d0
+            FROM events
+        ), u AS (
+            SELECT user_id,
+                   round(avg(CASE WHEN ts < d0 + INTERVAL 15 DAY
+                                  THEN value END) + 1e-9, 6) AS x,
+                   round(avg(CASE WHEN ts >= d0 + INTERVAL 15 DAY
+                                  THEN value END) + 1e-9, 6) AS y,
+                   ('0x' || substr(md5(user_id::VARCHAR), 9, 8))::BIGINT
+                       % 2 AS is_test
+            FROM events, bounds
+            WHERE value IS NOT NULL
+            GROUP BY user_id, d0
+            HAVING x IS NOT NULL AND y IS NOT NULL
+        ), m AS (
+            SELECT count(*) AS n,
+                   SUM(CAST(x AS DECIMAL(18,6)))::DOUBLE AS sx,
+                   SUM(CAST(y AS DECIMAL(18,6)))::DOUBLE AS sy,
+                   SUM(CAST(x AS DECIMAL(18,6))
+                       * CAST(x AS DECIMAL(18,6)))::DOUBLE AS sxx,
+                   SUM(CAST(x AS DECIMAL(18,6))
+                       * CAST(y AS DECIMAL(18,6)))::DOUBLE AS sxy
+            FROM u WHERE is_test = 0
+        ), th AS (
+            SELECT n AS n_cal,
+                   (n * sxy - sx * sy) / (n * sxx - sx * sx) AS t1,
+                   (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                       / n AS t0
+            FROM m
+        ), r AS (
+            SELECT u.user_id, u.is_test,
+                   round(abs(u.y - (th.t0 + th.t1 * u.x)) + 1e-9, 6)
+                       AS resid
+            FROM u, th
+        ), q AS (
+            SELECT resid AS qhat FROM (
+                SELECT resid, row_number() OVER (
+                    ORDER BY resid, user_id) AS rk
+                FROM r WHERE is_test = 0
+            ), th
+            WHERE rk = least(CAST(ceil(0.9 * (th.n_cal + 1)) AS BIGINT),
+                             th.n_cal)
+        )
+        SELECT th.n_cal AS n_cal,
+               CAST((SELECT count(*) FROM r WHERE is_test = 1) AS BIGINT)
+                   AS n_test,
+               round(th.t0 + 1e-9, 6) AS theta0,
+               round(th.t1 + 1e-9, 6) AS theta1,
+               q.qhat AS qhat,
+               round((SELECT SUM(CASE WHEN resid <= q.qhat
+                                      THEN 1 ELSE 0 END)::DOUBLE
+                             / count(*)
+                      FROM r WHERE is_test = 1) + 1e-9, 6) AS coverage
+        FROM th, q
+    """,
+    description="Split-conformal prediction interval for the pre->post "
+    "user-value regression: OLS is fit on the md5-split calibration "
+    "half (DECIMAL-exact moments of the pre-rounded per-user "
+    "aggregates — the cuped/grouped_ols discipline), qhat is the "
+    "ceil(0.9(n+1))-th smallest ROUNDED absolute residual (rank "
+    "clamped to n_cal for tiny calibration sets) selected by "
+    "deterministic (resid, user_id) rank, and the reported coverage "
+    "is the share of held-out users whose residual fits inside — the "
+    "distribution-free uncertainty wrapper modern ML serving puts "
+    "around any point model. Exchange: one row per user, one 5-number "
+    "moment row, one rank pass on the calibration half",
+)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    d0 = events.agg(F.min(F.date_trunc("day", "ts")).alias("d0"))
+    u = (
+        events.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("ts") < F.col("d0") + F.expr("INTERVAL 15 DAY"),
+                        F.col("value"),
+                    )
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("x"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("ts")
+                        >= F.col("d0") + F.expr("INTERVAL 15 DAY"),
+                        F.col("value"),
+                    )
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .withColumn(
+            "is_test",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 9, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2,
+        )
+    )
+    u = tracked_persist(u)
+    dec = lambda c: F.col(c).cast("decimal(18,6)")
+    m = u.filter(F.col("is_test") == 0).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x") * dec("x")).cast("double").alias("sxx"),
+        F.sum(dec("x") * dec("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    t1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    th = m.select(
+        F.col("n").alias("n_cal"),
+        t1.alias("t1"),
+        ((sy - t1 * sx) / n).alias("t0"),
+    )
+    r = u.crossJoin(F.broadcast(th)).select(
+        "user_id",
+        "is_test",
+        "n_cal",
+        "t0",
+        "t1",
+        F.round(
+            F.abs(F.col("y") - (F.col("t0") + F.col("t1") * F.col("x")))
+            + F.lit(1e-9),
+            6,
+        ).alias("resid"),
+    )
+    cal = r.filter(F.col("is_test") == 0)
+    q = (
+        cal.withColumn(
+            "rk", F.row_number().over(Window.orderBy("resid", "user_id"))
+        )
+        .filter(
+            F.col("rk")
+            == F.least(
+                F.ceil(0.9 * (F.col("n_cal") + 1)).cast("bigint"),
+                F.col("n_cal").cast("bigint"),
+            )
+        )
+        .select(F.col("resid").alias("qhat"))
+    )
+    test = r.filter(F.col("is_test") == 1)
+    cov = test.crossJoin(F.broadcast(q)).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(
+            F.sum(
+                F.when(F.col("resid") <= F.col("qhat"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(1e-9),
+            6,
+        ).alias("coverage"),
+        F.max("qhat").alias("qhat"),
+    )
+    return th.crossJoin(F.broadcast(cov)).select(
+        F.col("n_cal").cast("bigint").alias("n_cal"),
+        F.col("n_test").cast("bigint").alias("n_test"),
+        F.round(F.col("t0") + F.lit(1e-9), 6).alias("theta0"),
+        F.round(F.col("t1") + F.lit(1e-9), 6).alias("theta1"),
+        F.col("qhat"),
+        "coverage",
+    )
+
+
+@register(
     "markov_transitions",
     oracle="""
         WITH s AS (

@@ -2744,3 +2744,104 @@ def test_feature_hashing_signed_counts(spark):
         key = (1, bucket(w))
         expect[key] = expect.get(key, 0) + sgn(w) * c
     assert out == expect
+
+
+def test_isotonic_calibration_pools_violation(spark):
+    """Two bins with rates [1.0, 0.0] (a monotonicity violation) and
+    equal weight pool to [0.5, 0.5]; the fit is always non-decreasing
+    and preserves the weighted mean."""
+    from kafka_streams_homework_spark import queries as Q
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(1, "x x x x", "en"),     # stopword ratio 0.0  -> bin 0
+         (2, "the x x x", "xx")],  # stopword ratio 0.25 -> bin 12
+        "doc_id long, text string, lang string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = sorted(
+            Q.queries()["isotonic_calibration"](spark, d).collect(),
+            key=lambda r: r.bin,
+        )
+    assert [r.bin for r in out] == [0, 12]
+    assert [r.rate_raw for r in out] == [1.0, 0.0]
+    assert [r.rate_isotonic for r in out] == [0.5, 0.5]
+
+
+def test_isotonic_calibration_monotone_on_fixture(spark):
+    """On the sf0.001 fixture the fit must be non-decreasing in the
+    score bin and preserve the overall positive count."""
+    from kafka_streams_homework_spark import queries as Q
+
+    out = sorted(
+        Q.queries()["isotonic_calibration"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.bin,
+    )
+    isos = [r.rate_isotonic for r in out]
+    assert all(a <= b + 1e-9 for a, b in zip(isos, isos[1:]))
+    total_pos = sum(r.n_pos for r in out)
+    total_fit = sum(r.n * r.rate_isotonic for r in out)
+    assert abs(total_fit - total_pos) < 1e-2
+
+
+def test_winnow_pairs_flags_shared_run(spark):
+    """Docs 1 and 2 share a long run -> a candidate pair with
+    overlap <= 1; the unrelated doc 3 pairs with neither."""
+    from kafka_streams_homework_spark import queries as Q
+    import os
+    import tempfile
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, "one two three " + shared),
+         (2, shared + " seven eight nine"),
+         (3, "purple monkey dishwasher quantum flux capacitor panda")],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {(r.doc_a, r.doc_b): r for r in
+               Q.queries()["winnow_pairs"](spark, d).collect()}
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    assert r.n_shared >= 2 and 0.0 < r.overlap <= 1.0
+
+
+def test_conformal_interval_exact_linear_model(spark):
+    """y = 2x + 1 exactly for every user: OLS recovers the line,
+    residuals are 0, qhat = 0 and held-out coverage is 1.0."""
+    from kafka_streams_homework_spark.queries import REGISTRY
+    import datetime as dtm
+    import hashlib
+    import shutil
+    import tempfile
+
+    split = lambda uid: int(
+        hashlib.md5(str(uid).encode()).hexdigest()[8:16], 16) % 2
+    cal = [u for u in range(1, 60) if split(u) == 0][:5]
+    test = [u for u in range(1, 60) if split(u) == 1][:5]
+    t0 = dtm.datetime(2024, 7, 1)
+    rows, eid = [], 0
+    for i, uid in enumerate(cal + test):
+        x = 10.0 + i
+        eid += 1
+        rows.append((eid, uid, t0 + dtm.timedelta(days=2), "view", x))
+        eid += 1
+        rows.append(
+            (eid, uid, t0 + dtm.timedelta(days=20), "view", 2 * x + 1)
+        )
+    d = tempfile.mkdtemp(prefix="conf_")
+    try:
+        _write_events(spark, rows, d)
+        (r,) = REGISTRY["conformal_interval"].fn(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert (r.n_cal, r.n_test) == (5, 5)
+    assert abs(r.theta1 - 2.0) < 2e-6
+    assert abs(r.theta0 - 1.0) < 2e-5
+    assert r.qhat <= 1e-6
+    assert r.coverage == 1.0
