@@ -2845,3 +2845,45 @@ def test_conformal_interval_exact_linear_model(spark):
     assert abs(r.theta0 - 1.0) < 2e-5
     assert r.qhat <= 1e-6
     assert r.coverage == 1.0
+
+
+def test_kcore_peel_synthetic_triangle(spark):
+    """2-core of triangle{1,2,3} + pendant 4: the pendant edge peels
+    off in round one, the triangle is the fixpoint (each member keeps
+    both neighbors), and convergence is detected in 2 peels."""
+    from kafka_streams_homework_spark import queries as Q
+
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src long, dst long",
+    )
+    core, depth, converged = Q._kcore_peel(edges, 2, Q.KCORE_CAP)
+    assert converged and depth == 2
+    out = {
+        r.src: r.deg
+        for r in core.groupBy("src").count()
+        .withColumnRenamed("count", "deg").collect()
+    }
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cap_sufficient_on_fixture(spark, sf_dir):
+    """The shared Spark/oracle peel cap (15) must exceed the true
+    fixpoint depth, else kcore_members returns a not-yet-converged
+    edge set. sf0.001 converges in 4 peels (sf0.01/sf0.1 measured at
+    6 — depth grows ~log with SF, so the cap holds at bench scale)."""
+    from kafka_streams_homework_spark import queries as Q
+    from pyspark.sql import functions as F
+
+    li = Q._t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    _core, depth, converged = Q._kcore_peel(edges, Q.KCORE_K, Q.KCORE_CAP)
+    assert converged
+    assert depth <= Q.KCORE_CAP - 2
