@@ -613,3 +613,63 @@ def png_decode(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(dec, PNG_FEATURES_SCHEMA)
+
+
+def png_ahash(media: DataFrame) -> DataFrame:
+    """8x8 average-hash (aHash) over REALLY decoded PNG bitmaps.
+
+    Classic perceptual fingerprint: pool the image into an 8x8 grid
+    (pixel x joins block x*8//W — exact integer partition, no
+    resampler), set bit (by*8+bx) when the block mean >= the global
+    mean, compare via integer cross-multiplication
+    (bsum*(W*H) >= total*npix) so no float division ever happens.
+    The 64 bits are emitted as four 16-bit band ints (b0..b3) — the
+    pigeonhole keys for the Hamming<=3 candidate join AND sign-safe
+    (a packed int64 with bit 63 set would go negative; four small
+    ints sidestep the unsigned-shift asymmetry between engines).
+    Everything is integer arithmetic on decoded pixel values, so an
+    ANSI-SQL oracle recomputes the hash bit-for-bit from the
+    closed-form synth formula without inflating a byte.
+    """
+
+    def ah(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "b0": [], "b1": [], "b2": [], "b3": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _depth, _ctype, px = decode_png_gray8(bytes(payload))
+                bsum = [[0] * 8 for _ in range(8)]
+                npix = [[0] * 8 for _ in range(8)]
+                total = 0
+                for y in range(h):
+                    row = px[y]
+                    by = y * 8 // h
+                    for x in range(w):
+                        bx = x * 8 // w
+                        bsum[by][bx] += row[x]
+                        npix[by][bx] += 1
+                        total += row[x]
+                bands = [0, 0, 0, 0]
+                area = w * h
+                for by in range(8):
+                    for bx in range(8):
+                        if bsum[by][bx] * area >= total * npix[by][bx]:
+                            bit = by * 8 + bx
+                            bands[bit // 16] |= 1 << (bit % 16)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                for i in range(4):
+                    out[f"b{i}"].append(bands[i])
+            yield pd.DataFrame(out).astype(
+                {"width": "int32", "height": "int32", "b0": "int64",
+                 "b1": "int64", "b2": "int64", "b3": "int64"}
+            )
+
+    return media.mapInPandas(
+        ah,
+        "doc_id long, width int, height int, "
+        "b0 long, b1 long, b2 long, b3 long",
+    )

@@ -13246,6 +13246,100 @@ def q_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+AHASH_MAX_HAMMING = 3
+
+
+@register(
+    "image_ahash_dedup",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id, 16 + (doc_id % 16) AS w, 16 + (doc_id % 8) AS h
+            FROM documents
+        ), blk AS (
+            SELECT p.doc_id, p.w, p.h,
+                   (gy.y * 8) // p.h AS by, (gx.x * 8) // p.w AS bx,
+                   SUM((7 * gx.x + 13 * gy.y + p.doc_id) % 256) AS bsum,
+                   COUNT(*) AS npix
+            FROM p, range(0, 31) AS gx(x), range(0, 23) AS gy(y)
+            WHERE gx.x < p.w AND gy.y < p.h
+            GROUP BY 1, 2, 3, 4, 5
+        ), tot AS (
+            SELECT doc_id, SUM(bsum) AS total FROM blk GROUP BY 1
+        ), bits AS (
+            SELECT b.doc_id, (b.by * 8 + b.bx) AS bit,
+                   CASE WHEN b.bsum * (b.w * b.h) >= t.total * b.npix
+                        THEN 1 ELSE 0 END AS v
+            FROM blk b JOIN tot t USING (doc_id)
+        ), bands AS (
+            SELECT doc_id, bit // 16 AS band,
+                   SUM(v * (1::BIGINT << (bit % 16))) AS bval
+            FROM bits GROUP BY 1, 2
+        ), sig AS (
+            SELECT doc_id,
+                   MAX(CASE WHEN band = 0 THEN bval END) AS b0,
+                   MAX(CASE WHEN band = 1 THEN bval END) AS b1,
+                   MAX(CASE WHEN band = 2 THEN bval END) AS b2,
+                   MAX(CASE WHEN band = 3 THEN bval END) AS b3
+            FROM bands GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                  + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                  AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+            <= {AHASH_MAX_HAMMING}
+    """,
+    description="Perceptual image dedup over REALLY decoded bitmaps: "
+    "8x8 average-hash per synthesized-then-decoded PNG (integer "
+    "cross-multiplied block-vs-global mean compare — no float "
+    "anywhere), four 16-bit bands as pigeonhole keys so every "
+    "Hamming<=3 pair shares an exact band (candidates never O(n^2)), "
+    "exact bit_count verify. The fixture has natural structure: "
+    "doc_id and doc_id+256 render the IDENTICAL bitmap (w,h repeat "
+    "mod 16/8, pixels mod 256), so exact-duplicate pairs at Hamming "
+    "0 must all surface — pinned in pytest. Oracle recomputes the "
+    "hash from the closed-form pixel formula and brute-forces pairs; "
+    "Spark decodes the actual PNG bytes (CRC walk, inflate, "
+    "unfilter), proving the perceptual pipeline end to end. At 100 "
+    "TB the plan is one Arrow-batched decode pass + a banded "
+    "equi-join on bounded keys — same scale shape as "
+    "dedup_simhash_exact",
+)
+def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sig = tracked_persist(M.png_ahash(M.synth_png(docs)))
+    band_cols = [
+        F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("bucket"))
+        for i in range(4)
+    ]
+    buckets = sig.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.explode(F.array(*band_cols)).alias("bb"),
+    ).select("doc_id", "b0", "b1", "b2", "b3", "bb.band", "bb.bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    hamming = sum(
+        F.bit_count(F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}")))
+        for i in range(4)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= AHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

@@ -2887,3 +2887,25 @@ def test_kcore_cap_sufficient_on_fixture(spark, sf_dir):
     _core, depth, converged = Q._kcore_peel(edges, Q.KCORE_K, Q.KCORE_CAP)
     assert converged
     assert depth <= Q.KCORE_CAP - 2
+
+
+def test_image_ahash_exact_duplicates_surface(spark):
+    """doc_id and doc_id+256 render the identical bitmap (w,h repeat
+    mod 16/8, pixel formula mod 256), so every such pair must come
+    back at Hamming 0 through the banded join."""
+    from kafka_streams_homework_spark import queries as Q
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(7,), (263,), (519,), (8,)], "doc_id long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = Q.queries()["image_ahash_dedup"](spark, d).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    assert got[(7, 263)] == 0
+    assert got[(7, 519)] == 0
+    assert got[(263, 519)] == 0
+    assert all(h <= 3 for h in got.values())
+    assert all(a < b for a, b in got)
