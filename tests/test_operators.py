@@ -2909,3 +2909,41 @@ def test_image_ahash_exact_duplicates_surface(spark):
     assert got[(263, 519)] == 0
     assert all(h <= 3 for h in got.values())
     assert all(a < b for a, b in got)
+
+
+def test_geo_radius_join_cell_cover_lossless(spark, sf_dir):
+    """The 3x3 neighbor-cell candidate join must produce exactly the
+    brute-force pair set: a radius (5 deg) <= cell edge (5.625 deg)
+    guarantees in-radius pairs differ by at most one cell per axis."""
+    from kafka_streams_homework_spark import queries as Q
+    from kafka_streams_homework_spark.operators import geo as GEO
+    from pyspark.sql import functions as F
+
+    cust = GEO.synth_coords(
+        Q._t(spark, sf_dir, "customer"), "c_custkey", "cust"
+    )
+    supp = GEO.synth_coords(
+        Q._t(spark, sf_dir, "supplier"), "s_suppkey", "supp"
+    )
+    banded = {
+        (r.c_custkey, r.s_suppkey)
+        for r in GEO.radius_join(
+            cust, supp, "c_custkey", "s_suppkey"
+        ).collect()
+    }
+    dlat = F.col("lat") - F.col("r_lat")
+    dlon = F.col("lon") - F.col("r_lon")
+    brute = {
+        (r.c_custkey, r.s_suppkey)
+        for r in cust.crossJoin(
+            supp.select(
+                "s_suppkey",
+                F.col("lat").alias("r_lat"),
+                F.col("lon").alias("r_lon"),
+            )
+        )
+        .filter(dlat * dlat + dlon * dlon <= GEO.RADIUS_DEG**2)
+        .select("c_custkey", "s_suppkey")
+        .collect()
+    }
+    assert banded == brute and len(banded) > 0
