@@ -201,3 +201,72 @@ def bfs_hops(edges: DataFrame, seed: DataFrame, max_hops: int) -> DataFrame:
         visited = tracked_persist(visited.unionAll(nxt))
         frontier = nxt
     return visited
+
+
+RA_SCALE = 1_000_000_000_000  # fixed-point denominator for 1/deg
+
+
+def link_prediction_scores(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Classic link-prediction indices for every wedge pair, all
+    INTEGER-exact so the result hash-checks across engines:
+
+    - ``n_common``      common-neighbor count (CN),
+    - ``pref_attach``   preferential attachment deg(a)*deg(b),
+    - ``ra_micro``      resource-allocation index sum(1/deg(c)) in
+      fixed point: each center contributes RA_SCALE div deg(c) via
+      INTEGER division (no float sum whose order could differ between
+      engines; the quantization error is < |common|/RA_SCALE, far
+      inside ranking tolerance). Adamic-Adar (1/ln deg) is the same
+      plan with a log lookup — kept out of the exact twin because ln
+      is not guaranteed bit-identical across engines.
+
+    Plan shape = neighbor_jaccard: wedge equi-join on the shared
+    center with the center's degree joined in BEFORE the partial agg,
+    so RA accumulates map-side; per-node degrees broadcast for PA.
+    Same hub-cap scale note as neighbor_jaccard.
+    """
+    und = tracked_persist(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    )
+    adj = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    l = adj.select(F.col("b").alias("c"), F.col("a").alias("na"))
+    r = adj.select(F.col("b").alias("c"), F.col("a").alias("nb"))
+    cdeg = F.broadcast(
+        deg.select(F.col("a").alias("c"), F.col("d").alias("dc"))
+    )
+    wedges = (
+        l.join(r, "c")
+        .filter(F.col("na") < F.col("nb"))
+        .join(cdeg, "c")
+        .groupBy("na", "nb")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.expr(f"{RA_SCALE}L div dc")).alias("ra_micro"),
+        )
+    )
+    return (
+        wedges.join(
+            F.broadcast(
+                deg.select(F.col("a").alias("na"), F.col("d").alias("da"))
+            ),
+            "na",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("a").alias("nb"), F.col("d").alias("db"))
+            ),
+            "nb",
+        )
+        .select(
+            F.col("na").alias("node_a"),
+            F.col("nb").alias("node_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (F.col("da") * F.col("db")).cast("bigint").alias("pref_attach"),
+            F.col("ra_micro").cast("bigint").alias("ra_micro"),
+        )
+    )

@@ -13431,6 +13431,66 @@ def q_geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GEO.nearest_neighbor(cust, supp, "c_custkey", "s_suppkey")
 
 
+@register(
+    "link_prediction",
+    oracle="""
+        WITH e AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ), adj AS (
+            SELECT pa AS a, pb AS b FROM e
+            UNION ALL SELECT pb, pa FROM e
+        ), deg AS (
+            SELECT a, count(*) AS d FROM adj GROUP BY a
+        ), w AS (
+            SELECT l.a AS node_a, r.a AS node_b,
+                   count(*) AS n_common,
+                   SUM(1000000000000 // dc.d) AS ra_micro
+            FROM adj l
+            JOIN adj r ON l.b = r.b AND l.a < r.a
+            JOIN deg dc ON dc.a = l.b
+            GROUP BY 1, 2
+        )
+        SELECT node_a, node_b,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(da.d * db.d AS BIGINT) AS pref_attach,
+               CAST(ra_micro AS BIGINT) AS ra_micro
+        FROM w
+        JOIN deg da ON da.a = node_a
+        JOIN deg db ON db.a = node_b
+    """,
+    description="Link-prediction index battery over the co-purchase "
+    "graph: common neighbors, preferential attachment deg(a)*deg(b), "
+    "and the resource-allocation index sum(1/deg(center)) — the "
+    "float-free twin of Adamic-Adar — in FIXED POINT (1e12 div deg, "
+    "integer division both engines) so the whole result hash-checks "
+    "exactly; no float sum whose accumulation order could diverge. "
+    "One wedge equi-join with the center degree joined in before the "
+    "partial agg (RA accumulates map-side), per-node degrees "
+    "broadcast. Complements neighbor_jaccard with the standard "
+    "ranking indices; same hub-cap story at 100 TB",
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .drop("c")
+    )
+    return link_prediction_scores(edges)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

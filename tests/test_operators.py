@@ -2947,3 +2947,28 @@ def test_geo_radius_join_cell_cover_lossless(spark, sf_dir):
         .collect()
     }
     assert banded == brute and len(banded) > 0
+
+
+def test_link_prediction_hand_graph(spark):
+    """Triangle {1,2,3} + pendant 4-3: hand-checked CN / preferential
+    attachment / fixed-point resource allocation."""
+    from kafka_streams_homework_spark.operators.graph import (
+        RA_SCALE,
+        link_prediction_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    got = {
+        (r.node_a, r.node_b): (r.n_common, r.pref_attach, r.ra_micro)
+        for r in link_prediction_scores(edges).collect()
+    }
+    third, half = RA_SCALE // 3, RA_SCALE // 2
+    assert got == {
+        (1, 2): (1, 4, third),   # common {3}, deg 2*2
+        (1, 3): (1, 6, half),    # common {2}, deg 2*3
+        (2, 3): (1, 6, half),    # common {1}
+        (1, 4): (1, 2, third),   # common {3}, deg 2*1
+        (2, 4): (1, 2, third),
+    }
