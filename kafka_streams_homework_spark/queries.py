@@ -13491,6 +13491,103 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction_scores(edges)
 
 
+@register(
+    "trend_seasonal_decompose",
+    oracle="""
+        WITH d AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+                       AS day,
+                   SUM(CAST(value AS DECIMAL(18,4))) AS day_total
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), w AS (
+            SELECT event_type, day, day_total,
+                   SUM(day_total) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                       AS trend_sum,
+                   COUNT(*) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+            FROM d
+        ), f AS (
+            SELECT * FROM w WHERE nw = 7
+        ), s AS (
+            SELECT event_type, dayname(day) AS dow,
+                   SUM(7 * day_total - trend_sum) AS s7,
+                   COUNT(*) AS n
+            FROM f GROUP BY 1, 2
+        )
+        SELECT f.event_type, f.day,
+               round(CAST(f.day_total AS DOUBLE) + 1e-9, 6) AS day_total,
+               round(CAST(f.trend_sum AS DOUBLE) / 7.0 + 1e-9, 6) AS trend,
+               round(CAST(s.s7 AS DOUBLE) / (7.0 * s.n) + 1e-9, 6)
+                   AS seasonal,
+               round((CAST(f.day_total AS DOUBLE)
+                      - CAST(f.trend_sum AS DOUBLE) / 7.0)
+                     - CAST(s.s7 AS DOUBLE) / (7.0 * s.n) + 1e-9, 6)
+                   AS resid
+        FROM f JOIN s ON f.event_type = s.event_type
+                     AND dayname(f.day) = s.dow
+    """,
+    description="STL-lite additive decomposition of the daily revenue "
+    "series per event_type: trend = centered 7-day moving average "
+    "(full windows only), weekly seasonal = day-of-week mean of the "
+    "detrended series, residual = observed - trend - seasonal. The "
+    "cross-engine trick is LINEARITY: everything accumulates in "
+    "DECIMAL x7 fixed point (detrended7 = 7*day_total - trend_sum — "
+    "exact, no float sum order anywhere); the only doubles are the "
+    "final three divisions of exact decimals, identical single IEEE "
+    "ops both engines. One groupBy + one window + one bounded "
+    "(|types| x 7) seasonal table broadcast back — the classic "
+    "decomposition at corpus scale without a single UDF",
+)
+def q_trend_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("day_total"))
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    f = (
+        d.select(
+            "event_type",
+            "day",
+            "day_total",
+            F.sum("day_total").over(win).alias("trend_sum"),
+            F.count(F.lit(1)).over(win).alias("nw"),
+        )
+        .filter(F.col("nw") == 7)
+        .drop("nw")
+    )
+    f = tracked_persist(f)
+    s = f.groupBy(
+        "event_type", F.date_format("day", "EEEE").alias("dow")
+    ).agg(
+        F.sum(F.lit(7) * F.col("day_total") - F.col("trend_sum")).alias("s7"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    day_d = F.col("day_total").cast("double")
+    trend = F.col("trend_sum").cast("double") / F.lit(7.0)
+    seasonal = F.col("s7").cast("double") / (F.lit(7.0) * F.col("n"))
+    return (
+        f.withColumn("dow", F.date_format("day", "EEEE"))
+        .join(F.broadcast(s), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            F.round(day_d + F.lit(1e-9), 6).alias("day_total"),
+            F.round(trend + F.lit(1e-9), 6).alias("trend"),
+            F.round(seasonal + F.lit(1e-9), 6).alias("seasonal"),
+            F.round((day_d - trend) - seasonal + F.lit(1e-9), 6).alias(
+                "resid"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

@@ -2972,3 +2972,35 @@ def test_link_prediction_hand_graph(spark):
         (1, 4): (1, 2, third),   # common {3}, deg 2*1
         (2, 4): (1, 2, third),
     }
+
+
+def test_trend_seasonal_decompose_linear_plus_weekly(spark):
+    """Linear trend + zero-sum weekly offsets decompose exactly: the
+    centered 7-day MA of a line is the line, every 7-day window holds
+    each offset once (sum 0), so seasonal == offset and resid == 0."""
+    from kafka_streams_homework_spark import queries as Q
+    import datetime as dt
+    import os
+    import tempfile
+
+    offsets = [-3, -2, -1, 0, 1, 2, 3]
+    t0 = dt.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        (i, t0 + dt.timedelta(days=i), 1, "x", 10.0 * i + offsets[i % 7], "{}")
+        for i in range(35)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = Q.queries()["trend_seasonal_decompose"](spark, d).collect()
+    assert len(out) == 35 - 6
+    for r in out:
+        i = (r.day.date() - t0.date()).days
+        assert abs(r.day_total - (10.0 * i + offsets[i % 7])) < 1e-6
+        assert abs(r.trend - 10.0 * i) < 1e-6
+        assert abs(r.seasonal - offsets[i % 7]) < 1e-6
+        assert abs(r.resid) < 1e-6
