@@ -13588,6 +13588,141 @@ def q_trend_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ratio_metric_delta",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   ('0x' || substr(md5('rm:' || user_id::VARCHAR),
+                                   1, 8))::BIGINT % 2 AS grp,
+                   COALESCE(SUM(CAST(value AS DECIMAL(18,4))),
+                            CAST(0 AS DECIMAL(18,4))) AS x,
+                   COUNT(*) AS y
+            FROM events GROUP BY 1, 2
+        ), g AS (
+            SELECT grp, COUNT(*) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx,
+                   SUM(CAST(y AS DECIMAL(18,0))
+                       * CAST(y AS DECIMAL(18,0))) AS syy,
+                   SUM(x * CAST(y AS DECIMAL(18,0))) AS sxy
+            FROM u GROUP BY 1
+        ), d AS (
+            SELECT grp, n,
+                   CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                   CAST(n * sxx - sx * sx AS DOUBLE) AS a,
+                   CAST(n * syy - sy * sy AS DOUBLE) AS b,
+                   CAST(n * sxy - sx * sy AS DOUBLE) AS c
+            FROM g
+        ), v AS (
+            SELECT grp, CAST(n AS BIGINT) AS n_users,
+                   sxd / syd AS r,
+                   ((a - 2.0 * (sxd / syd) * c)
+                    + ((sxd / syd) * (sxd / syd)) * b) * n
+                   / (((n - 1.0) * syd) * syd) AS var_r
+            FROM d
+        )
+        SELECT a.n_users AS n_a, b.n_users AS n_b,
+               round(a.r + 1e-9, 6) AS ratio_a,
+               round(b.r + 1e-9, 6) AS ratio_b,
+               round((a.r - b.r) + 1e-9, 6) AS diff,
+               round(sqrt(a.var_r + b.var_r) + 1e-9, 6) AS se_diff,
+               round((a.r - b.r) / sqrt(a.var_r + b.var_r) + 1e-9, 6) AS z
+        FROM (SELECT * FROM v WHERE grp = 0) a,
+             (SELECT * FROM v WHERE grp = 1) b
+    """,
+    description="Delta-method A/B readout for a RATIO metric (revenue "
+    "per event, unit of randomization = user, so naive Bernoulli "
+    "variance is wrong): per-group ratio sum(x)/sum(y), "
+    "linearized variance (Var x - 2R Cov + R^2 Var y)/(n Ybar^2), "
+    "z for the difference. Cross-engine exactness by the n^2 "
+    "fixed-point trick: A = n*Sxx - Sx^2, B, C accumulate entirely "
+    "in DECIMAL (no float sum order anywhere — the same linearity "
+    "discipline as cuped_adjustment); doubles appear only in the "
+    "final identical-association expression. Two-level agg (user "
+    "rollup, then |groups| rows) — one shuffle on user_id, one on "
+    "the 2-row group key; the md5 coin is the engine-portable bucket "
+    "assignment",
+)
+def q_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    grp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rm:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = ev.groupBy("user_id", grp.alias("grp")).agg(
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(18,4)")),
+            F.lit(0).cast("decimal(18,4)"),
+        ).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    yd = F.col("y").cast("decimal(18,0)")
+    g = u.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(F.col("x") * yd).alias("sxy"),
+    )
+    d = g.select(
+        "grp",
+        "n",
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("a"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("b"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("c"),
+    )
+    r = F.col("sxd") / F.col("syd")
+    var_r = (
+        ((F.col("a") - F.lit(2.0) * r * F.col("c")) + (r * r) * F.col("b"))
+        * F.col("n")
+        / (((F.col("n") - F.lit(1.0)) * F.col("syd")) * F.col("syd"))
+    )
+    v = d.select(
+        "grp",
+        F.col("n").cast("bigint").alias("n_users"),
+        r.alias("r"),
+        var_r.alias("var_r"),
+    )
+    a = v.filter(F.col("grp") == 0).select(
+        F.col("n_users").alias("n_a"),
+        F.col("r").alias("ra"),
+        F.col("var_r").alias("va"),
+    )
+    b = v.filter(F.col("grp") == 1).select(
+        F.col("n_users").alias("n_b"),
+        F.col("r").alias("rb"),
+        F.col("var_r").alias("vb"),
+    )
+    se = F.sqrt(F.col("va") + F.col("vb"))
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        F.round(F.col("ra") + F.lit(1e-9), 6).alias("ratio_a"),
+        F.round(F.col("rb") + F.lit(1e-9), 6).alias("ratio_b"),
+        F.round((F.col("ra") - F.col("rb")) + F.lit(1e-9), 6).alias("diff"),
+        F.round(se + F.lit(1e-9), 6).alias("se_diff"),
+        F.round((F.col("ra") - F.col("rb")) / se + F.lit(1e-9), 6).alias("z"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

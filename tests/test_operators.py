@@ -3004,3 +3004,60 @@ def test_trend_seasonal_decompose_linear_plus_weekly(spark):
         assert abs(r.trend - 10.0 * i) < 1e-6
         assert abs(r.seasonal - offsets[i % 7]) < 1e-6
         assert abs(r.resid) < 1e-6
+
+
+def test_ratio_metric_delta_python_replay(spark):
+    """Replay the delta-method variance in plain Python on a synthetic
+    events table and match the engine's single-row readout."""
+    from kafka_streams_homework_spark import queries as Q
+    import datetime as dt
+    import hashlib
+    import math
+    import os
+    import tempfile
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for uid in range(40):
+        for j in range(1 + uid % 5):
+            rows.append(
+                (eid, t0 + dt.timedelta(minutes=eid), uid, "e",
+                 float((uid * 7 + j * 3) % 50) / 4.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        got = Q.queries()["ratio_metric_delta"](spark, d).collect()[0]
+
+    def coin(uid):
+        return int(hashlib.md5(f"rm:{uid}".encode()).hexdigest()[:8], 16) % 2
+
+    stats = {0: [], 1: []}
+    for uid in range(40):
+        xs = [float((uid * 7 + j * 3) % 50) / 4.0 for j in range(1 + uid % 5)]
+        stats[coin(uid)].append((sum(xs), len(xs)))
+    exp = {}
+    for g, pts in stats.items():
+        n = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        r = sx / sy
+        a = n * sum(p[0] ** 2 for p in pts) - sx * sx
+        b = n * sum(p[1] ** 2 for p in pts) - sy * sy
+        c = n * sum(p[0] * p[1] for p in pts) - sx * sy
+        var = ((a - 2 * r * c) + r * r * b) * n / (((n - 1) * sy) * sy)
+        exp[g] = (n, r, var)
+    assert (got.n_a, got.n_b) == (exp[0][0], exp[1][0])
+    assert abs(got.ratio_a - exp[0][1]) < 1e-5
+    assert abs(got.ratio_b - exp[1][1]) < 1e-5
+    diff = exp[0][1] - exp[1][1]
+    se = math.sqrt(exp[0][2] + exp[1][2])
+    assert abs(got.diff - diff) < 1e-5
+    assert abs(got.se_diff - se) < 1e-5
+    assert abs(got.z - diff / se) < 1e-4
