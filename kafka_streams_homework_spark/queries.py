@@ -13723,6 +13723,358 @@ def q_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "vocab_growth",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, unnest(tok) AS w,
+                   doc_id * 1000000
+                       + unnest(generate_series(1, len(tok))) AS ord
+            FROM t
+        ), firsts AS (
+            SELECT w, MIN(ord) AS first_ord FROM pos GROUP BY w
+        ), new_per_doc AS (
+            SELECT first_ord // 1000000 AS doc_id,
+                   COUNT(*) AS vocab_new
+            FROM firsts GROUP BY 1
+        ), toks_per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_tokens FROM pos GROUP BY 1
+        )
+        SELECT tp.doc_id,
+               CAST(tp.n_tokens AS BIGINT) AS n_tokens,
+               CAST(SUM(tp.n_tokens) OVER (ORDER BY tp.doc_id)
+                    AS BIGINT) AS cum_tokens,
+               CAST(COALESCE(np.vocab_new, 0) AS BIGINT) AS vocab_new,
+               CAST(SUM(COALESCE(np.vocab_new, 0))
+                        OVER (ORDER BY tp.doc_id) AS BIGINT) AS cum_vocab
+        FROM toks_per_doc tp
+        LEFT JOIN new_per_doc np ON np.doc_id = tp.doc_id
+    """,
+    description="Heaps'-law vocabulary-growth curve: cumulative "
+    "distinct vocabulary vs cumulative token count in corpus order — "
+    "the dedup/quality diagnostic that tells you when a crawl stops "
+    "contributing new language. Token first-occurrence via one "
+    "groupBy(min(global ordinal)) — no sort of the corpus, no "
+    "collect; the cumulative step runs on the |docs| rollup, not the "
+    "token stream. Every column is an integer, so the whole curve "
+    "hash-checks exactly. At 100 TB the ordinal stays a cheap "
+    "composite key (doc_id * 1e6 + position) and the heavy groupBy "
+    "shuffles (token) keys once",
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("p", "w"),
+    ).select(
+        "doc_id",
+        "w",
+        (F.col("doc_id") * 1000000 + F.col("p") + 1).alias("ord"),
+    )
+    pos = tracked_persist(pos)
+    firsts = pos.groupBy("w").agg(F.min("ord").alias("first_ord"))
+    new_per_doc = firsts.groupBy(
+        F.expr("first_ord div 1000000").alias("doc_id")
+    ).agg(F.count(F.lit(1)).alias("vocab_new"))
+    toks = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vn = F.coalesce(F.col("vocab_new"), F.lit(0))
+    return (
+        toks.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+            vn.cast("bigint").alias("vocab_new"),
+            F.sum(vn).over(w).cast("bigint").alias("cum_vocab"),
+        )
+    )
+
+
+@register(
+    "wasserstein_1d",
+    oracle="""
+        WITH e AS (
+            SELECT CAST(round(value, 2) AS DECIMAL(18,2)) AS v,
+                   ('0x' || substr(md5('rm:' || user_id::VARCHAR),
+                                   1, 8))::BIGINT % 2 AS grp
+            FROM events WHERE value IS NOT NULL
+        ), n AS (
+            SELECT SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS na,
+                   SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS nb
+            FROM e
+        ), c AS (
+            SELECT v,
+                   SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS ca,
+                   SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS cb
+            FROM e GROUP BY v
+        ), k AS (
+            SELECT v,
+                   SUM(ca) OVER (ORDER BY v) AS cuma,
+                   SUM(cb) OVER (ORDER BY v) AS cumb,
+                   LEAD(v) OVER (ORDER BY v) AS nxt
+            FROM c
+        ), s AS (
+            SELECT SUM(abs(cuma * (SELECT nb FROM n)
+                           - cumb * (SELECT na FROM n))
+                       * (nxt - v)) AS w1_fixed
+            FROM k WHERE nxt IS NOT NULL
+        )
+        SELECT CAST((SELECT na FROM n) AS BIGINT) AS n_a,
+               CAST((SELECT nb FROM n) AS BIGINT) AS n_b,
+               round(CAST(w1_fixed AS DOUBLE)
+                     / ((SELECT na FROM n)::DOUBLE
+                        * (SELECT nb FROM n)::DOUBLE) + 1e-9, 6) AS w1
+        FROM s
+    """,
+    description="1-D Wasserstein (earth-mover) distance between the "
+    "value distributions of two md5-coin user cohorts: integral of "
+    "|F_a - F_b| over the value axis. Cross-engine exact by clearing "
+    "denominators — |cum_a*n_b - cum_b*n_a| is an integer, the step "
+    "width is a DECIMAL(18,2) difference, so W1*n_a*n_b accumulates "
+    "exactly and the single final division is one IEEE op. One "
+    "groupBy on the (bounded) distinct-value grid plus one ordered "
+    "cumsum window — the drift metric that PSI/KS don't give "
+    "(magnitude of the shift, not just its presence); complements "
+    "ks_test/psi_drift",
+)
+def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    grp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rm:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    e = ev.select(
+        F.round("value", 2).cast("decimal(18,2)").alias("v"),
+        grp.alias("grp"),
+    )
+    c = e.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    c = tracked_persist(c)
+    na = c.agg(F.sum("ca")).collect()[0][0]
+    nb = c.agg(F.sum("cb")).collect()[0][0]
+    w = Window.orderBy("v")
+    k = c.select(
+        "v",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+        F.lead("v").over(w).alias("nxt"),
+    )
+    fixed = k.filter(F.col("nxt").isNotNull()).agg(
+        F.sum(
+            F.abs(F.col("cuma") * F.lit(nb) - F.col("cumb") * F.lit(na))
+            * (F.col("nxt") - F.col("v"))
+        ).alias("w1_fixed")
+    )
+    return fixed.select(
+        F.lit(na).cast("bigint").alias("n_a"),
+        F.lit(nb).cast("bigint").alias("n_b"),
+        F.round(
+            F.col("w1_fixed").cast("double")
+            / (F.lit(float(na)) * F.lit(float(nb)))
+            + F.lit(1e-9),
+            6,
+        ).alias("w1"),
+    )
+
+
+K_ANON = 5
+
+
+@register(
+    "k_anonymity_ladder",
+    oracle=f"""
+        WITH q AS (
+            SELECT c_custkey, c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 100) AS BIGINT) AS bal100,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal1000
+            FROM customer
+        ), lvl AS (
+            SELECT 0 AS level,
+                   c_nationkey::VARCHAR || '|' || c_mktsegment
+                       || '|' || bal100::VARCHAR AS grp, c_custkey
+            FROM q
+            UNION ALL
+            SELECT 1, c_nationkey::VARCHAR || '|' || c_mktsegment
+                       || '|' || bal1000::VARCHAR, c_custkey FROM q
+            UNION ALL
+            SELECT 2, c_nationkey::VARCHAR || '|' || c_mktsegment,
+                   c_custkey FROM q
+            UNION ALL
+            SELECT 3, c_mktsegment, c_custkey FROM q
+        ), g AS (
+            SELECT level, grp, COUNT(*) AS n FROM lvl GROUP BY 1, 2
+        )
+        SELECT level,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violating,
+               CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END)
+                    AS BIGINT) AS rows_suppressed,
+               round(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END)
+                     / CAST(SUM(n) AS DOUBLE) + 1e-9, 6)
+                   AS suppression_rate
+        FROM g GROUP BY level
+    """,
+    description="k-anonymity generalization ladder (k=5) over customer "
+    "quasi-identifiers (nation, segment, account-balance bucket): for "
+    "each coarsening level — $100 buckets, $1000 buckets, no balance, "
+    "segment only — the group count, the groups smaller than k, and "
+    "the row mass that would need suppression. The governance readout "
+    "a training-data release needs BEFORE exporting user-derived "
+    "features: pick the first rung whose suppression rate clears "
+    "policy. One union-of-rollups scan, all integers except the final "
+    "rate; at 100 TB each rung is an independent partial agg on a "
+    "bounded key space",
+)
+def q_k_anonymity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    q = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).cast("bigint").alias("bal100"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal1000"),
+    )
+    nk = F.col("c_nationkey").cast("string")
+    levels = [
+        (0, F.concat_ws("|", nk, F.col("c_mktsegment"),
+                        F.col("bal100").cast("string"))),
+        (1, F.concat_ws("|", nk, F.col("c_mktsegment"),
+                        F.col("bal1000").cast("string"))),
+        (2, F.concat_ws("|", nk, F.col("c_mktsegment"))),
+        (3, F.col("c_mktsegment")),
+    ]
+    lvl = None
+    for lv, expr in levels:
+        part = q.select(F.lit(lv).alias("level"), expr.alias("grp"))
+        lvl = part if lvl is None else lvl.unionAll(part)
+    g = lvl.groupBy("level", "grp").agg(F.count(F.lit(1)).alias("n"))
+    viol = F.when(F.col("n") < K_ANON, F.col("n")).otherwise(F.lit(0))
+    return g.groupBy("level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("n") < K_ANON, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating"),
+        F.sum(viol).cast("bigint").alias("rows_suppressed"),
+        F.round(
+            F.sum(viol) / F.sum("n").cast("double") + F.lit(1e-9), 6
+        ).alias("suppression_rate"),
+    )
+
+
+@register(
+    "ips_policy_eval",
+    oracle="""
+        WITH log AS (
+            SELECT event_id, user_id,
+                   CAST(round(value, 2) AS DECIMAL(18,2)) AS r,
+                   user_id % 2 AS bucket,
+                   ('0x' || substr(md5('act:' || event_id::VARCHAR),
+                                   1, 8))::BIGINT AS h
+            FROM events WHERE value IS NOT NULL
+        ), act AS (
+            SELECT *,
+                   CASE WHEN bucket = 0 THEN
+                       CASE WHEN h < 2147483648 THEN 0
+                            WHEN h < 3579139413 THEN 1 ELSE 2 END
+                   ELSE
+                       CASE WHEN h < 715827882 THEN 0
+                            WHEN h < 2147483648 THEN 1 ELSE 2 END
+                   END AS a,
+                   user_id % 3 AS a_target
+            FROM log
+        ), wtd AS (
+            SELECT *,
+                   CASE WHEN bucket = 0 THEN
+                       CASE a WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 6 END
+                   ELSE
+                       CASE a WHEN 0 THEN 6 WHEN 1 THEN 3 ELSE 2 END
+                   END AS w
+            FROM act
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN a = a_target THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_matched,
+               round(CAST(SUM(CASE WHEN a = a_target THEN w * r
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END)
+                          AS DOUBLE) / COUNT(*) + 1e-9, 6) AS ips,
+               round(CAST(SUM(CASE WHEN a = a_target THEN w * r
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END)
+                          AS DOUBLE)
+                     / CAST(SUM(CASE WHEN a = a_target THEN w ELSE 0 END)
+                            AS DOUBLE) + 1e-9, 6) AS snips
+        FROM wtd
+    """,
+    description="Off-policy evaluation of a target policy from logged "
+    "bandit feedback: inverse-propensity scoring (IPS) and its "
+    "self-normalized variant (SNIPS). The behavior policy draws one "
+    "of 3 actions with per-user-bucket propensities {1/2,1/3,1/6}; "
+    "the draw compares the raw 32-bit md5 integer against INTEGER "
+    "cutoffs (floor(2^32 * p)) — no float ever enters the action "
+    "assignment — and the IPS weights 1/p are the exact integers "
+    "{2,3,6}, so the weighted reward sum accumulates in DECIMAL and "
+    "the estimate is engine-exact. Counterfactual 'what would the "
+    "new ranking policy have earned' readout, one scan + one agg; "
+    "the standard caveat (IPS variance blows up when target and "
+    "behavior policies diverge) is visible as n_matched",
+)
+def q_ips_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("act:"), F.col("event_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = F.col("user_id") % 2
+    a = F.when(
+        bucket == 0,
+        F.when(h < 2147483648, 0).when(h < 3579139413, 1).otherwise(2),
+    ).otherwise(
+        F.when(h < 715827882, 0).when(h < 2147483648, 1).otherwise(2)
+    )
+    w = F.when(
+        bucket == 0,
+        F.when(a == 0, 2).when(a == 1, 3).otherwise(6),
+    ).otherwise(F.when(a == 0, 6).when(a == 1, 3).otherwise(2))
+    matched = a == (F.col("user_id") % 3)
+    r = F.round("value", 2).cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    num = F.sum(F.when(matched, w * r).otherwise(zero))
+    wsum = F.sum(F.when(matched, w).otherwise(0))
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(matched, 1).otherwise(0)).cast("bigint").alias(
+            "n_matched"
+        ),
+        F.round(
+            num.cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 6
+        ).alias("ips"),
+        F.round(
+            num.cast("double") / wsum.cast("double") + F.lit(1e-9), 6
+        ).alias("snips"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

@@ -3061,3 +3061,117 @@ def test_ratio_metric_delta_python_replay(spark):
     assert abs(got.diff - diff) < 1e-5
     assert abs(got.se_diff - se) < 1e-5
     assert abs(got.z - diff / se) < 1e-4
+
+
+def test_vocab_growth_hand_corpus(spark):
+    """Three tiny docs with known overlap: cumulative vocab counts
+    each token at its first occurrence only."""
+    from kafka_streams_homework_spark import queries as Q
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a", "en", "s", 5),
+            (1, "b c", "en", "s", 3),
+            (2, "a d d e", "en", "s", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = {
+            r.doc_id: (r.n_tokens, r.cum_tokens, r.vocab_new, r.cum_vocab)
+            for r in Q.queries()["vocab_growth"](spark, d).collect()
+        }
+    assert rows == {
+        0: (3, 3, 2, 2),   # a b
+        1: (2, 5, 1, 3),   # c
+        2: (4, 9, 2, 5),   # d e
+    }
+
+
+def test_wasserstein_1d_constant_shift(spark):
+    """Group A all at 1.0, group B all at 3.0 -> W1 is exactly the
+    shift (2.0) independent of group sizes."""
+    from kafka_streams_homework_spark import queries as Q
+    import datetime as dt
+    import hashlib
+    import os
+    import tempfile
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for uid in range(30):
+        g = int(hashlib.md5(f"rm:{uid}".encode()).hexdigest()[:8], 16) % 2
+        rows.append(
+            (uid, t0 + dt.timedelta(minutes=uid), uid, "e",
+             1.0 if g == 0 else 3.0, "{}")
+        )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        got = Q.queries()["wasserstein_1d"](spark, d).collect()[0]
+    assert got.n_a + got.n_b == 30
+    assert abs(got.w1 - 2.0) < 1e-6
+
+
+def test_k_anonymity_ladder_monotone(spark, sf_dir):
+    """Each rung is a strict coarsening of the previous (nested-floor
+    identity for the balance buckets), so suppression can only fall."""
+    from kafka_streams_homework_spark import queries as Q
+
+    rows = sorted(
+        Q.queries()["k_anonymity_ladder"](spark, sf_dir).collect(),
+        key=lambda r: r.level,
+    )
+    assert [r.level for r in rows] == [0, 1, 2, 3]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.rows_suppressed <= prev.rows_suppressed
+        assert cur.n_groups <= prev.n_groups
+
+
+def test_ips_policy_eval_python_replay(spark):
+    """Replay the integer-cutoff action draw and IPS/SNIPS sums in
+    Python on a synthetic log."""
+    from kafka_streams_homework_spark import queries as Q
+    import datetime as dt
+    import hashlib
+    import os
+    import tempfile
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (eid, t0 + dt.timedelta(minutes=eid), eid % 11, "e",
+         round(float((eid * 13) % 40) / 4.0, 2), "{}")
+        for eid in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        got = Q.queries()["ips_policy_eval"](spark, d).collect()[0]
+
+    num = wsum = matched = 0.0
+    for eid, _, uid, _, val, _ in rows:
+        h = int(hashlib.md5(f"act:{eid}".encode()).hexdigest()[:8], 16)
+        if uid % 2 == 0:
+            a = 0 if h < 2147483648 else (1 if h < 3579139413 else 2)
+            w = [2, 3, 6][a]
+        else:
+            a = 0 if h < 715827882 else (1 if h < 2147483648 else 2)
+            w = [6, 3, 2][a]
+        if a == uid % 3:
+            matched += 1
+            num += w * val
+            wsum += w
+    assert got.n_events == 200 and got.n_matched == matched
+    assert abs(got.ips - num / 200) < 1e-6
+    assert abs(got.snips - num / wsum) < 1e-6
