@@ -14075,6 +14075,382 @@ def q_ips_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZIPF_TOP_N = 200
+
+
+@register(
+    "zipf_fit",
+    oracle=f"""
+        WITH t AS (
+            SELECT unnest(str_split(lower(text), ' ')) AS w
+            FROM documents
+        ), fr AS (
+            SELECT w, COUNT(*) AS freq FROM t GROUP BY w
+        ), rk AS (
+            SELECT freq,
+                   row_number() OVER (ORDER BY freq DESC, w ASC) AS rank
+            FROM fr
+        ), xy AS (
+            SELECT ln(CAST(rank AS DOUBLE)) AS x,
+                   ln(CAST(freq AS DOUBLE)) AS y
+            FROM rk WHERE rank <= {ZIPF_TOP_N}
+        ), s AS (
+            SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                   SUM(x * y) AS sxy
+            FROM xy
+        )
+        SELECT CAST(n AS BIGINT) AS n_terms,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-9, 6)
+                   AS slope,
+               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n + 1e-9, 6) AS intercept,
+               round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                     + 1e-9, 6) AS r2
+        FROM s
+    """,
+    description="Zipf rank-frequency fit over the corpus vocabulary: "
+    "OLS of ln(freq) on ln(rank) for the top 200 terms — slope near "
+    "-1 is the healthy-natural-language signature, deviations flag "
+    "boilerplate/spam crawls (the corpus-level cousin of "
+    "repetition_score). Rank ties broken lexically so the rank "
+    "assignment is engine-deterministic; the regression runs on a "
+    "bounded 200-row table (one token groupBy + one windowed rank of "
+    "the bounded vocab, then a scalar agg). ln/exp cross-engine "
+    "parity has standing precedent (geomean_udaf, lm_score, bm25)",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fr = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rk = fr.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), F.col("w").asc()))
+        .alias("rank"),
+    ).filter(F.col("rank") <= ZIPF_TOP_N)
+    xy = rk.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("bigint").alias("n_terms"),
+        F.round(slope + F.lit(1e-9), 6).alias("slope"),
+        F.round((sy - slope * sx) / n + F.lit(1e-9), 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+            + F.lit(1e-9),
+            6,
+        ).alias("r2"),
+    )
+
+
+@register(
+    "graph_modularity",
+    oracle="""
+        WITH e AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ), m AS (
+            SELECT COUNT(*) AS m FROM e
+        ), deg AS (
+            SELECT n, COUNT(*) AS d FROM (
+                SELECT pa AS n FROM e UNION ALL SELECT pb FROM e
+            ) GROUP BY n
+        ), nodes AS (
+            SELECT deg.n, deg.d, p.p_brand AS community
+            FROM deg JOIN part p ON p.p_partkey = deg.n
+        ), dc AS (
+            SELECT community, COUNT(*) AS n_nodes, SUM(d) AS d_c
+            FROM nodes GROUP BY community
+        ), intra AS (
+            SELECT pa_n.community, COUNT(*) AS e_c
+            FROM e
+            JOIN nodes pa_n ON pa_n.n = e.pa
+            JOIN nodes pb_n ON pb_n.n = e.pb
+            WHERE pa_n.community = pb_n.community
+            GROUP BY pa_n.community
+        )
+        SELECT dc.community,
+               CAST(dc.n_nodes AS BIGINT) AS n_nodes,
+               CAST(COALESCE(intra.e_c, 0) AS BIGINT) AS intra_edges,
+               CAST(dc.d_c AS BIGINT) AS degree_sum,
+               round(CAST(4 * (SELECT m FROM m) * COALESCE(intra.e_c, 0)
+                          - dc.d_c * dc.d_c AS DOUBLE)
+                     / CAST(4 * (SELECT m FROM m) * (SELECT m FROM m)
+                            AS DOUBLE) + 1e-9, 6) AS q_contrib
+        FROM dc LEFT JOIN intra ON intra.community = dc.community
+    """,
+    description="Newman modularity of the brand partition over the "
+    "co-purchase graph, per community: Q_c = e_c/m - (d_c/2m)^2, "
+    "computed with CLEARED DENOMINATORS (4m*e_c - d_c^2 over 4m^2 — "
+    "every accumulator an integer, one final IEEE division) so the "
+    "decomposition hash-checks exactly; sum(q_contrib) is the "
+    "partition's Q — the do-my-communities-mean-anything check that "
+    "complements copurchase_pagerank/triangle_count. One edge agg, "
+    "one bounded-key (brand) rollup, brands broadcast onto the edge "
+    "list for the intra count",
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .drop("c")
+    )
+    e = tracked_persist(e)
+    m = e.count()
+    deg = (
+        e.select(F.col("pa").alias("n"))
+        .unionAll(e.select(F.col("pb").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    nodes = deg.join(
+        F.broadcast(
+            part.select(
+                F.col("p_partkey").alias("n"), F.col("p_brand").alias("community")
+            )
+        ),
+        "n",
+    )
+    nodes = tracked_persist(nodes)
+    dc = nodes.groupBy("community").agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.sum("d").alias("d_c")
+    )
+    intra = (
+        e.join(
+            nodes.select(F.col("n").alias("pa"), F.col("community").alias("ca")),
+            "pa",
+        )
+        .join(
+            nodes.select(F.col("n").alias("pb"), F.col("community").alias("cb")),
+            "pb",
+        )
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    ec = F.coalesce(F.col("e_c"), F.lit(0))
+    return (
+        dc.join(intra, "community", "left")
+        .select(
+            "community",
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            ec.cast("bigint").alias("intra_edges"),
+            F.col("d_c").cast("bigint").alias("degree_sum"),
+            F.round(
+                (F.lit(4 * m) * ec - F.col("d_c") * F.col("d_c")).cast(
+                    "double"
+                )
+                / F.lit(float(4 * m * m))
+                + F.lit(1e-9),
+                6,
+            ).alias("q_contrib"),
+        )
+    )
+
+
+BACKTEST_H = 7
+
+
+@register(
+    "forecast_backtest",
+    oracle=f"""
+        WITH RECURSIVE d0 AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   round(avg(value) + 1e-9, 6) AS y
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), dd AS (
+            SELECT event_type, day, y,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY day) AS i,
+                   COUNT(*) OVER (PARTITION BY event_type) AS t
+            FROM d0
+        ), d AS (
+            SELECT event_type, day, y, i, t - {BACKTEST_H} AS cut
+            FROM dd WHERE i <= t - {BACKTEST_H}
+        ), init AS (
+            SELECT a.event_type, a.i, a.y, a.y AS l, b.y - a.y AS b,
+                   a.cut
+            FROM d a JOIN d b ON b.event_type = a.event_type AND b.i = 2
+            WHERE a.i = 1
+        ), h(event_type, i, y, l, b, cut) AS (
+            SELECT event_type, i, y, l, b, cut FROM init
+            UNION ALL
+            SELECT d.event_type, d.i, d.y,
+                   0.5 * d.y + 0.5 * (h.l + h.b),
+                   0.5 * ((0.5 * d.y + 0.5 * (h.l + h.b)) - h.l)
+                       + 0.5 * h.b,
+                   d.cut
+            FROM h JOIN d ON d.event_type = h.event_type
+                         AND d.i = h.i + 1
+        ), fin AS (
+            SELECT event_type, l, b, cut FROM h WHERE i = cut
+        ), fc AS (
+            SELECT fin.event_type, fin.cut + s.h AS i,
+                   fin.l + s.h * fin.b AS f
+            FROM fin, (SELECT unnest(generate_series(1, {BACKTEST_H}))
+                           AS h) s
+        ), test AS (
+            SELECT fc.event_type, fc.i, fc.f, dd.y
+            FROM fc JOIN dd ON dd.event_type = fc.event_type
+                           AND dd.i = fc.i
+        ), terr AS (
+            SELECT event_type,
+                   CAST(round(abs(f - y) + 1e-9, 6) AS DECIMAL(18,6))
+                       AS ae,
+                   CAST(round(2 * abs(f - y) / (abs(f) + abs(y)) + 1e-9,
+                              6) AS DECIMAL(18,6)) AS sm
+            FROM test
+        ), scale AS (
+            SELECT a.event_type,
+                   SUM(CAST(round(abs(a.y - b.y) + 1e-9, 6)
+                            AS DECIMAL(18,6))) AS sdiff,
+                   COUNT(*) AS nd
+            FROM d a JOIN d b ON b.event_type = a.event_type
+                             AND b.i = a.i - 1
+            GROUP BY a.event_type
+        )
+        SELECT terr.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               round(CAST(SUM(ae) AS DOUBLE) / COUNT(*) + 1e-9, 6)
+                   AS mae,
+               round(CAST(SUM(sm) AS DOUBLE) / COUNT(*) + 1e-9, 6)
+                   AS smape,
+               round((CAST(SUM(ae) AS DOUBLE) / COUNT(*))
+                     / (CAST(scale.sdiff AS DOUBLE) / scale.nd)
+                     + 1e-9, 6) AS mase
+        FROM terr JOIN scale ON scale.event_type = terr.event_type
+        GROUP BY terr.event_type, scale.sdiff, scale.nd
+    """,
+    description="Walk-forward forecast backtest: Holt(0.5,0.5) trained "
+    "on all but the last 7 days per series, h-step forecasts l + h*b "
+    "scored against held-out actuals with MAE, sMAPE and MASE (scale "
+    "= train-set naive |y_t - y_(t-1)| mean — the scale-free metric "
+    "that makes series comparable). The recurrence is the "
+    "bit-reproducible applyInPandas escape from holt_forecast; every "
+    "error term is rounded then DECIMAL-summed so the metric "
+    "aggregation is order-free, and MASE's two means divide once at "
+    "the end. The eval twin that turns holt_forecast from a "
+    "trajectory into a decision (is this model good enough to ship)",
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.avg("value") + F.lit(1e-9), 6).alias("y"))
+    )
+    wt = Window.partitionBy("event_type")
+    dd = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+        F.count(F.lit(1)).over(wt).alias("t"),
+    )
+    dd = tracked_persist(dd)
+    train = dd.filter(F.col("i") <= F.col("t") - BACKTEST_H).withColumn(
+        "cut", F.col("t") - BACKTEST_H
+    )
+    smoothed = R.holt_smooth(
+        train.select("event_type", "day", "y"), "event_type", "day", "y"
+    )
+    fin = (
+        smoothed.join(
+            train.filter(F.col("i") == F.col("cut")).select(
+                "event_type", "day", "cut"
+            ),
+            ["event_type", "day"],
+        )
+        .select("event_type", "level", "trend", "cut")
+    )
+    fc = fin.select(
+        "event_type",
+        "cut",
+        "level",
+        "trend",
+        F.explode(F.array(*[F.lit(h) for h in range(1, BACKTEST_H + 1)])).alias(
+            "h"
+        ),
+    ).select(
+        "event_type",
+        (F.col("cut") + F.col("h")).alias("i"),
+        (F.col("level") + F.col("h") * F.col("trend")).alias("f"),
+    )
+    test = fc.join(dd.select("event_type", "i", "y"), ["event_type", "i"])
+    ae = F.round(F.abs(F.col("f") - F.col("y")) + F.lit(1e-9), 6).cast(
+        "decimal(18,6)"
+    )
+    sm = F.round(
+        2 * F.abs(F.col("f") - F.col("y"))
+        / (F.abs(F.col("f")) + F.abs(F.col("y")))
+        + F.lit(1e-9),
+        6,
+    ).cast("decimal(18,6)")
+    terr = test.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(ae).alias("sae"),
+        F.sum(sm).alias("ssm"),
+    )
+    tr2 = train.select("event_type", "i", "y")
+    diffs = tr2.alias("a").join(
+        tr2.alias("b"),
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.i") == F.col("a.i") - 1),
+    )
+    scale = diffs.groupBy(F.col("a.event_type").alias("event_type")).agg(
+        F.sum(
+            F.round(F.abs(F.col("a.y") - F.col("b.y")) + F.lit(1e-9), 6).cast(
+                "decimal(18,6)"
+            )
+        ).alias("sdiff"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    mae = F.col("sae").cast("double") / F.col("n_test")
+    return terr.join(scale, "event_type").select(
+        "event_type",
+        F.col("n_test").cast("bigint").alias("n_test"),
+        F.round(mae + F.lit(1e-9), 6).alias("mae"),
+        F.round(
+            F.col("ssm").cast("double") / F.col("n_test") + F.lit(1e-9), 6
+        ).alias("smape"),
+        F.round(
+            mae / (F.col("sdiff").cast("double") / F.col("nd")) + F.lit(1e-9),
+            6,
+        ).alias("mase"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

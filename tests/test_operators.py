@@ -3175,3 +3175,86 @@ def test_ips_policy_eval_python_replay(spark):
     assert got.n_events == 200 and got.n_matched == matched
     assert abs(got.ips - num / 200) < 1e-6
     assert abs(got.snips - num / wsum) < 1e-6
+
+
+def test_zipf_fit_exact_power_law(spark):
+    """freq_r = 840/r for r=1..8 is an exact Zipf: ln(freq) =
+    ln(840) - ln(rank), so slope -> -1, r2 -> 1."""
+    from kafka_streams_homework_spark import queries as Q
+    import math
+    import os
+    import tempfile
+
+    words = []
+    for r in range(1, 9):
+        words += [f"w{r:02d}"] * (840 // r)
+    docs = spark.createDataFrame(
+        [(0, " ".join(words), "en", "s", len(words))],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        got = Q.queries()["zipf_fit"](spark, d).collect()[0]
+    assert got.n_terms == 8
+    assert abs(got.slope + 1.0) < 1e-6
+    assert abs(got.intercept - math.log(840)) < 1e-6
+    assert got.r2 > 0.999999
+
+
+def test_graph_modularity_two_triangles(spark):
+    """Two brand-pure triangles bridged by one edge: per-community
+    Q_c = 3/7 - (7/14)^2, hand-checked."""
+    from kafka_streams_homework_spark import queries as Q
+    import os
+    import tempfile
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    li_rows = []
+    ok = 0
+    for a, b in edges:
+        for _ in range(2):  # each edge needs >= 2 shared orders
+            li_rows += [(ok, a), (ok, b)]
+            ok += 1
+    li = spark.createDataFrame(li_rows, "l_orderkey long, l_partkey long")
+    part = spark.createDataFrame(
+        [(p, "Brand#A" if p <= 3 else "Brand#B") for p in range(1, 7)],
+        "p_partkey long, p_brand string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        part.write.parquet(os.path.join(d, "part.parquet"))
+        rows = {
+            r.community: r
+            for r in Q.queries()["graph_modularity"](spark, d).collect()
+        }
+    expected_q = 3 / 7 - (7 / 14) ** 2
+    for c in ("Brand#A", "Brand#B"):
+        assert rows[c].n_nodes == 3
+        assert rows[c].intra_edges == 3
+        assert rows[c].degree_sum == 7
+        assert abs(rows[c].q_contrib - expected_q) < 1e-6
+
+
+def test_forecast_backtest_linear_series_zero_error(spark):
+    """Holt with l1=y1, b1=y2-y1 tracks a perfect line exactly, so
+    every holdout forecast is exact: MAE = sMAPE = MASE = 0."""
+    from kafka_streams_homework_spark import queries as Q
+    import datetime as dt
+    import os
+    import tempfile
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(days=i), 1, "lin", 2.0 * i + 5.0, "{}")
+        for i in range(30)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        got = Q.queries()["forecast_backtest"](spark, d).collect()
+    assert len(got) == 1 and got[0].n_test == 7
+    assert got[0].mae == 0.0 and got[0].smape == 0.0 and got[0].mase == 0.0
