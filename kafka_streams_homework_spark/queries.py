@@ -14451,6 +14451,105 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IPF_STEPS = 10  # 5 full row+column rounds
+
+
+@register(
+    "ipf_raking",
+    oracle=f"""
+        WITH RECURSIVE cells AS (
+            SELECT event_type AS i, dayname(ts) AS j, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ), tot AS (
+            SELECT CAST(SUM(n) AS DOUBLE) AS t,
+                   CAST(COUNT(DISTINCT i) AS DOUBLE) AS ni,
+                   CAST(COUNT(DISTINCT j) AS DOUBLE) AS nj
+            FROM cells
+        ), state(step, i, j, n, w) AS (
+            SELECT 0, i, j, n, CAST(n AS DECIMAL(20,12)) FROM cells
+            UNION ALL
+            SELECT s.step + 1, s.i, s.j, s.n,
+                   CAST(s.w * CAST(round(
+                       CASE WHEN s.step % 2 = 0
+                            THEN (SELECT t FROM tot)
+                                 / ((SELECT ni FROM tot)
+                                    * CAST(ri.r AS DOUBLE))
+                            ELSE (SELECT t FROM tot)
+                                 / ((SELECT nj FROM tot)
+                                    * CAST(rj.r AS DOUBLE))
+                       END + 1e-15, 12) AS DECIMAL(14,12))
+                       AS DECIMAL(20,12))
+            FROM state s
+            JOIN (SELECT step, i, SUM(w) AS r FROM state
+                  GROUP BY 1, 2) ri ON ri.step = s.step AND ri.i = s.i
+            JOIN (SELECT step, j, SUM(w) AS r FROM state
+                  GROUP BY 1, 2) rj ON rj.step = s.step AND rj.j = s.j
+            WHERE s.step < {IPF_STEPS}
+        )
+        SELECT i AS event_type, j AS dow,
+               CAST(n AS BIGINT) AS n,
+               round(CAST(w AS DOUBLE) + 1e-9, 6) AS raked_mass,
+               round(CAST(w AS DOUBLE) / n + 1e-9, 6) AS row_weight
+        FROM state WHERE step = {IPF_STEPS}
+    """,
+    description="Iterative proportional fitting (raking) of the "
+    "(event_type x day-of-week) contingency table to uniform target "
+    "margins — the survey-statistics weighting that balances a "
+    "training mix on two attributes at once (the 2-D generalization "
+    "of domain_mix). Scale shape: the corpus aggregates ONCE to a "
+    "bounded |types| x 7 cell grid; the 10 alternating scalings run "
+    "on that grid only, and the final per-row weight broadcasts back. "
+    "Cross-engine exactness: cell state lives in DECIMAL(20,12); "
+    "each scaling factor is one IEEE division of exact decimals "
+    "rounded to 12dp, each multiply re-quantized to the same scale "
+    "(HALF_UP both engines on positive mass) — so ten float "
+    "iterations stay BIT-IDENTICAL where naive double state would "
+    "drift. Oracle replays the identical schedule in a recursive CTE "
+    "that aggregates its own previous iteration (the kcore_members "
+    "pattern)",
+)
+def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("i"),
+        F.date_format("ts", "EEEE").alias("j"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cells = tracked_persist(
+        cells.withColumn("w", F.col("n").cast("decimal(20,12)"))
+    )
+    agg = cells.agg(
+        F.sum("n"), F.countDistinct("i"), F.countDistinct("j")
+    ).collect()[0]
+    total, ni, nj = float(agg[0]), float(agg[1]), float(agg[2])
+    for step in range(IPF_STEPS):
+        key, k = ("i", ni) if step % 2 == 0 else ("j", nj)
+        r = cells.groupBy(key).agg(F.sum("w").alias("r"))
+        f = F.round(
+            F.lit(total) / (F.lit(k) * F.col("r").cast("double"))
+            + F.lit(1e-15),
+            12,
+        ).cast("decimal(14,12)")
+        # localCheckpoint: each step references the previous state
+        # twice (margin agg + join), so without lineage truncation the
+        # logical plan doubles per step — 2^10 scans by step ten.
+        cells = cells.join(
+            F.broadcast(r.select(key, f.alias("f"))), key
+        ).select(
+            "i",
+            "j",
+            "n",
+            (F.col("w") * F.col("f")).cast("decimal(20,12)").alias("w"),
+        ).localCheckpoint()
+    wd = F.col("w").cast("double")
+    return cells.select(
+        F.col("i").alias("event_type"),
+        F.col("j").alias("dow"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(wd + F.lit(1e-9), 6).alias("raked_mass"),
+        F.round(wd / F.col("n") + F.lit(1e-9), 6).alias("row_weight"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

@@ -3258,3 +3258,22 @@ def test_forecast_backtest_linear_series_zero_error(spark):
         got = Q.queries()["forecast_backtest"](spark, d).collect()
     assert len(got) == 1 and got[0].n_test == 7
     assert got[0].mae == 0.0 and got[0].smape == 0.0 and got[0].mase == 0.0
+
+
+def test_ipf_raking_margins_converge(spark, sf_dir):
+    """After five row+column rounds (ending on a column scaling) the
+    dow margins are exact and the event_type margins are nearly
+    uniform — the IPF convergence guarantee on a positive table."""
+    from collections import defaultdict
+    from kafka_streams_homework_spark import queries as Q
+
+    rows = Q.queries()["ipf_raking"](spark, sf_dir).collect()
+    total = sum(r.raked_mass for r in rows)
+    by_i, by_j = defaultdict(float), defaultdict(float)
+    for r in rows:
+        by_i[r.event_type] += r.raked_mass
+        by_j[r.dow] += r.raked_mass
+    for m in by_j.values():  # last scaling was columns: exact
+        assert abs(m - total / len(by_j)) < 1e-3
+    for m in by_i.values():  # one scaling earlier: near-uniform
+        assert abs(m - total / len(by_i)) / (total / len(by_i)) < 0.01
