@@ -13074,14 +13074,16 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM g
         ), s AS (
             SELECT t, deaths, n_at_risk,
-                   SUM(ln(1.0 - deaths::DOUBLE / n_at_risk)) OVER (
-                       ORDER BY t) AS logsurv
+                   SUM(CASE WHEN deaths < n_at_risk
+                            THEN ln(1.0 - deaths::DOUBLE / n_at_risk)
+                            ELSE 0.0 END) OVER (ORDER BY t) AS logsurv
             FROM k
         )
         SELECT CAST(t AS BIGINT) AS t_hours,
                CAST(n_at_risk AS BIGINT) AS n_at_risk,
                CAST(deaths AS BIGINT) AS deaths,
-               round(exp(logsurv) + 1e-9, 6) AS survival
+               round(CASE WHEN deaths = n_at_risk THEN 0.0
+                          ELSE exp(logsurv) END + 1e-9, 6) AS survival
         FROM s WHERE deaths > 0
     """,
     description="Kaplan-Meier survival estimator: time-to-first-purchase "
@@ -13132,17 +13134,27 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = g.select(
         "t", "deaths", F.sum("n_all").over(w_risk).alias("n_at_risk")
     )
+    # deaths == n_at_risk (total extinction — only possible at the max
+    # event time) would put ln(0) in the cumsum: Spark returns NULL
+    # there while DuckDB returns -inf, so both sides special-case the
+    # factor to 0 and emit survival 0 directly.
     s = k.withColumn(
         "logsurv",
         F.sum(
-            F.log(F.lit(1.0) - F.col("deaths") / F.col("n_at_risk"))
+            F.when(
+                F.col("deaths") < F.col("n_at_risk"),
+                F.log(F.lit(1.0) - F.col("deaths") / F.col("n_at_risk")),
+            ).otherwise(F.lit(0.0))
         ).over(w_cum),
     )
+    surv = F.when(
+        F.col("deaths") == F.col("n_at_risk"), F.lit(0.0)
+    ).otherwise(F.exp("logsurv"))
     return s.filter(F.col("deaths") > 0).select(
         F.col("t").cast("long").alias("t_hours"),
         F.col("n_at_risk").cast("long").alias("n_at_risk"),
         F.col("deaths").cast("long").alias("deaths"),
-        F.round(F.exp("logsurv") + F.lit(1e-9), 6).alias("survival"),
+        F.round(surv + F.lit(1e-9), 6).alias("survival"),
     )
 
 
