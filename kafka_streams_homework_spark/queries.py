@@ -14562,6 +14562,127 @@ def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "snapshot_diff",
+    oracle="""
+        WITH b AS (
+            SELECT c_custkey, c_name,
+                   CASE WHEN ('0x' || substr(md5('chg:'
+                                  || c_custkey::VARCHAR), 1, 8))::BIGINT
+                             % 10 = 0
+                        THEN round(c_acctbal + 100.0, 2)
+                        ELSE c_acctbal END AS c_acctbal,
+                   CASE WHEN ('0x' || substr(md5('seg:'
+                                  || c_custkey::VARCHAR), 1, 8))::BIGINT
+                             % 15 = 0
+                        THEN 'MIGRATED' ELSE c_mktsegment
+                   END AS c_mktsegment
+            FROM customer
+            WHERE ('0x' || substr(md5('del:' || c_custkey::VARCHAR),
+                                  1, 8))::BIGINT % 20 != 0
+        ), d AS (
+            SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+                   a.c_acctbal AS a_bal, b.c_acctbal AS b_bal,
+                   a.c_mktsegment AS a_seg, b.c_mktsegment AS b_seg
+            FROM customer a FULL OUTER JOIN b
+              ON a.c_custkey = b.c_custkey
+        )
+        SELECT 'deleted' AS metric, CAST(COUNT(*) AS BIGINT) AS n
+        FROM d WHERE b_key IS NULL
+        UNION ALL
+        SELECT 'changed_acctbal', COUNT(*)
+        FROM d WHERE a_key IS NOT NULL AND b_key IS NOT NULL
+                 AND a_bal != b_bal
+        UNION ALL
+        SELECT 'changed_mktsegment', COUNT(*)
+        FROM d WHERE a_key IS NOT NULL AND b_key IS NOT NULL
+                 AND a_seg != b_seg
+        UNION ALL
+        SELECT 'unchanged', COUNT(*)
+        FROM d WHERE a_key IS NOT NULL AND b_key IS NOT NULL
+                 AND a_bal = b_bal AND a_seg = b_seg
+    """,
+    description="Snapshot diff audit — the 'what changed between table "
+    "versions v1 and v2' readout a lakehouse time-travel compare "
+    "gives: v2 is derived from the customer snapshot by deterministic "
+    "md5 coins (5% deletes, 10% balance updates, ~7% segment "
+    "migrations), then ONE full-outer join classifies every key into "
+    "deleted / changed-per-column / unchanged with integer counts. "
+    "Same join discipline as merge_apply_cdc but inverted: CDC applies "
+    "a delta, this recovers the delta from two materialized states — "
+    "together they round-trip the change-data lifecycle. At 100 TB "
+    "both snapshots shuffle once on the key (or zero times if "
+    "bucketed, see bucketed_agg_scan)",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+
+    def coin(tag: str, mod: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(tag + ":"), F.col("c_custkey").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        )
+
+    b = cust.filter(coin("del", 20) != 0).select(
+        "c_custkey",
+        "c_name",
+        F.when(
+            coin("chg", 10) == 0, F.round(F.col("c_acctbal") + 100.0, 2)
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(coin("seg", 15) == 0, F.lit("MIGRATED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_acctbal").alias("a_bal"),
+        F.col("c_mktsegment").alias("a_seg"),
+    )
+    bb = b.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_acctbal").alias("b_bal"),
+        F.col("c_mktsegment").alias("b_seg"),
+    )
+    d = tracked_persist(a.join(bb, a["a_key"] == bb["b_key"], "full"))
+    both = F.col("a_key").isNotNull() & F.col("b_key").isNotNull()
+
+    def row(metric: str, cond):
+        return d.filter(cond).agg(
+            F.lit(metric).alias("metric"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+
+    return (
+        row("deleted", F.col("b_key").isNull())
+        .unionAll(row("changed_acctbal", both & (F.col("a_bal") != F.col("b_bal"))))
+        .unionAll(
+            row("changed_mktsegment", both & (F.col("a_seg") != F.col("b_seg")))
+        )
+        .unionAll(
+            row(
+                "unchanged",
+                both
+                & (F.col("a_bal") == F.col("b_bal"))
+                & (F.col("a_seg") == F.col("b_seg")),
+            )
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

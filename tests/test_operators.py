@@ -3277,3 +3277,36 @@ def test_ipf_raking_margins_converge(spark, sf_dir):
         assert abs(m - total / len(by_j)) < 1e-3
     for m in by_i.values():  # one scaling earlier: near-uniform
         assert abs(m - total / len(by_i)) / (total / len(by_i)) < 0.01
+
+
+def test_snapshot_diff_python_replay(spark, sf_dir):
+    """Replay the md5 perturbation coins in Python over the fixture
+    and match every diff bucket exactly."""
+    import hashlib
+
+    from kafka_streams_homework_spark import queries as Q
+
+    got = {r.metric: r.n for r in Q.queries()["snapshot_diff"](spark, sf_dir).collect()}
+    cust = Q._t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    ).collect()
+
+    def coin(tag, key, mod):
+        return int(hashlib.md5(f"{tag}:{key}".encode()).hexdigest()[:8], 16) % mod
+
+    exp = {"deleted": 0, "changed_acctbal": 0,
+           "changed_mktsegment": 0, "unchanged": 0}
+    for r in cust:
+        k = r.c_custkey
+        if coin("del", k, 20) == 0:
+            exp["deleted"] += 1
+            continue
+        bal_chg = coin("chg", k, 10) == 0
+        seg_chg = coin("seg", k, 15) == 0 and r.c_mktsegment != "MIGRATED"
+        if bal_chg:
+            exp["changed_acctbal"] += 1
+        if seg_chg:
+            exp["changed_mktsegment"] += 1
+        if not bal_chg and not seg_chg:
+            exp["unchanged"] += 1
+    assert got == exp
