@@ -14683,6 +14683,191 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "degree_assortativity",
+    oracle="""
+        WITH e AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ), deg AS (
+            SELECT n, COUNT(*) AS d FROM (
+                SELECT pa AS n FROM e UNION ALL SELECT pb FROM e
+            ) GROUP BY n
+        ), ed AS (
+            -- both directions so the correlation is symmetric
+            SELECT da.d AS x, db.d AS y
+            FROM e JOIN deg da ON da.n = e.pa JOIN deg db ON db.n = e.pb
+            UNION ALL
+            SELECT db.d, da.d
+            FROM e JOIN deg da ON da.n = e.pa JOIN deg db ON db.n = e.pb
+        ), s AS (
+            SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                   SUM(x * y) AS sxy
+            FROM ed
+        )
+        SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE))
+                     + 1e-9, 6) AS assortativity
+        FROM s
+    """,
+    description="Degree assortativity of the co-purchase graph: "
+    "Pearson correlation of endpoint degrees over the symmetrized "
+    "edge list — positive means hubs attach to hubs (social-style), "
+    "negative means hub-and-spoke (retail catalogs are typically "
+    "disassortative), and the sign decides whether the hub-cap "
+    "mitigations in neighbor_jaccard/link_prediction actually bite. "
+    "Every moment is an INTEGER sum (degrees are ints), one final "
+    "division+sqrt — hash-exact. One degree agg + one broadcast-deg "
+    "edge decoration + a scalar agg",
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .drop("c")
+    )
+    e = tracked_persist(e)
+    deg = (
+        e.select(F.col("pa").alias("n"))
+        .unionAll(e.select(F.col("pb").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = F.broadcast(deg.select(F.col("n").alias("pa"), F.col("d").alias("dx")))
+    db = F.broadcast(deg.select(F.col("n").alias("pb"), F.col("d").alias("dy")))
+    dec = e.join(da, "pa").join(db, "pb")
+    ed = dec.select(F.col("dx").alias("x"), F.col("dy").alias("y")).unionAll(
+        dec.select(F.col("dy").alias("x"), F.col("dx").alias("y"))
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = F.sqrt(
+        (n * F.col("sxx") - sx * sx).cast("double")
+        * (n * F.col("syy") - sy * sy).cast("double")
+    )
+    return s.select(
+        F.expr("n div 2").cast("bigint").alias("n_edges"),
+        F.round(num / den + F.lit(1e-9), 6).alias("assortativity"),
+    )
+
+
+RICH_CLUB_K = [2, 4, 8, 16, 32, 64]
+
+
+@register(
+    "rich_club",
+    oracle=f"""
+        WITH e AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ), deg AS (
+            SELECT n, COUNT(*) AS d FROM (
+                SELECT pa AS n FROM e UNION ALL SELECT pb FROM e
+            ) GROUP BY n
+        ), ks AS (
+            SELECT unnest(ARRAY{RICH_CLUB_K}) AS k
+        ), nodes_k AS (
+            SELECT ks.k, COUNT(*) AS n_k
+            FROM ks JOIN deg ON deg.d > ks.k GROUP BY ks.k
+        ), edges_k AS (
+            SELECT ks.k, COUNT(*) AS e_k
+            FROM ks
+            JOIN e ON TRUE
+            JOIN deg da ON da.n = e.pa AND da.d > ks.k
+            JOIN deg db ON db.n = e.pb AND db.d > ks.k
+            GROUP BY ks.k
+        )
+        SELECT nk.k,
+               CAST(nk.n_k AS BIGINT) AS n_nodes,
+               CAST(COALESCE(ek.e_k, 0) AS BIGINT) AS n_edges,
+               round(CAST(2 * COALESCE(ek.e_k, 0) AS DOUBLE)
+                     / CAST(nk.n_k * (nk.n_k - 1) AS DOUBLE) + 1e-9, 6)
+                   AS phi
+        FROM nodes_k nk LEFT JOIN edges_k ek ON ek.k = nk.k
+        WHERE nk.n_k >= 2
+    """,
+    description="Rich-club coefficient phi(k) = 2*E_k / (N_k*(N_k-1)) "
+    "over a degree-threshold ladder: how densely the >k-degree elite "
+    "interconnects, the complement of kcore_members (core = cohesion "
+    "by peeling, rich club = cohesion by degree rank). Integer "
+    "counts, one final division. The k-ladder is a tiny literal "
+    "dimension broadcast against the degree-decorated edge list — "
+    "one pass over edges scores every rung",
+)
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .drop("c")
+    )
+    e = tracked_persist(e)
+    deg = (
+        e.select(F.col("pa").alias("n"))
+        .unionAll(e.select(F.col("pb").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    deg = tracked_persist(deg)
+    ks = spark.createDataFrame([(k,) for k in RICH_CLUB_K], "k int")
+    nodes_k = (
+        ks.join(deg, deg["d"] > ks["k"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_k"))
+    )
+    da = F.broadcast(deg.select(F.col("n").alias("pa"), F.col("d").alias("dx")))
+    db = F.broadcast(deg.select(F.col("n").alias("pb"), F.col("d").alias("dy")))
+    dec = e.join(da, "pa").join(db, "pb")
+    edges_k = (
+        F.broadcast(ks)
+        .join(dec, (dec["dx"] > ks["k"]) & (dec["dy"] > ks["k"]))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e_k"))
+    )
+    ek = F.coalesce(F.col("e_k"), F.lit(0))
+    return (
+        nodes_k.join(edges_k, "k", "left")
+        .filter(F.col("n_k") >= 2)
+        .select(
+            "k",
+            F.col("n_k").cast("bigint").alias("n_nodes"),
+            ek.cast("bigint").alias("n_edges"),
+            F.round(
+                (2 * ek).cast("double")
+                / (F.col("n_k") * (F.col("n_k") - 1)).cast("double")
+                + F.lit(1e-9),
+                6,
+            ).alias("phi"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

@@ -3310,3 +3310,46 @@ def test_snapshot_diff_python_replay(spark, sf_dir):
         if not bal_chg and not seg_chg:
             exp["unchanged"] += 1
     assert got == exp
+
+
+def _licols(spark, edges):
+    """lineitem rows giving exactly `edges` (each via 2 shared orders)."""
+    rows, ok = [], 0
+    for a, b in edges:
+        for _ in range(2):
+            rows += [(ok, a), (ok, b)]
+            ok += 1
+    return spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    """A star K_{1,3}: every edge pairs degree 3 with degree 1, so the
+    degree correlation is exactly -1."""
+    from kafka_streams_homework_spark import queries as Q
+    import os
+    import tempfile
+
+    li = _licols(spark, [(1, 2), (1, 3), (1, 4)])
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        got = Q.queries()["degree_assortativity"](spark, d).collect()[0]
+    assert got.n_edges == 3
+    assert abs(got.assortativity + 1.0) < 1e-6
+
+
+def test_rich_club_two_triangles_bridge(spark):
+    """Two triangles bridged at (3,4): the >2-degree elite is {3,4},
+    fully connected by the bridge -> phi(2) = 1."""
+    from kafka_streams_homework_spark import queries as Q
+    import os
+    import tempfile
+
+    li = _licols(
+        spark, [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        rows = {r.k: r for r in Q.queries()["rich_club"](spark, d).collect()}
+    assert set(rows) == {2}
+    assert rows[2].n_nodes == 2 and rows[2].n_edges == 1
+    assert abs(rows[2].phi - 1.0) < 1e-9
