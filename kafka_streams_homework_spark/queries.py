@@ -14868,6 +14868,100 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bitemporal_lookup",
+    oracle="""
+        WITH a AS (
+            SELECT user_id, event_id, value,
+                   epoch(ts)::BIGINT // 86400 AS tx_day,
+                   epoch(ts)::BIGINT // 86400
+                       - (('0x' || substr(md5('lag:'
+                              || event_id::VARCHAR), 1, 8))::BIGINT % 5)
+                       AS valid_day
+            FROM events WHERE value IS NOT NULL
+        ), d0 AS (
+            SELECT MIN(tx_day) AS d0 FROM a
+        ), probes AS (
+            SELECT (SELECT d0 FROM d0) + t.t AS probe_tx,
+                   (SELECT d0 FROM d0) + v.v AS probe_valid
+            FROM (VALUES (10), (20)) t(t), (VALUES (8), (18)) v(v)
+        ), ranked AS (
+            SELECT p.probe_tx, p.probe_valid, a.user_id, a.event_id,
+                   a.value,
+                   row_number() OVER (
+                       PARTITION BY a.user_id, p.probe_tx, p.probe_valid
+                       ORDER BY a.valid_day DESC, a.tx_day DESC,
+                                a.event_id DESC) AS rk
+            FROM a JOIN probes p
+              ON a.tx_day <= p.probe_tx AND a.valid_day <= p.probe_valid
+        )
+        SELECT user_id, probe_tx, probe_valid, event_id AS src_event,
+               round(value, 2) AS value
+        FROM ranked WHERE rk = 1
+    """,
+    description="Bitemporal point lookup — the two-axis generalization "
+    "of scd2_lookup: each event is an assertion RECORDED at "
+    "transaction day tx(ts) about a valid day tx - lag (md5 lag 0-4 "
+    "days, so later transactions retroactively correct earlier "
+    "periods). For every (as-of-transaction, as-of-valid) probe pair "
+    "the engine answers 'what did we BELIEVE on day T about the "
+    "state on day V': filter tx<=T AND valid<=V, take the max-valid "
+    "assertion with tx/event tie-breaks. The probe grid is a "
+    "4-row literal dimension broadcast against one ranked pass; all "
+    "comparisons are integer epoch-days so the result hash-checks "
+    "exactly. The audit/backfill primitive every regulated warehouse "
+    "reimplements",
+)
+def q_bitemporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    lag = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("lag:"), F.col("event_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    a = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.expr("unix_timestamp(ts) div 86400").alias("tx_day"),
+        (F.expr("unix_timestamp(ts) div 86400") - lag).alias("valid_day"),
+    )
+    a = tracked_persist(a)
+    d0 = a.agg(F.min("tx_day")).collect()[0][0]
+    probes = spark.createDataFrame(
+        [(d0 + t, d0 + v) for t in (10, 20) for v in (8, 18)],
+        "probe_tx long, probe_valid long",
+    )
+    j = a.join(
+        F.broadcast(probes),
+        (F.col("tx_day") <= F.col("probe_tx"))
+        & (F.col("valid_day") <= F.col("probe_valid")),
+    )
+    w = Window.partitionBy("user_id", "probe_tx", "probe_valid").orderBy(
+        F.col("valid_day").desc(), F.col("tx_day").desc(), F.col("event_id").desc()
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "probe_tx",
+            "probe_valid",
+            F.col("event_id").alias("src_event"),
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

@@ -3353,3 +3353,44 @@ def test_rich_club_two_triangles_bridge(spark):
     assert set(rows) == {2}
     assert rows[2].n_nodes == 2 and rows[2].n_edges == 1
     assert abs(rows[2].phi - 1.0) < 1e-9
+
+
+def test_bitemporal_lookup_python_replay(spark, sf_dir):
+    """Replay the two-axis as-of semantics in Python over the fixture:
+    max valid_day with tx/event tie-breaks among assertions visible at
+    the probe."""
+    import hashlib
+
+    from kafka_streams_homework_spark import queries as Q
+
+    got = {
+        (r.user_id, r.probe_tx, r.probe_valid): (r.src_event, r.value)
+        for r in Q.queries()["bitemporal_lookup"](spark, sf_dir).collect()
+    }
+    ev = (
+        Q._t(spark, sf_dir, "events")
+        .filter("value IS NOT NULL")
+        .select("user_id", "event_id", "value", "ts")
+        .collect()
+    )
+    asserts = []
+    for r in ev:
+        tx = int(r.ts.replace(tzinfo=__import__("datetime").timezone.utc)
+                 .timestamp()) // 86400
+        lag = int(
+            hashlib.md5(f"lag:{r.event_id}".encode()).hexdigest()[:8], 16
+        ) % 5
+        asserts.append((r.user_id, r.event_id, round(r.value, 2), tx, tx - lag))
+    d0 = min(a[3] for a in asserts)
+    exp = {}
+    for t in (10, 20):
+        for v in (8, 18):
+            best = {}
+            for uid, eid, val, tx, vd in asserts:
+                if tx <= d0 + t and vd <= d0 + v:
+                    key = (vd, tx, eid)
+                    if uid not in best or key > best[uid][0]:
+                        best[uid] = (key, eid, val)
+            for uid, (_, eid, val) in best.items():
+                exp[(uid, d0 + t, d0 + v)] = (eid, val)
+    assert got == exp
