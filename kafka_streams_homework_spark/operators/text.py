@@ -697,3 +697,49 @@ def js_divergence_sources(
             ).alias("js_div"),
         )
     )
+
+
+COMPRESSION_LEVEL = 6  # production default; pinned for determinism
+COMPRESSION_DUP_MAX = 0.4  # ratios below this read as boilerplate
+
+
+def compression_ratio(documents: DataFrame) -> DataFrame:
+    """zlib DEFLATE compression ratio per document (rows-only op).
+
+    ratio = len(compress(utf8(text), level=6)) / len(utf8(text)) — the
+    standard redundancy signal for boilerplate/near-dup filtering.
+    Deterministic for a given zlib build and level, but no SQL engine
+    can replay DEFLATE, so this is a rows-only entry; its
+    oracle-checked sandwich is char_entropy (a lower bound on the
+    achievable rate, asserted in pytest). Arrow-batched mapInPandas,
+    one Python crossing, no shuffle.
+    """
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+
+    def comp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "raw_bytes": [], "compressed_bytes": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8")
+                cz = zlib.compress(raw, COMPRESSION_LEVEL)
+                out["doc_id"].append(doc_id)
+                out["raw_bytes"].append(len(raw))
+                out["compressed_bytes"].append(len(cz))
+            yield pd.DataFrame(out)
+
+    feats = documents.select("doc_id", "text").mapInPandas(
+        comp, "doc_id long, raw_bytes long, compressed_bytes long"
+    )
+    ratio = F.round(
+        F.col("compressed_bytes") / F.col("raw_bytes") + F.lit(1e-9), 6
+    )
+    return feats.select(
+        "doc_id",
+        "raw_bytes",
+        "compressed_bytes",
+        ratio.alias("ratio"),
+        (ratio < COMPRESSION_DUP_MAX).alias("boilerplate"),
+    )

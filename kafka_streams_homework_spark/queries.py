@@ -14962,6 +14962,156 @@ def q_bitemporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DP_EPSILON = 0.5  # per-query budget; sensitivity 1 (count queries)
+
+
+@register(
+    "dp_release",
+    oracle=f"""
+        WITH g AS (
+            SELECT c_nationkey, COUNT(*) AS true_n
+            FROM customer GROUP BY c_nationkey
+        ), u AS (
+            SELECT c_nationkey, true_n,
+                   ('0x' || substr(md5('dp:' || c_nationkey::VARCHAR),
+                                   1, 8))::BIGINT / 4294967296.0 AS u
+            FROM g
+        )
+        SELECT c_nationkey,
+               CAST(true_n AS BIGINT) AS true_n,
+               round(true_n + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                     * (1.0 / {DP_EPSILON})
+                     * ln(1.0 - 2.0 * abs(u - 0.5)) + 1e-9, 6)
+                   AS noisy_n,
+               {DP_EPSILON} AS epsilon
+        FROM u
+    """,
+    description="Differentially-private histogram release (Laplace "
+    "mechanism, eps=0.5, sensitivity 1 for disjoint count buckets): "
+    "noisy customer counts per nation via inverse-CDF Laplace noise "
+    "-(1/eps)*sgn(u-.5)*ln(1-2|u-.5|). The noise draw uses the "
+    "engine-portable md5 fraction so the whole release is "
+    "REPRODUCIBLE and oracle-hash-checked — which is exactly how a "
+    "production release pipeline should work too (seeded noise keyed "
+    "to the release id, or re-running the job re-randomizes the "
+    "published statistics). true_n stays in the result as the "
+    "verification column; a real release publishes noisy_n/epsilon "
+    "only. Per-bucket parallel composition: one scan, one bounded "
+    "group agg, noise applied to the |nations|-row rollup. "
+    "Complements k_anonymity_ladder and pii_scrub as the third "
+    "privacy primitive",
+)
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("true_n"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dp:"), F.col("c_nationkey").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    sign = F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = (
+        sign
+        * (F.lit(1.0) / F.lit(DP_EPSILON))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return g.select(
+        "c_nationkey",
+        F.col("true_n").cast("bigint").alias("true_n"),
+        F.round(F.col("true_n") + noise + F.lit(1e-9), 6).alias("noisy_n"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    )
+
+
+CHAR_ENTROPY_MIN = 2.5  # bits-e floor below which text reads as spammy
+
+
+@register(
+    "char_entropy",
+    oracle=f"""
+        WITH ch AS (
+            SELECT doc_id, unnest(str_split(lower(text), '')) AS c
+            FROM documents
+        ), cc AS (
+            SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c
+        ), s AS (
+            SELECT doc_id, SUM(k) AS n,
+                   SUM(k * ln(CAST(k AS DOUBLE))) AS sklnk
+            FROM cc GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+               round(ln(CAST(n AS DOUBLE)) - sklnk / n + 1e-9, 6)
+                   AS entropy,
+               round(ln(CAST(n AS DOUBLE)) - sklnk / n + 1e-9, 6)
+                   < {CHAR_ENTROPY_MIN} AS low_entropy
+        FROM s
+    """,
+    description="Character-level Shannon entropy per document (nats), "
+    "H = ln(n) - sum(k ln k)/n over the char histogram — the "
+    "CCNet-family quality filter that flags keyboard-mash / repeated-"
+    "boilerplate docs without any model. The low_entropy threshold "
+    "applies to the ROUNDED value (cross-engine discipline). Char "
+    "histogram per doc is a map-side-combinable groupBy; alphabet "
+    "size bounds per-doc state. The SQL-checkable twin of "
+    "compression_ratio (real zlib, rows-only) — entropy lower-bounds "
+    "the achievable compression rate, pinned in pytest",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), "")).alias("c")
+        )
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    s = cc.groupBy("doc_id").agg(
+        F.sum("k").alias("n"),
+        F.sum(F.col("k") * F.log(F.col("k").cast("double"))).alias("sklnk"),
+    )
+    ent = F.round(
+        F.log(F.col("n").cast("double")) - F.col("sklnk") / F.col("n")
+        + F.lit(1e-9),
+        6,
+    )
+    return s.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars"),
+        ent.alias("entropy"),
+        (ent < CHAR_ENTROPY_MIN).alias("low_entropy"),
+    )
+
+
+@register(
+    "compression_ratio",
+    # No oracle: DuckDB cannot run zlib. Deterministic given the zlib
+    # build (level pinned); bounds + ordering vs char_entropy pinned
+    # in pytest, exact determinism pinned by a double-run test.
+    description="zlib compression-ratio quality filter — the actual "
+    "RedPajama/CCNet dedup-adjacent signal, not a proxy: each doc is "
+    "DEFLATE-compressed (level 6, the production default) in an "
+    "Arrow-batched mapInPandas and scored compressed/raw bytes; "
+    "ratios below 0.4 flag near-duplicate boilerplate. Entropy "
+    "(char_entropy, oracle-checked) lower-bounds this ratio, so the "
+    "two together give a checked sandwich around text redundancy. "
+    "One Python crossing, ~100 MB/s/core — scan-bound at 100 TB",
+)
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.compression_ratio(docs)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

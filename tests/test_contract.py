@@ -42,6 +42,7 @@ def test_oracle_keys_subset_of_queries():
     # rows-only ops are the documented hash/sketch-dependent ones
     assert sorted(q - o) == [
         "approx_stats",
+        "compression_ratio",
         "cosine_pairs_cells",
         "dedup_embedding_lsh",
         "dedup_minhash_lsh",

@@ -3394,3 +3394,76 @@ def test_bitemporal_lookup_python_replay(spark, sf_dir):
             for uid, (_, eid, val) in best.items():
                 exp[(uid, d0 + t, d0 + v)] = (eid, val)
     assert got == exp
+
+
+def test_char_entropy_known_alphabets(spark):
+    """H('aaaa')=0, H('abab')=ln 2, H(uniform 16-char alphabet)=ln 16;
+    flags follow the rounded threshold."""
+    from kafka_streams_homework_spark import queries as Q
+    import math
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a" * 64, "en", "s", 64),
+            (1, "ab" * 32, "en", "s", 64),
+            (2, "0123456789abcdef" * 4, "en", "s", 64),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r.doc_id: r
+            for r in Q.queries()["char_entropy"](spark, d).collect()
+        }
+    assert got[0].entropy == 0.0 and got[0].low_entropy
+    assert abs(got[1].entropy - math.log(2)) < 1e-6 and got[1].low_entropy
+    assert abs(got[2].entropy - math.log(16)) < 1e-6
+    assert got[2].low_entropy == (round(math.log(16), 6) < 2.5)
+
+
+def test_compression_ratio_bounds_and_determinism(spark):
+    """Repetitive text deflates to almost nothing; random hex cannot
+    beat its 4-bit/char entropy floor. Two runs byte-match."""
+    import hashlib
+    from kafka_streams_homework_spark import queries as Q
+    import os
+    import tempfile
+
+    hexes = "".join(
+        hashlib.md5(f"x{i}".encode()).hexdigest() for i in range(160)
+    )  # 5120 chars of near-uniform hex
+    docs = spark.createDataFrame(
+        [(0, "spam " * 1000, "en", "s", 5000), (1, hexes, "en", "s", 5120)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        r1 = {r.doc_id: r for r in Q.queries()["compression_ratio"](spark, d).collect()}
+        r2 = {r.doc_id: r for r in Q.queries()["compression_ratio"](spark, d).collect()}
+    assert r1[0].ratio < 0.05 and r1[0].boilerplate
+    assert r1[1].ratio > 0.45 and not r1[1].boilerplate
+    assert {k: (v.compressed_bytes, v.ratio) for k, v in r1.items()} == {
+        k: (v.compressed_bytes, v.ratio) for k, v in r2.items()
+    }
+
+
+def test_dp_release_python_replay(spark, sf_dir):
+    """Replay the md5-seeded Laplace draw: noisy_n must equal
+    true_n + (1/eps)*sgn(u-.5)*ln(1-2|u-.5|) exactly (6dp)."""
+    import hashlib
+    import math
+
+    from kafka_streams_homework_spark import queries as Q
+
+    rows = Q.queries()["dp_release"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        u = int(
+            hashlib.md5(f"dp:{r.c_nationkey}".encode()).hexdigest()[:8], 16
+        ) / 4294967296.0
+        noise = (1.0 if u < 0.5 else -1.0) * 2.0 * math.log(1.0 - 2.0 * abs(u - 0.5))
+        assert r.epsilon == 0.5
+        assert abs(r.noisy_n - (r.true_n + noise)) < 2e-6
