@@ -15112,6 +15112,61 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.compression_ratio(docs)
 
 
+@register(
+    "dedup_canonical_pick",
+    # Composed from the member pipelines' own oracles (ann_recall_at_k
+    # pattern): clusters come from dedup_clusters, scores from
+    # quality_score — the curation decision is exactly their join.
+    oracle=f"""
+        WITH clusters AS (
+            SELECT * FROM ({REGISTRY['dedup_clusters'].oracle})
+        ), q AS (
+            SELECT * FROM ({REGISTRY['quality_score'].oracle})
+        ), j AS (
+            SELECT c.doc_id, c.cluster_id, q.quality
+            FROM clusters c JOIN q USING (doc_id)
+        ), r AS (
+            SELECT doc_id, cluster_id, quality,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY quality DESC, doc_id ASC)
+                       AS rk,
+                   COUNT(*) OVER (PARTITION BY cluster_id) AS cs
+            FROM j
+        )
+        SELECT doc_id, cluster_id, quality,
+               (rk = 1) AS kept,
+               CAST(cs AS BIGINT) AS cluster_size
+        FROM r
+    """,
+    description="Quality-aware canonical election — the curation step "
+    "dedup_clusters stops short of: within each near-dup cluster keep "
+    "the HIGHEST-QUALITY member (rounded quality desc, doc_id "
+    "tie-break), not the lowest id; ties on the rounded score are "
+    "deterministic cross-engine by construction. Output is the "
+    "actionable keep/drop ledger per document with cluster size. One "
+    "window over the (bounded) cluster membership after the CC "
+    "iteration; quality join is a broadcast of the per-doc score "
+    "table at corpus partitioning",
+)
+def q_dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, 3, NGRAM_JACCARD_THRESHOLD)
+    clusters = D.dedup_clusters(pairs).select("doc_id", "cluster_id")
+    quality = T.quality_score(docs).select("doc_id", "quality")
+    j = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        (F.row_number().over(w) == 1).alias("kept"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("cluster_size"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

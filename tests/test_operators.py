@@ -3467,3 +3467,22 @@ def test_dp_release_python_replay(spark, sf_dir):
         noise = (1.0 if u < 0.5 else -1.0) * 2.0 * math.log(1.0 - 2.0 * abs(u - 0.5))
         assert r.epsilon == 0.5
         assert abs(r.noisy_n - (r.true_n + noise)) < 2e-6
+
+
+def test_dedup_canonical_pick_keeps_best_quality(spark, sf_dir):
+    """Exactly one kept doc per cluster, and it is the max-quality
+    member (doc_id tie-break)."""
+    from collections import defaultdict
+    from kafka_streams_homework_spark import queries as Q
+
+    rows = Q.queries()["dedup_canonical_pick"](spark, sf_dir).collect()
+    assert rows
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster_id].append(r)
+    for members in by_cluster.values():
+        assert len(members) == members[0].cluster_size
+        kept = [r for r in members if r.kept]
+        assert len(kept) == 1
+        best = min(members, key=lambda r: (-r.quality, r.doc_id))
+        assert kept[0].doc_id == best.doc_id
