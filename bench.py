@@ -140,6 +140,24 @@ BENCH_QUERIES = [
     "wav_pipeline",
     "png_pipeline",
     "dedup_simhash_exact",
+    # round-5 late continuation: perceptual image dedup over real
+    # decode, cell-blocked spatial join, wedge-join link indices,
+    # brand-partition modularity, Heaps curve, entropy filter + real
+    # DEFLATE ratio, STL-lite decomposition, two-axis as-of, Qini,
+    # version diff, quality-aware canonical election, IPF raking
+    "image_ahash_dedup",
+    "geo_radius_join",
+    "link_prediction",
+    "graph_modularity",
+    "vocab_growth",
+    "char_entropy",
+    "compression_ratio",
+    "trend_seasonal_decompose",
+    "bitemporal_lookup",
+    "uplift_deciles",
+    "snapshot_diff",
+    "dedup_canonical_pick",
+    "ipf_raking",
 ]
 
 
