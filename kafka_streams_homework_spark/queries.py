@@ -15385,6 +15385,114 @@ def q_rtbf_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAHALANOBIS_CHI2_999 = 13.8155  # chi-square(2df) 99.9% critical value
+
+
+@register(
+    "mahalanobis_outliers",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   COALESCE(SUM(CAST(value AS DECIMAL(18,4))),
+                            CAST(0 AS DECIMAL(18,4))) AS x,
+                   COUNT(*) AS y
+            FROM events GROUP BY user_id
+        ), m AS (
+            SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx,
+                   SUM(CAST(y AS DECIMAL(18,0))
+                       * CAST(y AS DECIMAL(18,0))) AS syy,
+                   SUM(x * CAST(y AS DECIMAL(18,0))) AS sxy
+            FROM u
+        ), c AS (
+            SELECT n,
+                   CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                   CAST(n * sxx - sx * sx AS DOUBLE) AS a,
+                   CAST(n * syy - sy * sy AS DOUBLE) AS b,
+                   CAST(n * sxy - sx * sy AS DOUBLE) AS cc
+            FROM m
+        ), d AS (
+            SELECT u.user_id,
+                   (c.n * CAST(u.x AS DOUBLE) - c.sxd) AS uu,
+                   (c.n * CAST(u.y AS DOUBLE) - c.syd) AS vv,
+                   c.n, c.a, c.b, c.cc
+            FROM u, c
+        )
+        SELECT user_id,
+               round(((n - 1.0) / n)
+                     * ((b * uu * uu - 2.0 * cc * uu * vv)
+                        + a * vv * vv)
+                     / (a * b - cc * cc) + 1e-9, 6) AS d2,
+               round(((n - 1.0) / n)
+                     * ((b * uu * uu - 2.0 * cc * uu * vv)
+                        + a * vv * vv)
+                     / (a * b - cc * cc) + 1e-9, 6)
+                   > {MAHALANOBIS_CHI2_999} AS is_outlier
+        FROM d
+    """,
+    description="Multivariate (2-D) Mahalanobis outlier score per user "
+    "over (total spend, event count) — catches the jointly-odd points "
+    "that the univariate z/MAD ops miss (high spend AND low activity). "
+    "Cleared-denominator discipline end to end: the covariance "
+    "moments a/b/c and centered coordinates U=n*x-Sx, V=n*y-Sy are "
+    "DECIMAL-exact integers/decimals, cast once to double for the "
+    "closed-form 2x2 inverse quadratic form (identical association "
+    "both engines, one division); the flag applies chi2(2df, 99.9%) "
+    "to the ROUNDED distance. One user rollup + a broadcast 1-row "
+    "moment table — corpus scans once",
+)
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(18,4)")),
+            F.lit(0).cast("decimal(18,4)"),
+        ).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    u = tracked_persist(u)
+    yd = F.col("y").cast("decimal(18,0)")
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(F.col("x") * yd).alias("sxy"),
+    ).select(
+        "n",
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("a"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("b"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("cc"),
+    )
+    j = u.crossJoin(F.broadcast(m))
+    uu = F.col("n") * F.col("x").cast("double") - F.col("sxd")
+    vv = F.col("n") * F.col("y").cast("double") - F.col("syd")
+    d2 = F.round(
+        ((F.col("n") - F.lit(1.0)) / F.col("n"))
+        * (
+            (F.col("b") * uu * uu - F.lit(2.0) * F.col("cc") * uu * vv)
+            + F.col("a") * vv * vv
+        )
+        / (F.col("a") * F.col("b") - F.col("cc") * F.col("cc"))
+        + F.lit(1e-9),
+        6,
+    )
+    return j.select(
+        "user_id",
+        d2.alias("d2"),
+        (d2 > MAHALANOBIS_CHI2_999).alias("is_outlier"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

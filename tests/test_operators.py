@@ -3517,3 +3517,42 @@ def test_rtbf_purge_conserves_and_leaves_no_orphans(spark, sf_dir):
     assert got["events"].orphans_remaining == 0
     assert got["customer"].orphans_remaining == 0
     assert got["events"].rows_purged > 0
+
+
+def test_mahalanobis_outliers_numpy_replay(spark, sf_dir):
+    """d2 must match the textbook (x-mu)^T S^-1 (x-mu) with the sample
+    covariance, replayed in numpy."""
+    import numpy as np
+
+    from kafka_streams_homework_spark import queries as Q
+
+    got = {
+        r.user_id: (r.d2, r.is_outlier)
+        for r in Q.queries()["mahalanobis_outliers"](spark, sf_dir).collect()
+    }
+    pts = {
+        r.user_id: (float(r.x), float(r.y))
+        for r in Q._t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            __import__("pyspark.sql.functions", fromlist=["F"]).coalesce(
+                __import__("pyspark.sql.functions", fromlist=["F"]).sum("value"),
+                __import__("pyspark.sql.functions", fromlist=["F"]).lit(0.0),
+            ).alias("x"),
+            __import__("pyspark.sql.functions", fromlist=["F"]).count(
+                __import__("pyspark.sql.functions", fromlist=["F"]).lit(1)
+            ).alias("y"),
+        )
+        .collect()
+    }
+    X = np.array([pts[u] for u in sorted(pts)])
+    mu = X.mean(axis=0)
+    S = np.cov(X.T, ddof=1)
+    Sinv = np.linalg.inv(S)
+    for i, u in enumerate(sorted(pts)):
+        dlt = X[i] - mu
+        d2 = float(dlt @ Sinv @ dlt)
+        assert abs(got[u][0] - d2) < 1e-3, (u, got[u][0], d2)
+        # flag == rounded threshold test (note max possible d2 is
+        # (n-1)^2/n, so tiny cohorts legitimately flag nothing)
+        assert got[u][1] == (got[u][0] > 13.8155)
