@@ -1457,3 +1457,67 @@ def embedding_outliers(
             (sim < F.lit(threshold)).alias("is_outlier"),
         )
     )
+
+
+def pca_projection(embeddings: DataFrame, iters: int = 30) -> DataFrame:
+    """Top principal component by distributed Gram + driver power
+    iteration, then a one-pass projection (rows-only op).
+
+    Scale split: the data-sized work — the centered Gram/covariance
+    matrix sum(x x^T) — is ONE distributed aggregation (explode the
+    d=64 vector to (i, j, x_i*x_j) partial sums; d^2 = 4096
+    accumulators, map-side combinable). The eigen solve runs on the
+    driver over that bounded 64x64 matrix (power iteration, fixed
+    iteration count, deterministic all-ones start — no RNG), which is
+    the correct placement at any corpus size; the resulting component
+    broadcasts back for a map-only projection pass. No SQL engine
+    replays the eigen solve, so the op is rows-only; pytest pins the
+    component and every score against numpy.
+    """
+    import numpy as np
+
+    dim = 64
+    mean_row = embeddings.select(
+        F.posexplode("embedding").alias("i", "x")
+    ).groupBy("i").agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("n"))
+    means = {r.i: r.m for r in mean_row.collect()}
+    mu = np.array([means[i] for i in range(dim)])
+
+    pairs = (
+        embeddings.select(F.posexplode("embedding").alias("i", "x"),
+                          F.col("embedding"))
+        .select("i", "x", F.posexplode("embedding").alias("j", "y"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("x") * F.col("y")).alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    rows = pairs.collect()
+    n = rows[0].n
+    G = np.zeros((dim, dim))
+    for r in rows:
+        G[r.i, r.j] = r.s
+    # centered covariance: E[xx^T] - mu mu^T (population scaling)
+    C = G / n - np.outer(mu, mu)
+    v = np.ones(dim)
+    for _ in range(iters):
+        v = C @ v
+        v = v / np.linalg.norm(v)
+    if v[int(np.argmax(np.abs(v)))] < 0:  # sign convention: largest |coord| positive
+        v = -v
+    comp = [float(c) for c in v]
+    mu_l = [float(m) for m in mu]
+    comp_col = F.array(*[F.lit(c) for c in comp])
+    mu_col = F.array(*[F.lit(m) for m in mu_l])
+    score = F.aggregate(
+        F.zip_with(
+            F.zip_with(F.col("embedding"), mu_col, lambda x, m: x - m),
+            comp_col,
+            lambda cx, c: cx * c,
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return embeddings.select(
+        "vec_id",
+        "label",
+        F.round(score + F.lit(1e-9), 6).alias("pc1_score"),
+    )

@@ -15493,6 +15493,93 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pca_projection",
+    # No oracle: the 64x64 eigen solve is not SQL-replayable; the
+    # component and every projected score are pinned against numpy in
+    # pytest (exact replay of the deterministic power iteration).
+    description="Top-principal-component projection of the embedding "
+    "corpus: the covariance/Gram matrix is ONE distributed partial "
+    "aggregation (d^2 = 4096 accumulators, map-side combined — the "
+    "explode blowup never shuffles row-wise), the eigen solve is a "
+    "deterministic driver-side power iteration on the bounded 64x64 "
+    "matrix (all-ones start, fixed 30 iterations, sign convention "
+    "pinned), and the projection broadcasts the component back for a "
+    "map-only scoring pass. The embedding-drift/visualization "
+    "primitive; rows-only (numpy-replayed in pytest)",
+)
+def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.pca_projection(emb)
+
+
+@register(
+    "ab_srm_check",
+    oracle="""
+        WITH u AS (
+            SELECT DISTINCT user_id,
+                   ('0x' || substr(md5('rm:' || user_id::VARCHAR),
+                                   1, 8))::BIGINT % 2 AS grp
+            FROM events
+        ), c AS (
+            SELECT SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_a,
+                   SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_b,
+                   COUNT(*) AS n
+            FROM u
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               round((CAST(2 * n_a - n AS DOUBLE)
+                      * CAST(2 * n_a - n AS DOUBLE)
+                      + CAST(2 * n_b - n AS DOUBLE)
+                      * CAST(2 * n_b - n AS DOUBLE)) / (2.0 * n)
+                     + 1e-9, 6) AS chi2,
+               ((CAST(2 * n_a - n AS DOUBLE)
+                 * CAST(2 * n_a - n AS DOUBLE)
+                 + CAST(2 * n_b - n AS DOUBLE)
+                 * CAST(2 * n_b - n AS DOUBLE)) / (2.0 * n))
+                   > 10.828 AS srm_detected
+        FROM c
+    """,
+    description="Sample-ratio-mismatch guardrail for the md5-coin A/B "
+    "split: chi-square goodness-of-fit of observed arm sizes against "
+    "the designed 50/50 — chi2 = ((n_a - n/2)^2 + (n_b - n/2)^2) "
+    "/ (n/2), computed with cleared denominators ((2n_a - n)^2 terms "
+    "stay integer) and flagged at the 0.001 level (10.828, 1df) — "
+    "the first check every experiment readout must pass before any "
+    "effect estimate is trusted (cuped/ratio/uplift all assume it). "
+    "One distinct-user rollup to a single row",
+)
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    grp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rm:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = ev.select("user_id", grp.alias("grp")).distinct()
+    c = u.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_b"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    da = (F.lit(2) * F.col("n_a") - F.col("n")).cast("double")
+    db = (F.lit(2) * F.col("n_b") - F.col("n")).cast("double")
+    chi2 = (da * da + db * db) / (F.lit(2.0) * F.col("n"))
+    return c.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(chi2 + F.lit(1e-9), 6).alias("chi2"),
+        (chi2 > 10.828).alias("srm_detected"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

@@ -3556,3 +3556,60 @@ def test_mahalanobis_outliers_numpy_replay(spark, sf_dir):
         # flag == rounded threshold test (note max possible d2 is
         # (n-1)^2/n, so tiny cohorts legitimately flag nothing)
         assert got[u][1] == (got[u][0] > 13.8155)
+
+
+def test_pca_projection_numpy_replay(spark, sf_dir):
+    """Component and scores must equal numpy's replay of the same
+    deterministic power iteration (population covariance, all-ones
+    start, 30 iterations, pinned sign)."""
+    import numpy as np
+
+    from kafka_streams_homework_spark import queries as Q
+
+    got = {
+        r.vec_id: r.pc1_score
+        for r in Q.queries()["pca_projection"](spark, sf_dir).collect()
+    }
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype="float64")
+        for r in Q._t(spark, sf_dir, "embeddings").collect()
+    }
+    X = np.array([emb[k] for k in sorted(emb)])
+    mu = X.mean(axis=0)
+    C = (X.T @ X) / len(X) - np.outer(mu, mu)
+    v = np.ones(64)
+    for _ in range(30):
+        v = C @ v
+        v /= np.linalg.norm(v)
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    for i, k in enumerate(sorted(emb)):
+        expect = float((X[i] - mu) @ v)
+        assert abs(got[k] - expect) < 1e-4, (k, got[k], expect)
+    # sanity: pc1 explains more variance than a random axis
+    scores = np.array([got[k] for k in sorted(emb)])
+    assert scores.var() > X.var(axis=0).mean()
+
+
+def test_ab_srm_check_python_replay(spark, sf_dir):
+    """Replay the GOF statistic; the md5 coin is fair, so the fixture
+    split must not trip the 0.001-level guardrail."""
+    import hashlib
+
+    from kafka_streams_homework_spark import queries as Q
+
+    r = Q.queries()["ab_srm_check"](spark, sf_dir).collect()[0]
+    users = {
+        row.user_id
+        for row in Q._t(spark, sf_dir, "events").select("user_id").distinct().collect()
+    }
+    n_a = sum(
+        1
+        for u in users
+        if int(hashlib.md5(f"rm:{u}".encode()).hexdigest()[:8], 16) % 2 == 0
+    )
+    n = len(users)
+    assert (r.n_a, r.n_b) == (n_a, n - n_a)
+    chi2 = ((2 * n_a - n) ** 2 + (2 * (n - n_a) - n) ** 2) / (2.0 * n)
+    assert abs(r.chi2 - chi2) < 1e-6
+    assert not r.srm_detected
