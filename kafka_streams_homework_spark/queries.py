@@ -15580,6 +15580,79 @@ def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_recall_eval",
+    # Composed from the member pipelines' own oracles (ann_recall_at_k
+    # pattern): truth = exact trigram-Jaccard pairs, candidate set =
+    # the md5-MinHash banded pipeline — both independently
+    # oracle-replayable, so the EVAL itself is oracle-hash-checked
+    # (unlike the production xxhash64 minhash whose recall is only
+    # pytest-bounded).
+    oracle=f"""
+        WITH truth AS (
+            SELECT doc_a, doc_b FROM ({REGISTRY['dedup_ngram_jaccard'].oracle})
+        ), approx AS (
+            SELECT doc_a, doc_b FROM ({REGISTRY['dedup_minhash_exact'].oracle})
+        ), hit AS (
+            SELECT COUNT(*) AS h
+            FROM truth t JOIN approx a USING (doc_a, doc_b)
+        )
+        SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+               CAST((SELECT COUNT(*) FROM approx) AS BIGINT)
+                   AS n_candidates,
+               CAST((SELECT h FROM hit) AS BIGINT) AS n_hit,
+               round((SELECT h FROM hit)
+                     / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE)
+                     + 1e-9, 6) AS recall,
+               round((SELECT h FROM hit)
+                     / CAST((SELECT COUNT(*) FROM approx) AS DOUBLE)
+                     + 1e-9, 6) AS precision
+    """,
+    description="In-engine dedup-pipeline evaluation: recall and "
+    "precision of the banded-MinHash candidate pipeline against the "
+    "exact trigram-Jaccard truth set — the text-dedup twin of "
+    "ann_recall_at_k, and the measurement that justifies shipping LSH "
+    "at 100 TB where the exact AllPairs join gets expensive. "
+    "Precision is 1.0 by construction (the pipeline exact-verifies "
+    "candidates with the same Jaccard definition — asserting that in "
+    "the output is the point); recall quantifies banding misses. "
+    "Both member pipelines are oracle-replayable, so the eval itself "
+    "hash-checks",
+)
+def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    truth = tracked_persist(
+        D.ngram_jaccard_pairs(docs, 3, NGRAM_JACCARD_THRESHOLD).select(
+            "doc_a", "doc_b"
+        )
+    )
+    approx = tracked_persist(
+        D.minhash_lsh_pairs_md5(
+            docs, 3, _MINHASH_K, _MINHASH_BANDS, NGRAM_JACCARD_THRESHOLD
+        ).select("doc_a", "doc_b")
+    )
+    hit = truth.join(approx, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("nt"))
+    na = approx.agg(F.count(F.lit(1)).alias("na"))
+    return (
+        hit.crossJoin(nt)
+        .crossJoin(na)
+        .select(
+            F.col("nt").cast("bigint").alias("n_true"),
+            F.col("na").cast("bigint").alias("n_candidates"),
+            F.col("h").cast("bigint").alias("n_hit"),
+            F.round(
+                F.col("h") / F.col("nt").cast("double") + F.lit(1e-9), 6
+            ).alias("recall"),
+            F.round(
+                F.col("h") / F.col("na").cast("double") + F.lit(1e-9), 6
+            ).alias("precision"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract accessors
 # ---------------------------------------------------------------------------

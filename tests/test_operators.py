@@ -3613,3 +3613,15 @@ def test_ab_srm_check_python_replay(spark, sf_dir):
     chi2 = ((2 * n_a - n) ** 2 + (2 * (n - n_a) - n) ** 2) / (2.0 * n)
     assert abs(r.chi2 - chi2) < 1e-6
     assert not r.srm_detected
+
+
+def test_dedup_recall_eval_precision_one_and_bounds(spark, sf_dir):
+    """The exact-verified candidate pipeline admits no false
+    positives (precision 1) and banding keeps recall high."""
+    from kafka_streams_homework_spark import queries as Q
+
+    r = Q.queries()["dedup_recall_eval"](spark, sf_dir).collect()[0]
+    assert r.n_hit == r.n_candidates  # no false positives
+    assert r.precision == 1.0
+    assert 0.0 < r.recall <= 1.0
+    assert r.n_true >= r.n_hit
