@@ -408,3 +408,45 @@ def test_survival_km_equals_naive_estimator(spark, users):
     for t in expected:
         assert got[t][:2] == expected[t][:2]
         assert abs(got[t][2] - expected[t][2]) < 2e-6
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(2, 4),
+)
+def test_kcore_peel_equals_python_reference(spark, pairs, k):
+    """_kcore_peel must reach the same fixpoint as a naive Python peel
+    on arbitrary small graphs (any k), and converge within the cap."""
+    from kafka_streams_homework_spark import queries as Q
+
+    edges = {(a, b) for a, b in pairs if a != b}
+    edges = {(min(a, b), max(a, b)) for a, b in edges}
+    if not edges:
+        return
+    # python reference: repeatedly drop nodes with degree < k
+    cur = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    while True:
+        deg = {}
+        for a, _ in cur:
+            deg[a] = deg.get(a, 0) + 1
+        nxt = {(a, b) for a, b in cur if deg[a] >= k and deg.get(b, 0) >= k}
+        if nxt == cur:
+            break
+        cur = nxt
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges],
+        "src long, dst long",
+    )
+    core, _depth, converged = Q._kcore_peel(df, k, Q.KCORE_CAP)
+    got = {(r.src, r.dst) for r in core.collect()}
+    assert converged
+    assert got == cur
