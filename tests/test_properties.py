@@ -450,3 +450,66 @@ def test_kcore_peel_equals_python_reference(spark, pairs, k):
     got = {(r.src, r.dst) for r in core.collect()}
     assert converged
     assert got == cur
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        # (user, tx-day offset 0..29, value in cents)
+        st.tuples(st.integers(0, 4), st.integers(0, 29), st.integers(0, 9999)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_bitemporal_lookup_random_ledgers(spark, recs):
+    """Random assertion ledgers: the engine's probe answers must equal
+    a naive Python replay of max-valid/tx/event tie-break semantics."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from kafka_streams_homework_spark.queries import REGISTRY
+
+    rows = []
+    for eid, (uid, day_off, cents) in enumerate(recs, start=1):
+        rows.append(
+            (eid, uid, BASE + dt.timedelta(days=day_off, minutes=eid),
+             "e", cents / 100.0)
+        )
+    d = tempfile.mkdtemp(prefix="bitemp_")
+    try:
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, "
+            "event_type string, value double"
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            (r.user_id, r.probe_tx, r.probe_valid): (r.src_event, r.value)
+            for r in REGISTRY["bitemporal_lookup"].fn(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    asserts = []
+    for eid, uid, ts, _, val in rows:
+        tx = int(ts.replace(tzinfo=dt.timezone.utc).timestamp()) // 86400
+        lag = int(
+            hashlib.md5(f"lag:{eid}".encode()).hexdigest()[:8], 16
+        ) % 5
+        asserts.append((uid, eid, round(val, 2), tx, tx - lag))
+    d0 = min(a[3] for a in asserts)
+    exp = {}
+    for t in (10, 20):
+        for v in (8, 18):
+            best = {}
+            for uid, eid, val, tx, vd in asserts:
+                if tx <= d0 + t and vd <= d0 + v:
+                    key = (vd, tx, eid)
+                    if uid not in best or key > best[uid][0]:
+                        best[uid] = (key, eid, val)
+            for uid, (_, eid, val) in best.items():
+                exp[(uid, d0 + t, d0 + v)] = (eid, val)
+    assert got == exp
