@@ -513,3 +513,57 @@ def test_bitemporal_lookup_random_ledgers(spark, recs):
             for uid, (_, eid, val) in best.items():
                 exp[(uid, d0 + t, d0 + v)] = (eid, val)
     assert got == exp
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        # (user, value in cents)
+        st.tuples(st.integers(0, 19), st.integers(0, 2000)),
+        min_size=4,
+        max_size=40,
+    )
+)
+def test_wasserstein_1d_python_cdf_integral(spark, recs):
+    """W1 must equal the direct integral of |F_a - F_b| over the value
+    axis computed in Python, with cohorts from the same md5 coin."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from kafka_streams_homework_spark.queries import REGISTRY
+
+    groups = {
+        uid: int(hashlib.md5(f"rm:{uid}".encode()).hexdigest()[:8], 16) % 2
+        for uid, _ in recs
+    }
+    a = sorted(c / 100.0 for uid, c in recs if groups[uid] == 0)
+    b = sorted(c / 100.0 for uid, c in recs if groups[uid] == 1)
+    if not a or not b:
+        return
+    rows = [
+        (i, uid, BASE + dt.timedelta(minutes=i), "e", c / 100.0)
+        for i, (uid, c) in enumerate(recs)
+    ]
+    d = tempfile.mkdtemp(prefix="w1prop_")
+    try:
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, "
+            "event_type string, value double"
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        (r,) = REGISTRY["wasserstein_1d"].fn(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    grid = sorted(set(a) | set(b))
+    w1 = 0.0
+    for lo, hi in zip(grid, grid[1:]):
+        fa = sum(1 for x in a if x <= lo) / len(a)
+        fb = sum(1 for x in b if x <= lo) / len(b)
+        w1 += abs(fa - fb) * (hi - lo)
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    assert abs(r.w1 - w1) < 1e-6
