@@ -512,3 +512,32 @@ def test_bloom_prune_filter_runs_in_scan_stage_before_join(spark, sf_dir):
     filter_at = plan.index("bit_get")
     assert filter_at > join_at, "bloom filter must be under the join"
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_geo_radius_join_is_equi_join_not_cartesian(spark, sf_dir):
+    """Candidates come from a hash-equi join on the (cx, cy) cell key
+    — never a CartesianProduct or nested-loop product. The exact
+    distance filter sits above the equi join."""
+    df = Q.queries()["geo_radius_join"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_bitemporal_lookup_broadcasts_probe_grid(spark, sf_dir):
+    """The theta join (tx<=T, valid<=V) must broadcast the 4-row probe
+    dimension, never shuffle or product the fact side row-wise."""
+    df = Q.queries()["bitemporal_lookup"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_image_ahash_dedup_band_join_no_product(spark, sf_dir):
+    """Perceptual-hash candidates come from the banded equi self-join;
+    no quadratic product node anywhere in the plan."""
+    df = Q.queries()["image_ahash_dedup"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
