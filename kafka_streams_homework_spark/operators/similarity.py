@@ -1476,7 +1476,10 @@ def pca_projection(embeddings: DataFrame, iters: int = 30) -> DataFrame:
     """
     import numpy as np
 
-    dim = 64
+    # Derive d from the data (like the LSH ops) rather than hardcoding:
+    # a non-64-wide embedding column must widen the Gram accumulator,
+    # not KeyError on a missing mean entry.
+    dim = embeddings.select(F.size("embedding").alias("d")).first().d
     mean_row = embeddings.select(
         F.posexplode("embedding").alias("i", "x")
     ).groupBy("i").agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("n"))

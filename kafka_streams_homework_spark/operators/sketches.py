@@ -263,8 +263,12 @@ def bloom_semi_join(
     n_words = n_bits // 64
 
     def positions(col):  # k seeded hash lanes -> bit positions
+        # xxhash64 is TYPE-sensitive: hashing an int and a bigint with
+        # the same value yields different bits. Build and probe must
+        # therefore hash through one common type, or true matches
+        # would silently fail the bit test and be dropped.
         return [
-            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits))
+            F.pmod(F.xxhash64(col.cast("string"), F.lit(i)), F.lit(n_bits))
             for i in range(n_hashes)
         ]
 

@@ -56,6 +56,15 @@ def get_spark(app_name: str = "kafka-streams-homework-spark") -> SparkSession:
     from kafka_streams_homework_spark.compat import ensure_protobuf
 
     ensure_protobuf()
+    # Keep managed-table artifacts (bucketed-table plan tests) out of the
+    # repo working tree: the default warehouse is ./spark-warehouse, which
+    # would accumulate test tables under version control. Static conf, so
+    # it must be set before the first session is created.
+    warehouse = os.environ.get("SPARK_GRAFT_WAREHOUSE_DIR")
+    if not warehouse:
+        import tempfile
+
+        warehouse = tempfile.mkdtemp(prefix="spark-warehouse-")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
@@ -64,6 +73,7 @@ def get_spark(app_name: str = "kafka-streams-homework-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():

@@ -263,7 +263,7 @@ def windowed_distinct_stream(
     )
 
 
-def run_batch_transform(spark, stream, transform):
+def run_batch_transform(spark, stream, transform, sink=None):
     """Apply an arbitrary BATCH transformation to each micro-batch via
     foreachBatch and collect every emission — the canonical escape for
     stream-static operations Structured Streaming cannot express
@@ -280,12 +280,25 @@ def run_batch_transform(spark, stream, transform):
     as ``run_append``. Output schema is pinned by probing ``transform``
     on an empty batch, so a zero-batch stream still returns a typed
     empty DataFrame.
+
+    DRIVER-SIDE LIMIT: with the default ``sink=None`` this helper
+    accumulates every micro-batch's transformed rows on the driver
+    (``collect()`` into a Python list) so the registry twin can hand
+    one comparable DataFrame back — fine at fixture scale, NOT for
+    production volumes. At scale, pass ``sink`` (a callable taking the
+    transformed batch DataFrame) and each batch appends to storage
+    (Kafka/Delta/parquet) instead of the driver list; the return value
+    is then an empty typed DataFrame and the sink owns the output.
     """
     schema = transform(spark.createDataFrame([], stream.schema)).schema
     rows: list = []
 
     def body(batch_df: DataFrame, _batch_id: int) -> None:
-        rows.extend(transform(batch_df).collect())
+        out = transform(batch_df)
+        if sink is not None:
+            sink(out)
+        else:
+            rows.extend(out.collect())
 
     q = (
         stream.writeStream.foreachBatch(body)

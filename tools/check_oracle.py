@@ -50,11 +50,28 @@ def table_digest(rows, cols):
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
-        argv = argv[2:]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = set(argv[1:])
+    # Accept --json anywhere before positional parsing; reject any other
+    # flag-looking token so a misplaced option can never be silently
+    # consumed as a query name (which once produced a false-green
+    # "0 queries, 0 failures" sweep artifact).
+    positional: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--json":
+            if i + 1 >= len(argv):
+                print("error: --json requires an output path", file=sys.stderr)
+                return 2
+            json_out = argv[i + 1]
+            i += 2
+        elif a.startswith("--"):
+            print(f"error: unknown option {a!r}", file=sys.stderr)
+            return 2
+        else:
+            positional.append(a)
+            i += 1
+    sf_dir = positional[0] if positional else "/root/testdata/sf0.01"
+    only = set(positional[1:])
     records: dict[str, dict] = {}
 
     import __spark_entry__ as E
