@@ -7487,9 +7487,10 @@ def q_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Stratified average-treatment-effect readout (the "
     "post-stratification sibling of cuped_adjustment): users bucket "
-    "into quartile strata of the pre-period covariate (ntile over the "
-    "deterministic (x, user_id) order — identical bucketing cross-"
-    "engine), arms are the md5 user coin, and the overall ATE is the "
+    "into quartile strata of the pre-period covariate (two-phase rank "
+    "over the deterministic (x, user_id) order + exact NTILE identity "
+    "— identical bucketing cross-engine, no user-cardinality global "
+    "sort), arms are the md5 user coin, and the overall ATE is the "
     "stratum-size-weighted sum of per-stratum mean differences. "
     "Per-stratum means reduce to DECIMAL-exact sums of pre-rounded "
     "per-user aggregates (the CUPED linearity discipline); the "
@@ -7537,10 +7538,21 @@ def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 2,
         )
     )
-    st = u.select(
+    # Quartile strata without a user-cardinality global sort: x is a
+    # 6dp-rounded bounded covariate, so floor(x*100) is a monotone
+    # bucket key of bounded cardinality — two-phase rank + exact NTILE
+    # identity (VERDICT r5 scale fix), bit-identical strata.
+    ranked = R.two_phase_rank(
+        u,
+        [F.col("x").asc(), F.col("user_id").asc()],
+        F.floor(F.col("x") * 100),
+        rank_name="_rnk",
+        total_name="_n",
+    )
+    st = ranked.select(
         "y",
         "t",
-        F.ntile(4).over(Window.orderBy("x", "user_id")).alias("stratum"),
+        R.ntile_from_rank(F.col("_rnk"), F.col("_n"), 4).alias("stratum"),
     )
     ydec = F.col("y").cast("decimal(18,6)")
     agg = st.groupBy("stratum").agg(
@@ -8139,16 +8151,17 @@ def q_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decayed_score"),
         )
     )
+    # Top-20 via TakeOrderedAndProject (orderBy + limit = per-partition
+    # top-k + driver merge), NOT a global row_number window over all
+    # users (VERDICT r5). rank derives from a window over the ≤20-row
+    # result only — bounded by construction.
+    top = s.orderBy(F.col("decayed_score").desc(), "user_id").limit(20)
     w = Window.orderBy(F.col("decayed_score").desc(), "user_id")
-    return (
-        s.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select(
-            "user_id",
-            F.col("n_events").cast("bigint").alias("n_events"),
-            "decayed_score",
-            F.col("rank").cast("bigint").alias("rank"),
-        )
+    return top.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "decayed_score",
+        F.row_number().over(w).cast("bigint").alias("rank"),
     )
 
 
@@ -10213,9 +10226,10 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus max date — deterministic, no now()), quintile scores via "
     "NTILE with pinned custkey tiebreaks (ties would otherwise "
     "straddle quintile boundaries nondeterministically), segment "
-    "cells aggregated. NTILE sorts run on customer-cardinality rows, "
-    "never facts; 2dp-rounded monetary pins the sort order "
-    "cross-engine",
+    "cells aggregated. Quintiles come from two-phase ranks (bounded "
+    "value-range bucket histograms + partitioned windows + the exact "
+    "NTILE identity) — no customer-cardinality global sort; "
+    "2dp-rounded monetary pins the sort order cross-engine",
 )
 def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
@@ -10237,21 +10251,29 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    scored = rfm.select(
-        "monetary",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").asc(), "o_custkey"))
-        .cast("bigint")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
-        .cast("bigint")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
-        .cast("bigint")
-        .alias("m_score"),
-    )
+    # Three NTILE(5) cuts without customer-cardinality global sorts
+    # (VERDICT r5): each metric's value range is bounded regardless of
+    # customer count, so the value itself (negated for desc orders,
+    # coarsened for monetary) is a monotone bucket key — histogram +
+    # broadcast offsets + partitioned within-bucket windows, then the
+    # exact NTILE identity. Bit-identical to the window form.
+    cuts = [
+        ("r_score", F.col("recency_days"),
+         [F.col("recency_days").asc(), F.col("o_custkey")]),
+        ("f_score", -F.col("frequency"),
+         [F.col("frequency").desc(), F.col("o_custkey")]),
+        ("m_score", -F.floor(F.col("monetary") / 100),
+         [F.col("monetary").desc(), F.col("o_custkey")]),
+    ]
+    scored = rfm
+    for name, bucket, order in cuts:
+        scored = R.two_phase_rank(
+            scored, order, bucket, rank_name="_rnk", total_name="_n"
+        )
+        scored = scored.withColumn(
+            name, R.ntile_from_rank(F.col("_rnk"), F.col("_n"), 5)
+        ).drop("_rnk", "_n")
+    scored = scored.select("monetary", "r_score", "f_score", "m_score")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.round(F.sum("monetary"), 2).alias("segment_revenue"),
@@ -13770,8 +13792,10 @@ def q_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the dedup/quality diagnostic that tells you when a crawl stops "
     "contributing new language. Token first-occurrence via one "
     "groupBy(min(global ordinal)) — no sort of the corpus, no "
-    "collect; the cumulative step runs on the |docs| rollup, not the "
-    "token stream. Every column is an integer, so the whole curve "
+    "collect; the cumulative step is a TWO-PHASE cumsum over the "
+    "|docs| rollup (per-(doc_id div 1024) partial totals, broadcast "
+    "prefix offsets, partitioned within-bucket windows — no "
+    "unpartitioned window). Every column is an integer, so the whole curve "
     "hash-checks exactly. At 100 TB the ordinal stays a cheap "
     "composite key (doc_id * 1e6 + position) and the heavy groupBy "
     "shuffles (token) keys once",
@@ -13792,19 +13816,27 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("first_ord div 1000000").alias("doc_id")
     ).agg(F.count(F.lit(1)).alias("vocab_new"))
     toks = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Inherently-sequential cumulative curve, but the PLAN need not be:
+    # two-phase cumsum (per-(doc_id div 1024) partial totals, broadcast
+    # prefix offsets, partitioned within-bucket windows) replaces the
+    # unpartitioned corpus-ordered window (VERDICT r5 scale fix #5).
+    per_doc = toks.join(new_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("vocab_new"), F.lit(0)).alias("vocab_new"),
     )
-    vn = F.coalesce(F.col("vocab_new"), F.lit(0))
-    return (
-        toks.join(new_per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
-            vn.cast("bigint").alias("vocab_new"),
-            F.sum(vn).over(w).cast("bigint").alias("cum_vocab"),
-        )
+    cum = R.two_phase_cumsum(
+        per_doc,
+        F.col("doc_id"),
+        F.expr("doc_id div 1024"),
+        {"cum_tokens": "n_tokens", "cum_vocab": "vocab_new"},
+    )
+    return cum.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.col("vocab_new").cast("bigint").alias("vocab_new"),
+        F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
     )
 
 
@@ -15209,8 +15241,10 @@ def q_dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Uplift-by-decile / Qini readout: users ranked by a "
     "deterministic targeting score (md5 stand-in with the real "
-    "model's plan shape), cut into NTILE deciles (score+id ordering "
-    "makes the cut engine-exact), per-decile incremental outcome "
+    "model's plan shape), cut into deciles via two-phase rank + the "
+    "exact NTILE identity — score's top hash bits bucket the users, "
+    "so the only user-cardinality window is PARTITIONED (no global "
+    "sort; bit-identical to NTILE), per-decile incremental outcome "
     "treatment-minus-control and the cumulative Qini curve "
     "(treated outcome minus control outcome scaled by n_t/n_c). "
     "Outcomes accumulate in DECIMAL; the only doubles are per-decile "
@@ -15245,12 +15279,20 @@ def q_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("decimal(18,4)"),
         ).alias("outcome")
     )
-    d = u.withColumn(
-        "decile",
-        F.ntile(10).over(
-            Window.orderBy(F.col("score").desc(), F.col("user_id").asc())
-        ),
+    # NTILE without a global sort: score is a uniform 32-bit md5 value,
+    # so its top 10 bits make a monotone bucket key (negated for the
+    # descending order). two_phase_rank + the exact NTILE identity give
+    # bit-identical deciles with only partitioned windows over users.
+    ranked = R.two_phase_rank(
+        u,
+        [F.col("score").desc(), F.col("user_id").asc()],
+        -F.shiftright(F.col("score"), 22),
+        rank_name="_rnk",
+        total_name="_n",
     )
+    d = ranked.withColumn(
+        "decile", R.ntile_from_rank(F.col("_rnk"), F.col("_n"), 10)
+    ).drop("_rnk", "_n")
     zero = F.lit(0).cast("decimal(18,4)")
     g = d.groupBy("decile").agg(
         F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n_t"),

@@ -541,3 +541,46 @@ def test_image_ahash_dedup_band_join_no_product(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def _entity_windows_bucket_partitioned(plan: str, entity_col: str) -> None:
+    """Every Window whose ordering touches the entity column must be
+    partitioned by the two-phase bucket key — the only permissible
+    unpartitioned windows are the bounded-histogram / post-agg ones,
+    which never order by the entity column."""
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ")
+        if s.startswith("Window ") and entity_col in s:
+            assert "_bkt" in s, line
+
+
+def test_uplift_deciles_ntile_is_two_phase(spark, sf_dir):
+    df = Q.queries()["uplift_deciles"](spark, sf_dir)
+    plan = physical_plan(df)
+    _entity_windows_bucket_partitioned(plan, "user_id")
+
+
+def test_stratified_ate_quartiles_are_two_phase(spark, sf_dir):
+    df = Q.queries()["stratified_ate"](spark, sf_dir)
+    plan = physical_plan(df)
+    _entity_windows_bucket_partitioned(plan, "user_id")
+
+
+def test_rfm_ntiles_are_two_phase(spark, sf_dir):
+    df = Q.queries()["rfm_segmentation"](spark, sf_dir)
+    plan = physical_plan(df)
+    _entity_windows_bucket_partitioned(plan, "o_custkey")
+
+
+def test_vocab_growth_cumsum_is_two_phase(spark, sf_dir):
+    df = Q.queries()["vocab_growth"](spark, sf_dir)
+    plan = physical_plan(df)
+    _entity_windows_bucket_partitioned(plan, "doc_id")
+
+
+def test_decayed_leaderboard_uses_take_ordered(spark, sf_dir):
+    """Top-20 must be TakeOrderedAndProject (per-partition partial
+    top-k); the only window runs over the ≤20-row result."""
+    df = Q.queries()["decayed_leaderboard"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
