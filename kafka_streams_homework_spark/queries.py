@@ -15711,89 +15711,83 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # twins out / their oracle-checked exact anchors stay). Rotated-out
 # entries still run in pytest and tools/check_oracle.py full sweeps.
 _WINDOW = [
-    # flagship pipeline + core §2 operator families (kept from r1-r4).
-    # Late-r5 swap: latest_by_key / windowed_sum / sessionize (all
-    # driver-green r01-r04) rotate out — their §2 families stay
-    # represented by streaming_latest_by_key (identical semantics),
-    # price_alerts (windowed SUM + threshold), and the two streaming
-    # sessionize twins — making room for three never-driver-checked
-    # round-5 flagships: the real-codec WAV round-trip, the exact
-    # simhash twin, and the entity-resolution composite.
+    # round-6 rotation (VERDICT r5 task 2): >=80% of slots go to
+    # never-driver-sampled names, priority exactly as the judge
+    # prescribed. 44/50 have never appeared in CORRECTNESS_r01-r05;
+    # the final 6 are family anchors that keep the reference's core
+    # surface (source scan, flagship, streaming stateful, wire serde,
+    # TPC-H, LLM-capstone) represented every round.
+    # -- stats battery (never driver-checked) --
+    "welch_ttest",
+    "mann_whitney_u",
+    "ks_test",
+    "bootstrap_ci",
+    "chi_square_independence",
+    "anova_f_test",
+    "bh_fdr_control",
+    "cmh_test",
+    "stratified_ate",
+    "cuped_adjustment",
+    # -- survival / forecast --
+    "survival_km",
+    "holt_forecast",
+    "forecast_backtest",
+    "ipf_raking",
+    # -- graph metrics --
+    "kcore_members",
+    "graph_modularity",
+    "link_prediction",
+    "graph_hops",
+    "degree_assortativity",
+    # -- real-codec ops --
+    "png_pipeline",
+    "image_ahash_dedup",
+    # -- retrieval / eval --
+    "ndcg_eval",
+    "rake_keywords",
+    "isotonic_calibration",
+    "dedup_recall_eval",
+    # -- governance --
+    "dp_release",
+    "k_anonymity_ladder",
+    "rtbf_purge",
+    "bitemporal_lookup",
+    "snapshot_diff",
+    # -- the five r6 plan rewrites (driver evidence for the new
+    #    two-phase-rank / TakeOrdered / two-phase-cumsum plans;
+    #    stratified_ate is already in the stats battery above) --
+    "uplift_deciles",
+    "rfm_segmentation",
+    "decayed_leaderboard",
+    "vocab_growth",
+    # -- never-checked exact twins / eval scalars --
+    "lang_id_auc",
+    "score_calibration",
+    "dedup_minhash_exact",
+    "dedup_embedding_lsh_exact",
+    "knn_lsh",
+    "ann_recall_at_k",
+    "wasserstein_1d",
+    "zipf_fit",
+    "mahalanobis_outliers",
+    "ab_srm_check",
+    # -- family anchors (driver-green in earlier rounds; keep the
+    #    reference's core surface in every window) --
     "source_scan",
-    "wav_pipeline",
-    "join_stream_table",
-    "dedup_simhash_exact",
     "price_alerts",
-    "entity_resolution",
-    "partitioned_sink_scan",
-    "asof_join",
-    # VERDICT r4 task 2 priority: the streaming family (judge-verified
-    # r04, never driver-checked)
     "streaming_stateful_alerts",
-    "streaming_sessionize",
-    "streaming_dedup",
-    "streaming_interval_join",
-    "streaming_interval_join_left",
-    "streaming_windowed_distinct",
-    "streaming_latest_by_key",
-    # VERDICT r4 task 2 priority: the Avro/Kafka wire set
-    "avro_wire_roundtrip",
-    "avro_schema_evolution",
-    "kafka_corrupt_tolerant",
     "kafka_wire_roundtrip",
-    # VERDICT r4 task 2 priority: remaining TPC-H shapes
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "q16_supplier_count",
-    "q18_large_orders",
-    "q19_disjunctive_pushdown",
-    "q21_waiting_orders",
-    # VERDICT r4 task 2 priority: remaining never-driver-checked ops
-    "substring_dedup",
-    "unpivot_metrics",
-    "upsample_mix",
-    "udtf_chunks",
-    "heavy_hitter_tokens",
-    "kmv_distinct",
+    "q1_pricing_summary",
     "training_data_prep_v2",
-    # VERDICT r4 task 3: the de-trivialized PassJoin entry
-    "fuzzy_join",
-    # round-5 later additions (this session) — driver evidence for the
-    # newest surface: append-mode sessionization, the unadapted
-    # partsupp TPC-H shapes, band join, A-ES sampling, robust stats,
-    # change detection, skew diagnostics, winsorization, Benford
-    "streaming_sessionize_append",
-    "q11_important_stock_ps",
-    "q9_product_profit_ps",
-    "band_join_prices",
-    "weighted_sample",
-    "mad_outliers",
-    "cusum_changepoints",
-    "key_skew_profile",
-    "winsorize_values",
-    "benford_digits",
-    # round-5 earlier waves kept in-window (never driver-checked)
-    "skyline_pareto",
-    "table_profile",
-    "rrf_hybrid_search",
-    "audio_chunks",
 ]
-# round-5 FINAL rotation (VERDICT r4 task 2, applied late in the
-# round): the window now holds the judge's explicit priority list —
-# the 7-query streaming family, the 4-query Avro/Kafka wire set, the
-# 9 TPC-H shapes never driver-checked, the 7 remaining
-# never-driver-checked ops, the de-trivialized fuzzy_join (task 3) —
-# plus this session's 13 newest ops and 8 flagship anchors. Rotated
-# OUT (all r01–r04 driver-green and/or in the committed full-registry
-# sweeps CORRECTNESS_FULL_r05): the r04-green TPC-H head
-# (q1/q4/q15/q17/q20/q22), scd2/cdc/udaf/stats extensions, and the
-# LLM-surface anchors (dedup_*, knn_*, token/quality/classifier ops)
-# whose families stay represented via fuzzy_join,
-# training_data_prep_v2, heavy_hitter_tokens, kmv_distinct,
-# weighted_sample, audio_chunks.
+# Rotated OUT this round (all driver-green r01-r05 and in the
+# committed full-registry sweep CORRECTNESS_FULL_r05 284/284):
+# the r05 window's streaming family, Avro/Kafka wire set (minus
+# the kept kafka_wire_roundtrip anchor), the nine TPC-H shapes,
+# fuzzy_join, entity_resolution, wav_pipeline and the r5-late
+# additions - their operator families stay represented by the six
+# anchors above, and every rotated-out entry still runs in pytest
+# and the tools/check_oracle.py full sweep each round.
 # Historical swap notes (r4 and earlier) are in git history.
 
 
