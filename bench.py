@@ -158,6 +158,18 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "dedup_canonical_pick",
     "ipf_raking",
+    # round-6 additions (VERDICT r5 task 3): the four heavy ops that
+    # were neither benched nor named-excluded. kcore_members joins now
+    # that the localCheckpoint peel cut it ~80s -> ~10s end-to-end at
+    # sf0.1; dtw_distance / graph_hops / entity_resolution measured
+    # 2.3 / 12.5 / 12.9 s — benchable regression signals. fuzzy_join
+    # stays out with a named rationale in BASELINE.md (output-bound on
+    # the adversarial shared-prefix substrate: >9 min at sf0.1 because
+    # true pair VOLUME grows quadratically there by construction).
+    "kcore_members",
+    "dtw_distance",
+    "graph_hops",
+    "entity_resolution",
 ]
 
 
