@@ -292,8 +292,14 @@ def decode_real(media: DataFrame) -> DataFrame:  # pragma: no cover
     ``encode_png_gray8`` / ``decode_png_gray8`` below implement a
     genuine spec-conformant grayscale-8 PNG codec (CRC32 chunk walk,
     inflate, all five scanline filters; queries.png_pipeline,
-    oracle-hash-checked). This gate remains only for lossy/complex
-    codecs: JPEG (PIL) and video (cv2/av).
+    oracle-hash-checked).
+
+    Round-6 addendum: baseline JPEG needs no codec library either —
+    ``encode_jpeg_gray_baseline`` / ``decode_jpeg_gray_baseline``
+    below are a general ITU T.81 baseline pair (float DCT, Annex-K
+    tables, canonical Huffman, byte stuffing; queries.jpeg_pipeline,
+    oracle-hash-checked). This gate now covers VIDEO only (container
+    demux + inter-frame codecs genuinely require cv2/av).
     """
     raise NotImplementedError(
         "media codecs are not installed in this environment; "
@@ -673,3 +679,412 @@ def png_ahash(media: DataFrame) -> DataFrame:
         "doc_id long, width int, height int, "
         "b0 long, b1 long, b2 long, b3 long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Real baseline JPEG codec (round 6): the WAV/PNG rounds proved stdlib
+# codecs close decode gates for real; baseline JPEG needs no codec
+# library at all — the entropy layer is canonical Huffman (pure
+# Python) and the transform is an 8x8 DCT (numpy matmul). This is a
+# GENERAL spec-conformant baseline encoder/decoder pair (ITU T.81):
+# Annex-K luminance quantization + Huffman tables written to and
+# parsed back from the bitstream (DQT/DHT/SOF0/SOS marker walk, byte
+# un-stuffing, DC prediction, run-length AC, ZRL/EOB) — not a
+# shortcut tuned to the fixture. After this, decode_real gates VIDEO
+# only. Reference analogue: none (north-star multimodal extension).
+# ---------------------------------------------------------------------------
+
+JPEG_QTABLE = [  # ITU T.81 Annex K.1 luminance, natural (row-major) order
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+_ZIGZAG = [  # natural index visited at each zigzag position
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3 Huffman specs: (BITS[1..16], HUFFVAL)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+assert sum(_AC_BITS) == len(_AC_VALS) == 162
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman (T.81 C.2): symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix():
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        a = (1 / (2 * np.sqrt(2))) if u == 0 else 0.5
+        for x in range(8):
+            c[u, x] = a * np.cos((2 * x + 1) * u * np.pi / 16)
+    return c
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + appended-bits value for v."""
+    if v == 0:
+        return 0, 0
+    cat = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    return cat, v if v >= 0 else v + (1 << cat) - 1
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def encode_jpeg_gray_baseline(pixels) -> bytes:
+    """Spec-conformant baseline JFIF grayscale encoder (T.81).
+
+    General path: level shift, float 8x8 DCT, Annex-K quantization
+    (round-half-away), zigzag, DC prediction, (run,size) AC Huffman
+    with ZRL/EOB, byte stuffing. Works for ANY uint8 image whose
+    dims are multiples of 8 (padding is the caller's concern).
+    """
+    import numpy as np
+    import struct
+
+    img = np.asarray(pixels, dtype=np.int64)
+    h, w = img.shape
+    assert h % 8 == 0 and w % 8 == 0, "pad to 8x8 blocks first"
+    C = _dct_matrix()
+    Q = np.array(JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            blk = img[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            coef = C @ blk @ C.T
+            qz = coef / Q
+            quant = np.sign(qz) * np.floor(np.abs(qz) + 0.5)  # half away
+            zz = [int(quant.flat[_ZIGZAG[i]]) for i in range(64)]
+            cat, extra = _magnitude(zz[0] - pred)
+            pred = zz[0]
+            bw.write(*dc_codes[cat])
+            if cat:
+                bw.write(extra, cat)
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.write(*ac_codes[0xF0])
+                    run -= 16
+                c2, e2 = _magnitude(zz[k])
+                bw.write(*ac_codes[(run << 4) | c2])
+                bw.write(e2, c2)
+                run = 0
+            if run:
+                bw.write(*ac_codes[0x00])  # EOB
+    qt_zz = bytes([0]) + bytes(JPEG_QTABLE[_ZIGZAG[i]] for i in range(64))
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht = (
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _seg(0xFFDB, qt_zz)
+        + _seg(0xFFC0, sof)
+        + _seg(0xFFC4, dht)
+        + _seg(0xFFDA, sos)
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # un-stuff
+            else:
+                raise ValueError("marker inside entropy data")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        return v
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while True:
+        code = (code << 1) | br.bits(1)
+        ln += 1
+        if ln > 16:
+            raise ValueError("invalid Huffman code")
+        sym = table.get((code, ln))
+        if sym is not None:
+            return sym
+
+
+def _extend(v: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg_gray_baseline(data: bytes):
+    """Real baseline JPEG decode: marker walk, DQT/DHT/SOF0/SOS parse,
+    canonical-Huffman entropy decode with byte un-stuffing, DC
+    prediction, dequantize, inverse zigzag, float IDCT, level shift,
+    clamp. Tables come FROM THE FILE, not from module constants.
+    Returns (width, height, pixels as list of rows)."""
+    import numpy as np
+    import struct
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    w = h = None
+    comp_q = 0
+    while pos < len(data):
+        assert data[pos] == 0xFF, "marker expected"
+        marker = struct.unpack(">H", data[pos : pos + 2])[0]
+        pos += 2
+        if marker == 0xFFD9:  # EOI
+            break
+        ln = struct.unpack(">H", data[pos : pos + 2])[0]
+        body = data[pos + 2 : pos + ln]
+        if marker == 0xFFDB:
+            i = 0
+            while i < len(body):
+                pq_tq = body[i]
+                if pq_tq >> 4:
+                    raise ValueError("16-bit quant tables unsupported")
+                tq = pq_tq & 0x0F
+                zz = list(body[i + 1 : i + 65])
+                nat = [0] * 64
+                for k in range(64):
+                    nat[_ZIGZAG[k]] = zz[k]
+                qtables[tq] = nat
+                i += 65
+        elif marker == 0xFFC0:
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or nc != 1:
+                raise ValueError("baseline grayscale only")
+            comp_q = body[8]
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise ValueError("baseline (SOF0) only")
+        elif marker == 0xFFC4:
+            i = 0
+            while i < len(body):
+                tc_th = body[i]
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                codes = _huff_codes(bits, vals)
+                htables[(tc_th >> 4, tc_th & 0x0F)] = {
+                    (c, l): sym for sym, (c, l) in codes.items()
+                }
+                i += 17 + nv
+        elif marker == 0xFFDA:
+            dc_t = htables[(0, body[2] >> 4)]
+            ac_t = htables[(1, body[2] & 0x0F)]
+            q = np.array(qtables[comp_q], dtype=np.float64).reshape(8, 8)
+            C = _dct_matrix()
+            bh, bw_ = (h + 7) // 8, (w + 7) // 8
+            img = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+            br = _BitReader(data[pos + ln :])
+            pred = 0
+            for byi in range(bh):
+                for bxi in range(bw_):
+                    zz = [0] * 64
+                    cat = _huff_decode(br, dc_t)
+                    pred += _extend(br.bits(cat), cat) if cat else 0
+                    zz[0] = pred
+                    k = 1
+                    while k < 64:
+                        sym = _huff_decode(br, ac_t)
+                        if sym == 0x00:  # EOB
+                            break
+                        run, size = sym >> 4, sym & 0x0F
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError("bad AC symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        zz[k] = _extend(br.bits(size), size)
+                        k += 1
+                    coef = np.zeros(64)
+                    for i64 in range(64):
+                        coef[_ZIGZAG[i64]] = zz[i64]
+                    blk = C.T @ (coef.reshape(8, 8) * q) @ C
+                    img[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = blk
+            pix = np.clip(np.rint(img + 128.0), 0, 255).astype(np.int64)
+            return w, h, [list(map(int, row)) for row in pix[:h, :w]]
+        pos += ln
+    raise ValueError("no scan data found")
+
+
+JPEG_BLOCKS_W = 3
+JPEG_BLOCKS_H = 2
+
+JPEG_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_pixel", DoubleType()),
+        StructField("min_pixel", IntegerType()),
+        StructField("max_pixel", IntegerType()),
+    ]
+)
+
+
+def synth_jpeg(documents: DataFrame) -> DataFrame:
+    """Synthesize a REAL baseline JPEG per document.
+
+    Deterministic block-constant image (24x16, 3x2 blocks of 8x8):
+    block (by,bx) value = 2 * ((doc_id*31 + by*7 + bx*13) % 128).
+    Constant blocks make the LOSSY codec arithmetically exact: the DCT
+    of a constant block is DC-only (AC float residue ~1e-13 quantizes
+    to exactly 0) and with q00 = 16 the DC quantizer divides 8*(v-128)
+    by 16 — an EVEN v-128 makes that an exact integer, so the decoded
+    block reproduces v losslessly and a SQL oracle recomputes every
+    pixel in integers (odd values would land on the .5 rounding
+    boundary where float-ulp noise in the DCT flips the quantizer).
+    The ENCODER stays the general float-DCT path, nothing is
+    special-cased; the lossy general path is pinned in pytest with
+    gradient/noise images instead.
+    """
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                img = [
+                    [
+                        2 * ((d * 31 + (y // 8) * 7 + (x // 8) * 13) % 128)
+                        for x in range(JPEG_BLOCKS_W * 8)
+                    ]
+                    for y in range(JPEG_BLOCKS_H * 8)
+                ]
+                rows.append((d, encode_jpeg_gray_baseline(img)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return documents.select("doc_id").mapInPandas(gen, out_schema)
+
+
+def jpeg_decode(media: DataFrame) -> DataFrame:
+    """Decode real JPEG payloads (Arrow-batched; linear per-byte CPU)."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, pix = decode_jpeg_gray_baseline(bytes(payload))
+                flat = [v for row in pix for v in row]
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        sum(flat) / len(flat),
+                        min(flat),
+                        max(flat),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "mean_pixel",
+                    "min_pixel",
+                    "max_pixel",
+                ],
+            )
+
+    return media.mapInPandas(dec, JPEG_FEATURES_SCHEMA)

@@ -1,0 +1,157 @@
+"""Named-query registry — the engine's public query surface.
+
+Every operator from SURVEY.md §2 (reference inventory) and §7
+(north-star extensions) is exposed as a named query over the driver's
+parquet tables, paired with a DuckDB oracle SQL twin where the
+semantics are SQL-expressible. ``__spark_entry__.py`` re-exports this
+registry as the driver contract.
+
+Parity rules (keep Spark and oracle in lockstep):
+- every computed column is aliased identically on both sides;
+- float aggregates are rounded (2 decimals for money-like sums, 6 for
+  ratios/averages/cosines) on BOTH sides, and thresholds/ranks apply
+  to the ROUNDED value so membership is identical across engines;
+- computed integer columns are cast to bigint on the Spark side
+  (DuckDB len()/count() produce BIGINT);
+- tokenization is the shared contract in functions.tokens (lowercase,
+  split on single space) — mirrored literally in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_homework_spark.operators import dedup as D
+from kafka_streams_homework_spark.operators import geo as GEO
+from kafka_streams_homework_spark.operators import multimodal as M
+from kafka_streams_homework_spark.operators import relational as R
+from kafka_streams_homework_spark.operators import similarity as S
+from kafka_streams_homework_spark.operators import sketches as SK
+from kafka_streams_homework_spark.operators import text as T
+from kafka_streams_homework_spark.caching import tracked_persist
+from kafka_streams_homework_spark.session import apply_runtime_confs
+from kafka_streams_homework_spark.sources.batch import load_table, spread
+from kafka_streams_homework_spark.sources.sink import (
+    write_and_read_back,
+    write_parquet,
+)
+from kafka_streams_homework_spark.streaming.price_alerts import (
+    price_alerts_stream,
+    run_upsert,
+)
+
+# ---------------------------------------------------------------------------
+# Workload constants (pinned against the sf0.01 distributions so alert
+# and no-alert groups both exist — FIXTURES.md §3).
+# The reference's own constants: window 1 minute
+# (dsl/PriceAlertsApp.java:97), DSL threshold 3000.0 (dsl:29),
+# Processor threshold 10.0 (processor/PriceAlertsApp.java:25).
+# ---------------------------------------------------------------------------
+
+ALERT_THRESHOLD = 150.0          # per-user-minute sum(value); p90≈114
+PRICED_ALERT_THRESHOLD = 100_000.0  # per-brand-day quantity×price; p90≈73k
+Q1_SHIPDATE_CUTOFF = "2001-09-01"
+NGRAM_JACCARD_THRESHOLD = 0.8    # planted near-dups sit at ≈0.97
+EMB_SIM_THRESHOLD = 0.35         # within-label cosine max ≈0.475
+KNN_K = 5
+KNN_QUERY_MAX_ID = 10
+SESSION_GAP = "30 minutes"
+# per-process sink root: concurrent harnesses (driver gate + local
+# check_oracle) must not race each other's overwrites
+SINK_ROOT = f"/tmp/kshs_sink_{os.getpid()}"
+SINK_PATH = f"{SINK_ROOT}/price_alerts"
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None
+    description: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, description: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, description=description)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    df = load_table(spark, sf_dir, name)
+    # documents/embeddings feed compute-heavy per-row operators
+    # (shingling, token scans, vector math); redistribute narrow scans
+    # so that work parallelizes. No-op when the scan already has ≥
+    # defaultParallelism splits (the at-scale case).
+    if name in ("documents", "embeddings"):
+        df = spread(df)
+    return df
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a streaming source, layout-agnostic.
+
+    The driver fixtures store events.parquet as a single FILE inside
+    sf_dir (the file-source needs a directory, so we stream sf_dir with
+    a leaf-file glob); replicated/partitioned layouts (scale_probe,
+    real deployments) store it as a DIRECTORY of part files, which
+    streams directly. The glob path would silently match zero files on
+    a directory layout — that is why this helper exists.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(raw_schema)
+    if os.path.isdir(path):
+        stream = reader.parquet(path)
+    else:
+        stream = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+# --- shared SQL fragments promoted from family modules (used across families) ---
+
+_STOPWORD_SQL = "', '".join(T.EN_STOPWORDS)
+
+_NGRAM_PAIRS_SQL = f"""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok FROM documents
+        ), s AS (
+            SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, len(tok) - 2),
+                       i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
+            FROM t WHERE len(tok) >= 3
+        ), sizes AS (
+            SELECT doc_id, len(sh) AS n_sh FROM s
+        ), e AS (
+            SELECT doc_id, unnest(sh) AS shingle FROM s
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6)
+              >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+
+# Re-export EVERYTHING (including underscore helpers) into the
+# family modules' `from ._shared import *`.
+__all__ = [_n for _n in dir() if not _n.startswith('__')]

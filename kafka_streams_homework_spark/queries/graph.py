@@ -1,0 +1,913 @@
+"""Co-purchase graph analytics (triangles, cores, PageRank).
+
+Split from the original monolithic queries.py (r5 verdict task 5);
+registration side effects populate the shared REGISTRY, and the
+package __init__ fixes the driver-window order, so module
+membership is organization only — zero semantic change.
+"""
+# ruff: noqa: F403, F405
+from __future__ import annotations
+from kafka_streams_homework_spark.queries._shared import *  # noqa
+
+
+
+@register(
+    "copurchase_topk",
+    oracle="""
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_pairs DESC, part_a, part_b
+        LIMIT 100
+    """,
+    description="Market-basket co-occurrence: top part pairs appearing "
+    "in the same order. Self-join co-partitioned on l_orderkey (pair "
+    "fanout bounded by items-per-order, linear in orders), partial-agg "
+    "count, TakeOrdered top-k (no global sort materialization); "
+    "deterministic total order for the limit cut",
+)
+def q_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "ok").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+@register(
+    "association_rules",
+    oracle="""
+        WITH io AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS it FROM lineitem
+        ), tot AS (
+            SELECT count(DISTINCT o) AS n FROM io
+        ), isup AS (
+            SELECT it, count(*) AS ni FROM io GROUP BY it
+        ), p AS (
+            SELECT a.it AS antecedent, b.it AS consequent, count(*) AS n_both
+            FROM io a JOIN io b ON a.o = b.o AND a.it != b.it
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT antecedent, consequent, n_both,
+               round(n_both::DOUBLE / sa.ni, 6) AS confidence,
+               round((n_both::DOUBLE / sa.ni) / (sb.ni::DOUBLE / tot.n), 6)
+                   AS lift
+        FROM p
+        JOIN isup sa ON sa.it = p.antecedent
+        JOIN isup sb ON sb.it = p.consequent, tot
+        WHERE round(n_both::DOUBLE / sa.ni, 6) >= 0.1
+    """,
+    description="Market-basket association rules a->b with support >= 2 "
+    "baskets and confidence >= 0.1: directed pair counts from the "
+    "basket-co-partitioned self-join, confidence/lift from broadcast "
+    "per-item supports — the Apriori 2-itemset pass as one plan",
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # the distinct (basket, item) set feeds 4 branches (total, item
+    # supports, both self-join sides) — persist or the scan+distinct
+    # re-runs per branch
+    io = tracked_persist(
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("it")
+        ).distinct()
+    )
+    n_orders = io.select(F.count_distinct("o").alias("n"))
+    isup = io.groupBy("it").agg(F.count(F.lit(1)).alias("ni"))
+    a = io.select(F.col("o"), F.col("it").alias("antecedent"))
+    b = io.select(F.col("o"), F.col("it").alias("consequent"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    confidence = F.round(F.col("n_both") / F.col("sa.ni"), 6)
+    lift = F.round(
+        (F.col("n_both") / F.col("sa.ni"))
+        / (F.col("sb.ni") / F.col("n")),
+        6,
+    )
+    return (
+        pairs.join(
+            F.broadcast(isup.alias("sa")),
+            F.col("antecedent") == F.col("sa.it"),
+        )
+        .join(
+            F.broadcast(isup.alias("sb")),
+            F.col("consequent") == F.col("sb.it"),
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            confidence.alias("confidence"),
+            lift.alias("lift"),
+        )
+        .filter(F.col("confidence") >= 0.1)
+    )
+
+
+@register(
+    "triangle_count",
+    oracle="""
+        WITH e AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ), tri AS (
+            SELECT e1.pa AS u, e1.pb AS v, e2.pb AS w
+            FROM e e1
+            JOIN e e2 ON e1.pb = e2.pa
+            JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        ), corners AS (
+            SELECT u AS node FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri
+        )
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY node
+    """,
+    description="Per-node triangle counts over the co-purchase graph "
+    "(edges = part pairs co-ordered >= 2 times) via degree-oriented "
+    "wedge join (Cohen): out-degree capped at O(sqrt(m)) per node, so "
+    "hub skew cannot explode the wedge set; oracle = naive a<b<c "
+    "3-way self-join (identical triangle set)",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .drop("c")
+    )
+    return triangle_count(edges)
+
+
+_PAGERANK_ITERS = 3
+_PAGERANK_DAMPING = 0.85
+
+
+@register(
+    "copurchase_pagerank",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+            GROUP BY 1, 2
+        ), deg AS (
+            SELECT pa, sum(w) AS ow FROM pairs GROUP BY pa
+        ), pr0 AS (
+            SELECT DISTINCT pa AS node, 1.0 AS pr FROM pairs
+        ), pr1 AS (
+            SELECT p.pb AS node,
+                   0.15 + {_PAGERANK_DAMPING} * sum(p.w * r.pr / d.ow) AS pr
+            FROM pairs p JOIN pr0 r ON r.node = p.pa JOIN deg d ON d.pa = p.pa
+            GROUP BY p.pb
+        ), pr2 AS (
+            SELECT p.pb AS node,
+                   0.15 + {_PAGERANK_DAMPING} * sum(p.w * r.pr / d.ow) AS pr
+            FROM pairs p JOIN pr1 r ON r.node = p.pa JOIN deg d ON d.pa = p.pa
+            GROUP BY p.pb
+        ), pr3 AS (
+            SELECT p.pb AS node,
+                   0.15 + {_PAGERANK_DAMPING} * sum(p.w * r.pr / d.ow) AS pr
+            FROM pairs p JOIN pr2 r ON r.node = p.pa JOIN deg d ON d.pa = p.pa
+            GROUP BY p.pb
+        )
+        SELECT node AS part, round(pr, 6) AS pagerank FROM pr3
+    """,
+    description="Weighted PageRank over the co-purchase graph "
+    f"({_PAGERANK_ITERS} fixed power iterations, damping "
+    f"{_PAGERANK_DAMPING}): the canonical iterative-algorithm shape on "
+    "DataFrames — edge list + degrees persisted once, each iteration "
+    "one co-partitioned join + partial agg on uniform part keys; no "
+    "driver-side state beyond the loop counter (exact-SQL oracle, "
+    "3 unrolled CTE iterations). The undirected edge duplication "
+    "guarantees in-degree>0 for every node, so no dangling-mass term",
+)
+def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = tracked_persist(
+        a.join(b, "ok")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    deg = pairs.groupBy("pa").agg(F.sum("w").alias("ow"))
+    pr = pairs.select(F.col("pa").alias("node")).distinct().withColumn(
+        "pr", F.lit(1.0)
+    )
+    for _ in range(_PAGERANK_ITERS):
+        pr = (
+            pairs.join(pr, pairs["pa"] == pr["node"])
+            .join(deg, "pa")
+            .groupBy(F.col("pb").alias("node2"))
+            .agg(
+                (
+                    F.lit(0.15)
+                    + F.lit(_PAGERANK_DAMPING)
+                    * F.sum(F.col("w") * F.col("pr") / F.col("ow"))
+                ).alias("pr")
+            )
+            .select(F.col("node2").alias("node"), "pr")
+        )
+    return pr.select(F.col("node").alias("part"), F.round("pr", 6).alias("pagerank"))
+
+
+@register(
+    "graph_hops",
+    oracle="""
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey != b.l_partkey
+        ), seed AS (
+            SELECT min(src) AS node FROM e
+        ), bfs(node, dist) AS (
+            SELECT node, 0 FROM seed
+            UNION
+            SELECT e.dst, bfs.dist + 1
+            FROM bfs JOIN e ON e.src = bfs.node
+            WHERE bfs.dist < 4
+        )
+        SELECT node AS part, CAST(min(dist) AS BIGINT) AS hops
+        FROM bfs GROUP BY node
+    """,
+    description="BFS hop distance over the co-purchase graph from the "
+    "lowest co-purchased part (capped at 4 hops): the "
+    "reachability/radius primitive under copurchase_pagerank and "
+    "triangle_count. The engine runs level-synchronous BFS — one "
+    "frontier-edges equi-join + anti-join per round, rounds = "
+    "min(diameter, 4), frontiers persisted so lineage stays flat; at "
+    "100 TB this is the standard Pregel-style iteration with state "
+    "linear in reached nodes. The oracle replays the (node, dist) "
+    "closure with a recursive CTE and min-aggregates after (SQL "
+    "recursion cannot maintain a visited set — bounded here by "
+    "nodes x 5 rows)",
+)
+def q_graph_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    from kafka_streams_homework_spark.operators.graph import bfs_hops
+
+    edges = tracked_persist(edges)
+    seed = edges.agg(F.min("src").alias("node"))
+    out = bfs_hops(edges, seed, 4)
+    return out.select(F.col("node").alias("part"), F.col("hops"))
+
+
+KCORE_K = 80
+KCORE_CAP = 15
+
+
+def _kcore_peel(cur: DataFrame, k: int, cap: int):
+    """Iterative k-core peel over a directed-both edge set.
+
+    Each round drops every edge with an endpoint of surviving degree
+    < k. Because rounds only ever REMOVE edges, an unchanged edge
+    count means an unchanged edge set (monotone shrink), so count
+    equality is a sound fixpoint test. Returns
+    (fixpoint_edges, peels_applied, converged).
+    """
+    # localCheckpoint per step, NOT persist: each round references the
+    # previous frontier twice (degree agg + joins), so with plain
+    # persist the LOGICAL plan doubles every round and Catalyst
+    # re-analysis dominates by round 5 (measured 1.7s -> 24.9s/round at
+    # sf0.1). Checkpointing truncates lineage; rounds stay flat ~0.5s
+    # (r5 task 7: 31s -> ~10s end-to-end, 3x). Same discipline as
+    # ipf_raking.
+    cur = cur.localCheckpoint()
+    n_cur = cur.count()
+    depth, converged = 0, False
+    for _ in range(cap):
+        # The surviving-node set is bounded by the node dimension (parts
+        # here), never by edge count — broadcast it so each round is ONE
+        # degree-agg shuffle plus two map-side BroadcastHashJoin semi
+        # filters; both endpoint tests ride the same broadcast.
+        keep = F.broadcast(
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("n"))
+        )
+        nxt = (
+            cur.join(keep, F.col("src") == F.col("n"), "left_semi")
+            .join(
+                keep.withColumnRenamed("n", "n2"),
+                F.col("dst") == F.col("n2"),
+                "left_semi",
+            )
+            .localCheckpoint()
+        )
+        n_nxt = nxt.count()
+        cur = nxt
+        depth += 1
+        if n_nxt == n_cur:
+            converged = True
+            break
+        n_cur = n_nxt
+    return cur, depth, converged
+
+
+@register(
+    "kcore_members",
+    oracle=f"""
+        WITH RECURSIVE e0 AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey != b.l_partkey
+        ), peel(iter, src, dst) AS (
+            SELECT 0, src, dst FROM e0
+            UNION ALL
+            SELECT p.iter + 1, p.src, p.dst
+            FROM peel p
+            JOIN (SELECT iter, src AS n, count(*) AS deg
+                  FROM peel GROUP BY 1, 2) ds
+              ON ds.iter = p.iter AND ds.n = p.src
+            JOIN (SELECT iter, src AS n, count(*) AS deg
+                  FROM peel GROUP BY 1, 2) dd
+              ON dd.iter = p.iter AND dd.n = p.dst
+            WHERE p.iter < {KCORE_CAP}
+              AND ds.deg >= {KCORE_K} AND dd.deg >= {KCORE_K}
+        )
+        SELECT src AS part, CAST(count(*) AS BIGINT) AS core_degree
+        FROM peel WHERE iter = {KCORE_CAP} GROUP BY src
+    """,
+    description="80-core of the co-purchase graph (iterative peel: "
+    "drop every node whose surviving degree falls below k until the "
+    "edge set is stable) with each member's within-core degree — the "
+    "dense-cohesion extractor that pagerank/triangles/hops do not "
+    "give. The engine runs the textbook Pregel-style loop: one "
+    "degree agg + two broadcast semi joins per round (the keep-set is "
+    "node-dimension-bounded), frontiers localCheckpointed each round "
+    "so lineage stays flat instead of doubling (31s->10s at sf0.1), "
+    "EARLY-EXIT when an iteration leaves the edge count unchanged "
+    "(rounds = peel depth, 3-13 on the fixtures, capped at 15); the "
+    "oracle unrolls the identical peel inside a recursive CTE whose "
+    "recursive term AGGREGATES the previous iteration (DuckDB "
+    "permits it), the fixpoint repeating itself up to the shared "
+    "cap — cap sufficiency is pinned in pytest (synthetic peel + "
+    "sf0.001 fixture; measured fixpoint depths 4/6/6 at "
+    "sf0.001/0.01/0.1 vs cap 15). Note the two sides agree even "
+    "short of the cap: peels only remove edges, so Spark's "
+    "count-equality early exit is set equality, and the CTE's "
+    "post-fixpoint iterations are identities",
+)
+def q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst")
+    )
+    cur = (
+        a.join(
+            b, (F.col("ok") == F.col("ok2")) & (F.col("src") != F.col("dst"))
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    core, _depth, _converged = _kcore_peel(cur, KCORE_K, KCORE_CAP)
+    return core.groupBy(F.col("src").alias("part")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )
+
+
+@register(
+    "markov_transitions",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ), c AS (
+            SELECT prev AS from_type, event_type AS to_type,
+                   count(*) AS n_transitions
+            FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type,
+               CAST(n_transitions AS BIGINT) AS n_transitions,
+               round(n_transitions::DOUBLE
+                     / sum(n_transitions) OVER (PARTITION BY from_type),
+                     6) AS prob
+        FROM c
+    """,
+    description="First-order Markov transition matrix over per-user "
+    "event sequences: lag window for successor pairs (one shuffle on "
+    "user), |types|^2-bounded count agg, row-normalized to transition "
+    "probabilities — the session-flow model behind next-event "
+    "prediction and funnel drop-off analysis",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    norm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(norm), 6
+        ).alias("prob"),
+    )
+
+
+@register(
+    "neighbor_jaccard",
+    oracle="""
+        WITH e AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ), adj AS (
+            SELECT pa AS a, pb AS b FROM e
+            UNION ALL SELECT pb, pa FROM e
+        ), deg AS (
+            SELECT a, count(*) AS d FROM adj GROUP BY a
+        ), common AS (
+            SELECT l.a AS node_a, r.a AS node_b, count(*) AS n_common
+            FROM adj l JOIN adj r ON l.b = r.b AND l.a < r.a
+            GROUP BY 1, 2
+        )
+        SELECT node_a, node_b, CAST(n_common AS BIGINT) AS n_common,
+               round(n_common::DOUBLE / (da.d + db.d - n_common), 6)
+                   AS jaccard,
+               EXISTS (SELECT 1 FROM e
+                       WHERE e.pa = node_a AND e.pb = node_b) AS is_edge
+        FROM common
+        JOIN deg da ON da.a = node_a
+        JOIN deg db ON db.a = node_b
+    """,
+    description="Link-prediction neighbor Jaccard over the co-purchase "
+    "graph: |N(a) n N(b)| / |N(a) u N(b)| for every wedge-connected "
+    "pair via one equi-join on the shared center + partial-agg count "
+    "(never a set comparison); degrees broadcast, existing edges "
+    "flagged. Scale: cost is sum d(c)^2 — inherent to exact common-"
+    "neighbor counting; hubs get capped or MinHashed (operators/"
+    "graph.py docstring)",
+)
+def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.operators.graph import neighbor_jaccard
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .drop("c")
+    )
+    return neighbor_jaccard(edges)
+
+
+@register(
+    "degree_distribution",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), deg AS (
+            SELECT node, count(*) AS degree FROM (
+                SELECT pa AS node, pb FROM pairs
+                UNION ALL SELECT pb, pa FROM pairs
+            ) GROUP BY node
+        )
+        SELECT CAST(degree AS BIGINT) AS degree,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY degree
+    """,
+    description="Co-purchase graph degree distribution — the graph "
+    "observability diagnostic behind the triangle/jaccard/pagerank "
+    "family's hub-skew levers (a heavy tail here is what motivates "
+    "degree orientation and hub caps). Distinct within-order part "
+    "pairs (the same edge substrate as copurchase_*), symmetric "
+    "degree count, then a degree-cardinality histogram — node-"
+    "cardinality state, no new quadratic stage",
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("pa").alias("node"))
+        .unionByName(pairs.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy(F.col("degree").cast("bigint").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
+@register(
+    "link_prediction",
+    oracle="""
+        WITH e AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ), adj AS (
+            SELECT pa AS a, pb AS b FROM e
+            UNION ALL SELECT pb, pa FROM e
+        ), deg AS (
+            SELECT a, count(*) AS d FROM adj GROUP BY a
+        ), w AS (
+            SELECT l.a AS node_a, r.a AS node_b,
+                   count(*) AS n_common,
+                   SUM(1000000000000 // dc.d) AS ra_micro
+            FROM adj l
+            JOIN adj r ON l.b = r.b AND l.a < r.a
+            JOIN deg dc ON dc.a = l.b
+            GROUP BY 1, 2
+        )
+        SELECT node_a, node_b,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(da.d * db.d AS BIGINT) AS pref_attach,
+               CAST(ra_micro AS BIGINT) AS ra_micro
+        FROM w
+        JOIN deg da ON da.a = node_a
+        JOIN deg db ON db.a = node_b
+    """,
+    description="Link-prediction index battery over the co-purchase "
+    "graph: common neighbors, preferential attachment deg(a)*deg(b), "
+    "and the resource-allocation index sum(1/deg(center)) — the "
+    "float-free twin of Adamic-Adar — in FIXED POINT (1e12 div deg, "
+    "integer division both engines) so the whole result hash-checks "
+    "exactly; no float sum whose accumulation order could diverge. "
+    "One wedge equi-join with the center degree joined in before the "
+    "partial agg (RA accumulates map-side), per-node degrees "
+    "broadcast. Complements neighbor_jaccard with the standard "
+    "ranking indices; same hub-cap story at 100 TB",
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .drop("c")
+    )
+    return link_prediction_scores(edges)
+
+
+@register(
+    "graph_modularity",
+    oracle="""
+        WITH e AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ), m AS (
+            SELECT COUNT(*) AS m FROM e
+        ), deg AS (
+            SELECT n, COUNT(*) AS d FROM (
+                SELECT pa AS n FROM e UNION ALL SELECT pb FROM e
+            ) GROUP BY n
+        ), nodes AS (
+            SELECT deg.n, deg.d, p.p_brand AS community
+            FROM deg JOIN part p ON p.p_partkey = deg.n
+        ), dc AS (
+            SELECT community, COUNT(*) AS n_nodes, SUM(d) AS d_c
+            FROM nodes GROUP BY community
+        ), intra AS (
+            SELECT pa_n.community, COUNT(*) AS e_c
+            FROM e
+            JOIN nodes pa_n ON pa_n.n = e.pa
+            JOIN nodes pb_n ON pb_n.n = e.pb
+            WHERE pa_n.community = pb_n.community
+            GROUP BY pa_n.community
+        )
+        SELECT dc.community,
+               CAST(dc.n_nodes AS BIGINT) AS n_nodes,
+               CAST(COALESCE(intra.e_c, 0) AS BIGINT) AS intra_edges,
+               CAST(dc.d_c AS BIGINT) AS degree_sum,
+               round(CAST(4 * (SELECT m FROM m) * COALESCE(intra.e_c, 0)
+                          - dc.d_c * dc.d_c AS DOUBLE)
+                     / CAST(4 * (SELECT m FROM m) * (SELECT m FROM m)
+                            AS DOUBLE) + 1e-9, 6) AS q_contrib
+        FROM dc LEFT JOIN intra ON intra.community = dc.community
+    """,
+    description="Newman modularity of the brand partition over the "
+    "co-purchase graph, per community: Q_c = e_c/m - (d_c/2m)^2, "
+    "computed with CLEARED DENOMINATORS (4m*e_c - d_c^2 over 4m^2 — "
+    "every accumulator an integer, one final IEEE division) so the "
+    "decomposition hash-checks exactly; sum(q_contrib) is the "
+    "partition's Q — the do-my-communities-mean-anything check that "
+    "complements copurchase_pagerank/triangle_count. One edge agg, "
+    "one bounded-key (brand) rollup, brands broadcast onto the edge "
+    "list for the intra count",
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .drop("c")
+    )
+    e = tracked_persist(e)
+    m = e.count()
+    deg = (
+        e.select(F.col("pa").alias("n"))
+        .unionAll(e.select(F.col("pb").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    nodes = deg.join(
+        F.broadcast(
+            part.select(
+                F.col("p_partkey").alias("n"), F.col("p_brand").alias("community")
+            )
+        ),
+        "n",
+    )
+    nodes = tracked_persist(nodes)
+    dc = nodes.groupBy("community").agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.sum("d").alias("d_c")
+    )
+    intra = (
+        e.join(
+            nodes.select(F.col("n").alias("pa"), F.col("community").alias("ca")),
+            "pa",
+        )
+        .join(
+            nodes.select(F.col("n").alias("pb"), F.col("community").alias("cb")),
+            "pb",
+        )
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    ec = F.coalesce(F.col("e_c"), F.lit(0))
+    return (
+        dc.join(intra, "community", "left")
+        .select(
+            "community",
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            ec.cast("bigint").alias("intra_edges"),
+            F.col("d_c").cast("bigint").alias("degree_sum"),
+            F.round(
+                (F.lit(4 * m) * ec - F.col("d_c") * F.col("d_c")).cast(
+                    "double"
+                )
+                / F.lit(float(4 * m * m))
+                + F.lit(1e-9),
+                6,
+            ).alias("q_contrib"),
+        )
+    )
+
+
+@register(
+    "degree_assortativity",
+    oracle="""
+        WITH e AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ), deg AS (
+            SELECT n, COUNT(*) AS d FROM (
+                SELECT pa AS n FROM e UNION ALL SELECT pb FROM e
+            ) GROUP BY n
+        ), ed AS (
+            -- both directions so the correlation is symmetric
+            SELECT da.d AS x, db.d AS y
+            FROM e JOIN deg da ON da.n = e.pa JOIN deg db ON db.n = e.pb
+            UNION ALL
+            SELECT db.d, da.d
+            FROM e JOIN deg da ON da.n = e.pa JOIN deg db ON db.n = e.pb
+        ), s AS (
+            SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                   SUM(x * y) AS sxy
+            FROM ed
+        )
+        SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE))
+                     + 1e-9, 6) AS assortativity
+        FROM s
+    """,
+    description="Degree assortativity of the co-purchase graph: "
+    "Pearson correlation of endpoint degrees over the symmetrized "
+    "edge list — positive means hubs attach to hubs (social-style), "
+    "negative means hub-and-spoke (retail catalogs are typically "
+    "disassortative), and the sign decides whether the hub-cap "
+    "mitigations in neighbor_jaccard/link_prediction actually bite. "
+    "Every moment is an INTEGER sum (degrees are ints), one final "
+    "division+sqrt — hash-exact. One degree agg + one broadcast-deg "
+    "edge decoration + a scalar agg",
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .drop("c")
+    )
+    e = tracked_persist(e)
+    deg = (
+        e.select(F.col("pa").alias("n"))
+        .unionAll(e.select(F.col("pb").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = F.broadcast(deg.select(F.col("n").alias("pa"), F.col("d").alias("dx")))
+    db = F.broadcast(deg.select(F.col("n").alias("pb"), F.col("d").alias("dy")))
+    dec = e.join(da, "pa").join(db, "pb")
+    ed = dec.select(F.col("dx").alias("x"), F.col("dy").alias("y")).unionAll(
+        dec.select(F.col("dy").alias("x"), F.col("dx").alias("y"))
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = F.sqrt(
+        (n * F.col("sxx") - sx * sx).cast("double")
+        * (n * F.col("syy") - sy * sy).cast("double")
+    )
+    return s.select(
+        F.expr("n div 2").cast("bigint").alias("n_edges"),
+        F.round(num / den + F.lit(1e-9), 6).alias("assortativity"),
+    )
+
+
+RICH_CLUB_K = [2, 4, 8, 16, 32, 64]
+
+
+@register(
+    "rich_club",
+    oracle=f"""
+        WITH e AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ), deg AS (
+            SELECT n, COUNT(*) AS d FROM (
+                SELECT pa AS n FROM e UNION ALL SELECT pb FROM e
+            ) GROUP BY n
+        ), ks AS (
+            SELECT unnest(ARRAY{RICH_CLUB_K}) AS k
+        ), nodes_k AS (
+            SELECT ks.k, COUNT(*) AS n_k
+            FROM ks JOIN deg ON deg.d > ks.k GROUP BY ks.k
+        ), edges_k AS (
+            SELECT ks.k, COUNT(*) AS e_k
+            FROM ks
+            JOIN e ON TRUE
+            JOIN deg da ON da.n = e.pa AND da.d > ks.k
+            JOIN deg db ON db.n = e.pb AND db.d > ks.k
+            GROUP BY ks.k
+        )
+        SELECT nk.k,
+               CAST(nk.n_k AS BIGINT) AS n_nodes,
+               CAST(COALESCE(ek.e_k, 0) AS BIGINT) AS n_edges,
+               round(CAST(2 * COALESCE(ek.e_k, 0) AS DOUBLE)
+                     / CAST(nk.n_k * (nk.n_k - 1) AS DOUBLE) + 1e-9, 6)
+                   AS phi
+        FROM nodes_k nk LEFT JOIN edges_k ek ON ek.k = nk.k
+        WHERE nk.n_k >= 2
+    """,
+    description="Rich-club coefficient phi(k) = 2*E_k / (N_k*(N_k-1)) "
+    "over a degree-threshold ladder: how densely the >k-degree elite "
+    "interconnects, the complement of kcore_members (core = cohesion "
+    "by peeling, rich club = cohesion by degree rank). Integer "
+    "counts, one final division. The k-ladder is a tiny literal "
+    "dimension broadcast against the degree-decorated edge list — "
+    "one pass over edges scores every rung",
+)
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .drop("c")
+    )
+    e = tracked_persist(e)
+    deg = (
+        e.select(F.col("pa").alias("n"))
+        .unionAll(e.select(F.col("pb").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    deg = tracked_persist(deg)
+    ks = spark.createDataFrame([(k,) for k in RICH_CLUB_K], "k int")
+    nodes_k = (
+        ks.join(deg, deg["d"] > ks["k"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_k"))
+    )
+    da = F.broadcast(deg.select(F.col("n").alias("pa"), F.col("d").alias("dx")))
+    db = F.broadcast(deg.select(F.col("n").alias("pb"), F.col("d").alias("dy")))
+    dec = e.join(da, "pa").join(db, "pb")
+    edges_k = (
+        F.broadcast(ks)
+        .join(dec, (dec["dx"] > ks["k"]) & (dec["dy"] > ks["k"]))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e_k"))
+    )
+    ek = F.coalesce(F.col("e_k"), F.lit(0))
+    return (
+        nodes_k.join(edges_k, "k", "left")
+        .filter(F.col("n_k") >= 2)
+        .select(
+            "k",
+            F.col("n_k").cast("bigint").alias("n_nodes"),
+            ek.cast("bigint").alias("n_edges"),
+            F.round(
+                (2 * ek).cast("double")
+                / (F.col("n_k") * (F.col("n_k") - 1)).cast("double")
+                + F.lit(1e-9),
+                6,
+            ).alias("phi"),
+        )
+    )

@@ -1,0 +1,558 @@
+"""Embedding ANN (knn_*), curation and vector diagnostics.
+
+Split from the original monolithic queries.py (r5 verdict task 5);
+registration side effects populate the shared REGISTRY, and the
+package __init__ fixes the driver-window order, so module
+membership is organization only — zero semantic change.
+"""
+# ruff: noqa: F403, F405
+from __future__ import annotations
+from kafka_streams_homework_spark.queries._shared import *  # noqa
+
+
+
+# ===========================================================================
+# Similarity search (north-star §7)
+# ===========================================================================
+
+
+@register(
+    "embedding_outliers",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), c AS (
+            SELECT label, i AS pos, round(avg(v[i]), 6) AS m
+            FROM e, generate_series(1, 64) AS g(i) GROUP BY 1, 2
+        ), cl AS (
+            SELECT label, list(m ORDER BY pos) AS centroid FROM c GROUP BY label
+        ), s AS (
+            SELECT e.vec_id, e.label,
+                   round(list_inner_product(e.v, cl.centroid)
+                         / (sqrt(list_inner_product(e.v, e.v))
+                            * sqrt(list_inner_product(cl.centroid, cl.centroid)))
+                         + 1e-9,
+                         6) AS centroid_sim
+            FROM e JOIN cl USING (label)
+        )
+        SELECT vec_id, label, centroid_sim,
+               centroid_sim < 0.0 AS is_outlier
+        FROM s
+    """,
+    description="Mislabel/outlier pruning: cosine of each vector to its "
+    "own label centroid (CLIP-filter-style curation); centroids from "
+    "one bounded (label, dim) agg broadcast onto a single corpus scan "
+    "— corpus never shuffles",
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_outliers(emb)
+
+
+@register(
+    "knn_bruteforce",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), q AS (
+            SELECT * FROM e WHERE vec_id < {KNN_QUERY_MAX_ID}
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_inner_product(q.v, c.v)
+                         / (sqrt(list_inner_product(q.v, q.v))
+                            * sqrt(list_inner_product(c.v, c.v))), 6) AS sim
+            FROM q JOIN e c ON c.vec_id != q.vec_id
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {KNN_K}
+    """,
+    description="Exact ANN baseline: brute-force cosine top-k, query set "
+    "broadcast to the corpus scan (corpus never shuffles)",
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding"
+    )
+    out = S.knn_bruteforce(emb, queries, KNN_K)
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "knn_lsh",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), planes AS (
+            SELECT j.j AS j,
+                   list((('0x' || substr(md5(j.j::VARCHAR || ':'
+                                             || i.i::VARCHAR), 1, 8))::BIGINT
+                         / 4294967296.0) * 2 - 1 ORDER BY i.i) AS h
+            FROM range(0, 128) AS j(j), range(0, 64) AS i(i)
+            GROUP BY j.j
+        ), bu AS (
+            SELECT e.vec_id, p.j // 4 AS band,
+                   SUM((CASE WHEN list_inner_product(e.v, p.h) >= 0
+                             THEN 1 ELSE 0 END)
+                       * (CASE p.j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                       WHEN 2 THEN 2 ELSE 1 END)) AS bucket
+            FROM e, planes p GROUP BY e.vec_id, p.j // 4
+        ), cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM bu q JOIN bu c
+              ON q.band = c.band AND q.bucket = c.bucket
+             AND q.vec_id != c.vec_id
+            WHERE q.vec_id < {KNN_QUERY_MAX_ID}
+        ), scored AS (
+            SELECT cd.query_id, cd.neighbor_id,
+                   round(list_inner_product(x.v, y.v)
+                         / (sqrt(list_inner_product(x.v, x.v))
+                            * sqrt(list_inner_product(y.v, y.v))), 6) AS sim
+            FROM cand cd
+            JOIN e x ON x.vec_id = cd.query_id
+            JOIN e y ON y.vec_id = cd.neighbor_id
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {KNN_K}
+    """,
+    description="ANN top-k via md5-hyperplane LSH pruning + exact "
+    "re-rank — the ANN family's oracle-HASH-checked member (IVF/PQ "
+    "stay rows-only: k-means centroids are not replayable). "
+    "Candidates share >=1 of 32 portable 4-bit sign buckets with the "
+    "query; exact cosine re-rank with deterministic ties. DuckDB "
+    "replays signatures, banding, candidates and ranking, so the "
+    "LSH recall behavior itself is pinned exactly",
+)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding"
+    )
+    return S.knn_lsh_md5(emb, queries, KNN_K, 32, 4)
+
+
+@register(
+    "ann_recall_at_k",
+    # Composed from the two member pipelines' own oracles: the eval op
+    # is exactly the join of what those oracles define, so the oracle
+    # is assembled, not re-derived (no drift between op and eval).
+    oracle=f"""
+        WITH exact AS (SELECT * FROM ({REGISTRY['knn_bruteforce'].oracle})),
+             approx AS (SELECT * FROM ({REGISTRY['knn_lsh'].oracle}))
+        SELECT e.query_id,
+               count(*) AS n_exact,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               round(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*) + 1e-9, 6) AS recall
+        FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+        GROUP BY e.query_id
+    """,
+    description="In-engine ANN evaluation: per-query recall@k of the "
+    "LSH index (knn_lsh) against the exact brute-force top-k — the "
+    "eval harness a vector-search deployment runs before trusting an "
+    "index. Both member pipelines are themselves oracle-replayable, "
+    "so the recall numbers are hash-checked, not sampled; the oracle "
+    "SQL is COMPOSED from the members' own oracle strings (zero "
+    "drift). Left join on (query_id, neighbor_id); k is the "
+    "registry-wide KNN_K",
+)
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding"
+    )
+    exact = S.knn_bruteforce(emb, queries, KNN_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = S.knn_lsh_md5(emb, queries, KNN_K, 32, 4).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    j = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["hit_id"]),
+        "left",
+    ).select(exact["query_id"], "neighbor_id", "hit_id")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(
+            F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
+        ).alias("n_hit"),
+        F.round(
+            F.sum(F.when(F.col("hit_id").isNotNull(), 1).otherwise(0))
+            / F.count(F.lit(1))
+            + F.lit(1e-9),
+            6,
+        ).alias("recall"),
+    )
+
+
+@register(
+    "knn_ivf",
+    oracle=None,  # approximate by design; recall vs brute force in pytest
+    description="IVF-partitioned ANN (cells = label clustering, centroid "
+    "probe, nprobe=3) — scale path: probes scan nprobe/ncells of corpus",
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding"
+    )
+    out = S.knn_ivf(emb, queries, KNN_K, nprobe=3)
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "knn_ivf_kmeans",
+    oracle=None,  # approximate by design; recall vs brute force in pytest
+    description="IVF ANN with a LEARNED spherical-k-means quantizer "
+    "(Lloyd iterations as DataFrame jobs, centroids-only on the driver); "
+    "nprobe=ncells recovers exact brute force (pytest-pinned)",
+)
+def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding"
+    )
+    out = S.knn_ivf_kmeans(emb, queries, KNN_K, nprobe=3, ncells=8, iters=3)
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "knn_pq",
+    oracle=None,  # learned quantizer → codes are implementation-defined;
+    # recall vs brute force and the ADC≡reconstruction identity are
+    # pytest-pinned (tests/test_dedup_similarity.py)
+    description="Product-quantization ANN, production shape: per-"
+    "subspace k-means codebooks (one distributed Lloyd job per "
+    "iteration, codebook-only driver state), corpus encoded to m small "
+    "codes (16-32x memory cut — the reason PQ exists at 100 TB), ADC "
+    "shortlist via broadcast per-query lookup tables (pure zip_with/"
+    "fold, no Python in the scan), then exact-cosine re-rank of the "
+    "top R=10k candidates",
+)
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding"
+    )
+    out = S.knn_pq(emb, queries, KNN_K, m=16, ksub=32, iters=3)
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "knn_ivfpq",
+    oracle=None,  # learned quantizers; recall + probe-all≡PQ pytest-pinned
+    description="IVF-PQ, the full modern ANN architecture composed: "
+    "learned coarse cells prune the candidate set to ~nprobe/ncells, "
+    "PQ-ADC scores only probed candidates over 16x-compressed codes "
+    "(broadcast LUTs, zip_with+fold JVM-side), exact-cosine re-rank of "
+    "the top R - bounded driver state (centroids + codebook + LUTs)",
+)
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding"
+    )
+    out = S.knn_ivfpq(emb, queries, KNN_K, ncells=8, nprobe=4, m=16, ksub=32, iters=3)
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "knn_ivf_indexed",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), q AS (
+            SELECT * FROM e WHERE vec_id < {KNN_QUERY_MAX_ID}
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_inner_product(q.v, c.v)
+                         / (sqrt(list_inner_product(q.v, q.v))
+                            * sqrt(list_inner_product(c.v, c.v))), 6) AS sim
+            FROM q JOIN e c ON c.vec_id != q.vec_id
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {KNN_K}
+    """,
+    description="End-to-end materialized IVF: k-means index build → "
+    "partitionBy(cell) parquet write → partition-pruned probe. Probing "
+    "all cells (nprobe=ncells) recovers the exact brute-force result, "
+    "so the whole indexed path is oracle-checked; production probes use "
+    "nprobe<ncells for the scan-volume trade (plan pruning asserted in "
+    "tests/test_plans.py)",
+)
+def q_knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = f"{SINK_ROOT}/ivf_index"
+    S.ivf_write_index(emb, idx, ncells=4, iters=2)
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding"
+    )
+    out = S.ivf_probe_index(spark, idx, queries, KNN_K, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "knn_filtered",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), q AS (
+            SELECT * FROM e WHERE vec_id < {KNN_QUERY_MAX_ID}
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_inner_product(q.v, c.v)
+                         / (sqrt(list_inner_product(q.v, q.v))
+                            * sqrt(list_inner_product(c.v, c.v))), 6) AS sim
+            FROM q JOIN e c
+              ON c.vec_id != q.vec_id AND c.label != q.label
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {KNN_K}
+    """,
+    description="Filtered vector search: per-query metadata predicate "
+    "(neighbor.label != query.label) evaluated IN the broadcast join — "
+    "PRE-filter semantics, so k never under-fills (the post-filter "
+    "hybrid-search bug); corpus scans once, never shuffles",
+)
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding", "label"
+    )
+    out = S.knn_filtered(emb, queries, KNN_K)
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "cosine_pairs_cells",
+    # No oracle: k-means cell assignment is iterative/implementation-
+    # defined; pytest pins recall vs the exact label-blocked op.
+    description="Embedding near-dup pairs via LEARNED cell blocking "
+    "(spherical k-means, multi-probe nassign=2) — the low-τ scale path "
+    "where sign-bit LSH can't prune; candidates per cell, exact-cosine "
+    "verified (no false positives), recall pinned in pytest",
+)
+def q_cosine_pairs_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_pairs_cells(emb, EMB_SIM_THRESHOLD, ncells=8, nassign=2)
+
+
+EMB_DIM = 64
+
+
+@register(
+    "embedding_dim_audit",
+    oracle=f"""
+        WITH x AS (
+            SELECT dim, embedding[dim + 1] AS v
+            FROM embeddings, (SELECT unnest(range({EMB_DIM})) AS dim) g
+        ), m AS (
+            SELECT dim, count(*) AS n, sum(CAST(v AS DOUBLE)) AS s,
+                   sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS ss
+            FROM x GROUP BY dim
+        )
+        SELECT CAST(dim AS BIGINT) AS dim,
+               round(s / n + 1e-9, 6) AS mean,
+               round((ss - s * s / n) / (n - 1) + 1e-9, 6) AS variance
+        FROM m
+    """,
+    description="Per-dimension embedding collapse audit: mean and "
+    "variance of each of the 64 dimensions across the corpus — dead "
+    "dimensions (variance ≈ 0) and biased dimensions (|mean| >> 0) "
+    "are the standard symptoms of a collapsed or mis-pooled encoder. "
+    "posexplode + one hash agg, dimension-count-sized state; variance "
+    "via the shared explicit sum/sumsq form (never engine-internal "
+    "var_samp whose association differs). The norm itself is NOT "
+    "audited — the fixture vectors are L2-normalized (avg norm "
+    "exactly 1.0, probed), so per-dim geometry is the informative "
+    "signal",
+)
+def q_embedding_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(F.posexplode("embedding").alias("dim", "v"))
+    m = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("double")).alias("s"),
+        F.sum(F.col("v").cast("double") * F.col("v").cast("double")).alias("ss"),
+    )
+    return m.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(F.col("s") / F.col("n") + F.lit(1e-9), 6).alias("mean"),
+        F.round(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+            + F.lit(1e-9),
+            6,
+        ).alias("variance"),
+    )
+
+
+MAHALANOBIS_CHI2_999 = 13.8155  # chi-square(2df) 99.9% critical value
+
+
+@register(
+    "mahalanobis_outliers",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   COALESCE(SUM(CAST(value AS DECIMAL(18,4))),
+                            CAST(0 AS DECIMAL(18,4))) AS x,
+                   COUNT(*) AS y
+            FROM events GROUP BY user_id
+        ), m AS (
+            SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx,
+                   SUM(CAST(y AS DECIMAL(18,0))
+                       * CAST(y AS DECIMAL(18,0))) AS syy,
+                   SUM(x * CAST(y AS DECIMAL(18,0))) AS sxy
+            FROM u
+        ), c AS (
+            SELECT n,
+                   CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                   CAST(n * sxx - sx * sx AS DOUBLE) AS a,
+                   CAST(n * syy - sy * sy AS DOUBLE) AS b,
+                   CAST(n * sxy - sx * sy AS DOUBLE) AS cc
+            FROM m
+        ), d AS (
+            SELECT u.user_id,
+                   (c.n * CAST(u.x AS DOUBLE) - c.sxd) AS uu,
+                   (c.n * CAST(u.y AS DOUBLE) - c.syd) AS vv,
+                   c.n, c.a, c.b, c.cc
+            FROM u, c
+        )
+        SELECT user_id,
+               round(((n - 1.0) / n)
+                     * ((b * uu * uu - 2.0 * cc * uu * vv)
+                        + a * vv * vv)
+                     / (a * b - cc * cc) + 1e-9, 6) AS d2,
+               round(((n - 1.0) / n)
+                     * ((b * uu * uu - 2.0 * cc * uu * vv)
+                        + a * vv * vv)
+                     / (a * b - cc * cc) + 1e-9, 6)
+                   > {MAHALANOBIS_CHI2_999} AS is_outlier
+        FROM d
+    """,
+    description="Multivariate (2-D) Mahalanobis outlier score per user "
+    "over (total spend, event count) — catches the jointly-odd points "
+    "that the univariate z/MAD ops miss (high spend AND low activity). "
+    "Cleared-denominator discipline end to end: the covariance "
+    "moments a/b/c and centered coordinates U=n*x-Sx, V=n*y-Sy are "
+    "DECIMAL-exact integers/decimals, cast once to double for the "
+    "closed-form 2x2 inverse quadratic form (identical association "
+    "both engines, one division); the flag applies chi2(2df, 99.9%) "
+    "to the ROUNDED distance. One user rollup + a broadcast 1-row "
+    "moment table — corpus scans once",
+)
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(18,4)")),
+            F.lit(0).cast("decimal(18,4)"),
+        ).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    u = tracked_persist(u)
+    yd = F.col("y").cast("decimal(18,0)")
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(F.col("x") * yd).alias("sxy"),
+    ).select(
+        "n",
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("a"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("b"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("cc"),
+    )
+    j = u.crossJoin(F.broadcast(m))
+    uu = F.col("n") * F.col("x").cast("double") - F.col("sxd")
+    vv = F.col("n") * F.col("y").cast("double") - F.col("syd")
+    d2 = F.round(
+        ((F.col("n") - F.lit(1.0)) / F.col("n"))
+        * (
+            (F.col("b") * uu * uu - F.lit(2.0) * F.col("cc") * uu * vv)
+            + F.col("a") * vv * vv
+        )
+        / (F.col("a") * F.col("b") - F.col("cc") * F.col("cc"))
+        + F.lit(1e-9),
+        6,
+    )
+    return j.select(
+        "user_id",
+        d2.alias("d2"),
+        (d2 > MAHALANOBIS_CHI2_999).alias("is_outlier"),
+    )
+
+
+@register(
+    "pca_projection",
+    # No oracle: the 64x64 eigen solve is not SQL-replayable; the
+    # component and every projected score are pinned against numpy in
+    # pytest (exact replay of the deterministic power iteration).
+    description="Top-principal-component projection of the embedding "
+    "corpus: the covariance/Gram matrix is ONE distributed partial "
+    "aggregation (d^2 = 4096 accumulators, map-side combined — the "
+    "explode blowup never shuffles row-wise), the eigen solve is a "
+    "deterministic driver-side power iteration on the bounded 64x64 "
+    "matrix (all-ones start, fixed 30 iterations, sign convention "
+    "pinned), and the projection broadcasts the component back for a "
+    "map-only scoring pass. The embedding-drift/visualization "
+    "primitive; rows-only (numpy-replayed in pytest)",
+)
+def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.pca_projection(emb)

@@ -1,0 +1,866 @@
+"""Structured Streaming twins + Kafka/Avro wire serde.
+
+Split from the original monolithic queries.py (r5 verdict task 5);
+registration side effects populate the shared REGISTRY, and the
+package __init__ fixes the driver-window order, so module
+membership is organization only — zero semantic change.
+"""
+# ruff: noqa: F403, F405
+from __future__ import annotations
+from kafka_streams_homework_spark.queries._shared import *  # noqa
+
+
+
+@register(
+    "streaming_asof_join",
+    oracle="""
+        WITH r AS (
+            SELECT o_custkey, o_orderdate,
+                   max(o_orderkey) AS last_order_key,
+                   o_orderdate AS last_order_date
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id, e.ts, r.last_order_key, r.last_order_date
+        FROM events e ASOF LEFT JOIN r
+          ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+    description="Streaming twin of asof_join via run_batch_transform: "
+    "Spark's stream-static join is equi-key only, so the point-in-time "
+    "lookup runs the BATCH asof operator inside foreachBatch against "
+    "the static order table — the documented production pattern for "
+    "non-equi stream-static joins. Per-row stateless w.r.t. batch "
+    "splits (each event's match depends on that event + static data), "
+    "hence batch-count-independent; same DuckDB ASOF LEFT JOIN oracle "
+    "as the batch twin (streaming/batch parity)",
+)
+def q_streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import (
+        run_batch_transform,
+    )
+
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    latest_orders = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_order_key"))
+        .withColumn("last_order_date", F.col("o_orderdate"))
+    )
+
+    def lookup(batch_df: DataFrame) -> DataFrame:
+        return R.asof_join(
+            batch_df,
+            latest_orders,
+            ["user_id"],
+            ["o_custkey"],
+            "ts",
+            "o_orderdate",
+            ["last_order_key", "last_order_date"],
+        ).select("event_id", "user_id", "ts", "last_order_key", "last_order_date")
+
+    return run_batch_transform(spark, stream, lookup)
+
+
+@register(
+    "streaming_price_alerts",
+    oracle=f"""
+        SELECT CAST(user_id AS VARCHAR) AS alert_key,
+               CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+               round(sum(value), 2) AS total_sum_per_minute
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY user_id, date_trunc('minute', ts)
+        HAVING round(sum(value), 2) > {ALERT_THRESHOLD}
+    """,
+    description="The flagship under Structured Streaming: file-source "
+    "readStream → stream-static broadcast join → windowed sum → "
+    "threshold, update mode, availableNow trigger into a memory sink — "
+    "checked against the SAME batch oracle (streaming/batch parity)",
+)
+def q_streaming_price_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    stream = _events_stream(spark, sf_dir)
+    alerts = price_alerts_stream(
+        stream, customer, threshold=ALERT_THRESHOLD, mode="update"
+    )
+    # foreachBatch upsert keyed by (alert_key, window_start): keeps the
+    # latest emission per window, so the result is identical whether
+    # the source processes as one micro-batch or many
+    return run_upsert(spark, alerts, ["alert_key", "window_start"], mode="update")
+
+
+@register(
+    "streaming_latest_by_key",
+    oracle="""
+        SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+               event_type AS last_event_type, value AS last_value
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    description="GlobalKTable semantics under streaming: max_by over "
+    "(ts, event_id) per key maintains the latest record incrementally "
+    "— state is ONE row per key, updated in place each micro-batch; "
+    "emissions upserted per key (run_upsert). Same oracle as the batch "
+    "latest_by_key (streaming/batch parity for S2/S4)",
+)
+def q_streaming_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_id", "ts", "event_type", "value"),
+            F.struct(F.col("ts"), F.col("event_id")),
+        ).alias("b")
+    )
+    out = agg.select(
+        "user_id",
+        F.col("b.event_id").alias("last_event_id"),
+        F.col("b.ts").alias("last_ts"),
+        F.col("b.event_type").alias("last_event_type"),
+        F.col("b.value").alias("last_value"),
+    )
+    return run_upsert(spark, out, ["user_id"], mode="update")
+
+
+@register(
+    "streaming_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    description="Streaming exact dedup with bounded state: "
+    "dropDuplicatesWithinWatermark on (user_id, event_type) — dedup "
+    "state lives only until the watermark passes it (O(keys per "
+    "watermark window), the only viable exact-dedup contract on an "
+    "unbounded stream). Projected to the dedup subset so the emitted "
+    "set is deterministic; oracle = DISTINCT (batch twin dedup_exact "
+    "family)",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming import dedup_stream, run_append
+
+    apply_runtime_confs(spark)
+    ev = _events_stream(spark, sf_dir)
+    out = dedup_stream(ev, ["user_id", "event_type"], ts_col="ts").select(
+        "user_id", "event_type"
+    )
+    return run_append(spark, out)
+
+
+@register(
+    "streaming_stateful_alerts",
+    # Emit-once semantics: only windows CLOSED by the final watermark
+    # (max event time - 2 min) are emitted; open windows are withheld —
+    # that is the Processor contract (emit on punctuation, not at end
+    # of input), so the oracle applies the same watermark cut.
+    oracle=f"""
+        WITH wm AS (
+            SELECT epoch_ms(max(ts)) - 120000 AS w FROM events
+        ),
+        agg AS (
+            SELECT user_id,
+                   epoch_ms(date_trunc('minute', ts)) AS window_start_ms,
+                   round(sum(value), 2) AS total_sum_per_minute
+            FROM events GROUP BY 1, 2
+        )
+        SELECT CAST(user_id AS VARCHAR) AS alert_key,
+               window_start_ms, total_sum_per_minute
+        FROM agg, wm
+        WHERE total_sum_per_minute > {ALERT_THRESHOLD}
+          AND window_start_ms + 60000 <= wm.w
+    """,
+    description="U4 escape hatch, driver-visible: the reference's "
+    "hand-built stateful Processor (PurchaseQuantityAlertTrasformer."
+    "java:21-122) as applyInPandasWithState — per-(key,window) running "
+    "sums in group state, emit-once when the watermark closes a window, "
+    "state GC on emit. Append mode through run_append; oracle applies "
+    "the same watermark cut to plain SQL (windows still open at end of "
+    "input are withheld, matching Processor punctuation semantics)",
+)
+def q_streaming_stateful_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming import run_append
+    from kafka_streams_homework_spark.streaming.stateful import (
+        windowed_sum_stateful,
+    )
+
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    alerts = windowed_sum_stateful(
+        stream, threshold=ALERT_THRESHOLD, watermark_delay="2 minutes"
+    )
+    return run_append(spark, alerts)
+
+
+@register(
+    "streaming_interval_join",
+    # Inner stream-stream joins emit matches as both sides arrive (the
+    # watermark only bounds state GC, it does not hold back inner
+    # output), and the file source delivers one micro-batch here — so
+    # the streaming result equals the plain batch interval join and the
+    # oracle needs no watermark cut (unlike streaming_stateful_alerts).
+    oracle="""
+        SELECT l.event_id AS imp_id, r.event_id AS click_id,
+               l.user_id AS user_id, l.ts AS imp_ts, r.ts AS click_ts,
+               round(r.value, 2) AS click_value
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
+         AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+    """,
+    description="Stream-stream watermarked interval join, driver-"
+    "visible (north-star extension — Kafka Streams' KStream-KStream "
+    "windowed join; the reference only joins against a GlobalKTable): "
+    "impressions (even event_id) joined to clicks (odd) landing within "
+    "[imp_ts, imp_ts+10min] per user; both sides watermarked so join "
+    "state is GC'd, shuffled on the equi key like Kafka Streams' "
+    "co-partitioned windowed join",
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming import (
+        interval_join_streams,
+        run_append,
+    )
+
+    apply_runtime_confs(spark)
+
+    def src() -> DataFrame:
+        return _events_stream(spark, sf_dir)
+
+    left = (
+        src()
+        .filter(F.col("event_id") % 2 == 0)
+        .select(
+            F.col("event_id").alias("imp_id"),
+            F.col("user_id"),
+            F.col("ts").alias("imp_ts"),
+        )
+    )
+    right = (
+        src()
+        .filter(F.col("event_id") % 2 == 1)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+            F.round("value", 2).alias("click_value"),
+        )
+    )
+    joined = interval_join_streams(
+        left,
+        right,
+        "user_id",
+        "click_user",
+        "imp_ts",
+        "click_ts",
+        upper="10 minutes",
+    ).select("imp_id", "click_id", "user_id", "imp_ts", "click_ts", "click_value")
+    return run_append(spark, joined)
+
+
+@register(
+    "streaming_interval_join_left",
+    # Outer rows are watermark-held: a left row emits null-extended
+    # only once the GLOBAL watermark (min of both stream watermarks —
+    # Spark's multiple-watermark policy) proves no match can arrive,
+    # i.e. passes imp_ts + upper. The oracle applies the same cut;
+    # matched pairs emit un-held like the inner variant.
+    oracle="""
+        WITH wm AS (
+            SELECT least((SELECT max(ts) FROM events WHERE event_id % 2 = 0),
+                         (SELECT max(ts) FROM events WHERE event_id % 2 = 1))
+                   - INTERVAL 2 MINUTE AS w
+        ),
+        l AS (SELECT * FROM events WHERE event_id % 2 = 0),
+        r AS (SELECT * FROM events WHERE event_id % 2 = 1)
+        SELECT l.event_id AS imp_id, l.user_id AS user_id, l.ts AS imp_ts,
+               r.event_id AS click_id, r.ts AS click_ts,
+               round(r.value, 2) AS click_value
+        FROM l JOIN r ON l.user_id = r.user_id
+         AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+        UNION ALL
+        SELECT l.event_id, l.user_id, l.ts, NULL, NULL, NULL
+        FROM l, wm
+        WHERE NOT EXISTS (
+            SELECT 1 FROM r WHERE l.user_id = r.user_id
+             AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+        ) AND l.ts + INTERVAL 10 MINUTE <= wm.w
+    """,
+    description="leftOuter stream-stream interval join, driver-visible: "
+    "matched pairs emit as both sides arrive; unmatched impressions "
+    "emit null-extended only when the global watermark (min across "
+    "both streams) proves no click can still arrive — the oracle "
+    "applies the identical cut in plain SQL",
+)
+def q_streaming_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming import (
+        interval_join_streams,
+        run_append,
+    )
+
+    apply_runtime_confs(spark)
+    left = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_id") % 2 == 0)
+        .select(
+            F.col("event_id").alias("imp_id"),
+            F.col("user_id"),
+            F.col("ts").alias("imp_ts"),
+        )
+    )
+    right = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_id") % 2 == 1)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+            F.round("value", 2).alias("click_value"),
+        )
+    )
+    joined = interval_join_streams(
+        left,
+        right,
+        "user_id",
+        "click_user",
+        "imp_ts",
+        "click_ts",
+        upper="10 minutes",
+        how="leftOuter",
+    ).select("imp_id", "user_id", "imp_ts", "click_id", "click_ts", "click_value")
+    return run_append(spark, joined)
+
+
+@register(
+    "streaming_windowed_distinct",
+    oracle="""
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    description="Streaming twin of windowed_distinct: size(collect_set) "
+    "per (event_type, hour) in update mode — COUNT(DISTINCT) is not "
+    "incrementally maintainable, the id-set state is; run_upsert keeps "
+    "the latest emission per window so the result is batch-count-"
+    "independent. Same oracle as the batch twin (streaming/batch parity)",
+)
+def q_streaming_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import (
+        windowed_distinct_stream,
+    )
+
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    out = windowed_distinct_stream(stream)
+    return run_upsert(spark, out, ["event_type", "window_start"], mode="update")
+
+
+@register(
+    "streaming_sessionize",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM sess GROUP BY user_id, sess_id
+    """,
+    description="Streaming twin of sessionize: session_window "
+    "aggregation under Structured Streaming. Update mode is rejected "
+    "for session windows (a session MERGE would retract already-"
+    "emitted pre-merge rows), so this runs complete mode through "
+    "run_replace — the last trigger's full emission is the answer, "
+    "batch-count-independent by construction. Same gaps-and-islands "
+    "oracle as the batch twin (streaming/batch parity)",
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import run_replace
+
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    sess = R.sessionize(
+        stream,
+        ["user_id"],
+        "ts",
+        SESSION_GAP,
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    ).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+        "total_value",
+    )
+    return run_replace(spark, sess, mode="complete")
+
+
+SENTINEL_USER = -1
+
+
+@register(
+    "streaming_sessionize_append",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM sess GROUP BY user_id, sess_id
+    """,
+    description="Append-mode twin of streaming_sessionize: "
+    "watermark + append emits each session exactly ONCE when the "
+    "watermark passes its gap, so per-session state is GC'd — the "
+    "unbounded-state-safe production shape (complete mode holds the "
+    "full result forever). availableNow withholds sessions still open "
+    "when input ends (watermark advances only BETWEEN micro-batches), "
+    "so the harness stages events plus a far-future sentinel event as "
+    "a second file; maxFilesPerTrigger=1 makes the sentinel a later "
+    "micro-batch whose watermark advance flushes every real session, "
+    "and the sentinel's own session is filtered from the output. In "
+    "production the sentinel is unnecessary — live traffic advances "
+    "the watermark continuously. Same gaps-and-islands batch oracle "
+    "as both sessionize twins (streaming/batch parity)",
+)
+def q_streaming_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from kafka_streams_homework_spark.streaming.price_alerts import run_append
+
+    apply_runtime_confs(spark)
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    staged = tempfile.mkdtemp(prefix="sess_append_")
+    try:
+        events.write.mode("overwrite").parquet(staged)
+        max_ts = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        sentinel = spark.createDataFrame(
+            [(int(-1), int(SENTINEL_USER), max_ts + dt.timedelta(days=365), 0.0)],
+            schema=events.schema,
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(staged)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(staged)
+        )
+        sess = (
+            R.sessionize(
+                stream.withWatermark("ts", "2 minutes"),
+                ["user_id"],
+                "ts",
+                SESSION_GAP,
+                [
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.round(F.sum("value"), 2).alias("total_value"),
+                ],
+            )
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                "n_events",
+                "total_value",
+            )
+        )
+        out = run_append(spark, sess)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return out.filter(F.col("user_id") != SENTINEL_USER)
+
+
+@register(
+    "streaming_windowed_hll",
+    # No oracle: approx_count_distinct is sketch-based; pytest pins the
+    # estimate within HLL error bounds of the exact streaming twin.
+    description="Streaming windowed HLL: approx distinct users per "
+    "(event_type, hour) under Structured Streaming update mode — the "
+    "sketch (~KB) is incrementally maintainable state where the exact "
+    "twin (streaming_windowed_distinct) holds the full id set; the "
+    "only per-window distinct state that stays bounded on a 100 TB "
+    "stream. run_upsert keeps the final emission per window "
+    "(batch-count-independent); accuracy pinned vs exact in pytest",
+)
+def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    out = (
+        stream.groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(F.approx_count_distinct("user_id").alias("n_distinct_approx"))
+        .select(
+            "event_type",
+            F.col("window.start").alias("window_start"),
+            "n_distinct_approx",
+        )
+    )
+    return run_upsert(spark, out, ["event_type", "window_start"], mode="update")
+
+
+@register(
+    "kafka_wire_roundtrip",
+    oracle=f"""
+        SELECT CAST(user_id AS VARCHAR) AS alert_key, c_name AS customer_name,
+               CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+               round(sum(value), 2) AS total_sum_per_minute
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY user_id, c_name, date_trunc('minute', ts)
+        HAVING round(sum(value), 2) > {ALERT_THRESHOLD}
+    """,
+    description="Kafka edge, driver-visible: events serialized IN-PLAN "
+    "to Confluent-wire binary records (magic+schema-id prefix + JSON "
+    "payload, all JVM expressions), then decode_kafka_records strips "
+    "the prefix and parses the payload, and the flagship runs on the "
+    "decoded frame — byte-level serde parity with the reference's "
+    "registry serde (dsl/PriceAlertsApp.java:33-37), same oracle as "
+    "price_alerts",
+)
+def q_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.sources.kafka import decode_kafka_records
+
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    # serialize: the exact frame a kafka source would hand us
+    wire = events.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.concat(
+            F.lit(b"\x00\x00\x00\x00\x2a"),  # magic 0x00 + schema id 42
+            F.to_json(F.struct("user_id", "ts", "value")).cast("binary"),
+        ).alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    decoded = decode_kafka_records(
+        wire,
+        json_value_schema="user_id long, ts timestamp, value double",
+        confluent_wire_format=True,
+    ).select("value.user_id", "value.ts", "value.value")
+    enriched = R.join_stream_table(
+        decoded, customer, decoded["user_id"] == customer["c_custkey"], "inner"
+    )
+    agg = R.windowed_agg(
+        enriched,
+        ["user_id", "c_name"],
+        "ts",
+        [F.round(F.sum("value"), 2).alias("total_sum_per_minute")],
+        "1 minute",
+    )
+    alerts = R.filter_threshold(agg, "total_sum_per_minute", ALERT_THRESHOLD)
+    return alerts.select(
+        F.col("user_id").cast("string").alias("alert_key"),
+        F.col("c_name").alias("customer_name"),
+        F.col("window.start").alias("window_start"),
+        F.col("total_sum_per_minute").cast("double").alias("total_sum_per_minute"),
+    )
+
+
+AVRO_PURCHASE_SCHEMA = """
+{"type": "record", "name": "Purchase", "fields": [
+  {"name": "user_id", "type": "long"},
+  {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+  {"name": "value", "type": "double"}
+]}
+"""
+
+
+@register(
+    "avro_wire_roundtrip",
+    oracle=f"""
+        SELECT CAST(user_id AS VARCHAR) AS alert_key, c_name AS customer_name,
+               CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+               round(sum(value), 2) AS total_sum_per_minute
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY user_id, c_name, date_trunc('minute', ts)
+        HAVING round(sum(value), 2) > {ALERT_THRESHOLD}
+    """,
+    description="Avro serde edge (reference dsl/PriceAlertsApp.java:84-85): "
+    "events serialized IN-PLAN to Confluent-framed AVRO BINARY (magic + "
+    "schema id + spec-conformant zigzag-varint/IEEE754 body), decoded via "
+    "decode_kafka_records' from_avro path — JVM from_avro when the "
+    "spark-avro jar exists, else the Arrow-batched pure-Python codec "
+    "(sources/avro_codec.py) — then the flagship runs on the decoded "
+    "frame; same oracle as price_alerts / kafka_wire_roundtrip",
+)
+def q_avro_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.sources.avro_codec import avro_encode_column
+    from kafka_streams_homework_spark.sources.kafka import decode_kafka_records
+
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    wire = events.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.concat(
+            F.lit(b"\x00\x00\x00\x00\x2a"),  # magic 0x00 + schema id 42
+            avro_encode_column(
+                F.struct("user_id", "ts", "value"), AVRO_PURCHASE_SCHEMA
+            ),
+        ).alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    decoded = decode_kafka_records(
+        wire,
+        avro_value_schema=AVRO_PURCHASE_SCHEMA,
+        confluent_wire_format=True,
+    ).select("value.user_id", "value.ts", "value.value")
+    enriched = R.join_stream_table(
+        decoded, customer, decoded["user_id"] == customer["c_custkey"], "inner"
+    )
+    agg = R.windowed_agg(
+        enriched,
+        ["user_id", "c_name"],
+        "ts",
+        [F.round(F.sum("value"), 2).alias("total_sum_per_minute")],
+        "1 minute",
+    )
+    alerts = R.filter_threshold(agg, "total_sum_per_minute", ALERT_THRESHOLD)
+    return alerts.select(
+        F.col("user_id").cast("string").alias("alert_key"),
+        F.col("c_name").alias("customer_name"),
+        F.col("window.start").alias("window_start"),
+        F.col("total_sum_per_minute").cast("double").alias("total_sum_per_minute"),
+    )
+
+
+@register(
+    "kafka_corrupt_tolerant",
+    oracle="""
+        SELECT CAST(count(CASE WHEN event_id % 7 <> 0 THEN 1 END) AS BIGINT)
+                   AS n_good,
+               CAST(count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS BIGINT)
+                   AS n_corrupt,
+               round(sum(CASE WHEN event_id % 7 <> 0 THEN value END), 2)
+                   AS total_good_value
+        FROM events
+    """,
+    description="Poison-pill tolerance, driver-visible: every 7th wire "
+    "record is truncated mid-payload in-plan, then decoded with the "
+    "PERMISSIVE from_json path — corrupt payloads become null structs "
+    "instead of failing the job (the dead-letter contract a production "
+    "consumer needs; a deserialization exception in the reference's "
+    "serde kills the stream thread). The oracle derives the same "
+    "good/corrupt partition from the injection rule, so the decode "
+    "path must classify every record exactly right to hash-match",
+)
+def q_kafka_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.sources.kafka import decode_kafka_records
+
+    events = _t(spark, sf_dir, "events")
+    wire = events.select(
+        "event_id",
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.concat(
+            F.lit(b"\x00\x00\x00\x00\x2a"),
+            F.to_json(F.struct("user_id", "ts", "value")).cast("binary"),
+        ).alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    poisoned = wire.withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 7 == 0, F.expr("substring(value, 1, 12)")
+        ).otherwise(F.col("value")),
+    )
+    decoded = decode_kafka_records(
+        poisoned,
+        json_value_schema="user_id long, ts timestamp, value double",
+        confluent_wire_format=True,
+    )
+    return decoded.agg(
+        F.count(F.when(F.col("value.user_id").isNotNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("value.user_id").isNull(), 1)).alias("n_corrupt"),
+        F.round(F.sum("value.value"), 2).alias("total_good_value"),
+    )
+
+
+AVRO_PURCHASE_READER_V2 = """
+{"type": "record", "name": "Purchase", "fields": [
+  {"name": "value", "type": "double"},
+  {"name": "user_id", "type": "long"},
+  {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+  {"name": "region", "type": "string", "default": "unknown"}
+]}
+"""
+
+
+@register(
+    "avro_schema_evolution",
+    oracle=f"""
+        SELECT CAST(user_id AS VARCHAR) AS alert_key, c_name AS customer_name,
+               'unknown' AS region,
+               CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+               round(sum(value), 2) AS total_sum_per_minute
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY user_id, c_name, date_trunc('minute', ts)
+        HAVING round(sum(value), 2) > {ALERT_THRESHOLD}
+    """,
+    description="Avro schema RESOLUTION in-plan (spec §Schema "
+    "Resolution): events encoded under the v1 writer schema, decoded "
+    "under a v2 READER schema that reorders fields (name-based match "
+    "over the positional wire format) and adds a defaulted `region` "
+    "column — the rolling-upgrade contract a Schema-Registry consumer "
+    "needs; flagship aggregation over the evolved frame, same oracle "
+    "as avro_wire_roundtrip plus the defaulted column",
+)
+def q_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.sources.avro_codec import (
+        avro_decode_column_evolved,
+        avro_encode_column,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    wire = events.select(
+        avro_encode_column(
+            F.struct("user_id", "ts", "value"), AVRO_PURCHASE_SCHEMA
+        ).alias("payload")
+    )
+    decoded = wire.select(
+        avro_decode_column_evolved(
+            "payload", AVRO_PURCHASE_SCHEMA, AVRO_PURCHASE_READER_V2
+        ).alias("value")
+    ).select("value.user_id", "value.ts", "value.value", "value.region")
+    enriched = R.join_stream_table(
+        decoded, customer, decoded["user_id"] == customer["c_custkey"], "inner"
+    )
+    agg = R.windowed_agg(
+        enriched,
+        ["user_id", "c_name", "region"],
+        "ts",
+        [F.round(F.sum("value"), 2).alias("total_sum_per_minute")],
+        "1 minute",
+    )
+    alerts = R.filter_threshold(agg, "total_sum_per_minute", ALERT_THRESHOLD)
+    return alerts.select(
+        F.col("user_id").cast("string").alias("alert_key"),
+        F.col("c_name").alias("customer_name"),
+        "region",
+        F.col("window.start").alias("window_start"),
+        F.col("total_sum_per_minute").cast("double").alias("total_sum_per_minute"),
+    )
+
+
+@register(
+    "streaming_activity_streaks",
+    oracle="""
+        WITH d AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), r AS (
+            SELECT user_id, day,
+                   day - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+            FROM d
+        )
+        SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+               CAST(count(*) AS BIGINT) AS streak_days
+        FROM r GROUP BY user_id, anchor HAVING count(*) >= 2
+    """,
+    description="Streaming twin of activity_streaks: events projected "
+    "to midnight-aligned day timestamps, then a per-user session "
+    "window with a 25-hour gap — consecutive midnights (24h apart) "
+    "merge, a skipped day (48h) splits, so each session IS a streak "
+    "and streak_days = span(min,max)+1 without any distinct-count "
+    "(order-independent, hence batch-count-independent). Complete "
+    "mode via run_replace like streaming_sessionize; same "
+    "gaps-and-islands oracle as the batch twin",
+)
+def q_streaming_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import run_replace
+
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    days = stream.select(
+        "user_id", F.date_trunc("day", "ts").alias("day_ts")
+    )
+    sess = (
+        days.groupBy("user_id", F.session_window("day_ts", "25 hours"))
+        .agg(
+            F.min("day_ts").alias("first_day"),
+            F.max("day_ts").alias("last_day"),
+        )
+        .select(
+            "user_id",
+            F.col("first_day").cast("date").alias("streak_start"),
+            F.col("last_day").cast("date").alias("streak_end"),
+            (
+                F.datediff(F.col("last_day"), F.col("first_day")) + 1
+            ).cast("bigint").alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= 2)
+    )
+    return run_replace(spark, sess)
+
+
+TOPK_WINDOW_N = 3
+
+
+@register(
+    "streaming_windowed_topk",
+    oracle=f"""
+        WITH c AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                   event_type, CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ), r AS (
+            SELECT window_start, event_type, n_events,
+                   row_number() OVER (PARTITION BY window_start
+                                      ORDER BY n_events DESC, event_type)
+                       AS rk
+            FROM c
+        )
+        SELECT window_start, event_type, n_events, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= {TOPK_WINDOW_N}
+    """,
+    description="Top-N event types per hour under Structured Streaming "
+    "— the canonical windowed-leaderboard shape (Kafka Streams' "
+    "windowed KTable top-N example). The streaming stage maintains "
+    "per-(window, type) counts (complete mode through run_replace — "
+    "rank over a streaming agg is not incrementally expressible, the "
+    "documented KTable-reader pattern ranks downstream); the rank "
+    "runs on the emitted window×type table, which is bounded "
+    "regardless of event volume. Deterministic event_type tiebreak; "
+    "same batch oracle shape as topk_per_group",
+)
+def q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import run_replace
+
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    counts = (
+        stream.groupBy(
+            F.window(F.col("ts"), "1 hour"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    emitted = run_replace(spark, counts, mode="complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        emitted.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOPK_WINDOW_N)
+    )

@@ -3625,3 +3625,63 @@ def test_dedup_recall_eval_precision_one_and_bounds(spark, sf_dir):
     assert r.precision == 1.0
     assert 0.0 < r.recall <= 1.0
     assert r.n_true >= r.n_hit
+
+
+def test_jpeg_pipeline_real_codec_lossless_on_even_blocks(spark, sf_dir):
+    from kafka_streams_homework_spark.operators import multimodal as M
+    from kafka_streams_homework_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(8)
+    media = M.synth_jpeg(docs).collect()
+    for row in media:
+        b = bytes(row.payload)
+        # genuine JFIF-style container: SOI/EOI markers, DQT/DHT parsed
+        # back from the stream, and block-constant even-valued images
+        # survive the lossy codec EXACTLY (DC-only, integer quotients)
+        assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+        d = int(row.doc_id)
+        w, h, pix = M.decode_jpeg_gray_baseline(b)
+        assert (w, h) == (24, 16)
+        assert pix == [
+            [2 * ((d * 31 + (y // 8) * 7 + (x // 8) * 13) % 128)
+             for x in range(24)]
+            for y in range(16)
+        ]
+
+
+def test_jpeg_general_lossy_roundtrip_bounded_error():
+    from kafka_streams_homework_spark.operators import multimodal as M
+
+    # the general path: gradients exercise small AC coefficients,
+    # noise exercises long runs / ZRL / byte stuffing. Lossy, so the
+    # contract is a reconstruction error bound, not equality.
+    grad = [[(3 * x + 5 * y) % 256 for x in range(32)] for y in range(24)]
+    w, h, out = M.decode_jpeg_gray_baseline(M.encode_jpeg_gray_baseline(grad))
+    assert (w, h) == (32, 24)
+    errs = [abs(out[y][x] - grad[y][x]) for y in range(24) for x in range(32)]
+    assert max(errs) <= 4 and sum(errs) / len(errs) < 2
+
+    noise = [[(x * 97 + y * 31 + (x * y) % 17 * 53) % 256
+              for x in range(16)] for y in range(16)]
+    w2, h2, out2 = M.decode_jpeg_gray_baseline(
+        M.encode_jpeg_gray_baseline(noise)
+    )
+    assert (w2, h2) == (16, 16)
+    # Annex-K q50 quantizes high frequencies hard; bound, don't equate
+    errs2 = [abs(out2[y][x] - noise[y][x]) for y in range(16) for x in range(16)]
+    assert max(errs2) <= 96 and sum(errs2) / len(errs2) < 32
+
+
+def test_jpeg_decode_rejects_garbage_and_progressive():
+    import pytest
+
+    from kafka_streams_homework_spark.operators import multimodal as M
+
+    with pytest.raises(ValueError, match="missing SOI"):
+        M.decode_jpeg_gray_baseline(b"not a jpeg")
+    # splice a progressive SOF2 marker in place of SOF0: must refuse
+    good = bytearray(M.encode_jpeg_gray_baseline([[0] * 8] * 8))
+    idx = good.find(b"\xff\xc0")
+    good[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        M.decode_jpeg_gray_baseline(bytes(good))
