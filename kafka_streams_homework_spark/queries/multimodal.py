@@ -367,3 +367,54 @@ def q_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_pixel",
         "max_pixel",
     )
+
+@register(
+    "video_pipeline",
+    oracle="""
+        WITH blk AS (
+            SELECT d.doc_id, f.f,
+                   2 * ((d.doc_id * 31 + f.f * 11 + by.y * 7
+                         + bx.x * 13) % 128) AS v
+            FROM documents d, range(0, 5) AS f(f),
+                 range(0, 2) AS by(y), range(0, 3) AS bx(x)
+        ), m AS (
+            SELECT doc_id, f, SUM(v) AS s
+            FROM blk GROUP BY doc_id, f
+        )
+        SELECT doc_id,
+               24 AS width, 16 AS height,
+               5 AS n_frames, 10 AS fps,
+               CAST(500.0 AS DOUBLE) AS duration_ms,
+               round(MAX(CASE WHEN f = 0 THEN s END)::DOUBLE / 6
+                     + 1e-9, 6) AS mean_first,
+               round(MAX(CASE WHEN f = 4 THEN s END)::DOUBLE / 6
+                     + 1e-9, 6) AS mean_last
+        FROM m GROUP BY doc_id
+    """,
+    description="REAL video decode — the LAST media gate closes: per "
+    "document a Motion-JPEG AVI is synthesized (RIFF muxer: hdrl with "
+    "avih/strh/strf MJPG stream headers, movi LIST of 00dc frame "
+    "chunks, idx1 index — a container ffmpeg would accept) with 5 "
+    "baseline-JPEG frames, then demuxed back by a genuine RIFF "
+    "chunk-walking demuxer (signature + header/index consistency "
+    "checks) and every frame decoded by the general T.81 decoder. "
+    "Even-valued block-constant frames make each frame's decode "
+    "exactly lossless, so DuckDB recomputes per-frame means from a "
+    "30-row (frame, block) grid — hash-checked. Inter-frame codecs "
+    "(H.264) remain a codec-library boundary, documented in "
+    "operators/multimodal.py decode_real; MJPEG is the intra-only "
+    "video class this engine models end-to-end",
+)
+def q_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = M.video_decode(M.synth_video(docs))
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        "fps",
+        "duration_ms",
+        F.round(F.col("mean_first") + F.lit(1e-9), 6).alias("mean_first"),
+        F.round(F.col("mean_last") + F.lit(1e-9), 6).alias("mean_last"),
+    )

@@ -3685,3 +3685,43 @@ def test_jpeg_decode_rejects_garbage_and_progressive():
     good[idx + 1] = 0xC2
     with pytest.raises(ValueError, match="baseline"):
         M.decode_jpeg_gray_baseline(bytes(good))
+
+
+def test_video_pipeline_real_mjpeg_avi_roundtrip(spark, sf_dir):
+    from kafka_streams_homework_spark.operators import multimodal as M
+    from kafka_streams_homework_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(6)
+    for row in M.synth_video(docs).collect():
+        b = bytes(row.payload)
+        assert b[:4] == b"RIFF" and b[8:12] == b"AVI "
+        d = int(row.doc_id)
+        w, h, fps, frames = M.decode_mjpeg_avi(b)
+        assert (w, h, fps, len(frames)) == (24, 16, M.AVI_FPS, 5)
+        for f, pix in enumerate(frames):
+            assert pix == [
+                [2 * ((d * 31 + f * 11 + (y // 8) * 7 + (x // 8) * 13) % 128)
+                 for x in range(24)]
+                for y in range(16)
+            ]
+
+
+def test_avi_demux_rejects_bad_container():
+    import pytest
+
+    from kafka_streams_homework_spark.operators import multimodal as M
+
+    with pytest.raises(ValueError, match="bad RIFF signature"):
+        M.decode_mjpeg_avi(b"garbage!" * 8)
+    jp = M.encode_jpeg_gray_baseline([[0] * 8] * 8)
+    avi = M.encode_mjpeg_avi([jp, jp], 8, 8)
+    w, h, fps, frames = M.decode_mjpeg_avi(avi)
+    assert (w, h, len(frames)) == (8, 8, 2)
+    import struct
+
+    # corrupt the avih frame count in place: demux must refuse
+    idx = avi.find(b"avih") + 8 + 16
+    bad = bytearray(avi)
+    bad[idx : idx + 4] = struct.pack("<I", 9)
+    with pytest.raises(ValueError, match="frame count mismatch"):
+        M.decode_mjpeg_avi(bytes(bad))
