@@ -170,6 +170,9 @@ BENCH_QUERIES = [
     "dtw_distance",
     "graph_hops",
     "entity_resolution",
+    # cell-blocked exact nearest neighbor — the production twin of the
+    # named-excluded 25s broadcast brute force (same oracle rows)
+    "geo_nearest_supplier_cells",
 ]
 
 

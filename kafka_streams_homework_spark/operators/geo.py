@@ -147,3 +147,93 @@ def nearest_neighbor(
             F.round(F.sqrt(F.col("d2")) + F.lit(1e-9), 6).alias("dist_deg"),
         )
     )
+
+
+def nearest_neighbor_cells(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    ring: int = 2,
+) -> DataFrame:
+    """EXACT nearest neighbor without the full cross product.
+
+    Same result as ``nearest_neighbor`` (argmin over ALL right rows,
+    ties key-broken), different plan:
+
+    1. CANDIDATES: the right side explodes to its (2*ring+1)^2
+       neighbor cells and broadcast-equi-joins the left on the cell
+       key — candidates per left row scale with local density, not
+       |right|.
+    2. ARGMIN: ``min(struct(d2, key))`` — a partial-aggregable
+       groupBy (map-side combine), NOT a window sort.
+    3. EXACTNESS GATE: geometry guarantees any right row OUTSIDE the
+       neighborhood is at distance >= ring * cell_edge from anywhere
+       in the center cell, so a candidate with d < ring*g is provably
+       the global argmin. STRICT inequality: boundary ties (measure-
+       zero on md5-fraction coords) are not trusted.
+    4. FALLBACK: left rows with no candidate (or only gate-failing
+       ones) take the brute-force leg — empty at realistic densities,
+       bounded by the sparse-region population otherwise; ``ring`` is
+       the density knob.
+
+    At 100 TB this is the plan you want: the big side never shuffles
+    (broadcast candidates + partial-agg argmin), and the exact
+    fallback self-identifies instead of silently approximating.
+    """
+    g_lat = 180.0 / (1 << (32 - LAT_SHIFT))
+    g_lon = 360.0 / (1 << (32 - LON_SHIFT))
+    bound2 = (ring * min(g_lat, g_lon)) ** 2
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-ring, ring + 1)
+            for dy in range(-ring, ring + 1)
+        ]
+    )
+    r = (
+        right.select(
+            F.col(right_key),
+            F.col("lat").alias("r_lat"),
+            F.col("lon").alias("r_lon"),
+            "cx",
+            "cy",
+            F.explode(offsets).alias("o"),
+        )
+        .select(
+            right_key,
+            "r_lat",
+            "r_lon",
+            (F.col("cx") + F.col("o.dx")).alias("jcx"),
+            (F.col("cy") + F.col("o.dy")).alias("jcy"),
+        )
+    )
+    cand = left.join(
+        F.broadcast(r),
+        (F.col("cx") == F.col("jcx")) & (F.col("cy") == F.col("jcy")),
+    )
+    dlat = F.col("lat") - F.col("r_lat")
+    dlon = F.col("lon") - F.col("r_lon")
+    best = (
+        cand.select(
+            left_key,
+            F.struct(
+                (dlat * dlat + dlon * dlon).alias("d2"),
+                F.col(right_key).alias("rk"),
+            ).alias("c"),
+        )
+        .groupBy(left_key)
+        .agg(F.min("c").alias("b"))
+    )
+    resolved = best.filter(F.col("b.d2") < F.lit(bound2)).select(
+        left_key,
+        F.col("b.rk").alias(right_key),
+        F.round(F.sqrt(F.col("b.d2")) + F.lit(1e-9), 6).alias("dist_deg"),
+    )
+    leftover = left.join(
+        resolved.select(F.col(left_key).alias("__done")),
+        F.col(left_key) == F.col("__done"),
+        "left_anti",
+    )
+    fallback = nearest_neighbor(leftover, right, left_key, right_key)
+    return resolved.unionByName(fallback)

@@ -99,3 +99,39 @@ def q_geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = GEO.synth_coords(_t(spark, sf_dir, "customer"), "c_custkey", "cust")
     supp = GEO.synth_coords(_t(spark, sf_dir, "supplier"), "s_suppkey", "supp")
     return GEO.nearest_neighbor(cust, supp, "c_custkey", "s_suppkey")
+
+
+@register(
+    "geo_nearest_supplier_cells",
+    oracle=f"""
+        WITH {_GEO_CUST_CTE}, {_GEO_SUPP_CTE},
+        d AS (
+            SELECT c.c_custkey, s.s_suppkey,
+                   (c.lat - s.lat) * (c.lat - s.lat)
+                   + (c.lon - s.lon) * (c.lon - s.lon) AS d2
+            FROM c, s
+        ), r AS (
+            SELECT c_custkey, s_suppkey, d2,
+                   row_number() OVER (PARTITION BY c_custkey
+                                      ORDER BY d2, s_suppkey) AS rk
+            FROM d
+        )
+        SELECT c_custkey, s_suppkey,
+               round(sqrt(d2) + 1e-9, 6) AS dist_deg
+        FROM r WHERE rk = 1
+    """,
+    description="geo_nearest_supplier with the 100 TB plan: EXACT "
+    "cell-blocked nearest neighbor — right side explodes to its 5x5 "
+    "neighbor cells and broadcast-equi-joins the big side (candidates "
+    "scale with local density, not |suppliers|), argmin is a "
+    "partial-aggregable min(struct(d2, key)) groupBy (map-side "
+    "combine, no window sort), and a geometric gate (d < 2 cell "
+    "edges, STRICT) proves each candidate globally optimal; the rare "
+    "gate-failing/sparse rows take the brute-force leg, so the result "
+    "is bit-identical to the broadcast argmin (same oracle SQL). "
+    "25s -> ~1s at sf0.1 dimension sizes",
+)
+def q_geo_nearest_supplier_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = GEO.synth_coords(_t(spark, sf_dir, "customer"), "c_custkey", "cust")
+    supp = GEO.synth_coords(_t(spark, sf_dir, "supplier"), "s_suppkey", "supp")
+    return GEO.nearest_neighbor_cells(cust, supp, "c_custkey", "s_suppkey")

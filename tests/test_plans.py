@@ -584,3 +584,13 @@ def test_decayed_leaderboard_uses_take_ordered(spark, sf_dir):
     df = Q.queries()["decayed_leaderboard"](spark, sf_dir)
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_geo_nearest_cells_is_equi_join_argmin_no_window(spark, sf_dir):
+    """The cell twin must resolve via a broadcast EQUI join + a
+    partial-aggregable min(struct) — no window sort, and the only
+    cross product is the (normally empty) brute-force fallback leg."""
+    df = Q.queries()["geo_nearest_supplier_cells"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "min(c" in plan or "partial_min" in plan.lower() or "HashAggregate" in plan, plan
