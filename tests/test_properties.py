@@ -567,3 +567,69 @@ def test_wasserstein_1d_python_cdf_integral(spark, recs):
         w1 += abs(fa - fb) * (hi - lo)
     assert (r.n_a, r.n_b) == (len(a), len(b))
     assert abs(r.w1 - w1) < 1e-6
+
+
+two_phase_case = st.lists(
+    # (score, id) rows; scores collide on purpose so tie-break paths run
+    st.tuples(st.integers(0, 15), st.integers(0, 10_000)),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: r[1],
+)
+
+
+@given(case=two_phase_case, k=st.integers(2, 7))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_two_phase_rank_and_ntile_match_global_window(spark, case, k):
+    """two_phase_rank + ntile_from_rank must be BIT-identical to
+    row_number()/NTILE over the global window for any data and any k,
+    including heavy score ties and n < k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(case, "score int, id long")
+    got = {
+        (r.id, r.rank, r.tile)
+        for r in R.two_phase_rank(
+            df,
+            [F.col("score").desc(), F.col("id").asc()],
+            -F.col("score"),  # monotone bucket for the desc order
+            rank_name="rank",
+            total_name="n",
+        )
+        .withColumn("tile", R.ntile_from_rank(F.col("rank"), F.col("n"), k))
+        .collect()
+    }
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    want = {
+        (r.id, r.rank, r.tile)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("rank"),
+            F.ntile(k).over(w).cast("long").alias("tile"),
+        ).collect()
+    }
+    assert got == want
+
+
+@given(case=two_phase_case)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_two_phase_cumsum_matches_global_window(spark, case):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(case, "val int, id long")
+    got = {
+        (r.id, r.cum)
+        for r in R.two_phase_cumsum(
+            df, F.col("id"), F.expr("id div 7"), {"cum": "val"}
+        ).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r.id, r.cum)
+        for r in df.select("id", F.sum("val").over(w).alias("cum")).collect()
+    }
+    assert got == want
