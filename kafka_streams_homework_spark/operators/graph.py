@@ -179,26 +179,37 @@ def bfs_hops(edges: DataFrame, seed: DataFrame, max_hops: int) -> DataFrame:
     the visited set — rounds = min(diameter, max_hops), never the
     transitive closure (the oracle twin replays the closure because
     SQL recursion cannot re-aggregate; the engine path stays linear
-    in reached edges per round). Frontiers are persisted so lineage
-    depth stays constant.
+    in reached edges per round).
+
+    Plan shape (round 6, the kcore discipline): frontier and visited
+    are NODE-dimension-bounded, so both ride broadcasts — the edge set
+    is never shuffled by the loop (map-side BroadcastHashJoin per hop);
+    and each hop localCheckpoints so lineage stays flat instead of
+    compounding across hops.
     """
-    visited = tracked_persist(
-        seed.select("node", F.lit(0).cast("long").alias("hops"))
-    )
+    visited = seed.select(
+        "node", F.lit(0).cast("long").alias("hops")
+    ).localCheckpoint()
     frontier = visited
     for h in range(1, max_hops + 1):
         nxt = (
-            frontier.join(edges, frontier["node"] == edges["src"])
+            edges.join(
+                F.broadcast(frontier), frontier["node"] == edges["src"],
+                "left_semi",
+            )
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select(F.col("node").alias("vn")),
-                  F.col("node") == F.col("vn"), "left_anti")
+            .join(
+                F.broadcast(visited.select(F.col("node").alias("vn"))),
+                F.col("node") == F.col("vn"),
+                "left_anti",
+            )
             .select("node", F.lit(h).cast("long").alias("hops"))
+            .localCheckpoint()
         )
-        nxt = tracked_persist(nxt)
         if not nxt.take(1):
             break
-        visited = tracked_persist(visited.unionAll(nxt))
+        visited = visited.unionAll(nxt).localCheckpoint()
         frontier = nxt
     return visited
 
