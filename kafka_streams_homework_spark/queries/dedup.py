@@ -1128,3 +1128,86 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+# One AllPairs pass at the loosest grid threshold feeds the whole
+# curve; the shared SQL fragment has exactly one threshold literal.
+_CURVE_TAU_MIN = 0.5
+_CURVE_PAIRS_SQL = _NGRAM_PAIRS_SQL.replace(
+    f">= {NGRAM_JACCARD_THRESHOLD}", f">= {_CURVE_TAU_MIN}"
+)
+assert _CURVE_PAIRS_SQL != _NGRAM_PAIRS_SQL
+
+
+@register(
+    "dedup_threshold_curve",
+    oracle=f"""
+        WITH p AS ({_CURVE_PAIRS_SQL}),
+        g AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS tau),
+        m AS (
+            SELECT g.tau, p.doc_a, p.doc_b
+            FROM p JOIN g ON p.jaccard >= g.tau
+        ),
+        e AS (SELECT tau, unnest([doc_a, doc_b]) AS doc FROM m)
+        SELECT tau,
+               CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+        FROM e GROUP BY tau
+    """,
+    description="Dedup threshold sensitivity curve — the tuning "
+    "readout that decides tau before a 100 TB dedup run: ONE AllPairs "
+    "prefix-filtered pass at the loosest grid threshold (0.5) "
+    "computes every exact trigram-Jaccard pair once, then a 5-row "
+    "threshold grid joins on the ROUNDED similarity to count "
+    "surviving pairs and affected documents per candidate tau. "
+    "Scale: the pair pass is the same verified AllPairs plan as "
+    "dedup_ngram_jaccard (no crossJoin); the curve itself is a "
+    "grid-sized aggregate. Both engines compare the same 6dp-rounded "
+    "similarity to the same literals, so the curve hash-checks",
+)
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, 3, _CURVE_TAU_MIN)
+    grid = F.explode(
+        F.array(*[F.lit(t) for t in (0.5, 0.6, 0.7, 0.8, 0.9)])
+    ).alias("tau")
+    m = pairs.select("doc_a", "doc_b", "jaccard", grid).filter(
+        F.col("jaccard") >= F.col("tau")
+    )
+    e = m.select(
+        "tau", F.explode(F.array("doc_a", "doc_b")).alias("doc")
+    )
+    return e.groupBy("tau").agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
+        F.countDistinct("doc").cast("bigint").alias("n_docs"),
+    )
+
+
+@register(
+    "dedup_cluster_sizes",
+    oracle=f"""
+        WITH membership AS ({REGISTRY['dedup_clusters'].oracle})
+        SELECT CAST(sz AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters
+        FROM (
+            SELECT cluster_id, count(*) AS sz
+            FROM membership GROUP BY cluster_id
+        ) GROUP BY sz
+    """,
+    description="Near-dup cluster size distribution — the dedup "
+    "observability histogram (a heavy tail here means template spam "
+    "or mirror sites; singleton-dominated means the threshold is too "
+    "tight). Rolls the existing min-label CC membership up twice: "
+    "cluster -> size, size -> count; both aggregates are "
+    "cluster-cardinality, nothing rescans the corpus. Oracle composes "
+    "the dedup_clusters recursive-CTE closure",
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, 3, NGRAM_JACCARD_THRESHOLD)
+    membership = D.dedup_clusters(pairs)
+    sizes = membership.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return sizes.groupBy(F.col("sz").cast("bigint").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
