@@ -629,56 +629,76 @@ def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "abc_classification",
     oracle="""
         WITH rev AS (
-            SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+            SELECT o_custkey,
+                   CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT)
+                       AS cents
             FROM orders GROUP BY o_custkey
         ), r2 AS (
-            SELECT o_custkey, rev,
-                   sum(rev) OVER (ORDER BY rev DESC, o_custkey
-                                  ROWS UNBOUNDED PRECEDING) AS cum,
-                   sum(rev) OVER () AS tot
+            SELECT o_custkey, cents,
+                   sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cents) OVER () AS tot
             FROM rev
         ), cls AS (
-            SELECT rev,
-                   CASE WHEN round(cum / tot + 1e-9, 6) <= 0.8 THEN 'A'
-                        WHEN round(cum / tot + 1e-9, 6) <= 0.95 THEN 'B'
+            SELECT cents,
+                   CASE WHEN round(CAST(cum AS DOUBLE) / tot + 1e-9, 6)
+                             <= 0.8 THEN 'A'
+                        WHEN round(CAST(cum AS DOUBLE) / tot + 1e-9, 6)
+                             <= 0.95 THEN 'B'
                         ELSE 'C' END AS abc_class
             FROM r2
         )
         SELECT abc_class, CAST(count(*) AS BIGINT) AS n_customers,
-               round(sum(rev), 2) AS revenue
+               round(sum(cents) / 100.0, 2) AS revenue
         FROM cls GROUP BY abc_class
     """,
     description="ABC / Pareto contribution analysis: customers ranked "
     "by revenue, classified by cumulative share (A ≤ 80%, B ≤ 95%, "
-    "C rest). Revenue rounds to 2dp BEFORE the ordered cumulative "
-    "window (pinned order ⇒ identical cumsum sequence on both "
-    "engines) and the class test applies to the ROUNDED share. The "
-    "global ordered window is customer-cardinality (already "
-    "aggregated), not fact-cardinality — bounded at any volume; the "
-    "fact table contributes one partial-agg shuffle",
+    "C rest). Revenue rounds to 2dp then converts to INTEGER CENTS, "
+    "so the ordered cumulative sum is exact integer arithmetic on "
+    "both engines (no float-accumulation order sensitivity) and the "
+    "class test applies to the rounded share of exact totals. The "
+    "cumsum itself is TWO-PHASE (per-(cents div 1e5) partial totals "
+    "— a value-range-bounded histogram, ~20k buckets regardless of "
+    "customer count — broadcast prefix offsets, partitioned "
+    "within-bucket windows): no single-task sort of the "
+    "customer-cardinality rollup, which grows linearly with data. "
+    "The fact table contributes one partial-agg shuffle",
 )
 def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("rev")
     )
-    w_cum = (
-        Window.orderBy(F.col("rev").desc(), "o_custkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents = rev.select(
+        "o_custkey", F.round(F.col("rev") * 100).cast("long").alias("cents")
     )
-    w_all = Window.partitionBy()
+    tot = cents.agg(F.sum("cents").alias("tot_cents"))
+    # Descending-revenue cumsum without a global single-partition
+    # window: bucket key -(cents div 1e5) is monotone non-decreasing
+    # in (cents DESC), and its cardinality is bounded by the REVENUE
+    # VALUE RANGE (orders-per-customer is scale-invariant in TPC-H),
+    # not by customer count. Struct order = (cents desc, custkey asc).
+    cum = R.two_phase_cumsum(
+        cents,
+        F.struct(
+            (-F.col("cents")).alias("o1"), F.col("o_custkey").alias("o2")
+        ),
+        -F.expr("cents div 100000"),
+        {"cum_cents": "cents"},
+    )
     share = F.round(
-        F.sum("rev").over(w_cum) / F.sum("rev").over(w_all) + F.lit(1e-9), 6
+        F.col("cum_cents") / F.col("tot_cents") + F.lit(1e-9), 6
     )
-    cls = rev.select(
-        "rev",
+    cls = cum.crossJoin(F.broadcast(tot)).select(
+        "cents",
         F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
             "abc_class"
         ),
     )
     return cls.groupBy("abc_class").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
     )
 
 
@@ -686,21 +706,24 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gini_revenue",
     oracle="""
         WITH rev AS (
-            SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+            SELECT o_custkey,
+                   CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT)
+                       AS cents
             FROM orders GROUP BY o_custkey
         ), seg AS (
-            SELECT c_mktsegment AS segment, rev, c_custkey
+            SELECT c_mktsegment AS segment, cents, c_custkey
             FROM rev JOIN customer ON o_custkey = c_custkey
         ), ranked AS (
-            SELECT segment, rev,
+            SELECT segment, cents,
                    row_number() OVER (PARTITION BY segment
-                                      ORDER BY rev, c_custkey) AS i,
+                                      ORDER BY cents, c_custkey) AS i,
                    count(*) OVER (PARTITION BY segment) AS n,
-                   sum(rev) OVER (PARTITION BY segment) AS tot
+                   sum(cents) OVER (PARTITION BY segment) AS tot
             FROM seg
         )
         SELECT segment, CAST(max(n) AS BIGINT) AS n_customers,
-               round(2.0 * sum(i * rev) / (max(n) * max(tot))
+               round(2.0 * CAST(sum(CAST(i AS HUGEINT) * cents) AS DOUBLE)
+                     / (CAST(max(n) AS DOUBLE) * CAST(max(tot) AS DOUBLE))
                      - (max(n) + 1.0) / max(n) + 1e-9, 6) AS gini
         FROM ranked GROUP BY segment
     """,
@@ -708,10 +731,16 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     "segment — revenue-concentration analytics (the Lorenz-curve "
     "scalar). Rank-weighted formulation G = 2Σ(i·xᵢ)/(nΣx) − (n+1)/n "
     "over customers sorted ASC within segment (deterministic custkey "
-    "tiebreak): one fact partial-agg, then a SEGMENT-partitioned sort "
-    "over customer-cardinality rows — no global sort of facts. "
-    "Revenue rounds to 2dp before ranking so rank order and the "
-    "weighted sum are engine-identical",
+    "tiebreak). Revenue converts to integer cents (cents cancel in "
+    "the ratio) so every accumulator is exact integer arithmetic — "
+    "rank order AND the weighted sum are engine-identical with no "
+    "float-order sensitivity. The rank is TWO-PHASE with the segment "
+    "folded into the bucket key (seg_code·1e6 + cents div 1e5): the "
+    "histogram is (segments × revenue-value-range)-bounded, prefix "
+    "offsets broadcast, within-bucket windows partitioned — no "
+    "N/|segments|-row single-task sorts at any customer cardinality. "
+    "Per-segment i is recovered from the global rank by subtracting "
+    "the segment's broadcast min-rank",
 )
 def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
@@ -725,23 +754,43 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = rev.join(
         customer,
         rev["o_custkey"] == customer["c_custkey"],
-    ).select(F.col("c_mktsegment").alias("segment"), "rev", "c_custkey")
-    wp = Window.partitionBy("segment")
-    ranked = seg.select(
-        "segment",
-        "rev",
-        F.row_number()
-        .over(wp.orderBy("rev", "c_custkey"))
-        .alias("i"),
-        F.count(F.lit(1)).over(wp).alias("n"),
-        F.sum("rev").over(wp).alias("tot"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("rev") * 100).cast("long").alias("cents"),
+        "c_custkey",
     )
-    return ranked.groupBy("segment").agg(
+    # Segment codes: bounded distinct (|segments| rows) — the one
+    # place an unpartitioned window is fine.
+    codes = seg.select("segment").distinct().withColumn(
+        "seg_code", F.row_number().over(Window.orderBy("segment"))
+    )
+    ranked = R.two_phase_rank(
+        seg.join(F.broadcast(codes), "segment"),
+        [F.col("cents").asc(), F.col("c_custkey").asc()],
+        F.col("seg_code") * 1000000 + F.expr("cents div 100000"),
+        rank_name="gr",
+    )
+    ranked = tracked_persist(ranked)
+    stats = ranked.groupBy("segment").agg(
+        F.min("gr").alias("gstart"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").alias("totc"),
+    )
+    g = ranked.join(F.broadcast(stats), "segment").select(
+        "segment",
+        "cents",
+        "n",
+        "totc",
+        (F.col("gr") - F.col("gstart") + 1).alias("i"),
+    )
+    return g.groupBy("segment").agg(
         F.max("n").cast("bigint").alias("n_customers"),
         F.round(
             2.0
-            * F.sum(F.col("i") * F.col("rev"))
-            / (F.max("n") * F.max("tot"))
+            * F.sum(
+                (F.col("i") * F.col("cents")).cast("decimal(38,0)")
+            ).cast("double")
+            / (F.max("n").cast("double") * F.max("totc").cast("double"))
             - (F.max("n") + 1.0) / F.max("n")
             + F.lit(1e-9),
             6,

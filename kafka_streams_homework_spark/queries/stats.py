@@ -1498,7 +1498,9 @@ REGISTRY["winnow_pairs"] = QuerySpec(
     "is the share of held-out users whose residual fits inside — the "
     "distribution-free uncertainty wrapper modern ML serving puts "
     "around any point model. Exchange: one row per user, one 5-number "
-    "moment row, one rank pass on the calibration half",
+    "moment row; the calibration rank is TWO-PHASE on bucket key "
+    "floor(resid*1e6) (monotone in the 6dp-rounded residual) — no "
+    "user-cardinality single-task sort",
 )
 def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
@@ -1571,9 +1573,18 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("resid"),
     )
     cal = r.filter(F.col("is_test") == 0)
+    # qhat order statistic without a single-task global sort of the
+    # calibration half (user-cardinality): resid is already 6dp-rounded,
+    # so floor(resid*1e6) is MONOTONE in resid (positive-constant
+    # multiply + floor preserve order; equal resid -> equal bucket) —
+    # a valid two-phase bucket key whose histogram is
+    # distinct-residual-bounded.
     q = (
-        cal.withColumn(
-            "rk", F.row_number().over(Window.orderBy("resid", "user_id"))
+        R.two_phase_rank(
+            cal,
+            [F.col("resid").asc(), F.col("user_id").asc()],
+            F.floor(F.col("resid") * 1e6),
+            rank_name="rk",
         )
         .filter(
             F.col("rk")

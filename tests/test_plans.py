@@ -594,3 +594,29 @@ def test_geo_nearest_cells_is_equi_join_argmin_no_window(spark, sf_dir):
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "min(c" in plan or "partial_min" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_abc_classification_cumsum_is_two_phase(spark, sf_dir):
+    """r6 verdict fix #1: the descending-revenue cumsum must not sort
+    the customer rollup through one task — every window ordering on
+    the customer key rides the two-phase bucket."""
+    df = Q.queries()["abc_classification"](spark, sf_dir)
+    plan = physical_plan(df)
+    _entity_windows_bucket_partitioned(plan, "o_custkey")
+
+
+def test_gini_revenue_rank_is_two_phase(spark, sf_dir):
+    """r6 verdict fix #2: the per-segment customer rank must ride the
+    segment-folded two-phase bucket, not |segments| single-task
+    sorts of N/|segments| rows each."""
+    df = Q.queries()["gini_revenue"](spark, sf_dir)
+    plan = physical_plan(df)
+    _entity_windows_bucket_partitioned(plan, "c_custkey")
+
+
+def test_conformal_qhat_rank_is_two_phase(spark, sf_dir):
+    """r6 verdict fix #3: the calibration order statistic must not
+    globally sort the user-cardinality residuals in one task."""
+    df = Q.queries()["conformal_interval"](spark, sf_dir)
+    plan = physical_plan(df)
+    _entity_windows_bucket_partitioned(plan, "user_id")
