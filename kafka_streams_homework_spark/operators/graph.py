@@ -186,6 +186,17 @@ def bfs_hops(edges: DataFrame, seed: DataFrame, max_hops: int) -> DataFrame:
     is never shuffled by the loop (map-side BroadcastHashJoin per hop);
     and each hop localCheckpoints so lineage stays flat instead of
     compounding across hops.
+
+    Fault-tolerance trade (r6 advice): localCheckpoint blocks are
+    UNREPLICATED and sever lineage — an executor lost mid-loop fails
+    the job rather than recomputing, and each hop's blocks stay in the
+    block manager until the session GCs them (node-dimension-bounded:
+    ≤ max_hops small frames). That is the right trade for this
+    interactive/bench engine; a long-running production BFS at
+    cluster scale should swap in RELIABLE checkpointing
+    (``sc.setCheckpointDir`` + ``checkpoint()``) or keep
+    ``tracked_persist`` on ``visited`` and explicitly unpersist
+    superseded hops — same loop, one-line substitution.
     """
     visited = seed.select(
         "node", F.lit(0).cast("long").alias("hops")

@@ -1478,8 +1478,14 @@ def pca_projection(embeddings: DataFrame, iters: int = 30) -> DataFrame:
 
     # Derive d from the data (like the LSH ops) rather than hardcoding:
     # a non-64-wide embedding column must widen the Gram accumulator,
-    # not KeyError on a missing mean entry.
-    dim = embeddings.select(F.size("embedding").alias("d")).first().d
+    # not KeyError on a missing mean entry. Empty input -> typed empty
+    # result (the sibling LSH-op guard pattern).
+    first = embeddings.select(F.size("embedding").alias("d")).first()
+    if first is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id long, label string, pc1_score double"
+        )
+    dim = first.d
     mean_row = embeddings.select(
         F.posexplode("embedding").alias("i", "x")
     ).groupBy("i").agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("n"))

@@ -31,7 +31,18 @@ from kafka_streams_homework_spark.queries import geo as _mod_geo
 # monolith exposed them.
 for _m in (_mod_shared, _mod_core, _mod_streaming, _mod_tpch, _mod_similarity, _mod_text, _mod_dedup, _mod_pipeline, _mod_stats, _mod_timeseries, _mod_graph, _mod_business, _mod_multimodal, _mod_sketches, _mod_geo):
     for _k, _v in vars(_m).items():
-        if not _k.startswith('__') and _k not in globals():
+        if _k.startswith('__'):
+            continue
+        if _k in globals():
+            # Identical objects (the _shared star-import every family
+            # module re-exposes) are fine; a NON-identical duplicate
+            # top-level name across family modules would silently bind
+            # whichever module imports first — fail loudly instead.
+            assert globals()[_k] is _v, (
+                f"duplicate top-level name {_k!r} bound to different "
+                f"objects across queries family modules ({_m.__name__})"
+            )
+        else:
             globals()[_k] = _v
 del _m, _k, _v
 
@@ -54,84 +65,80 @@ del _m, _k, _v
 # twins out / their oracle-checked exact anchors stay). Rotated-out
 # entries still run in pytest and tools/check_oracle.py full sweeps.
 _WINDOW = [
-    # round-6 rotation (VERDICT r5 task 2): >=80% of slots go to
-    # never-driver-sampled names, priority exactly as the judge
-    # prescribed. 44/50 have never appeared in CORRECTNESS_r01-r05;
-    # the final 6 are family anchors that keep the reference's core
-    # surface (source scan, flagship, streaming stateful, wire serde,
-    # TPC-H, LLM-capstone) represented every round.
-    # -- stats battery (never driver-checked) --
-    "welch_ttest",
-    "mann_whitney_u",
-    "ks_test",
-    "bootstrap_ci",
-    "chi_square_independence",
-    "anova_f_test",
-    "bh_fdr_control",
-    "cmh_test",
-    "stratified_ate",
-    "cuped_adjustment",
-    # -- survival / forecast --
-    "survival_km",
-    "holt_forecast",
-    "forecast_backtest",
-    "ipf_raking",
-    # -- graph metrics --
-    "kcore_members",
-    "graph_modularity",
-    "link_prediction",
-    "graph_hops",
-    "degree_assortativity",
-    # -- real-codec ops --
-    "png_pipeline",
-    "image_ahash_dedup",
-    # -- retrieval / eval --
-    "ndcg_eval",
-    "rake_keywords",
-    "isotonic_calibration",
-    "dedup_recall_eval",
-    # -- governance --
-    "dp_release",
-    "k_anonymity_ladder",
-    "rtbf_purge",
-    "bitemporal_lookup",
-    "snapshot_diff",
-    # -- the five r6 plan rewrites (driver evidence for the new
-    #    two-phase-rank / TakeOrdered / two-phase-cumsum plans;
-    #    stratified_ate is already in the stats battery above) --
-    "uplift_deciles",
-    "rfm_segmentation",
-    "decayed_leaderboard",
-    "vocab_growth",
-    # -- never-checked exact twins / eval scalars --
-    "lang_id_auc",
-    "score_calibration",
-    "dedup_minhash_exact",
-    "dedup_embedding_lsh_exact",
-    "knn_lsh",
-    "ann_recall_at_k",
-    "wasserstein_1d",
-    "zipf_fit",
-    "mahalanobis_outliers",
-    "ab_srm_check",
-    # -- family anchors (driver-green in earlier rounds; keep the
-    #    reference's core surface in every window) --
-    "source_scan",
-    "price_alerts",
-    "streaming_stateful_alerts",
-    "kafka_wire_roundtrip",
-    "q1_pricing_summary",
-    "training_data_prep_v2",
+    # round-7 rotation (VERDICT r6 task 2): ALL 50 slots go to
+    # never-driver-sampled names (none appears in any
+    # CORRECTNESS_r01-r06 window), drawn first from the judge's
+    # priority list, then this round's three two-phase rewrites, then
+    # the widest family spread of the remaining never-sampled pool.
+    # The ~50 still-never-sampled names queue for the r8 window.
+    # -- round-6 closing additions (judge priority 1) --
+    "jpeg_pipeline",
+    "video_pipeline",
+    "dedup_threshold_curve",
+    "dedup_cluster_sizes",
+    "geo_nearest_supplier_cells",
+    # -- layout / incremental ops (judge priority 2) --
+    "bucketed_agg_scan",
+    "clustered_layout_scan",
+    "zorder_layout_scan",
+    "incremental_agg",
+    # -- unsampled _ps partsupp shapes (judge priority 3) --
+    "q2_min_cost_supplier_ps",
+    "q16_supplier_count_ps",
+    "q20_part_promotion_ps",
+    # -- streaming stragglers (judge priority 4) --
+    "streaming_asof_join",
+    "streaming_windowed_hll",
+    "streaming_windowed_topk",
+    "streaming_activity_streaks",
+    # -- heaviest analytics (judge priority 5) --
+    "copurchase_pagerank",
+    "dtw_distance",
+    "rolling_active_users",
+    "neighbor_jaccard",
+    # -- this round's two-phase rewrites (driver evidence for the
+    #    r7 plan changes, VERDICT r6 "what's wrong" 1-3) --
+    "abc_classification",
+    "gini_revenue",
+    "conformal_interval",
+    # -- remaining never-sampled pool, family spread --
+    "cube_agg",
+    "grouping_sets_agg",
+    "rank_functions",
+    "equidepth_histogram",
+    "json_ingest_robust",
+    "days_of_supply",
+    "embedding_dim_audit",
+    "lm_score_bigram",
+    "quality_buckets_scalable",
+    "phrase_search",
+    "feature_hashing",
+    "collocations_pmi",
+    "vocab_coverage",
+    "char_entropy",
+    "dedup_span_trim",
+    "dedup_incremental",
+    "winnow_fingerprints",
+    "winnow_pairs",
+    "dedup_savings",
+    "duplicate_burst_detect",
+    "dedup_canonical_pick",
+    "dq_rules",
+    "negative_sampling",
+    "source_overlap",
+    "kfold_assign",
+    "join_explosion_audit",
+    "lateness_audit",
 ]
-# Rotated OUT this round (all driver-green r01-r05 and in the
-# committed full-registry sweep CORRECTNESS_FULL_r05 284/284):
-# the r05 window's streaming family, Avro/Kafka wire set (minus
-# the kept kafka_wire_roundtrip anchor), the nine TPC-H shapes,
-# fuzzy_join, entity_resolution, wav_pipeline and the r5-late
-# additions - their operator families stay represented by the six
-# anchors above, and every rotated-out entry still runs in pytest
-# and the tools/check_oracle.py full sweep each round.
-# Historical swap notes (r4 and earlier) are in git history.
+# Rotated OUT this round: the whole r06 window (all 50 driver-green
+# in CORRECTNESS_r06 and in the committed full-registry sweep
+# CORRECTNESS_FULL_r06 289/289). The r06 anchors (source_scan,
+# price_alerts, streaming_stateful_alerts, kafka_wire_roundtrip,
+# q1_pricing_summary, training_data_prep_v2) rotate out too: with
+# 100 registry names still never driver-sampled the judge's explicit
+# instruction is >=45/50 never-sampled, and every rotated-out entry
+# still runs in pytest and the tools/check_oracle.py full sweep each
+# round. Historical swap notes (r4 and earlier) are in git history.
 
 
 WINDOW = 50  # the driver gate's sample size

@@ -62,9 +62,14 @@ def get_spark(app_name: str = "kafka-streams-homework-spark") -> SparkSession:
     # it must be set before the first session is created.
     warehouse = os.environ.get("SPARK_GRAFT_WAREHOUSE_DIR")
     if not warehouse:
+        import atexit
+        import shutil
         import tempfile
 
         warehouse = tempfile.mkdtemp(prefix="spark-warehouse-")
+        # Process-owned scratch dir: remove it on interpreter exit so
+        # repeated test/bench runs don't accumulate /tmp directories.
+        atexit.register(shutil.rmtree, warehouse, ignore_errors=True)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
