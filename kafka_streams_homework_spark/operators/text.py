@@ -743,3 +743,146 @@ def compression_ratio(documents: DataFrame) -> DataFrame:
         ratio.alias("ratio"),
         (ratio < COMPRESSION_DUP_MAX).alias("boilerplate"),
     )
+
+
+def bpe_train_merges(words: DataFrame, n_merges: int = 20) -> DataFrame:
+    """Real byte-pair-encoding merge training (Sennrich et al. 2016,
+    public algorithm) over a corpus word-frequency table — the learned
+    counterpart of the regex "BPE-ish" subword counter.
+
+    ``words`` is (w: string, freq: long) — one row per DISTINCT corpus
+    word with its corpus frequency. Each word starts as its character
+    sequence plus a word-final ``</w>`` marker; every iteration counts
+    adjacent symbol pairs corpus-frequency-weighted, merges the argmax
+    pair (ties broken (count desc, left asc, right asc)), and repeats.
+    Merge application is the classic greedy left-to-right
+    non-overlapping scan, expressed relationally: candidates are
+    (sym, next-sym) matches via ``lead`` over each word's positions;
+    overlapping candidates can only chain when left==right, and within
+    a chain greedy keeps the odd-indexed ones — a run-parity window,
+    no sequential UDF.
+
+    Scale stance: this is the textbook split of BPE training — the
+    corpus contributes exactly ONE data-sized pass (the word-frequency
+    groupBy, done by the caller); the merge loop runs entirely over
+    the VOCABULARY-cardinality segmentation table (|vocab| × avg word
+    length rows — millions at web scale, independent of corpus row
+    count). Each iteration is one bounded window + one bounded
+    aggregate + two equi-joins on (word, pos); per-step
+    ``localCheckpoint`` keeps lineage flat across iterations (the
+    kcore/ipf discipline — each step references the previous
+    segmentation several times). The two driver collects per step are
+    a 1-row argmax and a 1-row applied-count — bounded scalars.
+
+    Returns the merge table: (step, left_sym, right_sym, pair_count,
+    n_merged, corpus_tokens_after) — n_merged is the greedy-applied
+    corpus-weighted site count (< pair_count only for left==right
+    chains), corpus_tokens_after the corpus token count (including
+    ``</w>`` markers) after that merge. Loop exits early if the
+    vocabulary runs out of pairs; both engines degrade identically.
+    """
+    spark = words.sparkSession
+    sym_arr = F.expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    )
+    seg = words.select(
+        "w",
+        "freq",
+        F.posexplode(F.concat(sym_arr, F.array(F.lit("</w>")))).alias(
+            "pos", "sym"
+        ),
+    ).localCheckpoint(eager=True)
+    wspec = Window.partitionBy("w").orderBy("pos")
+    tokens_after = int(seg.agg(F.sum("freq")).first()[0] or 0)
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        p = seg.select(
+            "w",
+            "freq",
+            "pos",
+            "sym",
+            F.lead("sym").over(wspec).alias("nsym"),
+            F.lead("pos").over(wspec).alias("npos"),
+        )
+        best = (
+            p.filter(F.col("nsym").isNotNull())
+            .groupBy("sym", "nsym")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "sym", "nsym")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0].sym, best[0].nsym, int(best[0].cnt)
+        # Greedy non-overlap applied with WINDOWS ONLY — no self-joins.
+        # (A join-based formulation is semantically fine but poisons
+        # Catalyst's sizeInBytes estimate across the checkpoint chain:
+        # localCheckpoint PRESERVES stats, and each self-join step
+        # MULTIPLIES them, so the BigInteger size estimate cubes per
+        # iteration and the optimizer ends up doing multi-megabit
+        # Karatsuba multiplications — measured 4.5x slowdown per step
+        # from step ~12. Window/filter stats stay linear.)
+        # Candidates chain only when a == b (the next candidate's left
+        # symbol is this one's consumed right partner); within each
+        # maximal chain greedy keeps the odd-indexed candidates. Every
+        # non-candidate row breaks a chain, so chain groups are
+        # cumulative break counts and in-chain index is a row_number
+        # over (word, group).
+        is_cand = (F.col("sym") == a) & (F.col("nsym") == b)
+        flags = (
+            p.withColumn("is_cand", is_cand)
+            .withColumn(
+                "brk",
+                F.when(~F.col("is_cand"), F.lit(1)).otherwise(
+                    F.when(
+                        F.lag("is_cand").over(wspec)
+                        & (F.lag("npos").over(wspec) == F.col("pos")),
+                        F.lit(0),
+                    ).otherwise(F.lit(1))
+                ),
+            )
+            .withColumn(
+                "grp",
+                F.sum("brk").over(
+                    wspec.rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                ),
+            )
+            .withColumn(
+                "ci",
+                F.row_number().over(
+                    Window.partitionBy("w", "grp").orderBy("pos")
+                ),
+            )
+            .withColumn("kept", F.col("is_cand") & (F.col("ci") % 2 == 1))
+            # the row after a kept candidate IS its consumed right
+            # partner (lead(pos) of the kept row is by construction the
+            # next existing position = this row's pos)
+            .withColumn(
+                "del",
+                F.coalesce(F.lag("kept").over(wspec), F.lit(False)),
+            )
+        )
+        seg = (
+            flags.filter(~F.col("del"))
+            .select(
+                "w",
+                "freq",
+                "pos",
+                F.when(F.col("kept"), F.lit(a + b))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        tokens_now = int(seg.agg(F.sum("freq")).first()[0] or 0)
+        n_applied = tokens_after - tokens_now
+        tokens_after = tokens_now
+        merges.append((step, a, b, cnt, n_applied, tokens_after))
+    return spark.createDataFrame(
+        merges,
+        "step long, left_sym string, right_sym string, pair_count long, "
+        "n_merged long, corpus_tokens_after long",
+    )

@@ -864,3 +864,95 @@ def q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emitted.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= TOPK_WINDOW_N)
     )
+
+
+DECAY_LAMBDA = 0.099021025794278  # ln 2 / 7 days, shared with batch twin
+DECAY_BASE_EPOCH = 1704067200  # 2024-01-01T00:00:00Z, before the corpus
+
+
+@register(
+    "streaming_decayed_leaderboard",
+    oracle=f"""
+        WITH b AS (
+            SELECT epoch(date_trunc('second', max(ts))) AS tmax FROM events
+        ), s AS (
+            SELECT user_id, count(*) AS n_events,
+                   sum(exp({DECAY_LAMBDA}
+                           * (epoch(date_trunc('second', ts))
+                              - {DECAY_BASE_EPOCH}) / 86400.0)) AS raw
+            FROM events GROUP BY user_id
+        ), sc AS (
+            SELECT user_id, n_events,
+                   round(raw * exp(-{DECAY_LAMBDA}
+                                   * (b.tmax - {DECAY_BASE_EPOCH})
+                                   / 86400.0) + 1e-9, 6) AS decayed_score
+            FROM s, b
+        )
+        SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+               decayed_score, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY decayed_score DESC, user_id) AS rank
+            FROM sc
+        ) WHERE rank <= 20
+    """,
+    description="Streaming twin of decayed_leaderboard (r7, VERDICT r6 "
+    "task 7): the exponentially time-decayed top-20 maintained under "
+    "Structured Streaming. The decay anchor (corpus max ts) is "
+    "unknowable mid-stream, so the streaming state keeps the "
+    "ANCHOR-FREE factored sum per user — sum(exp(+lambda*(t-base))) "
+    "with a fixed calendar base literal — which is mergeable "
+    "incremental state (the classic streaming trick for exponential "
+    "decay: rebase the literal every few years to stay inside double "
+    "range); the anchor factor exp(-lambda*(tmax-base)) applies at "
+    "read time on the emitted per-user table. Both engines compute "
+    "the IDENTICAL factored arithmetic (the oracle mirrors it), so "
+    "the 6dp-rounded scores hash-match. Top-20 via orderBy+limit on "
+    "the emitted bounded table (TakeOrdered, no global sort); the "
+    "rank window runs over the <=20-row result. Complete mode through "
+    "run_replace — same KTable-reader pattern as "
+    "streaming_windowed_topk",
+)
+def q_streaming_decayed_leaderboard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import run_replace
+
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    per_user = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.exp(
+                F.lit(DECAY_LAMBDA)
+                * (sec - F.lit(DECAY_BASE_EPOCH))
+                / F.lit(86400.0)
+            )
+        ).alias("raw"),
+        F.max(sec).alias("max_sec"),
+    )
+    emitted = run_replace(spark, per_user, mode="complete")
+    b = emitted.agg(F.max("max_sec").alias("tmax"))
+    scored = emitted.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(
+            F.col("raw")
+            * F.exp(
+                F.lit(-DECAY_LAMBDA)
+                * (F.col("tmax") - F.lit(DECAY_BASE_EPOCH))
+                / F.lit(86400.0)
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("decayed_score"),
+    )
+    top = scored.orderBy(F.col("decayed_score").desc(), "user_id").limit(20)
+    w = Window.orderBy(F.col("decayed_score").desc(), "user_id")
+    return top.select(
+        "user_id",
+        "n_events",
+        "decayed_score",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )

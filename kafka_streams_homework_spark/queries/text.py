@@ -1530,3 +1530,190 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return T.compression_ratio(docs)
+
+
+N_BPE_MERGES = 20
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled-CTE DuckDB twin of ``bpe_train_merges``: one CTE block
+    per merge step (pair counts -> argmax -> run-parity greedy keep ->
+    re-segmentation), chained N times. Generated mechanically so the
+    per-step SQL is literally identical across steps; ~40 lines/step.
+    """
+    head = """
+        WITH words AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(str_split(lower(text), ' ')) AS w
+                  FROM documents)
+            GROUP BY w
+        ), seg_0 AS MATERIALIZED (
+            SELECT w, freq,
+                   unnest(generate_series(1, length(w) + 1)) AS pos,
+                   unnest(list_transform(
+                       generate_series(1, length(w) + 1),
+                       i -> CASE WHEN i <= length(w) THEN substr(w, i, 1)
+                                 ELSE '</w>' END)) AS sym
+            FROM words
+        ), tok0 AS MATERIALIZED (SELECT sum(freq) AS t0 FROM seg_0)
+    """
+    steps = []
+    for t in range(1, n_merges + 1):
+        s = f"""
+        , p_{t} AS MATERIALIZED (
+            SELECT w, freq, pos, sym,
+                   lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nsym,
+                   lead(pos) OVER (PARTITION BY w ORDER BY pos) AS npos
+            FROM seg_{t - 1}
+        ), best_{t} AS MATERIALIZED (
+            SELECT sym AS a, nsym AS b, sum(freq) AS cnt
+            FROM p_{t} WHERE nsym IS NOT NULL
+            GROUP BY sym, nsym
+            ORDER BY cnt DESC, a ASC, b ASC
+            LIMIT 1
+        ), cand_{t} AS MATERIALIZED (
+            SELECT p.w, p.freq, p.pos, p.npos,
+                   CASE WHEN lag(p.npos) OVER (PARTITION BY p.w
+                                               ORDER BY p.pos) = p.pos
+                        THEN 0 ELSE 1 END AS newchain
+            FROM p_{t} p, best_{t} bt
+            WHERE p.sym = bt.a AND p.nsym = bt.b
+        ), ch_{t} AS MATERIALIZED (
+            SELECT w, freq, pos, npos,
+                   sum(newchain) OVER (PARTITION BY w ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS chain
+            FROM cand_{t}
+        ), keep_{t} AS MATERIALIZED (
+            SELECT w, freq, pos, npos FROM (
+                SELECT *, row_number() OVER (PARTITION BY w, chain
+                                             ORDER BY pos) AS ci
+                FROM ch_{t}
+            ) WHERE ci % 2 = 1
+        ), merge_{t} AS MATERIALIZED (
+            SELECT {t} AS step, bt.a, bt.b, bt.cnt,
+                   (SELECT COALESCE(sum(freq), 0) FROM keep_{t})
+                       AS n_applied
+            FROM best_{t} bt
+        ), seg_{t} AS MATERIALIZED (
+            SELECT s.w, s.freq, s.pos,
+                   CASE WHEN kl.pos IS NOT NULL THEN bt.a || bt.b
+                        ELSE s.sym END AS sym
+            FROM seg_{t - 1} s
+            CROSS JOIN best_{t} bt
+            LEFT JOIN keep_{t} kl ON s.w = kl.w AND s.pos = kl.pos
+            LEFT JOIN keep_{t} kr ON s.w = kr.w AND s.pos = kr.npos
+            WHERE kr.pos IS NULL
+        )
+        """
+        steps.append(s)
+    union = " UNION ALL ".join(
+        f"SELECT * FROM merge_{t}" for t in range(1, n_merges + 1)
+    )
+    tail = f"""
+        SELECT CAST(step AS BIGINT) AS step,
+               a AS left_sym, b AS right_sym,
+               CAST(cnt AS BIGINT) AS pair_count,
+               CAST(n_applied AS BIGINT) AS n_merged,
+               CAST(t0 - sum(n_applied) OVER (ORDER BY step
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS corpus_tokens_after
+        FROM ({union}) m, tok0
+    """
+    return head + "".join(steps) + tail
+
+
+def _corpus_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+@register(
+    "bpe_train",
+    oracle=_bpe_oracle(N_BPE_MERGES),
+    description="REAL byte-pair-encoding merge training (learned "
+    "tokenization, Sennrich 2016) — iterative argmax-pair merging "
+    "with classic greedy left-to-right application, replacing nothing: "
+    "it complements the regex 'BPE-ish' token_count_bpe with actual "
+    "learned merges. The corpus contributes ONE data-sized pass (the "
+    "word-frequency groupBy); the 20-step loop runs over the "
+    "vocabulary-cardinality segmentation table only, localCheckpoint "
+    "per step (kcore/ipf discipline), two bounded scalar collects per "
+    "step. Every output column is integer/string-exact, so the whole "
+    "merge table hash-checks; the oracle is the identical algorithm "
+    "as 20 unrolled CTE blocks (argmax tie-break (count desc, pair "
+    "asc) and run-parity greedy keep are engine-deterministic)",
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.bpe_train_merges(_corpus_words(spark, sf_dir), N_BPE_MERGES)
+
+
+@register(
+    "bpe_fertility",
+    oracle=f"""
+        WITH bpe AS ({_bpe_oracle(N_BPE_MERGES)}),
+        final AS (
+            SELECT corpus_tokens_after FROM bpe
+            WHERE step = (SELECT max(step) FROM bpe)
+        ),
+        ws AS (
+            SELECT CAST(sum(len(str_split(lower(text), ' '))) AS BIGINT)
+                       AS n_words,
+                   CAST(sum(len(regexp_extract_all(lower(text),
+                        '[a-z0-9]{{1,4}}|[^a-z0-9 ]'))) AS BIGINT)
+                       AS regex_subwords
+            FROM documents
+        )
+        SELECT n_words,
+               CAST(corpus_tokens_after AS BIGINT) AS bpe_tokens,
+               round(corpus_tokens_after / CAST(n_words AS DOUBLE) + 1e-9,
+                     6) AS bpe_fertility,
+               regex_subwords,
+               round(regex_subwords / CAST(n_words AS DOUBLE) + 1e-9, 6)
+                   AS regex_fertility
+        FROM ws, final
+    """,
+    description="Tokenizer-quality eval: corpus fertility (tokens per "
+    "whitespace word, </w> markers included) of the LEARNED 20-merge "
+    "BPE vocabulary vs the regex 'BPE-ish' subword proxy "
+    "(token_count_bpe) — the comparison that tells you whether a "
+    "learned tokenizer is worth its training cost on this corpus. "
+    "Composable oracle: embeds the bpe_train oracle as a CTE "
+    "(ann_recall_at_k pattern). One corpus scan for the word/subword "
+    "totals + the vocabulary-bounded training loop",
+)
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    merges = T.bpe_train_merges(_corpus_words(spark, sf_dir), N_BPE_MERGES)
+    final = merges.orderBy(F.col("step").desc()).limit(1).select(
+        F.col("corpus_tokens_after").alias("bpe_tokens")
+    )
+    sub = F.expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]{1,4}|[^a-z0-9 ]', 0)"
+    )
+    ws = docs.agg(
+        F.sum(F.size(F.split(F.lower("text"), " ")))
+        .cast("long")
+        .alias("n_words"),
+        F.sum(F.size(sub)).cast("long").alias("regex_subwords"),
+    )
+    return ws.crossJoin(F.broadcast(final)).select(
+        "n_words",
+        "bpe_tokens",
+        F.round(
+            F.col("bpe_tokens") / F.col("n_words").cast("double")
+            + F.lit(1e-9),
+            6,
+        ).alias("bpe_fertility"),
+        "regex_subwords",
+        F.round(
+            F.col("regex_subwords") / F.col("n_words").cast("double")
+            + F.lit(1e-9),
+            6,
+        ).alias("regex_fertility"),
+    )

@@ -3725,3 +3725,38 @@ def test_avi_demux_rejects_bad_container():
     bad[idx : idx + 4] = struct.pack("<I", 9)
     with pytest.raises(ValueError, match="frame count mismatch"):
         M.decode_mjpeg_avi(bytes(bad))
+
+
+def test_bpe_train_greedy_chain_parity(spark):
+    """Classic BPE greedy left-to-right non-overlap on a same-symbol
+    chain: merging (a,a) in 'aaaa' gives [aa, aa] (2 applied sites),
+    in 'aaa' gives [aa, a] (1 site) — the run-parity window must keep
+    odd-indexed candidates only, per maximal chain."""
+    from kafka_streams_homework_spark.operators.text import bpe_train_merges
+
+    words = spark.createDataFrame(
+        [("aaaa", 1), ("aaa", 1)], "w string, freq long"
+    )
+    m = bpe_train_merges(words, 1).collect()
+    assert len(m) == 1
+    r = m[0]
+    assert (r.left_sym, r.right_sym) == ("a", "a")
+    # pair occurrences: aaaa has 3 (a,a) pairs + aaa has 2 -> 5
+    assert r.pair_count == 5
+    # greedy non-overlap: aaaa -> 2 merges, aaa -> 1 merge
+    assert r.n_merged == 3
+    # tokens: (4+1) + (3+1) = 9 symbols incl </w>; minus 3 merges = 6
+    assert r.corpus_tokens_after == 6
+
+
+def test_bpe_train_exhaustion_stops_early(spark):
+    """When the vocabulary runs out of adjacent pairs the loop must
+    exit instead of emitting empty merges."""
+    from kafka_streams_homework_spark.operators.text import bpe_train_merges
+
+    words = spark.createDataFrame([("ab", 2)], "w string, freq long")
+    m = bpe_train_merges(words, 50).collect()
+    # 'a b </w>' -> merge (a,b) or (b,</w>) first by tie-break, then
+    # one more merge collapses the word to a single symbol -> 2 total
+    assert len(m) == 2
+    assert m[-1].corpus_tokens_after == 2  # one symbol per word * freq 2
