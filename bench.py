@@ -182,6 +182,14 @@ BENCH_QUERIES = [
     "video_pipeline",
     "dedup_threshold_curve",
     "dedup_cluster_sizes",
+    # round-7 new operators: learned BPE merge training (the 20-step
+    # driver loop is the signal — ~10s warm at sf0.1, loop-overhead
+    # dominated) and the streaming decayed top-20 (~2.5s warm).
+    # bpe_fertility is named-excluded in BASELINE.md: it re-runs the
+    # identical training loop plus one trivial scan, so it carries no
+    # independent regression signal at 2x the cost.
+    "bpe_train",
+    "streaming_decayed_leaderboard",
 ]
 
 
