@@ -745,7 +745,9 @@ def compression_ratio(documents: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train_merges(words: DataFrame, n_merges: int = 20) -> DataFrame:
+def bpe_train_merges(
+    words: DataFrame, n_merges: int = 20, return_segmentation: bool = False
+) -> DataFrame:
     """Real byte-pair-encoding merge training (Sennrich et al. 2016,
     public algorithm) over a corpus word-frequency table — the learned
     counterpart of the regex "BPE-ish" subword counter.
@@ -881,6 +883,10 @@ def bpe_train_merges(words: DataFrame, n_merges: int = 20) -> DataFrame:
         n_applied = tokens_after - tokens_now
         tokens_after = tokens_now
         merges.append((step, a, b, cnt, n_applied, tokens_after))
+    if return_segmentation:
+        # the trained tokenizer itself: (w, freq, pos, sym) after all
+        # merges — vocabulary-cardinality, the input to encode/apply
+        return seg
     return spark.createDataFrame(
         merges,
         "step long, left_sym string, right_sym string, pair_count long, "

@@ -1535,11 +1535,16 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_BPE_MERGES = 20
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Unrolled-CTE DuckDB twin of ``bpe_train_merges``: one CTE block
-    per merge step (pair counts -> argmax -> run-parity greedy keep ->
-    re-segmentation), chained N times. Generated mechanically so the
-    per-step SQL is literally identical across steps; ~40 lines/step.
+def _bpe_cte_chain(n_merges: int) -> str:
+    """The shared unrolled-CTE chain of ``bpe_train_merges``: one CTE
+    block per merge step (pair counts -> argmax -> run-parity greedy
+    keep -> re-segmentation), chained N times. Generated mechanically
+    so the per-step SQL is literally identical across steps. Every CTE
+    is MATERIALIZED: each step references the previous segmentation
+    several times, and a non-materialized chain INLINES exponentially
+    in DuckDB (measured: EMFILE from thousands of duplicated parquet
+    scans at N=20). Consumers append their own final SELECT over
+    ``merge_1..merge_N`` / ``seg_N`` / ``tok0``.
     """
     head = """
         WITH words AS MATERIALIZED (
@@ -1606,6 +1611,11 @@ def _bpe_oracle(n_merges: int) -> str:
         )
         """
         steps.append(s)
+    return head + "".join(steps)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Merge-table oracle: the shared chain + the merge-record union."""
     union = " UNION ALL ".join(
         f"SELECT * FROM merge_{t}" for t in range(1, n_merges + 1)
     )
@@ -1619,7 +1629,31 @@ def _bpe_oracle(n_merges: int) -> str:
                    AS corpus_tokens_after
         FROM ({union}) m, tok0
     """
-    return head + "".join(steps) + tail
+    return _bpe_cte_chain(n_merges) + tail
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Per-document encode oracle: the shared chain + the final
+    segmentation's per-word token count joined back onto the corpus."""
+    return (
+        _bpe_cte_chain(n_merges)
+        + f"""
+        , nsym AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS n_sym
+            FROM seg_{n_merges} GROUP BY w
+        ), tok AS (
+            SELECT doc_id, unnest(str_split(lower(text), ' ')) AS w
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_sym) AS BIGINT) AS n_tokens_bpe,
+               round(sum(n_sym) / CAST(count(*) AS DOUBLE) + 1e-9, 6)
+                   AS fertility_bpe
+        FROM tok JOIN nsym USING (w)
+        GROUP BY doc_id
+    """
+    )
 
 
 def _corpus_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1716,4 +1750,49 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1e-9),
             6,
         ).alias("regex_fertility"),
+    )
+
+
+@register(
+    "bpe_encode",
+    oracle=_bpe_encode_oracle(N_BPE_MERGES),
+    description="Apply the LEARNED BPE tokenizer to the corpus — the "
+    "encode half that completes bpe_train: the trained final "
+    "segmentation gives each distinct word its token count (</w> "
+    "included), and documents tokenize by a broadcast word->count "
+    "lookup — the corpus is scanned ONCE and never re-segmented "
+    "per-document (word-level BPE is word-closed, so the vocab table "
+    "IS the tokenizer). Per-doc n_words / n_tokens_bpe / fertility, "
+    "all integer-exact; oracle = the shared unrolled merge chain + "
+    "the same join. At 100 TB the lookup is vocabulary-cardinality "
+    "(broadcast or co-partitioned hash join on the word key)",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seg = T.bpe_train_merges(
+        _corpus_words(spark, sf_dir), N_BPE_MERGES, return_segmentation=True
+    )
+    nsym = seg.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sym")
+    )
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    return (
+        tok.join(F.broadcast(nsym), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_tokens_bpe"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens_bpe",
+            F.round(
+                F.col("n_tokens_bpe") / F.col("n_words").cast("double")
+                + F.lit(1e-9),
+                6,
+            ).alias("fertility_bpe"),
+        )
     )
