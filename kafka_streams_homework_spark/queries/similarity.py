@@ -556,3 +556,113 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return S.pca_projection(emb)
+
+
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle(k: int, pool: int, lam: float) -> str:
+    """Unrolled-CTE twin of ``mmr_rerank``: candidate top-pool, the
+    pairwise-sim matrix, then k-1 identical greedy steps (anti-join,
+    max-penalty, argmax). MATERIALIZED throughout — the selected set
+    is referenced three times per step and would inline exponentially
+    otherwise (the bpe_train lesson)."""
+    head = f"""
+        WITH e AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), q AS MATERIALIZED (
+            SELECT * FROM e WHERE vec_id < {KNN_QUERY_MAX_ID}
+        ), cand AS MATERIALIZED (
+            SELECT query_id, neighbor_id, sim FROM (
+                SELECT query_id, neighbor_id, sim, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id ASC) AS rk
+                FROM (
+                    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                           round(list_inner_product(q.v, c.v)
+                                 / (sqrt(list_inner_product(q.v, q.v))
+                                    * sqrt(list_inner_product(c.v, c.v))),
+                                 6) AS sim
+                    FROM q JOIN e c ON c.vec_id != q.vec_id
+                )
+            ) WHERE rk <= {pool}
+        ), psim AS MATERIALIZED (
+            SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+                   round(list_inner_product(ea.v, eb.v)
+                         / (sqrt(list_inner_product(ea.v, ea.v))
+                            * sqrt(list_inner_product(eb.v, eb.v))), 6) AS ps
+            FROM cand a
+            JOIN cand b ON a.query_id = b.query_id
+                       AND a.neighbor_id != b.neighbor_id
+            JOIN e ea ON ea.vec_id = a.neighbor_id
+            JOIN e eb ON eb.vec_id = b.neighbor_id
+        ), sel_1 AS MATERIALIZED (
+            SELECT query_id, neighbor_id, sim, 1 AS pick_order FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id ASC) AS rk
+                FROM cand
+            ) WHERE rk = 1
+        )
+    """
+    steps = []
+    for t in range(2, k + 1):
+        steps.append(f"""
+        , rem_{t} AS MATERIALIZED (
+            SELECT c.* FROM cand c
+            LEFT JOIN sel_{t - 1} s USING (query_id, neighbor_id)
+            WHERE s.pick_order IS NULL
+        ), pen_{t} AS MATERIALIZED (
+            SELECT r.query_id, r.neighbor_id, max(p.ps) AS pen
+            FROM rem_{t} r
+            JOIN psim p ON p.query_id = r.query_id
+                       AND p.a_id = r.neighbor_id
+            JOIN sel_{t - 1} s ON s.query_id = p.query_id
+                              AND s.neighbor_id = p.b_id
+            GROUP BY 1, 2
+        ), pick_{t} AS MATERIALIZED (
+            SELECT query_id, neighbor_id, sim, {t} AS pick_order FROM (
+                SELECT r.query_id, r.neighbor_id, r.sim,
+                       row_number() OVER (PARTITION BY r.query_id
+                           ORDER BY round({lam} * r.sim - {1 - lam} * pen
+                                          + 1e-9, 6) DESC,
+                                    r.neighbor_id ASC) AS rk
+                FROM rem_{t} r JOIN pen_{t} USING (query_id, neighbor_id)
+            ) WHERE rk = 1
+        ), sel_{t} AS MATERIALIZED (
+            SELECT * FROM sel_{t - 1} UNION ALL SELECT * FROM pick_{t}
+        )
+        """)
+    tail = f"""
+        SELECT query_id, neighbor_id, sim,
+               CAST(pick_order AS BIGINT) AS pick_order
+        FROM sel_{k}
+    """
+    return head + "".join(steps) + tail
+
+
+@register(
+    "mmr_rerank",
+    oracle=_mmr_oracle(MMR_K, MMR_POOL, MMR_LAMBDA),
+    description="Maximal-marginal-relevance diversified re-ranking "
+    "(Carbonell-Goldstein): each query's exact top-20 cosine pool is "
+    "greedily re-picked maximizing 0.7*sim(q,d) - 0.3*max sim(d,Sel) "
+    "— the retrieval-diversification step between ANN and an LLM "
+    "context window (near-duplicate passages waste prompt tokens). "
+    "The greedy loop unrolls into 4 relational steps over "
+    "(queries x pool)-bounded frames (anti-join, max-penalty agg, "
+    "per-query window argmax); the only data-sized stage is the "
+    "broadcast top-pool scan. 6dp-rounded sims and neighbor_id "
+    "tie-breaks pin the greedy trajectory on both engines; oracle = "
+    "the identical unrolled MATERIALIZED CTE steps",
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding"
+    )
+    return S.mmr_rerank(emb, queries, MMR_K, MMR_POOL, MMR_LAMBDA)

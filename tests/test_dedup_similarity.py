@@ -424,3 +424,55 @@ def test_ann_recall_at_k_registry_entry(spark, sf_dir):
     rows = REGISTRY["ann_recall_at_k"].fn(spark, sf_dir).collect()
     assert len(rows) == 10
     assert all(r.n_exact == 5 and r.recall == 1.0 for r in rows)
+
+
+def test_mmr_rerank_matches_python_greedy_replay(spark, sf_dir):
+    """Replay the exact greedy (6dp-rounded sims, neighbor_id
+    tie-breaks) in plain Python over the collected bounded pool and
+    assert the in-plan unrolled selection matches pick-for-pick."""
+    import kafka_streams_homework_spark.queries as Q
+    from kafka_streams_homework_spark.queries.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_POOL,
+    )
+
+    out = {
+        (r.query_id, r.pick_order): r.neighbor_id
+        for r in Q.queries()["mmr_rerank"](spark, sf_dir).collect()
+    }
+    emb = Q._t(spark, sf_dir, "embeddings")
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return round(dot / (na * nb) + 0.0, 6)
+
+    qids = sorted(v for v in vecs if v < Q.KNN_QUERY_MAX_ID)
+    for qid in qids:
+        qv = vecs[qid]
+        sims = sorted(
+            ((cos(qv, v), -nid) for nid, v in vecs.items() if nid != qid),
+            reverse=True,
+        )[:MMR_POOL]
+        pool = {-n: s for s, n in sims}
+        sel = []
+        for t in range(1, MMR_K + 1):
+            best = None
+            for nid, s in pool.items():
+                if nid in sel:
+                    continue
+                if t == 1:
+                    score = s
+                else:
+                    pen = max(cos(vecs[nid], vecs[sid]) for sid in sel)
+                    score = round(
+                        MMR_LAMBDA * s - (1 - MMR_LAMBDA) * pen + 1e-9, 6
+                    )
+                key = (score, -nid)
+                if best is None or key > best[0]:
+                    best = (key, nid)
+            sel.append(best[1])
+            assert out[(qid, t)] == best[1], (qid, t, sel, out)
