@@ -3760,3 +3760,21 @@ def test_bpe_train_exhaustion_stops_early(spark):
     # one more merge collapses the word to a single symbol -> 2 total
     assert len(m) == 2
     assert m[-1].corpus_tokens_after == 2  # one symbol per word * freq 2
+
+
+def test_bpe_train_stats_stay_bounded(spark):
+    """Regression pin for the localCheckpoint stats pathology: the
+    checkpoint PRESERVES Catalyst sizeInBytes, and a self-joining loop
+    body multiplies it, cubing the BigInteger per step (multi-megabit
+    Karatsuba multiplies in the optimizer by step ~14). The window-only
+    loop must keep the preserved estimate's bit length small."""
+    from kafka_streams_homework_spark.operators.text import bpe_train_merges
+
+    words = spark.createDataFrame(
+        [("hello", 5), ("world", 3), ("held", 2)], "w string, freq long"
+    )
+    seg = bpe_train_merges(words, 8, return_segmentation=True)
+    bits = int(
+        seg._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    ).bit_length()
+    assert bits < 512, f"preserved sizeInBytes estimate at {bits} bits"
