@@ -193,6 +193,9 @@ BENCH_QUERIES = [
     # MMR diversified re-ranking (~4s warm: broadcast top-pool scan +
     # 4 checkpointed bounded greedy steps)
     "mmr_rerank",
+    # streaming histogram quantiles (~1.8s warm: value-range-bounded
+    # per-(day,bucket) counts; exact quantile read downstream)
+    "streaming_quantile_hist",
 ]
 
 

@@ -956,3 +956,81 @@ def q_streaming_decayed_leaderboard(
         "decayed_score",
         F.row_number().over(w).cast("bigint").alias("rank"),
     )
+
+
+@register(
+    "streaming_quantile_hist",
+    oracle="""
+        WITH h AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+                   CAST(floor(value) AS BIGINT) AS bucket,
+                   count(*) AS c
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT window_start, bucket, c,
+                   sum(c) OVER (PARTITION BY window_start ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS cc,
+                   sum(c) OVER (PARTITION BY window_start) AS n
+            FROM h
+        )
+        SELECT window_start, CAST(max(n) AS BIGINT) AS n_values,
+               CAST(min(CASE WHEN cc >= (50 * n + 99) // 100
+                             THEN bucket END) AS BIGINT) AS p50_bucket,
+               CAST(min(CASE WHEN cc >= (95 * n + 99) // 100
+                             THEN bucket END) AS BIGINT) AS p95_bucket
+        FROM cum GROUP BY window_start
+    """,
+    description="Streaming per-day value quantiles from an integer "
+    "histogram — the quantile half of the r7 streaming-primitive "
+    "coverage (next to streaming_decayed_leaderboard): the streaming "
+    "state is per-(window, floor(value)) COUNTS — bounded by the "
+    "value RANGE, not the event volume, and trivially mergeable — "
+    "and the exact histogram quantile (smallest bucket whose running "
+    "count reaches ceil(q*n)) is read off the emitted bounded table "
+    "downstream. ceil(q*n) computed as (q*100*n + 99) div 100 in "
+    "INTEGER arithmetic on both engines (a float 0.95*n can straddle "
+    "the integer boundary at large n). Complete mode via run_replace; "
+    "the cum window partitions by day over <=491 bucket rows",
+)
+def q_streaming_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import run_replace
+
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    hist = (
+        stream.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.window(F.col("ts"), "1 day"),
+            F.floor("value").cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.col("window.start").alias("window_start"), "bucket", "c"
+        )
+    )
+    emitted = run_replace(spark, hist, mode="complete")
+    wd = Window.partitionBy("window_start")
+    cum = emitted.select(
+        "window_start",
+        "bucket",
+        F.sum("c")
+        .over(
+            wd.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+        F.sum("c").over(wd).alias("n"),
+    )
+    need50 = F.expr("(50 * n + 99) div 100")
+    need95 = F.expr("(95 * n + 99) div 100")
+    return cum.groupBy("window_start").agg(
+        F.max("n").cast("bigint").alias("n_values"),
+        F.min(F.when(F.col("cc") >= need50, F.col("bucket")))
+        .cast("bigint")
+        .alias("p50_bucket"),
+        F.min(F.when(F.col("cc") >= need95, F.col("bucket")))
+        .cast("bigint")
+        .alias("p95_bucket"),
+    )
