@@ -1059,6 +1059,15 @@ def two_phase_rank(
     Replaces the reference-less global NTILE/row_number plans the judge
     flagged (VERDICT r5 "What's wrong" 1-4): same rows, no
     entity-cardinality sort through one task.
+
+    Contract note (guaranteed, callers may rely on it): ranks are
+    assigned BUCKET-MAJOR — every row's rank is its bucket's prefix
+    offset plus its ``row_number`` under ``order_cols`` within the
+    bucket. When ``bucket_col`` is monotone in ``order_cols`` (the
+    stated precondition) this equals the global row_number over
+    ``order_cols``; callers that fold an extra partition key into the
+    bucket (e.g. ``gini_revenue``'s segment code) get a total order
+    that is bucket-major first, ``order_cols`` second.
     """
     b = df.withColumn("_bkt", bucket_col.cast("long"))
     hist = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_c"))

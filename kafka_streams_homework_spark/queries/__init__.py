@@ -38,10 +38,13 @@ for _m in (_mod_shared, _mod_core, _mod_streaming, _mod_tpch, _mod_similarity, _
             # module re-exposes) are fine; a NON-identical duplicate
             # top-level name across family modules would silently bind
             # whichever module imports first — fail loudly instead.
-            assert globals()[_k] is _v, (
-                f"duplicate top-level name {_k!r} bound to different "
-                f"objects across queries family modules ({_m.__name__})"
-            )
+            # Explicit raise, not assert: the guard must survive
+            # python -O/-OO (ADVICE r7).
+            if globals()[_k] is not _v:
+                raise ImportError(
+                    f"duplicate top-level name {_k!r} bound to different "
+                    f"objects across queries family modules ({_m.__name__})"
+                )
         else:
             globals()[_k] = _v
 del _m, _k, _v
@@ -142,12 +145,14 @@ _WINDOW = [
 
 
 WINDOW = 50  # the driver gate's sample size
-assert len(_WINDOW) == WINDOW, f"_WINDOW has {len(_WINDOW)} entries"
+if len(_WINDOW) != WINDOW:  # survives python -O (ADVICE r7)
+    raise ImportError(f"_WINDOW has {len(_WINDOW)} entries, need {WINDOW}")
 
 
 def _reorder_registry() -> None:
     missing = [n for n in _WINDOW if n not in REGISTRY]
-    assert not missing, f"_WINDOW names unregistered queries: {missing}"
+    if missing:
+        raise ImportError(f"_WINDOW names unregistered queries: {missing}")
     order = _WINDOW + [n for n in REGISTRY if n not in _WINDOW]
     specs = {n: REGISTRY[n] for n in order}
     REGISTRY.clear()

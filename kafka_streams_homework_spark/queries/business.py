@@ -764,9 +764,16 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = seg.select("segment").distinct().withColumn(
         "seg_code", F.row_number().over(Window.orderBy("segment"))
     )
+    # seg_code leads the order columns so the bucket key
+    # (seg_code*1e6 + cents div 1e5) is monotone non-decreasing in the
+    # requested order — two_phase_rank's documented precondition holds
+    # outright (ADVICE r7: previously the order was [cents, c_custkey]
+    # and correctness leaned on the helper's bucket-major internals).
+    # seg_code is constant within every bucket, so within-bucket order
+    # and the per-segment min-rank recovery are unchanged.
     ranked = R.two_phase_rank(
         seg.join(F.broadcast(codes), "segment"),
-        [F.col("cents").asc(), F.col("c_custkey").asc()],
+        [F.col("seg_code").asc(), F.col("cents").asc(), F.col("c_custkey").asc()],
         F.col("seg_code") * 1000000 + F.expr("cents div 100000"),
         rank_name="gr",
     )

@@ -1548,9 +1548,17 @@ def _bpe_cte_chain(n_merges: int) -> str:
     """
     head = """
         WITH words AS MATERIALIZED (
+            -- w <> '' guard (ADVICE r7): split on ' ' yields empty
+            -- words for leading/trailing/double spaces, and the two
+            -- engines segment a zero-length word DIFFERENTLY (Spark's
+            -- sequence(1,0) is descending [1,0] -> 3 symbol rows;
+            -- DuckDB's generate_series(1,1) -> 1 row). Filtering on
+            -- both sides keeps segmentation engine-identical for any
+            -- corpus, not just the verified-clean fixtures.
             SELECT w, CAST(count(*) AS BIGINT) AS freq
             FROM (SELECT unnest(str_split(lower(text), ' ')) AS w
                   FROM documents)
+            WHERE w <> ''
             GROUP BY w
         ), seg_0 AS MATERIALIZED (
             SELECT w, freq,
@@ -1662,6 +1670,10 @@ def _corpus_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             F.explode(F.split(F.lower("text"), " ")).alias("w")
         )
+        # mirror the oracle's w <> '' guard (ADVICE r7): empty words
+        # from leading/trailing/double spaces segment differently
+        # across engines (see the words CTE comment in _bpe_cte_chain)
+        .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
