@@ -68,80 +68,80 @@ del _m, _k, _v
 # twins out / their oracle-checked exact anchors stay). Rotated-out
 # entries still run in pytest and tools/check_oracle.py full sweeps.
 _WINDOW = [
-    # round-7 rotation (VERDICT r6 task 2): ALL 50 slots go to
-    # never-driver-sampled names (none appears in any
-    # CORRECTNESS_r01-r06 window), drawn first from the judge's
-    # priority list, then this round's three two-phase rewrites, then
-    # the widest family spread of the remaining never-sampled pool.
-    # The ~50 still-never-sampled names queue for the r8 window.
-    # -- round-6 closing additions (judge priority 1) --
-    "jpeg_pipeline",
-    "video_pipeline",
-    "dedup_threshold_curve",
-    "dedup_cluster_sizes",
-    "geo_nearest_supplier_cells",
-    # -- layout / incremental ops (judge priority 2) --
-    "bucketed_agg_scan",
-    "clustered_layout_scan",
-    "zorder_layout_scan",
-    "incremental_agg",
-    # -- unsampled _ps partsupp shapes (judge priority 3) --
-    "q2_min_cost_supplier_ps",
-    "q16_supplier_count_ps",
-    "q20_part_promotion_ps",
-    # -- streaming stragglers (judge priority 4) --
-    "streaming_asof_join",
-    "streaming_windowed_hll",
-    "streaming_windowed_topk",
-    "streaming_activity_streaks",
-    # -- heaviest analytics (judge priority 5) --
-    "copurchase_pagerank",
-    "dtw_distance",
-    "rolling_active_users",
-    "neighbor_jaccard",
-    # -- this round's two-phase rewrites (driver evidence for the
-    #    r7 plan changes, VERDICT r6 "what's wrong" 1-3) --
-    "abc_classification",
-    "gini_revenue",
-    "conformal_interval",
-    # -- remaining never-sampled pool, family spread --
-    "cube_agg",
-    "grouping_sets_agg",
-    "rank_functions",
-    "equidepth_histogram",
-    "json_ingest_robust",
-    "days_of_supply",
-    "embedding_dim_audit",
-    "lm_score_bigram",
-    "quality_buckets_scalable",
-    "phrase_search",
-    "feature_hashing",
-    "collocations_pmi",
-    "vocab_coverage",
-    "char_entropy",
-    "dedup_span_trim",
-    "dedup_incremental",
-    "winnow_fingerprints",
-    "winnow_pairs",
-    "dedup_savings",
-    "duplicate_burst_detect",
-    "dedup_canonical_pick",
-    "dq_rules",
-    "negative_sampling",
-    "source_overlap",
-    "kfold_assign",
-    "join_explosion_audit",
-    "lateness_audit",
+    # round-8 rotation (VERDICT r7 tasks 1+2): the FINAL rotation leg —
+    # all 50 slots go to never-driver-sampled ORACLE-BEARING names
+    # (none appears in any CORRECTNESS_r01-r07 window; recomputed as
+    # registry minus the union of r01-r07 keys). The 48 remaining
+    # never-sampled oracle-bearing names plus this round's two new
+    # streaming twins fill the window exactly. Rows-only names
+    # (compression_ratio, cosine_pairs_cells, distinct_rollup_hll,
+    # knn_ivf/pq/ivfpq, pca_projection, semantic_dedup) are EXCLUDED
+    # by policy (task 2): a no-oracle name burns a window slot as
+    # err:no_oracle (the r7 streaming_windowed_hll lesson); their
+    # evidence channel is the full sweep + pytest bounds + their
+    # oracle-hash exact twins. After r8, every oracle-bearing registry
+    # name has driver-ledger evidence.
+    # -- r7 late additions (judge priority: landed after the r7
+    #    window froze) --
+    "bpe_train",
+    "bpe_encode",
+    "bpe_fertility",
+    "mmr_rerank",
+    "streaming_decayed_leaderboard",
+    "streaming_quantile_hist",
+    # -- round-8 new ops (streaming twins: tokenize-at-ingest + OHLC) --
+    "streaming_bpe_encode",
+    "streaming_ohlc_bars",
+    # -- remaining never-sampled oracle-bearing pool (all of it) --
+    "acf_lags",
+    "activity_streaks",
+    "association_rules",
+    "bloom_prune_join",
+    "categorical_entropy",
+    "churn_flag",
+    "cohort_ltv",
+    "corr_matrix",
+    "degree_distribution",
+    "ewma_smooth",
+    "first_session_metrics",
+    "fulfillment_latency",
+    "funnel_steps",
+    "geo_nearest_supplier",
+    "geo_radius_join",
+    "grouped_ols",
+    "hhi_concentration",
+    "interarrival_stats",
+    "ips_policy_eval",
+    "js_divergence",
+    "kmv_overlap",
+    "linear_attribution",
+    "mann_kendall_trend",
+    "markov_transitions",
+    "mutual_information",
+    "ohlc_bars",
+    "path_to_purchase",
+    "period_over_period",
+    "psi_drift",
+    "quantile_normalize",
+    "ratio_metric_delta",
+    "retention_cohorts",
+    "rich_club",
+    "rolling_anomaly",
+    "seasonality_profile",
+    "sessionized_conversion",
+    "spearman_corr",
+    "sprt_monitor",
+    "theil_sen_trend",
+    "time_weighted_avg",
+    "trend_seasonal_decompose",
+    "weighted_median",
 ]
-# Rotated OUT this round: the whole r06 window (all 50 driver-green
-# in CORRECTNESS_r06 and in the committed full-registry sweep
-# CORRECTNESS_FULL_r06 289/289). The r06 anchors (source_scan,
-# price_alerts, streaming_stateful_alerts, kafka_wire_roundtrip,
-# q1_pricing_summary, training_data_prep_v2) rotate out too: with
-# 100 registry names still never driver-sampled the judge's explicit
-# instruction is >=45/50 never-sampled, and every rotated-out entry
-# still runs in pytest and the tools/check_oracle.py full sweep each
-# round. Historical swap notes (r4 and earlier) are in git history.
+# Rotated OUT this round: the whole r07 window (49/50 driver-green in
+# CORRECTNESS_r07; the 50th, streaming_windowed_hll, is rows-only by
+# design and now excluded from windows by policy). Every rotated-out
+# entry still runs in pytest and the tools/check_oracle.py full sweep
+# each round. Historical swap notes (r6 and earlier) are in git
+# history.
 
 
 WINDOW = 50  # the driver gate's sample size

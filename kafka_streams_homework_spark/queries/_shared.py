@@ -121,6 +121,20 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a streaming source — the ingest-side view
+    of the corpus for streaming twins of the LLM-pipeline text ops
+    (tokenize/quality-score stages run AT INGEST in production
+    pipelines, not as batch afterthoughts). Same layout-agnostic
+    file/directory handling as ``_events_stream``."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(raw_schema)
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+
+
 # --- shared SQL fragments promoted from family modules (used across families) ---
 
 _STOPWORD_SQL = "', '".join(T.EN_STOPWORDS)

@@ -1808,3 +1808,58 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility_bpe"),
         )
     )
+
+
+@register(
+    "streaming_bpe_encode",
+    oracle=_bpe_encode_oracle(N_BPE_MERGES),
+    description="Apply the LEARNED BPE tokenizer at INGEST — the "
+    "streaming twin of bpe_encode (VERDICT r7 task 7) that makes the "
+    "tokenization family batch+streaming complete. Training stays a "
+    "BATCH job (merges change rarely; the 20-merge loop runs once on "
+    "the static corpus); the trained final segmentation collapses to "
+    "a vocabulary-bounded word->token-count table that BROADCASTS "
+    "onto the document stream — tokenize-on-arrival is a stateless "
+    "stream-static equi-join (word-level BPE is word-closed, so the "
+    "vocab table IS the tokenizer), and the per-doc rollup is a "
+    "one-row-per-doc update-mode aggregation emitted through "
+    "run_upsert keyed on doc_id. Same unrolled-merge-chain oracle as "
+    "the batch twin (streaming/batch parity). At 100 TB/day ingest "
+    "this is the production tokenizer-service shape: periodic batch "
+    "retrain, broadcast refresh, stateless per-event encode. "
+    "Registered here (not queries/streaming.py) because the oracle "
+    "composes this module's _bpe_encode_oracle chain",
+)
+def q_streaming_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import run_upsert
+
+    apply_runtime_confs(spark)
+    seg = T.bpe_train_merges(
+        _corpus_words(spark, sf_dir), N_BPE_MERGES, return_segmentation=True
+    )
+    nsym = seg.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sym")
+    )
+    stream = _docs_stream(spark, sf_dir)
+    tok = stream.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    agg = (
+        tok.join(F.broadcast(nsym), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_tokens_bpe"),
+        )
+    )
+    emitted = run_upsert(spark, agg, ["doc_id"], mode="update")
+    return emitted.select(
+        "doc_id",
+        "n_words",
+        "n_tokens_bpe",
+        F.round(
+            F.col("n_tokens_bpe") / F.col("n_words").cast("double")
+            + F.lit(1e-9),
+            6,
+        ).alias("fertility_bpe"),
+    )
