@@ -196,12 +196,27 @@ BENCH_QUERIES = [
     # streaming histogram quantiles (~1.8s warm: value-range-bounded
     # per-(day,bucket) counts; exact quantile read downstream)
     "streaming_quantile_hist",
+    # round-8 addition: streaming OHLC (~1.9s warm: mergeable
+    # min_by/max_by state per (series, hour)). streaming_bpe_encode is
+    # named-excluded in BASELINE.md (bpe_fertility precedent): ~8.6s of
+    # which ~8s is the identical bpe_train loop re-run — no independent
+    # regression signal worth the cost.
+    "streaming_ohlc_bars",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # Box-state self-description (VERDICT r7 task 3): sample load
+    # BEFORE any Spark work — at this point the 1-minute load average
+    # is entirely COMPETING work, so a loaded-box run (like the
+    # driver's +12% BENCH_r07) is machine-attributable on its face
+    # instead of via per-query stddev forensics. The end sample is
+    # mostly bench-self-induced (local[32] saturates the box) and is
+    # recorded for completeness only.
+    ncpus = os.cpu_count() or 1
+    load_start = os.getloadavg()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = Q.queries()
@@ -252,10 +267,22 @@ def main() -> None:
         spreads[name] = round(sd, 3)
 
     total = round(sum(timings.values()), 3)
+    load_end = os.getloadavg()
+    # quiet = no meaningful competing load when the bench started;
+    # 0.25*ncpus (8 cores on the 32-core box) separates scheduler
+    # noise from a genuinely shared box. BASELINE.md's stability note
+    # references this verdict.
+    box_load = {
+        "ncpus": ncpus,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
+        "verdict": "quiet" if load_start[0] < 0.25 * ncpus else "loaded",
+    }
     full = {
         "metric": "total_bench_time",
         "value": total,
         "unit": "sec",
+        "box_load": box_load,
         # the headline set GROWS round over round — compare
         # per-query times or value/n_queries, not raw totals
         "n_queries": len(timings),
@@ -284,6 +311,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "runs_per_query": runs_per_query,
                 "sf": full["sf"],
+                "box_load": box_load,
                 # top-10 slowest inline so the tail still carries
                 # per-query signal; the full map is in the file
                 "slowest": dict(
