@@ -47,3 +47,36 @@ def release_caches() -> int:
             pass  # session already stopped
     _TRACKED.clear()
     return n
+
+
+def release_checkpoint(df: DataFrame) -> bool:
+    """Release the block-manager blocks behind a ``localCheckpoint``-ed
+    DataFrame (r7 ADVICE durability nit, VERDICT r7 task 6).
+
+    ``localCheckpoint`` persists the materialized RDD in the block
+    manager and nothing releases it until the JVM GCs the RDD handle —
+    an iterative loop that checkpoints per step therefore accumulates
+    one superseded block set per iteration for the session's lifetime.
+    The checkpointed RDD is reachable through the plan's ``LogicalRDD``
+    node; unpersisting it frees the blocks immediately (verified
+    against ``getRDDStorageInfo``).
+
+    Call ONLY on a checkpoint that is fully superseded — i.e. after
+    every downstream frame that read from it has itself been
+    (eagerly) checkpointed. Returns False (no-op) when ``df`` is not a
+    local checkpoint, so loop code can call it unconditionally.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if not plan.getClass().getName().endswith(".LogicalRDD"):
+            return False
+        plan.rdd().unpersist(False)
+        return True
+    except Exception:
+        return False
+
+
+def checkpointed_rdd_count(spark) -> int:
+    """How many RDDs currently hold blocks in the block manager —
+    the observable a bounded-checkpoint-footprint test asserts on."""
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())

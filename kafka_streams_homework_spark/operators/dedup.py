@@ -35,7 +35,7 @@ import warnings
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kafka_streams_homework_spark.caching import tracked_persist
+from kafka_streams_homework_spark.caching import release_checkpoint, tracked_persist
 from kafka_streams_homework_spark.functions import shingle_hashes, shingles, tokens
 from kafka_streams_homework_spark.sources.batch import spread
 
@@ -340,6 +340,11 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the convergence count above was the last reader of the old
+        # labels — release its superseded checkpoint blocks (no-op on
+        # the non-checkpointed seed frame); bfs_hops footprint
+        # discipline, VERDICT r7 task 6
+        release_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break

@@ -170,7 +170,9 @@ def neighbor_jaccard(
     )
 
 
-def bfs_hops(edges: DataFrame, seed: DataFrame, max_hops: int) -> DataFrame:
+def bfs_hops(
+    edges: DataFrame, seed: DataFrame, max_hops: int, reliable: bool = False
+) -> DataFrame:
     """Multi-source BFS hop distance, bounded at ``max_hops`` rounds.
 
     ``edges``: directed (src, dst) — pass both directions for an
@@ -187,23 +189,30 @@ def bfs_hops(edges: DataFrame, seed: DataFrame, max_hops: int) -> DataFrame:
     and each hop localCheckpoints so lineage stays flat instead of
     compounding across hops.
 
-    Fault-tolerance trade (r6 advice): localCheckpoint blocks are
-    UNREPLICATED and sever lineage — an executor lost mid-loop fails
-    the job rather than recomputing, and each hop's blocks stay in the
-    block manager until the session GCs them (node-dimension-bounded:
-    ≤ max_hops small frames). That is the right trade for this
+    Fault-tolerance / footprint (r6 advice, closed r8 per VERDICT r7
+    task 6): superseded hop checkpoints are RELEASED inside the loop —
+    after the new ``visited`` union materializes (eager checkpoint),
+    the old visited blocks and the previous frontier's blocks are
+    unpersisted via ``release_checkpoint``, so the block-manager
+    footprint is O(1) frames (current visited + current frontier) at
+    any hop count instead of O(hops); pinned by
+    ``test_bfs_checkpoint_footprint_bounded``. localCheckpoint blocks
+    remain UNREPLICATED — an executor lost mid-loop fails the job
+    rather than recomputing. That is the right trade for this
     interactive/bench engine; a long-running production BFS at
-    cluster scale should swap in RELIABLE checkpointing
-    (``sc.setCheckpointDir`` + ``checkpoint()``) or keep
-    ``tracked_persist`` on ``visited`` and explicitly unpersist
-    superseded hops — same loop, one-line substitution.
+    cluster scale passes ``reliable=True`` (requires
+    ``sc.setCheckpointDir``) to substitute RELIABLE ``checkpoint()``
+    writes — same loop, survives executor loss.
     """
-    visited = seed.select(
-        "node", F.lit(0).cast("long").alias("hops")
-    ).localCheckpoint()
+    from kafka_streams_homework_spark.caching import release_checkpoint
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable else df.localCheckpoint()
+
+    visited = _ckpt(seed.select("node", F.lit(0).cast("long").alias("hops")))
     frontier = visited
     for h in range(1, max_hops + 1):
-        nxt = (
+        nxt = _ckpt(
             edges.join(
                 F.broadcast(frontier), frontier["node"] == edges["src"],
                 "left_semi",
@@ -216,12 +225,22 @@ def bfs_hops(edges: DataFrame, seed: DataFrame, max_hops: int) -> DataFrame:
                 "left_anti",
             )
             .select("node", F.lit(h).cast("long").alias("hops"))
-            .localCheckpoint()
         )
         if not nxt.take(1):
+            release_checkpoint(nxt)  # empty frontier: nothing reads it
             break
-        visited = visited.unionAll(nxt).localCheckpoint()
+        new_visited = _ckpt(visited.unionAll(nxt))
+        # new_visited is materialized (eager checkpoint), so the old
+        # visited blocks are fully superseded; the old frontier
+        # (folded into visited one hop ago) was only still live as
+        # this hop's join probe. Keep exactly {new_visited, nxt}.
+        release_checkpoint(visited)
+        if frontier is not visited:  # hop 1: frontier IS visited
+            release_checkpoint(frontier)
+        visited = new_visited
         frontier = nxt
+    if frontier is not visited:  # last frontier: folded into visited
+        release_checkpoint(frontier)
     return visited
 
 

@@ -1557,7 +1557,10 @@ def mmr_rerank(
     engine-deterministic (oracle replays the identical unrolled
     steps).
     """
-    from kafka_streams_homework_spark.caching import tracked_persist
+    from kafka_streams_homework_spark.caching import (
+        release_checkpoint,
+        tracked_persist,
+    )
 
     cand = tracked_persist(
         knn_bruteforce(embeddings, queries, pool).select(
@@ -1647,5 +1650,9 @@ def mmr_rerank(
                 F.lit(t).cast("long").alias("pick_order"),
             )
         )
+        prev_sel = sel
         sel = sel.unionByName(pick).localCheckpoint(eager=True)
+        # the union is materialized; the previous step's selected-set
+        # blocks are superseded — release per step (VERDICT r7 task 6)
+        release_checkpoint(prev_sel)
     return sel

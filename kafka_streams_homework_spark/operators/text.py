@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kafka_streams_homework_spark.caching import tracked_persist
+from kafka_streams_homework_spark.caching import release_checkpoint, tracked_persist
 from kafka_streams_homework_spark.functions import count_in_set, tokens
 
 # Stopword list for the heuristic language scorer. Tiny on purpose: the
@@ -867,6 +867,7 @@ def bpe_train_merges(
                 F.coalesce(F.lag("kept").over(wspec), F.lit(False)),
             )
         )
+        prev_seg = seg
         seg = (
             flags.filter(~F.col("del"))
             .select(
@@ -879,6 +880,11 @@ def bpe_train_merges(
             )
             .localCheckpoint(eager=True)
         )
+        # the eager checkpoint materialized the new segmentation, so
+        # the previous step's blocks are fully superseded — release
+        # them now instead of leaking one block set per merge step
+        # (bfs_hops footprint discipline, VERDICT r7 task 6)
+        release_checkpoint(prev_seg)
         tokens_now = int(seg.agg(F.sum("freq")).first()[0] or 0)
         n_applied = tokens_after - tokens_now
         tokens_after = tokens_now

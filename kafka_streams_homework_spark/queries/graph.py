@@ -333,6 +333,10 @@ def _kcore_peel(cur: DataFrame, k: int, cap: int):
             .localCheckpoint()
         )
         n_nxt = nxt.count()
+        # nxt is materialized (eager by default): the previous round's
+        # checkpoint blocks are superseded — release per round instead
+        # of leaking one edge-set copy per peel (VERDICT r7 task 6)
+        release_checkpoint(cur)
         cur = nxt
         depth += 1
         if n_nxt == n_cur:

@@ -1464,6 +1464,7 @@ def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         # localCheckpoint: each step references the previous state
         # twice (margin agg + join), so without lineage truncation the
         # logical plan doubles per step — 2^10 scans by step ten.
+        prev_cells = cells
         cells = cells.join(
             F.broadcast(r.select(key, f.alias("f"))), key
         ).select(
@@ -1472,6 +1473,9 @@ def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             (F.col("w") * F.col("f")).cast("decimal(20,12)").alias("w"),
         ).localCheckpoint()
+        # superseded step state released per iteration (VERDICT r7
+        # task 6 footprint discipline; no-op on the initial frame)
+        release_checkpoint(prev_cells)
     wd = F.col("w").cast("double")
     return cells.select(
         F.col("i").alias("event_type"),

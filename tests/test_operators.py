@@ -2436,6 +2436,39 @@ def test_graph_hops_chain_cap(spark):
     assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
 
 
+def test_bfs_checkpoint_footprint_bounded(spark):
+    """bfs_hops releases superseded hop checkpoints inside the loop
+    (VERDICT r7 task 6): the block-manager footprint after a deep BFS
+    is O(1) frames — the final visited set only — not O(hops). A
+    20-node chain forces 19 hops, so the pre-fix behavior (one
+    retained checkpoint per visited update + per frontier) would leak
+    ~38 block sets here."""
+    from kafka_streams_homework_spark.caching import (
+        checkpointed_rdd_count,
+        release_checkpoint,
+    )
+    from kafka_streams_homework_spark.operators.graph import bfs_hops
+
+    spark.catalog.clearCache()
+    import gc
+
+    gc.collect()  # drop blocks held only by collectable handles
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "src long, dst long"
+    )
+    seed = spark.createDataFrame([(0,)], "node long")
+    before = checkpointed_rdd_count(spark)
+    out = bfs_hops(edges, seed, max_hops=25)
+    rows = {r.node: r.hops for r in out.collect()}
+    assert rows == {i: i for i in range(21)}
+    after = checkpointed_rdd_count(spark)
+    # exactly the returned frame may remain (plus nothing superseded);
+    # allow +2 slack for unrelated session churn, far below the ~38
+    # frames the unreleased loop would retain
+    assert after - before <= 2, (before, after)
+    release_checkpoint(out)
+
+
 def test_kmv_overlap_small_sets_exact(spark):
     """Sets below the sketch size k=64 keep every hash (theta = 1), so
     the 'estimate' degenerates to the exact overlap: 5 shared users of
