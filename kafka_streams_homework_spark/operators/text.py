@@ -893,6 +893,9 @@ def bpe_train_merges(
         # the trained tokenizer itself: (w, freq, pos, sym) after all
         # merges — vocabulary-cardinality, the input to encode/apply
         return seg
+    # merge-table callers never read the segmentation again: release
+    # the final checkpoint too (the merge records are driver-side)
+    release_checkpoint(seg)
     return spark.createDataFrame(
         merges,
         "step long, left_sym string, right_sym string, pair_count long, "

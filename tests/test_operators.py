@@ -3811,3 +3811,110 @@ def test_bpe_train_stats_stay_bounded(spark):
         seg._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     ).bit_length()
     assert bits < 512, f"preserved sizeInBytes estimate at {bits} bits"
+
+
+def _synth_vocab(n: int) -> dict[str, int]:
+    """Deterministic synthetic vocabulary: word i is the base-12
+    sequence of i mapped onto 12 DISTINCT fixed-length 2-char
+    syllables (fixed block length => concatenation is injective, so
+    all n words are distinct). Shared syllables give the merge loop
+    real structure: high-frequency pairs exist at every step. No RNG —
+    fully seeded by construction."""
+    syl = ["ab", "ba", "ce", "de", "fi", "gi", "ho", "ju",
+           "ka", "lo", "me", "nu"]
+    vocab: dict[str, int] = {}
+    for i in range(n):
+        digits = []
+        x = i
+        while True:
+            digits.append(x % 12)
+            x //= 12
+            if x == 0:
+                break
+        w = "".join(syl[d] for d in reversed(digits))
+        vocab[w] = 1 + (i * 7) % 97
+    assert len(vocab) == n
+    return vocab
+
+
+def _ref_bpe(vocab: dict[str, int], n_merges: int) -> list[tuple]:
+    """Pure-Python reference Sennrich-2016 BPE: freq-weighted pair
+    argmax with (count desc, left asc, right asc) tie-break, classic
+    greedy left-to-right non-overlapping application."""
+    segs = {w: list(w) + ["</w>"] for w in vocab}
+    tokens_after = sum(f * len(segs[w]) for w, f in vocab.items())
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        cnt: dict[tuple, int] = {}
+        for w, f in vocab.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                cnt[p] = cnt.get(p, 0) + f
+        if not cnt:
+            break
+        (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        n_applied = 0
+        for w, f in vocab.items():
+            s = segs[w]
+            out: list[str] = []
+            i = applied = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                    applied += 1
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+            n_applied += f * applied
+        tokens_after -= n_applied
+        merges.append((step, a, b, c, n_applied, tokens_after))
+    return merges
+
+
+def test_bpe_train_large_vocab_exact(spark):
+    """Large-vocabulary BPE (VERDICT r7 task 4): the fixture corpus has
+    31 distinct words at every SF, so nothing exercised the
+    vocabulary-cardinality loop itself. 10,000 distinct synthetic words
+    (deterministic, seeded by construction), 20 merges, compared
+    ROW-FOR-ROW against an independent pure-Python Sennrich reference —
+    argmax tie-breaks, greedy non-overlap counts, and the running
+    corpus token total must all match exactly. Also re-pins the two
+    loop disciplines at real vocab size: Catalyst sizeInBytes stays
+    bounded and superseded checkpoints are released (O(1) block
+    footprint)."""
+    from kafka_streams_homework_spark.caching import (
+        checkpointed_rdd_count,
+        release_checkpoint,
+    )
+    from kafka_streams_homework_spark.operators.text import bpe_train_merges
+
+    vocab = _synth_vocab(10_000)
+    expected = _ref_bpe(vocab, 20)
+    assert len(expected) == 20
+
+    words = spark.createDataFrame(
+        list(vocab.items()), "w string, freq long"
+    )
+    spark.catalog.clearCache()
+    import gc
+
+    gc.collect()
+    before = checkpointed_rdd_count(spark)
+    seg = bpe_train_merges(words, 20, return_segmentation=True)
+    # footprint: one live checkpoint (the final segmentation), not 20
+    assert checkpointed_rdd_count(spark) - before <= 2
+    bits = int(
+        seg._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    ).bit_length()
+    assert bits < 512, f"preserved sizeInBytes estimate at {bits} bits"
+    release_checkpoint(seg)
+
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.pair_count, r.n_merged,
+         r.corpus_tokens_after)
+        for r in bpe_train_merges(words, 20).orderBy("step").collect()
+    ]
+    assert got == expected
