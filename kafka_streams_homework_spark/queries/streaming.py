@@ -1117,3 +1117,46 @@ def q_streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ticks",
         F.round("raw_volume", 2).alias("volume"),
     )
+
+
+@register(
+    "streaming_quality_score",
+    # same oracle as the batch quality_score twin (streaming/batch
+    # parity; same rows)
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   len(tok) AS n_tok,
+                   len(list_distinct(tok)) AS n_uniq,
+                   len(list_filter(tok, x -> x IN ('{_STOPWORD_SQL}'))) AS n_stop
+            FROM t
+        )
+        SELECT doc_id,
+               round(n_uniq::DOUBLE / n_tok, 6) AS lexical_diversity,
+               round(0.5 * (n_uniq::DOUBLE / n_tok)
+                     + 0.3 * least(n_tok / 100.0, 1.0)
+                     + 0.2 * (1.0 - n_stop::DOUBLE / n_tok), 6) AS quality,
+               (n_tok >= 5 AND n_tok <= 1000
+                AND n_uniq::DOUBLE / n_tok > 0.3) AS keep
+        FROM m
+    """,
+    description="Quality-score documents AT INGEST — the streaming "
+    "twin of quality_score and the other half of the production "
+    "ingest stage next to streaming_bpe_encode: LLM pipelines score "
+    "and gate documents as they arrive, not in a batch afterthought. "
+    "Entirely STATELESS (per-doc projection, all JVM expressions), so "
+    "it runs in append mode with emit-on-arrival — no state store, no "
+    "watermark, per-row latency instead of window latency; "
+    "run_append's accumulating collector is batch-count-independent "
+    "because append emissions are final by contract. Same oracle as "
+    "the batch twin (streaming/batch parity). At 100 TB/day this is "
+    "a pure map stage: scales horizontally with zero shuffle",
+)
+def q_streaming_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import run_append
+
+    apply_runtime_confs(spark)
+    stream = _docs_stream(spark, sf_dir)
+    return run_append(spark, T.quality_score(stream))
