@@ -202,6 +202,12 @@ BENCH_QUERIES = [
     # which ~8s is the identical bpe_train loop re-run — no independent
     # regression signal worth the cost.
     "streaming_ohlc_bars",
+    # round-8 second wave: the custom-stateful KMV sketch (the one
+    # applyInPandasWithState path in the set — Python state-handler
+    # regression signal) and the stateless docs-stream quality gate
+    # (~1s: docs readStream + append collector machinery)
+    "streaming_kmv_distinct",
+    "streaming_quality_score",
 ]
 
 

@@ -1160,3 +1160,60 @@ def q_streaming_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     stream = _docs_stream(spark, sf_dir)
     return run_append(spark, T.quality_score(stream))
+
+
+@register(
+    "streaming_kmv_distinct",
+    # same oracle as the batch kmv_distinct twin (streaming/batch
+    # parity for the sketch family; deterministic md5 hashes make the
+    # whole ESTIMATE checkable, not just an error bound)
+    oracle="""
+        WITH u AS (
+            SELECT DISTINCT event_type,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+            FROM events
+        ), r AS (
+            SELECT event_type, u,
+                   row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+            FROM u
+        )
+        SELECT event_type,
+               CAST(least(count(*), 64) AS BIGINT) AS n_sketch,
+               round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                     ELSE 63.0 / max(u) FILTER (rn <= 64) END, 2)
+                   AS est_distinct
+        FROM r GROUP BY event_type
+    """,
+    description="KMV distinct-count sketch maintained as CUSTOM "
+    "STATEFUL streaming state (applyInPandasWithState) — the "
+    "streaming twin of kmv_distinct and the U4 escape hatch applied "
+    "to the sketch family: per-group state is the k=64 smallest "
+    "distinct md5 hash fractions (bounded, mergeable — the k smallest "
+    "of a union are among the union of each side's k smallest), each "
+    "micro-batch set-unions into it, update-mode emissions upsert per "
+    "group. Hash fractions computed JVM-side before the stateful op; "
+    "the (k-1)/u_k estimate derives JVM-side after it (F.round "
+    "HALF_UP parity). Same oracle as the batch twin. At 100 TB the "
+    "state is k doubles x |groups| regardless of event volume",
+)
+def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import run_upsert
+    from kafka_streams_homework_spark.streaming.stateful import (
+        kmv_distinct_stateful,
+    )
+
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    sketch = kmv_distinct_stateful(stream, "event_type", "user_id", k=64)
+    emitted = run_upsert(spark, sketch, ["g"], mode="update")
+    return emitted.select(
+        F.col("g").alias("event_type"),
+        F.col("n_sketch").cast("bigint").alias("n_sketch"),
+        F.round(
+            F.when(
+                F.col("n_sketch") < 64, F.col("n_sketch").cast("double")
+            ).otherwise(F.lit(63.0) / F.col("kmax")),
+            2,
+        ).alias("est_distinct"),
+    )

@@ -32,6 +32,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -220,4 +221,91 @@ def windowed_sum_stateful(
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV distinct-count sketch (round 8)
+# ---------------------------------------------------------------------------
+
+KMV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("g", StringType()),
+        StructField("n_sketch", LongType()),
+        StructField("kmax", DoubleType()),
+    ]
+)
+
+KMV_STATE_SCHEMA = "mins array<double>"
+
+
+def _make_kmv_handler(k: int):
+    def handler(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # state = the k smallest DISTINCT hash fractions seen so far —
+        # the textbook mergeable KMV property: the k smallest of a
+        # union are among the union of each side's k smallest, so
+        # merging a micro-batch is set-union + sort + slice.
+        vals: set[float] = set()
+        if state.exists:
+            (mins,) = state.get
+            vals.update(float(x) for x in mins)
+        for pdf in pdfs:
+            vals.update(float(x) for x in pdf["u"])
+        mins = sorted(vals)[:k]
+        state.update((mins,))
+        # emit the raw sketch readout (count + k-th minimum); the
+        # ESTIMATE is computed JVM-side downstream so rounding is
+        # F.round (HALF_UP), identical to the batch twin and oracle —
+        # Python's banker's round could differ on .xx5 boundaries
+        yield pd.DataFrame(
+            {
+                "g": [None if key[0] is None else str(key[0])],
+                "n_sketch": [len(mins)],
+                "kmax": [mins[-1] if mins else None],
+            }
+        )
+
+    return handler
+
+
+def kmv_distinct_stateful(
+    stream: DataFrame,
+    group_col: str = "event_type",
+    id_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """KMV distinct-count sketch as a CUSTOM STATEFUL streaming
+    operator (applyInPandasWithState) — the streaming twin of
+    operators/sketches.kmv_distinct and the U4-escape-hatch proof for
+    the sketch family: per-group state is the k smallest distinct
+    md5-derived hash fractions (k doubles, bounded, mergeable), each
+    micro-batch set-unions its fractions into the state, and the
+    current (n_sketch, k-th-min) readout is emitted per trigger
+    (update semantics — run_upsert keeps the latest per group).
+
+    The hash fraction is computed JVM-side BEFORE the stateful op
+    (identical expression to the batch twin), so the only Python work
+    is the bounded set merge; the estimate (k-1)/u_k is derived
+    downstream in JVM arithmetic. Engine-portable hashes make the
+    whole ESTIMATE oracle-checkable, unlike HLL whose estimate is
+    library-specific (streaming_windowed_hll is rows-only for exactly
+    that reason).
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    hashed = stream.select(F.col(group_col).alias("g"), u.alias("u"))
+    return hashed.groupBy("g").applyInPandasWithState(
+        _make_kmv_handler(k),
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

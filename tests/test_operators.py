@@ -2469,6 +2469,32 @@ def test_bfs_checkpoint_footprint_bounded(spark):
     release_checkpoint(out)
 
 
+def test_bfs_reliable_checkpoint_same_rows(spark):
+    """bfs_hops(reliable=True) substitutes durable checkpoint() writes
+    for executor-local blocks (the long-running-job mode documented in
+    the docstring) and must produce identical rows."""
+    import tempfile
+
+    from kafka_streams_homework_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    seed = spark.createDataFrame([(0,)], "node long")
+    with tempfile.TemporaryDirectory() as d:
+        spark.sparkContext.setCheckpointDir(d)
+        try:
+            rows = {
+                r.node: r.hops
+                for r in bfs_hops(edges, seed, max_hops=10, reliable=True)
+                .collect()
+            }
+        finally:
+            # leave no dangling pointer at a removed tempdir
+            spark.sparkContext.setCheckpointDir(None)
+    assert rows == {i: i for i in range(7)}
+
+
 def test_kmv_overlap_small_sets_exact(spark):
     """Sets below the sketch size k=64 keep every hash (theta = 1), so
     the 'estimate' degenerates to the exact overlap: 5 shared users of

@@ -777,3 +777,40 @@ def test_run_batch_transform_is_batch_count_independent(spark, tmp_path):
         (2, 1, 2.0): None,
         (2, 59, 4.0): 200,
     }
+
+
+def test_kmv_stateful_state_merges_across_batches(spark, tmp_path):
+    """The streaming KMV sketch's state is MERGEABLE (the k smallest
+    of a union are among the union of each side's k smallest): the
+    same 70-distinct-id input must yield an identical sketch readout
+    whether it arrives as one micro-batch or three — and a group with
+    fewer than k distinct ids reports exactly."""
+    import uuid as _uuid
+
+    from kafka_streams_homework_spark.streaming.price_alerts import run_upsert
+    from kafka_streams_homework_spark.streaming.stateful import (
+        kmv_distinct_stateful,
+    )
+
+    rows = [(1, ts(5, i % 50), float(i)) for i in range(1, 71)]
+    rows += [(2, ts(6, i), float(100 + i)) for i in range(5)]
+    # three batches vs one batch of the same rows
+    multi = _write_events(
+        spark, tmp_path, [rows[:30], rows[30:55], rows[55:]]
+    )
+    single = _write_events(spark, tmp_path, [rows])
+
+    def run(path):
+        sketch = kmv_distinct_stateful(
+            _stream(spark, path), group_col="user_id", id_col="value", k=64
+        )
+        out = run_upsert(spark, sketch, ["g"], mode="update")
+        return {r.g: (r.n_sketch, r.kmax) for r in out.collect()}
+
+    got_multi = run(multi)
+    got_single = run(single)
+    assert got_multi == got_single
+    # group 2 has 5 distinct ids < k: the sketch IS the distinct set
+    assert got_multi["2"][0] == 5
+    # group 1 overflowed k: sketch holds exactly k minima
+    assert got_multi["1"][0] == 64
