@@ -274,15 +274,25 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     load_end = os.getloadavg()
-    # quiet = no meaningful competing load when the bench started;
-    # 0.25*ncpus (8 cores on the 32-core box) separates scheduler
-    # noise from a genuinely shared box. BASELINE.md's stability note
-    # references this verdict.
+    # Three-state verdict (refined after the r8 calibration runs):
+    # - loaded:   competing work RIGHT NOW (1-min load >= 0.25*ncpus);
+    # - settling: idle now but the box was busy within the last
+    #   ~15 min (15-min load >= ncpus/8) — page cache and scheduler
+    #   state still biased; r8 measured such runs +3-7% across the
+    #   board vs a truly quiet run minutes later with identical code;
+    # - quiet:    both clear — the only state whose totals should be
+    #   compared round-over-round (BASELINE.md stability note).
+    if load_start[0] >= 0.25 * ncpus:
+        verdict = "loaded"
+    elif load_start[2] >= ncpus / 8:
+        verdict = "settling"
+    else:
+        verdict = "quiet"
     box_load = {
         "ncpus": ncpus,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
-        "verdict": "quiet" if load_start[0] < 0.25 * ncpus else "loaded",
+        "verdict": verdict,
     }
     full = {
         "metric": "total_bench_time",
