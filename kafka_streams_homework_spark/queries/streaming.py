@@ -1079,11 +1079,12 @@ def q_streaming_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rounds at read time on the final per-key emission. Same rn-based "
     "deterministic oracle as the batch twin",
 )
-def q_streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    apply_runtime_confs(spark)
-    stream = _events_stream(spark, sf_dir)
+def _ohlc_stream_agg(stream: DataFrame) -> DataFrame:
+    """The OHLC streaming aggregation, factored out so pytest can
+    drive it over a hand-built multi-batch stream (merge-order safety
+    of the min_by/max_by state is the load-bearing claim)."""
     ordk = F.struct(F.col("ts"), F.col("event_id"))
-    agg = (
+    return (
         stream.groupBy(
             "event_type", F.window(F.col("ts"), "1 hour").alias("win")
         )
@@ -1106,6 +1107,11 @@ def q_streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "raw_volume",
         )
     )
+
+
+def q_streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    agg = _ohlc_stream_agg(_events_stream(spark, sf_dir))
     emitted = run_upsert(spark, agg, ["event_type", "bucket"], mode="update")
     return emitted.select(
         "event_type",

@@ -814,3 +814,53 @@ def test_kmv_stateful_state_merges_across_batches(spark, tmp_path):
     assert got_multi["2"][0] == 5
     # group 1 overflowed k: sketch holds exactly k minima
     assert got_multi["1"][0] == 64
+
+
+def test_ohlc_stream_state_is_merge_order_safe(spark, tmp_path):
+    """streaming_ohlc_bars keeps open/close via min_by/max_by over the
+    deterministic (ts, event_id) order — so the OPEN tick arriving in
+    the LAST micro-batch must still win, and the result must be
+    identical whether ticks arrive as one batch or three (an unordered
+    first()/last() would depend on arrival order)."""
+    import glob
+    import os
+    import uuid as _uuid
+
+    from kafka_streams_homework_spark.queries.streaming import (
+        _ohlc_stream_agg,
+    )
+    from kafka_streams_homework_spark.streaming.price_alerts import run_upsert
+
+    schema = "event_type string, event_id long, ts timestamp, value double"
+    # one hour bucket; the chronologically FIRST tick (ts :01, id 1,
+    # value 500 = the open) is placed in the LAST arriving batch
+    rows = [
+        ("a", 2, ts(10), 100.0),
+        ("a", 3, ts(20), 900.0),   # high
+        ("a", 4, ts(30), 50.0),    # low
+        ("a", 5, ts(40), 200.0),   # close (latest ts, id 5)
+        ("a", 1, ts(1), 500.0),    # open — arrives LAST
+    ]
+    path = str(tmp_path / f"ohlc-{_uuid.uuid4().hex[:8]}")
+    seen: set[str] = set()
+    for i, batch in enumerate([rows[:2], rows[2:4], rows[4:]]):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        for f in set(glob.glob(f"{path}/*.parquet")) - seen:
+            os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+        seen = set(glob.glob(f"{path}/*.parquet"))
+
+    def run(opts):
+        reader = spark.readStream.schema(schema)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        agg = _ohlc_stream_agg(reader.parquet(path))
+        out = run_upsert(spark, agg, ["event_type", "bucket"], mode="update")
+        r = out.collect()
+        assert len(r) == 1
+        return (r[0].open, r[0].high, r[0].low, r[0].close, r[0].n_ticks)
+
+    multi = run({"maxFilesPerTrigger": 1})
+    single = run({})
+    assert multi == single == (500.0, 900.0, 50.0, 200.0, 5)
