@@ -1041,6 +1041,37 @@ def q_streaming_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     queries/text.py next to its oracle helpers) ---
 
 
+def _ohlc_stream_agg(stream: DataFrame) -> DataFrame:
+    """The OHLC streaming aggregation, factored out so pytest can
+    drive it over a hand-built multi-batch stream (merge-order safety
+    of the min_by/max_by state is the load-bearing claim)."""
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        stream.groupBy(
+            "event_type", F.window(F.col("ts"), "1 hour").alias("win")
+        )
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+            F.sum("value").alias("raw_volume"),
+        )
+        .select(
+            "event_type",
+            F.col("win.start").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+            "raw_volume",
+        )
+    )
+
+
+
 @register(
     "streaming_ohlc_bars",
     # identical result contract to the batch ohlc_bars oracle
@@ -1079,36 +1110,6 @@ def q_streaming_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rounds at read time on the final per-key emission. Same rn-based "
     "deterministic oracle as the batch twin",
 )
-def _ohlc_stream_agg(stream: DataFrame) -> DataFrame:
-    """The OHLC streaming aggregation, factored out so pytest can
-    drive it over a hand-built multi-batch stream (merge-order safety
-    of the min_by/max_by state is the load-bearing claim)."""
-    ordk = F.struct(F.col("ts"), F.col("event_id"))
-    return (
-        stream.groupBy(
-            "event_type", F.window(F.col("ts"), "1 hour").alias("win")
-        )
-        .agg(
-            F.min_by("value", ordk).alias("open"),
-            F.max("value").alias("high"),
-            F.min("value").alias("low"),
-            F.max_by("value", ordk).alias("close"),
-            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
-            F.sum("value").alias("raw_volume"),
-        )
-        .select(
-            "event_type",
-            F.col("win.start").alias("bucket"),
-            "open",
-            "high",
-            "low",
-            "close",
-            "n_ticks",
-            "raw_volume",
-        )
-    )
-
-
 def q_streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     agg = _ohlc_stream_agg(_events_stream(spark, sf_dir))
