@@ -208,6 +208,9 @@ BENCH_QUERIES = [
     # (~1s: docs readStream + append collector machinery)
     "streaming_kmv_distinct",
     "streaming_quality_score",
+    # streaming drift monitor (complete-mode day/bin histogram state +
+    # read-side PSI arithmetic over the bounded emitted table)
+    "streaming_psi_drift",
 ]
 
 

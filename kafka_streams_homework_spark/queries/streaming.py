@@ -1224,3 +1224,114 @@ def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("est_distinct"),
     )
+
+
+@register(
+    "streaming_psi_drift",
+    # same oracle as the batch psi_drift twin (streaming/batch parity)
+    oracle="""
+        WITH b0 AS (
+            SELECT min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d0
+            FROM events
+        ), binned AS (
+            SELECT event_type,
+                   least(CAST(floor(value / 20) AS BIGINT), 24) AS bin,
+                   CASE WHEN ts < d0 + INTERVAL 15 DAY THEN 1 ELSE 0 END
+                       AS pre
+            FROM events, b0 WHERE value IS NOT NULL
+        ), cnt AS (
+            SELECT event_type, bin,
+                   sum(pre) AS c_pre, sum(1 - pre) AS c_post
+            FROM binned GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, sum(c_pre) AS n_pre, sum(c_post) AS n_post,
+                   count(*) AS n_bins
+            FROM cnt GROUP BY 1
+        ), terms AS (
+            SELECT c.event_type,
+                   ((c.c_pre + 0.5) / (t.n_pre + 0.5 * t.n_bins)
+                    - (c.c_post + 0.5) / (t.n_post + 0.5 * t.n_bins))
+                   * ln(((c.c_pre + 0.5) / (t.n_pre + 0.5 * t.n_bins))
+                        / ((c.c_post + 0.5)
+                           / (t.n_post + 0.5 * t.n_bins))) AS term
+            FROM cnt c JOIN tot t USING (event_type)
+        )
+        SELECT t.event_type,
+               CAST(t.n_pre AS BIGINT) AS n_pre,
+               CAST(t.n_post AS BIGINT) AS n_post,
+               CAST(t.n_bins AS BIGINT) AS n_bins,
+               round(s.psi + 1e-9, 6) AS psi,
+               round(s.psi + 1e-9, 6) > 0.02 AS drifted
+        FROM tot t JOIN (
+            SELECT event_type, sum(term) AS psi FROM terms GROUP BY 1
+        ) s USING (event_type)
+    """,
+    description="Drift monitoring AT INGEST — the streaming twin of "
+    "psi_drift, completing the production ML-ops trio next to "
+    "streaming_bpe_encode (tokenize) and streaming_quality_score "
+    "(gate). The pre/post cut (first 15 days vs rest) depends on the "
+    "corpus min date — unknowable mid-stream — so the state is "
+    "ANCHOR-FREE per-(type, DAY, bin) counts (bounded: types x days x "
+    "25 bins, mergeable; the cut boundary is day-aligned, so "
+    "day-granular state loses nothing) and the cut + Laplace-smoothed "
+    "PSI arithmetic apply at read time over the emitted bounded table "
+    "— the same mid-stream-unknowable-anchor discipline as "
+    "streaming_decayed_leaderboard. Integer counts -> identical "
+    "doubles cross-engine; drift flag on the ROUNDED psi. Complete "
+    "mode via run_replace",
+)
+def q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import run_replace
+
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    hist = (
+        stream.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.window(F.col("ts"), "1 day").alias("win"),
+            F.least(
+                F.floor(F.col("value") / 20).cast("bigint"), F.lit(24)
+            ).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "event_type", F.col("win.start").alias("day"), "bin", "c"
+        )
+    )
+    emitted = run_replace(spark, hist, mode="complete")
+    b0 = emitted.agg(F.min("day").alias("d0"))
+    cut = emitted.crossJoin(F.broadcast(b0)).select(
+        "event_type",
+        "bin",
+        "c",
+        F.when(
+            F.col("day") < F.col("d0") + F.expr("INTERVAL 15 DAY"), 1
+        )
+        .otherwise(0)
+        .alias("pre"),
+    )
+    cnt = cut.groupBy("event_type", "bin").agg(
+        F.sum(F.col("c") * F.col("pre")).alias("c_pre"),
+        F.sum(F.col("c") * (1 - F.col("pre"))).alias("c_post"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("c_pre").alias("n_pre"),
+        F.sum("c_post").alias("n_post"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    j = cnt.join(F.broadcast(tot), "event_type")
+    p = (F.col("c_pre") + 0.5) / (F.col("n_pre") + 0.5 * F.col("n_bins"))
+    q = (F.col("c_post") + 0.5) / (F.col("n_post") + 0.5 * F.col("n_bins"))
+    terms = j.select(
+        "event_type", ((p - q) * F.log(p / q)).alias("term")
+    )
+    psi = terms.groupBy("event_type").agg(F.sum("term").alias("psi"))
+    return tot.join(psi, "event_type").select(
+        "event_type",
+        F.col("n_pre").cast("bigint").alias("n_pre"),
+        F.col("n_post").cast("bigint").alias("n_post"),
+        F.col("n_bins").cast("bigint").alias("n_bins"),
+        F.round(F.col("psi") + F.lit(1e-9), 6).alias("psi"),
+        (F.round(F.col("psi") + F.lit(1e-9), 6) > 0.02).alias("drifted"),
+    )
