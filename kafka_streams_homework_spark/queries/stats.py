@@ -2975,3 +2975,411 @@ def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2 + F.lit(1e-9), 6).alias("chi2"),
         (chi2 > 10.828).alias("srm_detected"),
     )
+
+
+@register(
+    "kruskal_wallis",
+    oracle="""
+        WITH per_vg AS (
+            SELECT value AS v, event_type AS g, count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), per_v AS (
+            SELECT v, sum(c) AS cv FROM per_vg GROUP BY v
+        ), ranked AS (
+            SELECT v, cv,
+                   sum(cv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cv
+                       AS below
+            FROM per_v
+        ), per_g AS (
+            SELECT g, sum(c) AS n_g,
+                   sum(c * (below + (cv + 1) / 2.0)) AS r_g
+            FROM per_vg JOIN ranked USING (v)
+            GROUP BY g
+        ), ties AS (
+            SELECT sum(CAST(cv AS DOUBLE) * cv * cv - cv) AS tie_term
+            FROM ranked
+        ), agg AS (
+            SELECT count(*) AS k, sum(n_g) AS n,
+                   sum(r_g * r_g / n_g) AS rr
+            FROM per_g
+        )
+        SELECT CAST(k AS BIGINT) AS n_groups,
+               CAST(n AS BIGINT) AS n_total,
+               CAST(k - 1 AS BIGINT) AS df,
+               round((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * rr
+                      - 3.0 * (n + 1))
+                     / (1.0 - tie_term
+                              / (CAST(n AS DOUBLE) * n * n - n))
+                     + 1e-9, 6) AS h_stat
+        FROM agg, ties
+    """,
+    description="Kruskal-Wallis rank-based k-sample test across all "
+    "five event types: the k-group generalization of mann_whitney_u, "
+    "same distinct-first midrank discipline (the ordered cumulative "
+    "is bounded by VALUE CARDINALITY, not row volume), tie-corrected "
+    "H = [12/(N(N+1)) * sum r_g^2/n_g - 3(N+1)] / [1 - sum(t^3-t)/"
+    "(N^3-N)]. Rank sums stay integer-/half-exact in doubles (c and "
+    "midranks are exact halves), so the one-row H is "
+    "order-insensitive across engines",
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_vg = ev.groupBy(
+        F.col("value").alias("v"), F.col("event_type").alias("g")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per_v = per_vg.groupBy("v").agg(F.sum("c").alias("cv"))
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_v.select(
+        "v", "cv", (F.sum("cv").over(w) - F.col("cv")).alias("below")
+    )
+    per_g = per_vg.join(ranked, "v").groupBy("g").agg(
+        F.sum("c").alias("n_g"),
+        F.sum(
+            F.col("c") * (F.col("below") + (F.col("cv") + 1) / 2.0)
+        ).alias("r_g"),
+    )
+    ties = ranked.agg(
+        F.sum(
+            F.col("cv").cast("double") * F.col("cv") * F.col("cv")
+            - F.col("cv")
+        ).alias("tie_term")
+    )
+    agg = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum(F.col("r_g") * F.col("r_g") / F.col("n_g")).alias("rr"),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n").cast("double")
+    h = (F.lit(12.0) / (n * (n + 1)) * F.col("rr") - F.lit(3.0) * (n + 1)) / (
+        F.lit(1.0) - F.col("tie_term") / (n * n * n - n)
+    )
+    return agg.select(
+        F.col("k").cast("bigint").alias("n_groups"),
+        F.col("n").cast("bigint").alias("n_total"),
+        (F.col("k") - 1).cast("bigint").alias("df"),
+        F.round(h + F.lit(1e-9), 6).alias("h_stat"),
+    )
+
+
+_PERM_B = 200  # permutation resamples (bounded fan-out multiplier)
+
+
+@register(
+    "permutation_test",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS is_p
+            FROM events WHERE event_type IN ('purchase', 'click')
+        ), obs AS (
+            SELECT sum(CASE WHEN is_p = 1 THEN cents ELSE 0 END) AS s1,
+                   sum(is_p) AS n1,
+                   sum(CASE WHEN is_p = 0 THEN cents ELSE 0 END) AS s0,
+                   sum(1 - is_p) AS n0
+            FROM base
+        ), expanded AS (
+            SELECT cents, b.b,
+                   ('0x' || substr(md5('perm:' || b.b::VARCHAR || ':'
+                                        || event_id::VARCHAR),
+                                   1, 8))::BIGINT % 2 AS coin
+            FROM base, generate_series(1, {{B}}) AS b(b)
+        ), perms AS (
+            SELECT b,
+                   sum(CASE WHEN coin = 1 THEN cents ELSE 0 END) AS ps1,
+                   sum(CASE WHEN coin = 1 THEN 1 ELSE 0 END) AS pn1,
+                   sum(CASE WHEN coin = 0 THEN cents ELSE 0 END) AS ps0,
+                   sum(CASE WHEN coin = 0 THEN 1 ELSE 0 END) AS pn0
+            FROM expanded GROUP BY b
+        ), verdicts AS (
+            SELECT sum(CASE WHEN abs(CAST(ps1 * pn0 - ps0 * pn1
+                                          AS HUGEINT))
+                                 * CAST((SELECT n1 * n0 FROM obs)
+                                        AS HUGEINT)
+                             >= abs(CAST((SELECT s1 * n0 - s0 * n1
+                                          FROM obs) AS HUGEINT))
+                                 * CAST(pn1 * pn0 AS HUGEINT)
+                            THEN 1 ELSE 0 END) AS n_extreme
+            FROM perms WHERE pn1 > 0 AND pn0 > 0
+        )
+        SELECT CAST(n1 + n0 AS BIGINT) AS n_events,
+               CAST({{B}} AS BIGINT) AS n_perms,
+               round((CAST(s1 AS DOUBLE) / n1
+                      - CAST(s0 AS DOUBLE) / n0) / 100.0 + 1e-9, 6)
+                   AS obs_diff,
+               CAST(n_extreme AS BIGINT) AS n_extreme,
+               round((1.0 + n_extreme) / ({{B}} + 1.0) + 1e-9, 6)
+                   AS p_value
+        FROM obs, verdicts
+    """.replace("{B}", str(_PERM_B)),
+    description="Two-sample permutation test (purchase vs click mean "
+    f"value): {_PERM_B} md5-seeded label reassignments, each a "
+    "conditional-sum re-aggregation — the expansion is a bounded "
+    "B-fold explode with full map-side combine (B rows out per "
+    "partition), never a global sort. The extreme-count decision "
+    "|diff_b| >= |diff_obs| is INTEGER-EXACT: means on integer cents "
+    "compared via cross-multiplication in 128-bit arithmetic "
+    "(decimal(38,0) on Spark, HUGEINT in DuckDB), so the p-value has "
+    "no float-membership edge at all. Complements bootstrap_ci "
+    "(resampling CI) with a sharp-null significance test",
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    base = ev.select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("is_p") == 1, F.col("cents")).otherwise(0)).alias("s1"),
+        F.sum("is_p").alias("n1"),
+        F.sum(F.when(F.col("is_p") == 0, F.col("cents")).otherwise(0)).alias("s0"),
+        F.sum(1 - F.col("is_p")).alias("n0"),
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("perm:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    perms = (
+        base.select(
+            "event_id",
+            "cents",
+            F.explode(F.sequence(F.lit(1), F.lit(_PERM_B))).alias("b"),
+        )
+        .select("cents", F.col("b"), coin.alias("coin"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("coin") == 1, F.col("cents")).otherwise(0)).alias(
+                "ps1"
+            ),
+            F.sum(F.when(F.col("coin") == 1, 1).otherwise(0)).alias("pn1"),
+            F.sum(F.when(F.col("coin") == 0, F.col("cents")).otherwise(0)).alias(
+                "ps0"
+            ),
+            F.sum(F.when(F.col("coin") == 0, 1).otherwise(0)).alias("pn0"),
+        )
+        .filter((F.col("pn1") > 0) & (F.col("pn0") > 0))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    j = perms.crossJoin(F.broadcast(obs))
+    extreme = (
+        F.abs(dec(F.col("ps1") * F.col("pn0") - F.col("ps0") * F.col("pn1")))
+        * dec(F.col("n1") * F.col("n0"))
+        >= F.abs(dec(F.col("s1") * F.col("n0") - F.col("s0") * F.col("n1")))
+        * dec(F.col("pn1") * F.col("pn0"))
+    ).cast("int")
+    res = j.groupBy("s1", "n1", "s0", "n0").agg(
+        F.sum(extreme).alias("n_extreme")
+    )
+    return res.select(
+        (F.col("n1") + F.col("n0")).cast("bigint").alias("n_events"),
+        F.lit(_PERM_B).cast("bigint").alias("n_perms"),
+        F.round(
+            (
+                F.col("s1").cast("double") / F.col("n1")
+                - F.col("s0").cast("double") / F.col("n0")
+            )
+            / 100.0
+            + F.lit(1e-9),
+            6,
+        ).alias("obs_diff"),
+        F.col("n_extreme").cast("bigint").alias("n_extreme"),
+        F.round(
+            (F.lit(1.0) + F.col("n_extreme")) / (F.lit(_PERM_B) + 1.0)
+            + F.lit(1e-9),
+            6,
+        ).alias("p_value"),
+    )
+
+
+@register(
+    "decision_stump",
+    oracle="""
+        WITH per_v AS (
+            SELECT value AS v, count(*) AS c,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END) AS pos
+            FROM events GROUP BY value
+        ), cum AS (
+            SELECT v,
+                   sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                       AS nl,
+                   sum(pos) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                       AS pl,
+                   sum(c) OVER () AS n,
+                   sum(pos) OVER () AS p
+            FROM per_v
+        ), scored AS (
+            SELECT v, nl, n - nl AS nr, pl, p - pl AS pr,
+                   (CAST(pl * pl + (nl - pl) * (nl - pl) AS DOUBLE)
+                    / nl)
+                   + (CAST((p - pl) * (p - pl)
+                           + ((n - nl) - (p - pl))
+                             * ((n - nl) - (p - pl)) AS DOUBLE)
+                      / (n - nl)) AS h,
+                   n
+            FROM cum WHERE nl < n
+        )
+        SELECT round(v, 6) AS split_value,
+               CAST(nl AS BIGINT) AS n_left,
+               CAST(nr AS BIGINT) AS n_right,
+               CAST(pl AS BIGINT) AS pos_left,
+               CAST(pr AS BIGINT) AS pos_right,
+               round((n - h) / n + 1e-9, 6) AS weighted_gini
+        FROM scored
+        ORDER BY h DESC, v
+        LIMIT 1
+    """,
+    description="Single-feature decision stump: the best threshold "
+    "split of value predicting event_type='purchase' by weighted "
+    "Gini impurity. Distinct-first cumulative counts (one window over "
+    "VALUE CARDINALITY, never row volume) give every candidate "
+    "split's left/right class counts in one pass; minimizing weighted "
+    "Gini = maximizing h = (pl^2+ql^2)/nl + (pr^2+qr^2)/nr, computed "
+    "as one double division per side from EXACT integer squares, so "
+    "the argmax (tie-break: lowest threshold) is bit-identical across "
+    "engines. The greedy-tree / GBDT split-finding primitive as a "
+    "relational plan",
+)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_v = ev.groupBy(F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("pos"),
+    )
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_v.select(
+        "v",
+        F.sum("c").over(wc).alias("nl"),
+        F.sum("pos").over(wc).alias("pl"),
+        F.sum("c").over(wall).alias("n"),
+        F.sum("pos").over(wall).alias("p"),
+    ).filter(F.col("nl") < F.col("n"))
+    nr = F.col("n") - F.col("nl")
+    pr = F.col("p") - F.col("pl")
+    ql = F.col("nl") - F.col("pl")
+    qr = nr - pr
+    h = (
+        (F.col("pl") * F.col("pl") + ql * ql).cast("double") / F.col("nl")
+    ) + ((pr * pr + qr * qr).cast("double") / nr)
+    scored = cum.select(
+        "v", "nl", nr.alias("nr"), "pl", pr.alias("pr"), h.alias("h"), "n"
+    )
+    return (
+        scored.orderBy(F.desc("h"), F.asc("v"))
+        .limit(1)
+        .select(
+            F.round(F.col("v"), 6).alias("split_value"),
+            F.col("nl").cast("bigint").alias("n_left"),
+            F.col("nr").cast("bigint").alias("n_right"),
+            F.col("pl").cast("bigint").alias("pos_left"),
+            F.col("pr").cast("bigint").alias("pos_right"),
+            F.round(
+                (F.col("n") - F.col("h")) / F.col("n") + F.lit(1e-9), 6
+            ).alias("weighted_gini"),
+        )
+    )
+
+
+@register(
+    "woe_iv_binning",
+    oracle="""
+        WITH per_v AS (
+            SELECT value AS v,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END) AS g,
+                   sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1
+                       END) AS b
+            FROM events GROUP BY value
+        ), binned AS (
+            SELECT ntile(10) OVER (ORDER BY v) AS bin, v, g, b
+            FROM per_v
+        ), per_bin AS (
+            SELECT bin, min(v) AS v_lo, max(v) AS v_hi,
+                   sum(g + b) AS n, sum(g) AS n_good, sum(b) AS n_bad
+            FROM binned GROUP BY bin
+        ), tot AS (
+            SELECT sum(n_good) AS gt, sum(n_bad) AS bt FROM per_bin
+        )
+        SELECT bin,
+               round(v_lo, 6) AS v_lo, round(v_hi, 6) AS v_hi,
+               CAST(n AS BIGINT) AS n,
+               CAST(n_good AS BIGINT) AS n_good,
+               CAST(n_bad AS BIGINT) AS n_bad,
+               round(ln(((n_good + 0.5) / (gt + 5.0))
+                        / ((n_bad + 0.5) / (bt + 5.0))) + 1e-9, 6)
+                   AS woe,
+               round(((n_good + 0.5) / (gt + 5.0)
+                      - (n_bad + 0.5) / (bt + 5.0))
+                     * ln(((n_good + 0.5) / (gt + 5.0))
+                          / ((n_bad + 0.5) / (bt + 5.0))) + 1e-9, 6)
+                   AS iv
+        FROM per_bin, tot
+    """,
+    description="Weight-of-evidence / information-value binning of "
+    "value against the purchase target: distinct values dealt into 10 "
+    "equi-cardinality bins (ntile over the bounded distinct-value "
+    "set, identical dealing rule in both engines), Laplace-smoothed "
+    "(+0.5 per bin, +k/2 per total) so empty classes stay finite. "
+    "WOE = ln(dist_good/dist_bad) per bin, IV its "
+    "population-difference weighting — the credit-scoring / feature-"
+    "screening primitive; doubles derive from exact integer counts "
+    "via a mirrored expression tree",
+)
+def q_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_v = ev.groupBy(F.col("value").alias("v")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("g"),
+        F.sum((F.col("event_type") != "purchase").cast("int")).alias("b"),
+    )
+    binned = per_v.select(
+        F.ntile(10).over(Window.orderBy("v")).alias("bin"), "v", "g", "b"
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.min("v").alias("v_lo"),
+        F.max("v").alias("v_hi"),
+        F.sum(F.col("g") + F.col("b")).alias("n"),
+        F.sum("g").alias("n_good"),
+        F.sum("b").alias("n_bad"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_good").alias("gt"), F.sum("n_bad").alias("bt")
+    )
+    j = per_bin.crossJoin(F.broadcast(tot))
+    dg = (F.col("n_good") + 0.5) / (F.col("gt") + 5.0)
+    db = (F.col("n_bad") + 0.5) / (F.col("bt") + 5.0)
+    return j.select(
+        "bin",
+        F.round(F.col("v_lo"), 6).alias("v_lo"),
+        F.round(F.col("v_hi"), 6).alias("v_hi"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_good").cast("bigint").alias("n_good"),
+        F.col("n_bad").cast("bigint").alias("n_bad"),
+        F.round(F.log(dg / db) + F.lit(1e-9), 6).alias("woe"),
+        F.round((dg - db) * F.log(dg / db) + F.lit(1e-9), 6).alias("iv"),
+    )
