@@ -915,3 +915,189 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("phi"),
         )
     )
+
+
+@register(
+    "hits_scores",
+    oracle="""
+        WITH e AS (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ), a1 AS (
+            SELECT dst AS node, sum(w) AS s FROM e GROUP BY dst
+        ), a1n AS (
+            SELECT node, s / (SELECT sum(s) FROM a1) AS a FROM a1
+        ), h1 AS (
+            SELECT e.src AS node, sum(e.w * a1n.a) AS s
+            FROM e JOIN a1n ON a1n.node = e.dst GROUP BY e.src
+        ), h1n AS (
+            SELECT node, s / (SELECT sum(s) FROM h1) AS h FROM h1
+        ), a2 AS (
+            SELECT e.dst AS node, sum(e.w * h1n.h) AS s
+            FROM e JOIN h1n ON h1n.node = e.src GROUP BY e.dst
+        ), a2n AS (
+            SELECT node, s / (SELECT sum(s) FROM a2) AS a FROM a2
+        ), h2 AS (
+            SELECT e.src AS node, sum(e.w * a2n.a) AS s
+            FROM e JOIN a2n ON a2n.node = e.dst GROUP BY e.src
+        ), h2n AS (
+            SELECT node, s / (SELECT sum(s) FROM h2) AS h FROM h2
+        )
+        SELECT COALESCE(h2n.node, a2n.node) AS part,
+               round(COALESCE(h2n.h, 0) + 1e-9, 6) AS hub,
+               round(COALESCE(a2n.a, 0) + 1e-9, 6) AS auth
+        FROM h2n FULL OUTER JOIN a2n ON h2n.node = a2n.node
+    """,
+    description="HITS hubs & authorities (Kleinberg) over the directed "
+    "co-purchase graph (low part -> high part, weight = co-order "
+    "count >= 2): two L1-normalized power iterations — each one "
+    "co-partitioned edge join + partial agg, the normalizer a one-row "
+    "broadcast scalar; same iterative-relational shape as "
+    "copurchase_pagerank but with the alternating two-vector update, "
+    "unrolled to exact SQL CTEs in the oracle. Sources that are never "
+    "targets carry auth=0 and vice versa (full outer merge)",
+)
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    e = tracked_persist(
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("src", "dst", F.col("c").cast("double").alias("w"))
+    )
+
+    def l1_normalize(df, col):
+        tot = df.agg(F.sum(col).alias("__tot"))
+        return df.crossJoin(F.broadcast(tot)).select(
+            "node", (F.col(col) / F.col("__tot")).alias(col[0])
+        )
+
+    a1 = l1_normalize(
+        e.groupBy(F.col("dst").alias("node")).agg(F.sum("w").alias("s")), "s"
+    )
+    h1 = l1_normalize(
+        e.join(a1, e["dst"] == a1["node"])
+        .groupBy(F.col("src").alias("node2"))
+        .agg(F.sum(F.col("w") * F.col("s")).alias("s2"))
+        .select(F.col("node2").alias("node"), F.col("s2").alias("s")),
+        "s",
+    )
+    a2 = l1_normalize(
+        e.join(h1, e["src"] == h1["node"])
+        .groupBy(F.col("dst").alias("node2"))
+        .agg(F.sum(F.col("w") * F.col("s")).alias("s2"))
+        .select(F.col("node2").alias("node"), F.col("s2").alias("s")),
+        "s",
+    )
+    h2 = l1_normalize(
+        e.join(a2, e["dst"] == a2["node"])
+        .groupBy(F.col("src").alias("node2"))
+        .agg(F.sum(F.col("w") * F.col("s")).alias("s2"))
+        .select(F.col("node2").alias("node"), F.col("s2").alias("s")),
+        "s",
+    )
+    hub = h2.select(F.col("node").alias("hn"), F.col("s").alias("hub"))
+    auth = a2.select(F.col("node").alias("an"), F.col("s").alias("auth"))
+    j = hub.join(auth, hub["hn"] == auth["an"], "full_outer")
+    return j.select(
+        F.coalesce(F.col("hn"), F.col("an")).alias("part"),
+        F.round(F.coalesce(F.col("hub"), F.lit(0.0)) + F.lit(1e-9), 6).alias(
+            "hub"
+        ),
+        F.round(F.coalesce(F.col("auth"), F.lit(0.0)) + F.lit(1e-9), 6).alias(
+            "auth"
+        ),
+    )
+
+
+@register(
+    "clustering_coefficient",
+    oracle="""
+        WITH e AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ), und AS (
+            SELECT pa AS node, pb AS other FROM e
+            UNION ALL SELECT pb, pa FROM e
+        ), deg AS (
+            SELECT node, count(*) AS degree FROM und GROUP BY node
+        ), tri AS (
+            SELECT e1.pa AS u, e1.pb AS v, e2.pb AS w
+            FROM e e1
+            JOIN e e2 ON e1.pb = e2.pa
+            JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        ), corners AS (
+            SELECT u AS node FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri
+        ), tc AS (
+            SELECT node, count(*) AS n_triangles
+            FROM corners GROUP BY node
+        )
+        SELECT d.node AS part,
+               CAST(d.degree AS BIGINT) AS degree,
+               CAST(COALESCE(tc.n_triangles, 0) AS BIGINT)
+                   AS n_triangles,
+               round(2.0 * COALESCE(tc.n_triangles, 0)
+                     / (CAST(d.degree AS DOUBLE) * (d.degree - 1))
+                     + 1e-9, 6) AS clustering_coef
+        FROM deg d LEFT JOIN tc USING (node)
+        WHERE d.degree >= 2
+    """,
+    description="Per-node local clustering coefficient cc = "
+    "2T/(deg*(deg-1)) over the thresholded co-purchase graph (same "
+    "edge set as triangle_count): how close each part's neighborhood "
+    "is to a clique — the transitivity/community-density diagnostic "
+    "next to neighbor_jaccard and graph_modularity. Triangles come "
+    "from the skew-proof degree-oriented wedge join (operators."
+    "graph.triangle_count); degrees are one map-side-combinable agg "
+    "on the doubled edge list; the ratio is a single double division "
+    "from exact integers",
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = tracked_persist(
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .drop("c")
+    )
+    und = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    tc = triangle_count(edges).select(
+        F.col("node").alias("tn"), "n_triangles"
+    )
+    j = deg.filter(F.col("degree") >= 2).join(
+        tc, deg["node"] == tc["tn"], "left"
+    )
+    t = F.coalesce(F.col("n_triangles"), F.lit(0))
+    return j.select(
+        F.col("node").alias("part"),
+        F.col("degree").cast("bigint").alias("degree"),
+        t.cast("bigint").alias("n_triangles"),
+        F.round(
+            F.lit(2.0) * t
+            / (F.col("degree").cast("double") * (F.col("degree") - 1))
+            + F.lit(1e-9),
+            6,
+        ).alias("clustering_coef"),
+    )

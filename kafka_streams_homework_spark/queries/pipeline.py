@@ -1529,3 +1529,144 @@ def q_rtbf_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit("events", ev, "user_id").unionAll(
         audit("customer", cust_keyed, "u")
     )
+
+
+@register(
+    "target_encoding",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), g AS (
+            SELECT sum(cents) AS gs, count(*) AS gn FROM base
+        ), per_cat AS (
+            SELECT o_orderpriority, sum(cents) AS cs, count(*) AS cn
+            FROM base GROUP BY o_orderpriority
+        )
+        SELECT b.o_orderkey, b.o_orderpriority,
+               round(((CAST(cs - b.cents AS DOUBLE)
+                       + 10.0 * (CAST(gs AS DOUBLE) / gn))
+                      / (cn - 1 + 10.0)) / 100.0 + 1e-9, 4)
+                   AS priority_enc
+        FROM base b JOIN per_cat USING (o_orderpriority), g
+    """,
+    description="Leave-one-out smoothed target encoding of "
+    "o_orderpriority against o_totalprice: enc_i = (sum_cat - y_i + "
+    "m*global_mean) / (n_cat - 1 + m), m=10 — the leakage-safe "
+    "categorical feature for GBDT/linear training (complements "
+    "split_leakage_free and kfold_assign in the prep family). "
+    "Category sums are one bounded-cardinality agg broadcast back "
+    "onto the row scan; LOO arithmetic runs on integer cents so the "
+    "per-row double derives from exact integers identically in both "
+    "engines",
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    g = base.agg(F.sum("cents").alias("gs"), F.count(F.lit(1)).alias("gn"))
+    per_cat = base.groupBy("o_orderpriority").agg(
+        F.sum("cents").alias("cs"), F.count(F.lit(1)).alias("cn")
+    )
+    enc = (
+        (
+            (F.col("cs") - F.col("cents")).cast("double")
+            + F.lit(10.0) * (F.col("gs").cast("double") / F.col("gn"))
+        )
+        / (F.col("cn") - 1 + F.lit(10.0))
+    ) / 100.0
+    return (
+        base.join(F.broadcast(per_cat), "o_orderpriority")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(enc + F.lit(1e-9), 4).alias("priority_enc"),
+        )
+    )
+
+
+@register(
+    "dq_referential",
+    oracle="""
+        SELECT 'lineitem->orders' AS relationship,
+               CAST(count(*) AS BIGINT) AS child_rows,
+               CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT) AS orphan_rows
+        FROM lineitem l LEFT JOIN orders o
+          ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'lineitem->part',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT)
+        FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        UNION ALL
+        SELECT 'lineitem->supplier',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT)
+        FROM lineitem l LEFT JOIN supplier s
+          ON l.l_suppkey = s.s_suppkey
+        UNION ALL
+        SELECT 'orders->customer',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT)
+        FROM orders o LEFT JOIN customer c
+          ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'customer->nation',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT)
+        FROM customer c LEFT JOIN nation n
+          ON c.c_nationkey = n.n_nationkey
+    """,
+    description="Referential-integrity audit across the star schema's "
+    "five FK edges (lineitem->orders/part/supplier, orders->customer, "
+    "customer->nation): per edge, child row count and orphan count "
+    "via LEFT JOIN null-probe — the existence checks every ingest "
+    "gate runs before exposing a snapshot (complements dq_rules' "
+    "value-level checks and join_explosion_audit's fan-out check). "
+    "Dimension probes broadcast; the two fact-sized probes shuffle "
+    "on their join key once and aggregate map-side to one row each",
+)
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+
+    def probe(child, ckey, parent, pkey, name):
+        p = parent.select(F.col(pkey).alias("__pk"))
+        j = child.select(F.col(ckey).alias("__ck")).join(
+            p, F.col("__ck") == F.col("__pk"), "left"
+        )
+        return j.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).cast("bigint").alias("child_rows"),
+            F.sum(F.col("__pk").isNull().cast("int"))
+            .cast("bigint")
+            .alias("orphan_rows"),
+        ).select("relationship", "child_rows", "orphan_rows")
+
+    return (
+        probe(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+        .unionAll(probe(li, "l_partkey", part, "p_partkey", "lineitem->part"))
+        .unionAll(
+            probe(li, "l_suppkey", supplier, "s_suppkey", "lineitem->supplier")
+        )
+        .unionAll(
+            probe(orders, "o_custkey", customer, "c_custkey", "orders->customer")
+        )
+        .unionAll(
+            probe(customer, "c_nationkey", nation, "n_nationkey", "customer->nation")
+        )
+    )

@@ -1863,3 +1863,117 @@ def q_streaming_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fertility_bpe"),
     )
+
+
+@register(
+    "naive_bayes_lang",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(str_split(lower(text), ' ')) AS tok
+            FROM documents
+        ), dt AS (
+            SELECT doc_id, tok, count(*) AS n_dt
+            FROM toks GROUP BY doc_id, tok
+        ), tc AS (
+            SELECT tok, lang AS cl, count(*) AS c
+            FROM toks GROUP BY tok, lang
+        ), class_tot AS (
+            SELECT cl, sum(c) AS tl FROM tc GROUP BY cl
+        ), vocab AS (
+            SELECT count(DISTINCT tok) AS v FROM toks
+        ), priors AS (
+            SELECT lang AS cl, count(*) AS nd FROM documents GROUP BY lang
+        ), ndocs AS (
+            SELECT count(*) AS n FROM documents
+        ), scores AS (
+            SELECT dt.doc_id, p.cl,
+                   ln(CAST(p.nd AS DOUBLE) / (SELECT n FROM ndocs))
+                   + sum(dt.n_dt
+                         * ln((COALESCE(tc.c, 0) + 1)
+                              / CAST(ct.tl + (SELECT v FROM vocab)
+                                     AS DOUBLE))) AS score
+            FROM dt
+            CROSS JOIN priors p
+            JOIN class_tot ct ON ct.cl = p.cl
+            LEFT JOIN tc ON tc.tok = dt.tok AND tc.cl = p.cl
+            GROUP BY dt.doc_id, p.cl, p.nd, ct.tl
+        ), ranked AS (
+            SELECT doc_id, cl, score,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY round(score + 1e-9, 6) DESC, cl
+                   ) AS rn
+            FROM scores
+        )
+        SELECT r.doc_id, r.cl AS pred_lang,
+               round(r.score + 1e-9, 6) AS log_posterior,
+               r.cl = d.lang AS is_correct
+        FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+        WHERE rn = 1
+    """,
+    description="Multinomial naive-Bayes language classifier trained "
+    "on the corpus itself (classes = lang, features = unigram tokens, "
+    "Laplace +1 smoothing) and applied back to every doc — the "
+    "learned-classifier primitive behind quality/domain filtering at "
+    "scale (fastText-style pipelines), expressed as pure relational "
+    "algebra: token-class counts and class totals are "
+    "vocabulary-bounded broadcast tables, scoring is one "
+    "(doc-token x 5 classes) expansion with map-side combine into "
+    "per-(doc,class) log-posteriors, argmax via per-doc "
+    "row_number on the ROUNDED score (house parity rule) with "
+    "class-name tie-break",
+)
+def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.functions import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tracked_persist(
+        docs.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+    )
+    dt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n_dt"))
+    tc = toks.groupBy("tok", F.col("lang").alias("cl")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    class_tot = tc.groupBy("cl").agg(F.sum("c").alias("tl"))
+    vocab = toks.agg(F.countDistinct("tok").alias("v"))
+    priors = docs.groupBy(F.col("lang").alias("cl")).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    ndocs = docs.agg(F.count(F.lit(1)).alias("n"))
+    classes = (
+        priors.join(class_tot, "cl")
+        .crossJoin(vocab)
+        .crossJoin(ndocs)
+    )  # 5 rows: (cl, nd, tl, v, n)
+    expanded = dt.crossJoin(F.broadcast(classes)).join(
+        F.broadcast(tc.select(F.col("tok").alias("t2"), F.col("cl").alias("c2"), "c")),
+        (F.col("tok") == F.col("t2")) & (F.col("cl") == F.col("c2")),
+        "left",
+    )
+    contrib = F.col("n_dt") * F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + 1)
+        / (F.col("tl") + F.col("v")).cast("double")
+    )
+    scores = expanded.groupBy("doc_id", "cl", "nd", "n").agg(
+        F.sum(contrib).alias("s")
+    ).select(
+        "doc_id",
+        "cl",
+        (
+            F.log(F.col("nd").cast("double") / F.col("n")) + F.col("s")
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("score") + F.lit(1e-9), 6).desc(), F.col("cl").asc()
+    )
+    ranked = scores.select(
+        "doc_id", "cl", "score", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") == 1)
+    truth = docs.select(F.col("doc_id").alias("d2"), F.col("lang"))
+    return ranked.join(truth, ranked["doc_id"] == truth["d2"]).select(
+        "doc_id",
+        F.col("cl").alias("pred_lang"),
+        F.round(F.col("score") + F.lit(1e-9), 6).alias("log_posterior"),
+        (F.col("cl") == F.col("lang")).alias("is_correct"),
+    )

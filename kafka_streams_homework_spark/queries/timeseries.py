@@ -1484,3 +1484,121 @@ def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wd + F.lit(1e-9), 6).alias("raked_mass"),
         F.round(wd / F.col("n") + F.lit(1e-9), 6).alias("row_weight"),
     )
+
+
+@register(
+    "hurst_exponent",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS s
+            FROM events GROUP BY 1
+        ), indexed AS (
+            SELECT s, row_number() OVER (ORDER BY h) - 1 AS idx
+            FROM hourly
+        ), expanded AS (
+            SELECT i.s, i.idx, u.n, i.idx // u.n AS blk
+            FROM indexed i, unnest([8, 16, 32, 64]) AS u(n)
+        ), sized AS (
+            SELECT n, blk, count(*) AS cnt, avg(CAST(s AS DOUBLE)) AS m
+            FROM expanded GROUP BY n, blk
+        ), devs AS (
+            SELECT e.n, e.blk, e.s - z.m AS d, e.idx,
+                   sum(e.s - z.m) OVER (
+                       PARTITION BY e.n, e.blk ORDER BY e.idx
+                       ROWS UNBOUNDED PRECEDING) AS z
+            FROM expanded e
+            JOIN sized z ON z.n = e.n AND z.blk = e.blk AND z.cnt = z.n
+        ), per_blk AS (
+            SELECT n, blk,
+                   max(z) - min(z) AS r,
+                   sqrt(sum(d * d) / n) AS sd
+            FROM devs GROUP BY n, blk
+        ), per_n AS (
+            SELECT n, count(*) AS n_blocks, avg(r / sd) AS rs
+            FROM per_blk WHERE sd > 0 GROUP BY n
+        ), fit AS (
+            SELECT count(*) AS n_scales,
+                   (sum(ln(CAST(n AS DOUBLE)) * ln(rs))
+                    - sum(ln(CAST(n AS DOUBLE))) * sum(ln(rs))
+                      / count(*))
+                   / (sum(ln(CAST(n AS DOUBLE))
+                          * ln(CAST(n AS DOUBLE)))
+                      - sum(ln(CAST(n AS DOUBLE)))
+                        * sum(ln(CAST(n AS DOUBLE))) / count(*))
+                       AS h_exp
+            FROM per_n
+        )
+        SELECT CAST((SELECT count(*) FROM hourly) AS BIGINT) AS n_hours,
+               CAST(n_scales AS BIGINT) AS n_scales,
+               round(h_exp + 1e-9, 6) AS hurst
+        FROM fit
+    """,
+    description="Hurst exponent of the hourly event-value series via "
+    "rescaled-range (R/S) analysis: block sizes {8,16,32,64} hours, "
+    "per-block range of ORDER-DETERMINISTIC cumulative deviations "
+    "(the window is keyed by the hour index, so cumsum ULPs agree "
+    "across engines) over population std, log-log least-squares "
+    "slope across scales. H>0.5 = trending/persistent load, H<0.5 = "
+    "mean-reverting — the long-memory diagnostic for capacity "
+    "planning next to acf_lags and seasonality_profile. One "
+    "hour-cardinality rollup, then everything is bounded by "
+    "hours x 4 scales",
+)
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("s")
+    )
+    indexed = hourly.select(
+        "s", (F.row_number().over(Window.orderBy("h")) - 1).alias("idx")
+    )
+    expanded = indexed.select(
+        "s",
+        "idx",
+        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32), F.lit(64))).alias(
+            "n"
+        ),
+    ).withColumn("blk", F.floor(F.col("idx") / F.col("n")))
+    sized = expanded.groupBy(F.col("n").alias("zn"), F.col("blk").alias("zb")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.avg(F.col("s").cast("double")).alias("m"),
+    ).filter(F.col("cnt") == F.col("zn"))
+    wz = Window.partitionBy("n", "blk").orderBy("idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    devs = (
+        expanded.join(
+            sized, (F.col("n") == F.col("zn")) & (F.col("blk") == F.col("zb"))
+        )
+        .select(
+            "n",
+            "blk",
+            "idx",
+            (F.col("s") - F.col("m")).alias("d"),
+        )
+        .withColumn("z", F.sum("d").over(wz))
+    )
+    per_blk = devs.groupBy("n", "blk").agg(
+        (F.max("z") - F.min("z")).alias("r"),
+        F.sqrt(F.sum(F.col("d") * F.col("d")) / F.col("n")).alias("sd"),
+    )
+    per_n = per_blk.filter(F.col("sd") > 0).groupBy("n").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.avg(F.col("r") / F.col("sd")).alias("rs"),
+    )
+    lx = F.log(F.col("n").cast("double"))
+    ly = F.log(F.col("rs"))
+    fit = per_n.agg(
+        F.count(F.lit(1)).alias("n_scales"),
+        (
+            (F.sum(lx * ly) - F.sum(lx) * F.sum(ly) / F.count(F.lit(1)))
+            / (F.sum(lx * lx) - F.sum(lx) * F.sum(lx) / F.count(F.lit(1)))
+        ).alias("h_exp"),
+    )
+    nh = hourly.agg(F.count(F.lit(1)).alias("n_hours"))
+    return fit.crossJoin(F.broadcast(nh)).select(
+        F.col("n_hours").cast("bigint").alias("n_hours"),
+        F.col("n_scales").cast("bigint").alias("n_scales"),
+        F.round(F.col("h_exp") + F.lit(1e-9), 6).alias("hurst"),
+    )
