@@ -1313,3 +1313,85 @@ def video_decode(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(dec, VIDEO_FEATURES_SCHEMA)
+
+
+# Fixed-point DCT-II basis shared with the oracle SQL: c[u][x] =
+# round(cos(pi*(2x+1)*u/16) * 1e6). Quantizing the basis to integers
+# makes the ENTIRE pHash integer arithmetic — no float ever enters the
+# hash, so Spark (real PNG decode) and the SQL oracle (closed-form
+# pixels) agree bit-for-bit with zero trig-ULP risk across libm
+# implementations.
+import math as _math
+
+DCT_BASIS_SCALE = 1_000_000
+DCT_BASIS = [
+    [
+        round(_math.cos(_math.pi * (2 * x + 1) * u / 16) * DCT_BASIS_SCALE)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+def png_phash(media: DataFrame) -> DataFrame:
+    """Perceptual DCT hash (pHash) over REALLY decoded PNG bitmaps.
+
+    Classic pHash recipe, integer-exact variant: pool the bitmap into
+    an 8x8 grid of block means (floor division — stays integer), take
+    the 2-D DCT-II with the fixed-point integer basis above, keep the
+    35 low-frequency coefficients ((u,v) in [0,6)^2 minus DC), and set
+    bit i when coefficient i exceeds the median (18th-smallest of 35).
+    Robust to brightness scaling and high-frequency noise where aHash
+    is not. The 35 bits are emitted as three ~12-bit band ints
+    (b0..b2) — pigeonhole keys guaranteeing every Hamming<=2 pair
+    shares an exact band, so the candidate join is banded, never
+    O(n^2).
+    """
+
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "b0": [], "b1": [], "b2": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _depth, _ctype, px = decode_png_gray8(bytes(payload))
+                bsum = [[0] * 8 for _ in range(8)]
+                npix = [[0] * 8 for _ in range(8)]
+                for y in range(h):
+                    row = px[y]
+                    by = y * 8 // h
+                    for x in range(w):
+                        bx = x * 8 // w
+                        bsum[by][bx] += row[x]
+                        npix[by][bx] += 1
+                bmean = [
+                    [bsum[by][bx] // npix[by][bx] for bx in range(8)]
+                    for by in range(8)
+                ]
+                coefs = []
+                for u in range(6):
+                    bu = DCT_BASIS[u]
+                    for v in range(6):
+                        if u == 0 and v == 0:
+                            continue
+                        bv = DCT_BASIS[v]
+                        c = 0
+                        for y in range(8):
+                            row_m = bmean[y]
+                            cy = bu[y]
+                            for x in range(8):
+                                c += row_m[x] * cy * bv[x]
+                        coefs.append(c)
+                med = sorted(coefs)[17]
+                bands = [0, 0, 0]
+                for idx, c in enumerate(coefs):
+                    if c > med:
+                        bands[idx // 12] |= 1 << (idx % 12)
+                out["doc_id"].append(doc_id)
+                for i in range(3):
+                    out[f"b{i}"].append(bands[i])
+            yield pd.DataFrame(out).astype(
+                {"b0": "int64", "b1": "int64", "b2": "int64"}
+            )
+
+    return media.mapInPandas(ph, "doc_id long, b0 long, b1 long, b2 long")

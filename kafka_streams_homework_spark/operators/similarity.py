@@ -1656,3 +1656,31 @@ def mmr_rerank(
         # blocks are superseded — release per step (VERDICT r7 task 6)
         release_checkpoint(prev_sel)
     return sel
+
+
+def radius_search(
+    embeddings: DataFrame, queries: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact cosine range search: all neighbors with sim >= threshold.
+
+    The range-query twin of knn_bruteforce (top-k): broadcast(queries)
+    x one corpus scan, JVM-side cosine, membership decided on the
+    ROUNDED sim (house cross-engine parity rule). Unlike top-k there
+    is no per-query rank state, so the plan is a pure selective map —
+    at 100 TB it is a broadcast-join scan that prunes to the output
+    size with zero shuffle.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim", F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6)
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("query_id", "neighbor_id", "sim")
+    )

@@ -884,3 +884,156 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("n_credits"),
         F.round(F.sum(credit * F.col("k")).cast("double"), 2).alias("credited"),
     )
+
+
+@register(
+    "shapley_attribution",
+    oracle="""
+        WITH ch AS (
+            SELECT event_type AS channel,
+                   1 << (CAST(row_number() OVER (ORDER BY event_type)
+                              AS INTEGER) - 1) AS bit
+            FROM (SELECT DISTINCT event_type FROM events
+                  WHERE event_type != 'purchase')
+        ), user_bits AS (
+            SELECT e.user_id, ch.bit
+            FROM (SELECT DISTINCT user_id, event_type FROM events
+                  WHERE event_type != 'purchase') e
+            JOIN ch ON ch.channel = e.event_type
+        ), users AS (
+            SELECT u.user_id,
+                   COALESCE(b.mask, 0) AS mask,
+                   CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END
+                       AS conv
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN (SELECT user_id, sum(bit) AS mask
+                       FROM user_bits GROUP BY user_id) b
+              ON b.user_id = u.user_id
+            LEFT JOIN (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'purchase') p
+              ON p.user_id = u.user_id
+        ), observed AS (
+            SELECT mask, count(*) AS n, sum(conv) AS c
+            FROM users GROUP BY mask
+        ), masks AS (
+            SELECT m.m AS mask,
+                   CASE WHEN o.n IS NULL OR o.n = 0 THEN 0.0
+                        ELSE CAST(o.c AS DOUBLE) / o.n END AS v
+            FROM generate_series(0, 15) AS m(m)
+            LEFT JOIN observed o ON o.mask = m.m
+        ), contribs AS (
+            SELECT ch.channel,
+                   (CASE bit_count(CAST(s.mask AS BIGINT))
+                        WHEN 0 THEN 0.25
+                        WHEN 1 THEN 1.0 / 12.0
+                        WHEN 2 THEN 1.0 / 12.0
+                        ELSE 0.25 END)
+                   * (t.v - s.v) AS phi_term
+            FROM ch
+            JOIN masks s ON (s.mask & ch.bit) = 0
+            JOIN masks t ON t.mask = s.mask + ch.bit
+        )
+        SELECT c.channel,
+               round(sum(c.phi_term) + 1e-9, 6) AS shapley,
+               CAST((SELECT sum(n) FROM observed o
+                     WHERE (o.mask & ch.bit) != 0) AS BIGINT)
+                   AS n_users_touched
+        FROM contribs c JOIN ch ON ch.channel = c.channel
+        GROUP BY c.channel, ch.bit
+    """,
+    description="Data-driven Shapley-value channel attribution (Zhao "
+    "et al. / Shapley 1953): each user's touched non-purchase channel "
+    "set is a coalition, v(S) = observed conversion rate of users "
+    "with EXACTLY set S (0 for unobserved coalitions), and each "
+    "channel's credit is the exact Shapley sum over all 2^(k-1) "
+    "marginal contributions with weights |S|!(k-1-|S|)!/k!. The "
+    "corpus contributes ONE distinct-(user,channel) rollup; "
+    "everything after is bounded by 2^k masks (k=4 here), so the "
+    "coalition join never touches row volume — the principled "
+    "alternative endpoint to linear_attribution's uniform split",
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("event_type")
+        .distinct()
+        .select(
+            F.col("event_type").alias("channel"),
+            (F.row_number().over(Window.orderBy("event_type")) - 1).alias(
+                "rn0"
+            ),
+        )
+        .select("channel", F.expr("shiftleft(1, rn0)").alias("bit"))
+    )
+    user_ch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("user_id", "event_type")
+        .distinct()
+        .join(F.broadcast(ch), F.col("event_type") == F.col("channel"))
+        .groupBy("user_id")
+        .agg(F.sum("bit").alias("mask"))
+    )
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("pu"))
+        .distinct()
+    )
+    users = (
+        ev.select("user_id")
+        .distinct()
+        .join(user_ch, "user_id", "left")
+        .join(buyers, F.col("user_id") == F.col("pu"), "left")
+        .select(
+            F.coalesce(F.col("mask"), F.lit(0)).alias("mask"),
+            F.when(F.col("pu").isNull(), 0).otherwise(1).alias("conv"),
+        )
+    )
+    observed = users.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    all_masks = spark.range(16).select(F.col("id").cast("int").alias("m"))
+    masks = all_masks.join(
+        F.broadcast(observed), F.col("m") == F.col("mask"), "left"
+    ).select(
+        "m",
+        F.when(
+            F.col("n").isNull() | (F.col("n") == 0), F.lit(0.0)
+        ).otherwise(F.col("c").cast("double") / F.col("n")).alias("v"),
+    )
+    s = masks.select(F.col("m").alias("sm"), F.col("v").alias("sv"))
+    t = masks.select(F.col("m").alias("tm"), F.col("v").alias("tv"))
+    weight = (
+        F.when(F.bit_count(F.col("sm").cast("bigint")) == 0, F.lit(0.25))
+        .when(F.bit_count(F.col("sm").cast("bigint")) == 1, F.lit(1.0) / 12.0)
+        .when(F.bit_count(F.col("sm").cast("bigint")) == 2, F.lit(1.0) / 12.0)
+        .otherwise(F.lit(0.25))
+    )
+    contribs = (
+        F.broadcast(ch)
+        .crossJoin(s)
+        .filter(F.expr("(sm & bit) = 0"))
+        .join(t, F.col("tm") == F.col("sm") + F.col("bit"))
+        .select(
+            "channel",
+            "bit",
+            (weight * (F.col("tv") - F.col("sv"))).alias("phi_term"),
+        )
+    )
+    touched = (
+        F.broadcast(ch.select(F.col("channel").alias("c2"), F.col("bit").alias("b2")))
+        .crossJoin(observed)
+        .filter(F.expr("(mask & b2) != 0"))
+        .groupBy("c2")
+        .agg(F.sum("n").alias("n_users_touched"))
+    )
+    return (
+        contribs.groupBy("channel")
+        .agg(F.round(F.sum("phi_term") + F.lit(1e-9), 6).alias("shapley"))
+        .join(touched, F.col("channel") == F.col("c2"))
+        .select(
+            "channel",
+            "shapley",
+            F.col("n_users_touched").cast("bigint").alias("n_users_touched"),
+        )
+    )

@@ -418,3 +418,115 @@ def q_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mean_first") + F.lit(1e-9), 6).alias("mean_first"),
         F.round(F.col("mean_last") + F.lit(1e-9), 6).alias("mean_last"),
     )
+
+
+PHASH_MAX_HAMMING = 2
+_PHASH_BASIS_VALUES = ", ".join(
+    f"({u}, {x}, {c})"
+    for u, row in enumerate(M.DCT_BASIS)
+    for x, c in enumerate(row)
+)
+
+
+@register(
+    "image_phash_dedup",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id, 16 + (doc_id % 16) AS w, 16 + (doc_id % 8) AS h
+            FROM documents
+        ), blk AS (
+            SELECT p.doc_id,
+                   (gy.y * 8) // p.h AS by, (gx.x * 8) // p.w AS bx,
+                   SUM((7 * gx.x + 13 * gy.y + p.doc_id) % 256) AS bsum,
+                   COUNT(*) AS npix
+            FROM p, range(0, 31) AS gx(x), range(0, 23) AS gy(y)
+            WHERE gx.x < p.w AND gy.y < p.h
+            GROUP BY 1, 2, 3
+        ), bm AS (
+            SELECT doc_id, by, bx, bsum // npix AS m FROM blk
+        ), basis AS (
+            SELECT * FROM (VALUES {_PHASH_BASIS_VALUES}) AS t(u, i, c)
+        ), coefs AS (
+            SELECT bm.doc_id, bu.u AS u, bv.u AS v,
+                   SUM(bm.m * bu.c * bv.c) AS coef
+            FROM bm
+            JOIN basis bu ON bu.i = bm.by AND bu.u < 6
+            JOIN basis bv ON bv.i = bm.bx AND bv.u < 6
+            WHERE NOT (bu.u = 0 AND bv.u = 0)
+            GROUP BY 1, 2, 3
+        ), med AS (
+            SELECT doc_id, coef AS med FROM (
+                SELECT doc_id, coef,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY coef) AS rn
+                FROM coefs
+            ) WHERE rn = 18
+        ), bits AS (
+            SELECT c.doc_id, (c.u * 6 + c.v - 1) AS idx,
+                   CASE WHEN c.coef > m.med THEN 1 ELSE 0 END AS b
+            FROM coefs c JOIN med m USING (doc_id)
+        ), bands AS (
+            SELECT doc_id, idx // 12 AS band,
+                   SUM(b * (1::BIGINT << (idx % 12))) AS bval
+            FROM bits GROUP BY 1, 2
+        ), sig AS (
+            SELECT doc_id,
+                   CAST(MAX(CASE WHEN band = 0 THEN bval END) AS BIGINT)
+                       AS b0,
+                   CAST(MAX(CASE WHEN band = 1 THEN bval END) AS BIGINT)
+                       AS b1,
+                   CAST(MAX(CASE WHEN band = 2 THEN bval END) AS BIGINT)
+                       AS b2
+            FROM bands GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.b0, b.b0))
+                    + bit_count(xor(a.b1, b.b1))
+                    + bit_count(xor(a.b2, b.b2)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) <= {PHASH_MAX_HAMMING}
+    """,
+    description="Perceptual DCT-hash (pHash, 35-bit low-frequency block) dedup "
+    "over REALLY decoded PNG bitmaps — the frequency-domain sibling of image_ahash_dedup, "
+    "robust to brightness shifts and high-frequency noise. The DCT "
+    "basis is quantized to fixed-point integers (round(cos*1e6)) and "
+    "SHARED verbatim with the oracle SQL, and block means use floor "
+    "division, so the whole 35-bit hash is integer arithmetic with "
+    "ZERO trig/float-ULP risk across engines. Three 12-bit pigeonhole "
+    "bands guarantee every Hamming<=2 pair shares an exact band "
+    "(banded equi-join, never O(n^2)); the oracle recomputes "
+    "everything from the closed-form synth pixel formula while Spark "
+    "decodes actual PNG bytes end to end",
+)
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sig = tracked_persist(M.png_phash(M.synth_png(docs)))
+    band_cols = [
+        F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("bucket"))
+        for i in range(3)
+    ]
+    buckets = sig.select(
+        "doc_id", "b0", "b1", "b2",
+        F.explode(F.array(*band_cols)).alias("bb"),
+    ).select("doc_id", "b0", "b1", "b2", "bb.band", "bb.bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    hamming = sum(
+        F.bit_count(F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}")))
+        for i in range(3)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .distinct()
+    )

@@ -666,3 +666,43 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     return S.mmr_rerank(emb, queries, MMR_K, MMR_POOL, MMR_LAMBDA)
+
+
+RADIUS_SIM_THRESHOLD = 0.30
+
+
+@register(
+    "knn_radius",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), q AS (
+            SELECT * FROM e WHERE vec_id < {KNN_QUERY_MAX_ID}
+        )
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_inner_product(q.v, c.v)
+                     / (sqrt(list_inner_product(q.v, q.v))
+                        * sqrt(list_inner_product(c.v, c.v))), 6) AS sim
+        FROM q JOIN e c ON c.vec_id != q.vec_id
+        WHERE round(list_inner_product(q.v, c.v)
+                    / (sqrt(list_inner_product(q.v, q.v))
+                       * sqrt(list_inner_product(c.v, c.v))), 6)
+              >= {RADIUS_SIM_THRESHOLD}
+    """,
+    description="Cosine RANGE search (all neighbors with sim >= "
+    f"{RADIUS_SIM_THRESHOLD}): the radius-query twin of "
+    "knn_bruteforce's top-k — no per-query rank state at all, so the "
+    "plan is broadcast(queries) x one corpus scan with a selective "
+    "JVM filter; membership decided on the ROUNDED sim per the "
+    "cross-engine parity rule. The retrieval primitive for "
+    "'everything similar enough' workloads (dedup candidate recall, "
+    "abuse clustering) where k is unknowable a priori",
+)
+def q_knn_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding"
+    )
+    return S.radius_search(emb, queries, RADIUS_SIM_THRESHOLD)
