@@ -1,0 +1,300 @@
+"""Semantic tests for the round-8 continuation operators.
+
+Each new registry entry gets a property or exact python-replay check
+beyond the DuckDB oracle gate (which covers cross-engine value parity
+— these pin the SEMANTICS against an independent reimplementation).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+from kafka_streams_homework_spark import queries as Q
+
+
+def _events(spark, sf_dir):
+    return Q._t(spark, sf_dir, "events")
+
+
+def test_kruskal_wallis_python_replay(spark, sf_dir):
+    """Exact midrank replay of the tie-corrected H statistic."""
+    rows = _events(spark, sf_dir).select("event_type", "value").collect()
+    vals = sorted({r.value for r in rows})
+    per_v = Counter(r.value for r in rows)
+    below, midrank = 0, {}
+    for v in vals:
+        midrank[v] = below + (per_v[v] + 1) / 2.0
+        below += per_v[v]
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r.event_type].append(midrank[r.value])
+    n = len(rows)
+    rr = sum(sum(g) ** 2 / len(g) for g in groups.values())
+    tie = sum(c**3 - c for c in per_v.values())
+    h = (12.0 / (n * (n + 1)) * rr - 3 * (n + 1)) / (1 - tie / (n**3 - n))
+    out = Q.queries()["kruskal_wallis"](spark, sf_dir).collect()[0]
+    assert out.n_groups == len(groups)
+    assert out.n_total == n
+    assert out.df == len(groups) - 1
+    assert abs(out.h_stat - h) < 1e-5
+
+
+def test_permutation_test_exact_replay(spark, sf_dir):
+    """Full exact replay: md5 coins, integer-cents means, the
+    cross-multiplied extreme-count decision, and the p-value."""
+    rows = (
+        _events(spark, sf_dir)
+        .filter(Q.F.col("event_type").isin("purchase", "click"))
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+    base = [
+        (r.event_id, round(r.value * 100), 1 if r.event_type == "purchase" else 0)
+        for r in rows
+    ]
+    s1 = sum(c for _, c, p in base if p)
+    n1 = sum(1 for *_, p in base if p)
+    s0 = sum(c for _, c, p in base if not p)
+    n0 = len(base) - n1
+    obs_num = abs(s1 * n0 - s0 * n1)
+    obs_den = n1 * n0
+    n_extreme = 0
+    for b in range(1, Q._PERM_B + 1):
+        ps1 = pn1 = ps0 = pn0 = 0
+        for eid, c, _ in base:
+            coin = (
+                int(hashlib.md5(f"perm:{b}:{eid}".encode()).hexdigest()[:8], 16)
+                % 2
+            )
+            if coin:
+                ps1 += c
+                pn1 += 1
+            else:
+                ps0 += c
+                pn0 += 1
+        if pn1 and pn0:
+            if abs(ps1 * pn0 - ps0 * pn1) * obs_den >= obs_num * (pn1 * pn0):
+                n_extreme += 1
+    out = Q.queries()["permutation_test"](spark, sf_dir).collect()[0]
+    assert out.n_events == len(base)
+    assert out.n_perms == Q._PERM_B
+    assert out.n_extreme == n_extreme
+    assert abs(out.p_value - (1 + n_extreme) / (Q._PERM_B + 1)) < 1e-6
+    assert abs(out.obs_diff - (s1 / n1 - s0 / n0) / 100.0) < 1e-5
+
+
+def test_decision_stump_exact_replay(spark, sf_dir):
+    """Brute-force every candidate threshold and confirm the argmax."""
+    rows = _events(spark, sf_dir).select("event_type", "value").collect()
+    data = sorted((r.value, 1 if r.event_type == "purchase" else 0) for r in rows)
+    per_v = defaultdict(lambda: [0, 0])
+    for v, y in data:
+        per_v[v][0] += 1
+        per_v[v][1] += y
+    n = len(data)
+    p = sum(y for _, y in data)
+    best = None
+    nl = pl = 0
+    for v in sorted(per_v):
+        nl += per_v[v][0]
+        pl += per_v[v][1]
+        if nl == n:
+            break
+        nr, pr = n - nl, p - pl
+        h = (pl * pl + (nl - pl) ** 2) / nl + (pr * pr + (nr - pr) ** 2) / nr
+        if best is None or h > best[0]:
+            best = (h, v, nl, nr, pl, pr)
+    out = Q.queries()["decision_stump"](spark, sf_dir).collect()[0]
+    assert abs(out.split_value - best[1]) < 1e-6
+    assert (out.n_left, out.n_right) == (best[2], best[3])
+    assert (out.pos_left, out.pos_right) == (best[4], best[5])
+    assert abs(out.weighted_gini - (n - best[0]) / n) < 1e-5
+
+
+def test_woe_iv_binning_conservation_and_sign(spark, sf_dir):
+    out = Q.queries()["woe_iv_binning"](spark, sf_dir).collect()
+    assert len(out) == 10
+    ev = _events(spark, sf_dir)
+    n_total = ev.count()
+    n_purchase = ev.filter(Q.F.col("event_type") == "purchase").count()
+    assert sum(r.n for r in out) == n_total
+    assert sum(r.n_good for r in out) == n_purchase
+    for r in out:
+        assert r.n == r.n_good + r.n_bad
+        assert math.isfinite(r.woe)
+        # IV contribution is (dg-db)*ln(dg/db) >= 0 always
+        assert r.iv >= -1e-9
+        assert r.v_lo <= r.v_hi
+
+
+def test_target_encoding_loo_formula(spark, sf_dir):
+    """Replay the smoothed LOO formula for every order."""
+    orders = Q._t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).collect()
+    cents = {r.o_orderkey: round(r.o_totalprice * 100) for r in orders}
+    cat = defaultdict(list)
+    for r in orders:
+        cat[r.o_orderpriority].append(r.o_orderkey)
+    gs = sum(cents.values())
+    gn = len(orders)
+    gmean = gs / gn
+    out = Q.queries()["target_encoding"](spark, sf_dir).collect()
+    assert len(out) == gn
+    got = {r.o_orderkey: r.priority_enc for r in out}
+    for pri, keys in cat.items():
+        cs = sum(cents[k] for k in keys)
+        cn = len(keys)
+        for k in keys[:50]:
+            expect = ((cs - cents[k]) + 10.0 * gmean) / (cn - 1 + 10.0) / 100.0
+            assert abs(got[k] - expect) < 1e-3
+
+
+def test_dq_referential_fixture_is_clean(spark, sf_dir):
+    out = Q.queries()["dq_referential"](spark, sf_dir).collect()
+    rels = {r.relationship: r for r in out}
+    assert len(rels) == 5
+    for r in rels.values():
+        assert r.orphan_rows == 0
+        assert r.child_rows > 0
+
+
+def test_hits_scores_l1_normalized_nonnegative(spark, sf_dir):
+    out = Q.queries()["hits_scores"](spark, sf_dir).collect()
+    assert out, "graph must be non-empty"
+    hub_sum = sum(r.hub for r in out)
+    auth_sum = sum(r.auth for r in out)
+    # L1-normalized per iteration; rounding at 1e-6 per row
+    assert abs(hub_sum - 1.0) < 1e-3
+    assert abs(auth_sum - 1.0) < 1e-3
+    assert all(r.hub >= 0 and r.auth >= 0 for r in out)
+
+
+def test_clustering_coefficient_bounds(spark, sf_dir):
+    out = Q.queries()["clustering_coefficient"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r.degree >= 2
+        assert 0.0 <= r.clustering_coef <= 1.0 + 1e-9
+        # triangles bounded by wedge count
+        assert r.n_triangles <= r.degree * (r.degree - 1) // 2
+
+
+def test_naive_bayes_lang_exact_python_replay(spark, sf_dir):
+    """Exact replay of train + score + argmax for every doc.
+
+    NOTE the fixture's lang labels are independent of the text (all
+    31 vocabulary words appear in all 5 languages), so a CORRECT
+    multinomial NB must collapse toward the prior argmax — the replay
+    pins that the engine computes exactly the right (mostly-prior)
+    posterior, not that the fixture is separable.
+    """
+    docs = Q._t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    tc = defaultdict(Counter)
+    nd = Counter()
+    vocab = set()
+    doc_toks = {}
+    for r in docs:
+        toks = r.text.lower().split(" ")
+        doc_toks[r.doc_id] = (toks, r.lang)
+        nd[r.lang] += 1
+        vocab.update(toks)
+        tc[r.lang].update(toks)
+    v = len(vocab)
+    n = len(docs)
+    tl = {c: sum(tc[c].values()) for c in nd}
+    langs = sorted(nd)
+    preds = {}
+    for doc_id, (toks, _) in doc_toks.items():
+        best = None
+        for c in langs:
+            s = math.log(nd[c] / n) + sum(
+                math.log((tc[c].get(t, 0) + 1) / (tl[c] + v)) for t in toks
+            )
+            key = (round(s + 1e-9, 6), [-ord(x) for x in c])
+            if best is None or key > best[0]:
+                best = (key, c, s)
+        preds[doc_id] = (best[1], best[2])
+    out = Q.queries()["naive_bayes_lang"](spark, sf_dir).collect()
+    assert len(out) == n
+    mismatch = [
+        (r.doc_id, r.pred_lang, preds[r.doc_id][0])
+        for r in out
+        if r.pred_lang != preds[r.doc_id][0]
+    ]
+    assert not mismatch, f"prediction mismatches: {mismatch[:5]}"
+    for r in out:
+        assert abs(r.log_posterior - preds[r.doc_id][1]) < 1e-4
+        assert r.is_correct == (r.pred_lang == doc_toks[r.doc_id][1])
+
+
+def test_hurst_exponent_plausible_range(spark, sf_dir):
+    out = Q.queries()["hurst_exponent"](spark, sf_dir).collect()[0]
+    assert out.n_scales >= 2
+    assert 0.0 < out.hurst < 1.5
+    assert out.n_hours > 64
+
+
+def test_shapley_efficiency_identity(spark, sf_dir):
+    """Shapley efficiency: sum_i phi_i = v(grand coalition) - v(empty),
+    an identity of the weights for ANY coalition value function."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type").collect()
+    channels = sorted({r.event_type for r in ev if r.event_type != "purchase"})
+    bit = {c: 1 << i for i, c in enumerate(channels)}
+    masks = defaultdict(int)
+    buyers = set()
+    users = set()
+    for r in ev:
+        users.add(r.user_id)
+        if r.event_type == "purchase":
+            buyers.add(r.user_id)
+        else:
+            masks[r.user_id] |= bit[r.event_type]
+    per_mask = defaultdict(lambda: [0, 0])
+    for u in users:
+        m = masks.get(u, 0)
+        per_mask[m][0] += 1
+        per_mask[m][1] += 1 if u in buyers else 0
+    def v(m):
+        n, c = per_mask.get(m, (0, 0))
+        return c / n if n else 0.0
+    grand = (1 << len(channels)) - 1
+    out = Q.queries()["shapley_attribution"](spark, sf_dir).collect()
+    assert {r.channel for r in out} == set(channels)
+    total = sum(r.shapley for r in out)
+    assert abs(total - (v(grand) - v(0))) < 1e-4
+    for r in out:
+        touched = sum(
+            n for m, (n, _) in per_mask.items() if m & bit[r.channel]
+        )
+        assert r.n_users_touched == touched
+
+
+def test_knn_radius_threshold_and_topk_consistency(spark, sf_dir):
+    radius = Q.queries()["knn_radius"](spark, sf_dir).collect()
+    assert all(r.sim >= Q.RADIUS_SIM_THRESHOLD for r in radius)
+    in_radius = {(r.query_id, r.neighbor_id) for r in radius}
+    topk = Q.queries()["knn_bruteforce"](spark, sf_dir).collect()
+    for r in topk:
+        if r.sim >= Q.RADIUS_SIM_THRESHOLD:
+            assert (r.query_id, r.neighbor_id) in in_radius
+
+
+def test_image_phash_identical_bitmaps_hamming_zero(spark, sf_dir):
+    """doc_id and doc_id+256 render IDENTICAL bitmaps (w,h repeat mod
+    16/8, pixels mod 256) — every such pair must surface at Hamming 0."""
+    docs = {
+        r.doc_id
+        for r in Q._t(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    expected = {(d, d + 256) for d in docs if d + 256 in docs}
+    assert expected, "fixture should contain identical-bitmap pairs"
+    out = Q.queries()["image_phash_dedup"](spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in out}
+    for pair in expected:
+        assert got.get(pair) == 0, f"missing exact-dup pair {pair}"
+    assert all(h <= Q.PHASH_MAX_HAMMING for h in got.values())
