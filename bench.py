@@ -211,6 +211,26 @@ BENCH_QUERIES = [
     # streaming drift monitor (complete-mode day/bin histogram state +
     # read-side PSI arithmetic over the bounded emitted table)
     "streaming_psi_drift",
+    # round-8 continuation: statistical-learning relational plans
+    # (distinct-first rank tests, the 200-fold permutation explode,
+    # Gini split argmax, WOE binning, LOO target encoding), the
+    # referential-integrity audit, two more graph centralities, the
+    # relational naive-Bayes classifier, R/S long-memory, Shapley
+    # coalition attribution, cosine range search, and the 35-bit
+    # integer-exact DCT perceptual hash over real PNG decode
+    "kruskal_wallis",
+    "permutation_test",
+    "decision_stump",
+    "woe_iv_binning",
+    "target_encoding",
+    "dq_referential",
+    "hits_scores",
+    "clustering_coefficient",
+    "naive_bayes_lang",
+    "hurst_exponent",
+    "shapley_attribution",
+    "knn_radius",
+    "image_phash_dedup",
 ]
 
 

@@ -975,9 +975,16 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def l1_normalize(df, col):
+        # persist every normalized vector: the alternating h<-a<-h<-a
+        # chain references a1 three times and h1 twice downstream —
+        # unpersisted, the DAG re-derives each (a ~1.8M-row edge join)
+        # once per reference and the 2-iteration plan costs ~20 joins
+        # instead of 4. The vectors are node-cardinality (bounded).
         tot = df.agg(F.sum(col).alias("__tot"))
-        return df.crossJoin(F.broadcast(tot)).select(
-            "node", (F.col(col) / F.col("__tot")).alias(col[0])
+        return tracked_persist(
+            df.crossJoin(F.broadcast(tot)).select(
+                "node", (F.col(col) / F.col("__tot")).alias(col[0])
+            )
         )
 
     a1 = l1_normalize(
