@@ -1670,3 +1670,126 @@ def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
             probe(customer, "c_nationkey", nation, "n_nationkey", "customer->nation")
         )
     )
+
+
+L_DIVERSITY = 3
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+        WITH q AS (
+            SELECT c_nationkey::VARCHAR || '|' || c_mktsegment AS grp,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS sens,
+                   c_custkey
+            FROM customer
+        )
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT sens) AS BIGINT) AS n_distinct_sens,
+               count(DISTINCT sens) >= {L_DIVERSITY} AS diverse
+        FROM q GROUP BY grp
+    """,
+    description=f"l-diversity audit (l={L_DIVERSITY}) over the "
+    "(nation, segment) quasi-identifier with the $1000 account-"
+    "balance bucket as the sensitive attribute: k-anonymity "
+    "(k_anonymity_ladder) stops homogeneity attacks only if each "
+    "group ALSO carries enough distinct sensitive values — this is "
+    "the second gate a training-data release runs. One "
+    "group-cardinality distinct-count rollup; at 100 TB it is a "
+    "two-level partial agg on bounded group keys",
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    q = cust.select(
+        F.concat(
+            F.col("c_nationkey").cast("string"),
+            F.lit("|"),
+            F.col("c_mktsegment"),
+        ).alias("grp"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("sens"),
+    )
+    return q.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("sens").cast("bigint").alias("n_distinct_sens"),
+        (F.countDistinct("sens") >= L_DIVERSITY).alias("diverse"),
+    )
+
+
+@register(
+    "class_balance_sample",
+    oracle="""
+        WITH m AS (
+            SELECT min(c) AS mc FROM (
+                SELECT count(*) AS c FROM events GROUP BY event_type
+            )
+        ), r AS (
+            SELECT event_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY md5('bal:' || event_id::VARCHAR),
+                                event_id) AS rn
+            FROM events
+        )
+        SELECT event_id, event_type FROM r, m WHERE rn <= mc
+    """,
+    description="Class-balanced downsampling: every event type keeps "
+    "exactly min-class-count rows, selected by deterministic md5 "
+    "coin rank — the imbalance fix applied before training a "
+    "classifier (complements stratified_sample's proportional "
+    "allocation). The per-class rank is TWO-PHASE at scale: global "
+    "rank over (type, hash-bucket) via two_phase_rank (histogram "
+    "offsets over bounded buckets, partitioned within-bucket "
+    "row_number) with per-class min-rank recovery broadcast back — "
+    "no single-partition sort anywhere; the oracle's partitioned "
+    "row_number is the same total order",
+)
+def q_class_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.operators.relational import (
+        two_phase_rank,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    mc = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.min("c").alias("mc")
+    )
+    h = F.md5(F.concat(F.lit("bal:"), F.col("event_id").cast("string")))
+    # type code folded into the bucket key: order (event_type, h) is
+    # bucket-major with bucket = code*256 + first-two-hex-chars, and
+    # two_phase_rank guarantees a bucket-major total order (contract
+    # documented after ADVICE r7) — per-class local rank recovered by
+    # subtracting the broadcast per-class min rank.
+    codes = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            F.col("event_type").alias("ct"),
+            F.dense_rank()
+            .over(Window.orderBy("event_type"))
+            .cast("bigint")
+            .alias("tcode"),
+        )
+    )  # the single-partition window runs over the BOUNDED type set
+    typed = ev.select("event_id", "event_type", h.alias("h")).join(
+        F.broadcast(codes), F.col("event_type") == F.col("ct")
+    )
+    ranked = two_phase_rank(
+        typed,
+        order_cols=[F.col("event_type"), F.col("h"), F.col("event_id")],
+        bucket_col=F.col("tcode") * 256
+        + F.conv(F.substring(F.col("h"), 1, 2), 16, 10).cast("bigint"),
+        rank_name="grank",
+    )
+    min_rank = ranked.groupBy(F.col("event_type").alias("mt")).agg(
+        F.min("grank").alias("minr")
+    )
+    local = ranked.join(
+        F.broadcast(min_rank), F.col("event_type") == F.col("mt")
+    ).select(
+        "event_id",
+        "event_type",
+        (F.col("grank") - F.col("minr") + 1).alias("rn"),
+    )
+    return local.crossJoin(F.broadcast(mc)).filter(
+        F.col("rn") <= F.col("mc")
+    ).select("event_id", "event_type")

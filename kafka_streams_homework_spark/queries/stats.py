@@ -3383,3 +3383,95 @@ def q_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(dg / db) + F.lit(1e-9), 6).alias("woe"),
         F.round((dg - db) * F.log(dg / db) + F.lit(1e-9), 6).alias("iv"),
     )
+
+
+@register(
+    "friedman_test",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS d, event_type AS g,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS cents
+            FROM events GROUP BY 1, 2
+        ), ranked AS (
+            SELECT d, g, cents,
+                   rank() OVER (PARTITION BY d ORDER BY cents) AS rk,
+                   count(*) OVER (PARTITION BY d, cents) AS t
+            FROM daily
+        ), mid AS (
+            SELECT d, g, rk + (t - 1) / 2.0 AS midrank, t FROM ranked
+        ), per_g AS (
+            SELECT g, sum(midrank) AS r_g, count(*) AS n_b FROM mid
+            GROUP BY g
+        ), ties AS (
+            SELECT sum(CAST(t AS DOUBLE) * t * t - t) AS tsum
+            FROM (SELECT DISTINCT d, cents, t FROM ranked)
+        ), dims AS (
+            SELECT count(DISTINCT d) AS n, count(DISTINCT g) AS k
+            FROM daily
+        )
+        SELECT CAST(n AS BIGINT) AS n_blocks,
+               CAST(k AS BIGINT) AS k_treatments,
+               CAST(k - 1 AS BIGINT) AS df,
+               round((12.0 / (CAST(n AS DOUBLE) * k * (k + 1))
+                      * (SELECT sum(r_g * r_g) FROM per_g)
+                      - 3.0 * n * (k + 1))
+                     / (1.0 - (SELECT tsum FROM ties)
+                              / (CAST(n AS DOUBLE) * k * (k * k - 1)))
+                     + 1e-9, 6) AS chi2
+        FROM dims
+    """,
+    description="Friedman rank test for k related samples: blocks = "
+    "days, treatments = the five event types, response = daily value "
+    "total on integer cents. Within-block midranks (rank + (ties-1)/2 "
+    "over k=5 rows per block — the window partition is bounded by the "
+    "block, never volume), tie-corrected chi2 = [12/(nk(k+1)) "
+    "sum R_j^2 - 3n(k+1)] / [1 - sum(t^3-t)/(nk(k^2-1))]. The "
+    "repeated-measures complement to kruskal_wallis (independent "
+    "samples): did any event type systematically out-rank the others "
+    "across days? One day-cardinality rollup feeds everything",
+)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.col("event_type").alias("g"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    wd = Window.partitionBy("d").orderBy("cents")
+    wt = Window.partitionBy("d", "cents")
+    ranked = daily.select(
+        "d",
+        "g",
+        "cents",
+        F.rank().over(wd).alias("rk"),
+        F.count(F.lit(1)).over(wt).alias("t"),
+    )
+    mid = ranked.select(
+        "d", "g", (F.col("rk") + (F.col("t") - 1) / 2.0).alias("midrank")
+    )
+    per_g = mid.groupBy("g").agg(F.sum("midrank").alias("r_g"))
+    rr = per_g.agg(F.sum(F.col("r_g") * F.col("r_g")).alias("rr2"))
+    ties = (
+        ranked.select("d", "cents", "t")
+        .distinct()
+        .agg(
+            F.sum(
+                F.col("t").cast("double") * F.col("t") * F.col("t")
+                - F.col("t")
+            ).alias("tsum")
+        )
+    )
+    dims = daily.agg(
+        F.countDistinct("d").alias("n"), F.countDistinct("g").alias("k")
+    )
+    j = dims.crossJoin(F.broadcast(rr)).crossJoin(F.broadcast(ties))
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    chi2 = (
+        F.lit(12.0) / (n * k * (k + 1)) * F.col("rr2") - F.lit(3.0) * n * (k + 1)
+    ) / (F.lit(1.0) - F.col("tsum") / (n * k * (k * k - 1)))
+    return j.select(
+        F.col("n").cast("bigint").alias("n_blocks"),
+        F.col("k").cast("bigint").alias("k_treatments"),
+        (F.col("k") - 1).cast("bigint").alias("df"),
+        F.round(chi2 + F.lit(1e-9), 6).alias("chi2"),
+    )

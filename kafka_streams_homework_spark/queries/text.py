@@ -1867,51 +1867,7 @@ def q_streaming_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "naive_bayes_lang",
-    oracle="""
-        WITH toks AS (
-            SELECT doc_id, lang,
-                   unnest(str_split(lower(text), ' ')) AS tok
-            FROM documents
-        ), dt AS (
-            SELECT doc_id, tok, count(*) AS n_dt
-            FROM toks GROUP BY doc_id, tok
-        ), tc AS (
-            SELECT tok, lang AS cl, count(*) AS c
-            FROM toks GROUP BY tok, lang
-        ), class_tot AS (
-            SELECT cl, sum(c) AS tl FROM tc GROUP BY cl
-        ), vocab AS (
-            SELECT count(DISTINCT tok) AS v FROM toks
-        ), priors AS (
-            SELECT lang AS cl, count(*) AS nd FROM documents GROUP BY lang
-        ), ndocs AS (
-            SELECT count(*) AS n FROM documents
-        ), scores AS (
-            SELECT dt.doc_id, p.cl,
-                   ln(CAST(p.nd AS DOUBLE) / (SELECT n FROM ndocs))
-                   + sum(dt.n_dt
-                         * ln((COALESCE(tc.c, 0) + 1)
-                              / CAST(ct.tl + (SELECT v FROM vocab)
-                                     AS DOUBLE))) AS score
-            FROM dt
-            CROSS JOIN priors p
-            JOIN class_tot ct ON ct.cl = p.cl
-            LEFT JOIN tc ON tc.tok = dt.tok AND tc.cl = p.cl
-            GROUP BY dt.doc_id, p.cl, p.nd, ct.tl
-        ), ranked AS (
-            SELECT doc_id, cl, score,
-                   row_number() OVER (
-                       PARTITION BY doc_id
-                       ORDER BY round(score + 1e-9, 6) DESC, cl
-                   ) AS rn
-            FROM scores
-        )
-        SELECT r.doc_id, r.cl AS pred_lang,
-               round(r.score + 1e-9, 6) AS log_posterior,
-               r.cl = d.lang AS is_correct
-        FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
-        WHERE rn = 1
-    """,
+    oracle=_NAIVE_BAYES_ORACLE,
     description="Multinomial naive-Bayes language classifier trained "
     "on the corpus itself (classes = lang, features = unigram tokens, "
     "Laplace +1 smoothing) and applied back to every doc — the "

@@ -298,3 +298,87 @@ def test_image_phash_identical_bitmaps_hamming_zero(spark, sf_dir):
     for pair in expected:
         assert got.get(pair) == 0, f"missing exact-dup pair {pair}"
     assert all(h <= Q.PHASH_MAX_HAMMING for h in got.values())
+
+
+def test_friedman_python_replay(spark, sf_dir):
+    """Exact replay of the tie-corrected Friedman chi2 on integer
+    cents daily totals."""
+    rows = _events(spark, sf_dir).select("ts", "event_type", "value").collect()
+    daily = defaultdict(int)
+    for r in rows:
+        daily[(r.ts.date(), r.event_type)] += round(r.value * 100)
+    days = sorted({d for d, _ in daily})
+    types = sorted({g for _, g in daily})
+    n, k = len(days), len(types)
+    r_g = defaultdict(float)
+    tsum = 0.0
+    for d in days:
+        vals = [(daily.get((d, g), 0), g) for g in types if (d, g) in daily]
+        assert len(vals) == k  # every type appears every day
+        ordered = sorted(v for v, _ in vals)
+        from collections import Counter as C
+        cnt = C(ordered)
+        for v, g in vals:
+            below = sum(c for u, c in cnt.items() if u < v)
+            r_g[g] += below + (cnt[v] + 1) / 2.0
+        tsum += sum(c**3 - c for c in cnt.values())
+    rr2 = sum(x * x for x in r_g.values())
+    chi2 = (12.0 / (n * k * (k + 1)) * rr2 - 3.0 * n * (k + 1)) / (
+        1.0 - tsum / (n * k * (k * k - 1))
+    )
+    out = Q.queries()["friedman_test"](spark, sf_dir).collect()[0]
+    assert (out.n_blocks, out.k_treatments, out.df) == (n, k, k - 1)
+    assert abs(out.chi2 - chi2) < 1e-5
+
+
+def test_l_diversity_audit_consistency(spark, sf_dir):
+    out = Q.queries()["l_diversity_audit"](spark, sf_dir).collect()
+    for r in out:
+        assert 1 <= r.n_distinct_sens <= r.n
+        assert r.diverse == (r.n_distinct_sens >= Q.L_DIVERSITY)
+    cust = Q._t(spark, sf_dir, "customer").count()
+    assert sum(r.n for r in out) == cust
+
+
+def test_class_balance_sample_exact_balance(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    counts = {
+        r.event_type: r.c
+        for r in ev.groupBy("event_type").agg(
+            Q.F.count(Q.F.lit(1)).alias("c")
+        ).collect()
+    }
+    mc = min(counts.values())
+    out = Q.queries()["class_balance_sample"](spark, sf_dir).collect()
+    got = Counter(r.event_type for r in out)
+    assert set(got) == set(counts)
+    assert all(c == mc for c in got.values()), got
+    # deterministic md5-rank selection (exact membership replay)
+    keep = set()
+    per_class = defaultdict(list)
+    for r in ev.select("event_id", "event_type").collect():
+        h = hashlib.md5(f"bal:{r.event_id}".encode()).hexdigest()
+        per_class[r.event_type].append((h, r.event_id))
+    for g, lst in per_class.items():
+        for _, eid in sorted(lst)[:mc]:
+            keep.add(eid)
+    assert {r.event_id for r in out} == keep
+
+
+def test_streaming_naive_bayes_matches_batch(spark, sf_dir):
+    """Streaming/batch parity: same trained model, same predictions
+    for every doc (the argmax tie rule included)."""
+    batch = {
+        r.doc_id: (r.pred_lang, r.log_posterior, r.is_correct)
+        for r in Q.queries()["naive_bayes_lang"](spark, sf_dir).collect()
+    }
+    stream = {
+        r.doc_id: (r.pred_lang, r.log_posterior, r.is_correct)
+        for r in Q.queries()["streaming_naive_bayes"](spark, sf_dir).collect()
+    }
+    assert set(batch) == set(stream)
+    for d, (pl, lp, ic) in batch.items():
+        spl, slp, sic = stream[d]
+        assert spl == pl, (d, spl, pl)
+        assert abs(slp - lp) < 1e-5
+        assert sic == ic
