@@ -231,6 +231,18 @@ BENCH_QUERIES = [
     "shapley_attribution",
     "knn_radius",
     "image_phash_dedup",
+    # round-8 continuation second wave: repeated-measures rank test,
+    # the privacy second gate, exact two-phase class balancing, and
+    # model-at-ingest classification (stateless broadcast-model fold)
+    "friedman_test",
+    "l_diversity_audit",
+    "class_balance_sample",
+    "streaming_naive_bayes",
+    # intermittent-demand smoothing (closed-form decay, ~2.6s warm)
+    # and the 3-round relational AdaBoost driver loop (~7s warm:
+    # 2 bounded collects/round over the distinct-value cell table)
+    "croston_forecast",
+    "adaboost_stumps",
 ]
 
 

@@ -3475,3 +3475,237 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") - 1).cast("bigint").alias("df"),
         F.round(chi2 + F.lit(1e-9), 6).alias("chi2"),
     )
+
+
+_ADA_ROUNDS = 3
+
+
+def _ada_oracle(T: int = _ADA_ROUNDS) -> str:
+    """Unrolled AdaBoost oracle: T rounds of weighted-stump selection.
+
+    Every aggregate that feeds a decision is order-deterministic:
+    per-(v,y) cell weights are PRODUCTS (all rows sharing a cell carry
+    the same weight), cumulative sums run over the ordered distinct-v
+    axis, and totals are max() of the monotone cumulative — never an
+    unordered float sum. Weight updates multiply by u = sqrt((1-e)/e)
+    (sqrt is correctly rounded IEEE, unlike exp/ln), and the ensemble
+    sign test is the product form prod u_s^(h_s) > 1, so no
+    transcendental enters any branch. AS MATERIALIZED throughout (the
+    DuckDB exponential-inlining lesson, BASELINE.md)."""
+    parts = [
+        """WITH cells0 AS MATERIALIZED (
+            SELECT value AS v,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END
+                       AS y,
+                   CAST(count(*) AS DOUBLE) AS cnt, 1.0 AS w
+            FROM events GROUP BY 1, 2
+        )"""
+    ]
+    for t in range(1, T + 1):
+        p = t - 1
+        parts.append(f"""pv{t} AS MATERIALIZED (
+            SELECT v,
+                   sum(CASE WHEN y = 1 THEN w * cnt ELSE 0 END) AS wp,
+                   sum(CASE WHEN y = -1 THEN w * cnt ELSE 0 END) AS wn
+            FROM cells{p} GROUP BY v
+        )""")
+        parts.append(f"""sc{t} AS MATERIALIZED (
+            SELECT v,
+                   sum(wp) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                       AS wpl,
+                   sum(wn) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                       AS wnl
+            FROM pv{t}
+        )""")
+        parts.append(f"""tot{t} AS MATERIALIZED (
+            SELECT max(wpl) AS wpt, max(wnl) AS wnt FROM sc{t}
+        )""")
+        parts.append(f"""best{t} AS MATERIALIZED (
+            SELECT th, pol, eps, sqrt((1 - eps) / eps) AS u FROM (
+                SELECT v AS th, pol, err,
+                       least(greatest(err / (wpt + wnt), 1e-12),
+                             1 - 1e-12) AS eps
+                FROM (
+                    SELECT s.v, u.pol,
+                           CASE WHEN u.pol = 1
+                                THEN s.wnl + (t.wpt - s.wpl)
+                                ELSE s.wpl + (t.wnt - s.wnl) END AS err,
+                           t.wpt, t.wnt
+                    FROM sc{t} s, tot{t} t,
+                         (SELECT 1 AS pol UNION ALL SELECT -1) u
+                )
+                ORDER BY err, v, pol DESC LIMIT 1
+            )
+        )""")
+        mis = (
+            f"(CASE WHEN c.v <= b.th THEN b.pol ELSE -b.pol END) <> c.y"
+        )
+        parts.append(f"""cells{t} AS MATERIALIZED (
+            SELECT c.v, c.y, c.cnt,
+                   CASE WHEN {mis} THEN c.w * b.u ELSE c.w / b.u END AS w
+            FROM cells{p} c, best{t} b
+        )""")
+        prod = " * ".join(
+            f"(CASE WHEN (CASE WHEN c.v <= b{s}.th THEN b{s}.pol "
+            f"ELSE -b{s}.pol END) = 1 THEN b{s}.u ELSE 1 / b{s}.u END)"
+            for s in range(1, t + 1)
+        )
+        froms = ", ".join(f"best{s} b{s}" for s in range(1, t + 1))
+        parts.append(f"""ens{t} AS MATERIALIZED (
+            SELECT sum(CASE WHEN (CASE WHEN {prod} > 1 THEN 1 ELSE -1
+                                  END) <> c.y
+                            THEN c.cnt ELSE 0 END) / sum(c.cnt) AS terr
+            FROM cells0 c, {froms}
+        )""")
+    selects = [
+        f"""SELECT {t} AS round, round(th, 6) AS threshold,
+               CAST(pol AS BIGINT) AS polarity,
+               round(eps + 1e-9, 6) AS eps,
+               round(0.5 * ln((1 - eps) / eps) + 1e-9, 6) AS alpha,
+               round((SELECT terr FROM ens{t}) + 1e-9, 6) AS train_err
+        FROM best{t}"""
+        for t in range(1, T + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "adaboost_stumps",
+    oracle=_ada_oracle(),
+    description=f"AdaBoost.M1 over decision stumps ({_ADA_ROUNDS} "
+    "rounds) as pure relational algebra — the boosted-ensemble "
+    "training loop on DataFrames: per round, the weighted best "
+    "(threshold, polarity) stump comes from ONE cumulative pass over "
+    "the distinct-value axis (decision_stump's discipline, now "
+    "weighted), then cell weights multiply by u=sqrt((1-e)/e). "
+    "Determinism is engineered end to end: rows sharing (value, "
+    "class) always carry the SAME weight, so cell masses are "
+    "products not sums; cumulative/total weights ride the ordered "
+    "window (totals = max of the monotone cumulative); updates use "
+    "sqrt (correctly rounded) never exp/ln; the ensemble sign test "
+    "is the product form prod u^h > 1. Driver loop state per round "
+    "is ONE collected row (BPE-loop precedent); the oracle unrolls "
+    "all rounds into MATERIALIZED CTEs. Emits per-round threshold/"
+    "polarity/eps/alpha and the ensemble training-error curve",
+)
+def q_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = _t(spark, sf_dir, "events")
+    cells = tracked_persist(
+        ev.groupBy(
+            F.col("value").alias("v"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(-1)
+            .alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .withColumn("w", F.lit(1.0))
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rounds = []
+    prev = cells
+    for t in range(1, _ADA_ROUNDS + 1):
+        pv = prev.groupBy("v").agg(
+            F.sum(
+                F.when(F.col("y") == 1, F.col("w") * F.col("cnt")).otherwise(
+                    0.0
+                )
+            ).alias("wp"),
+            F.sum(
+                F.when(F.col("y") == -1, F.col("w") * F.col("cnt")).otherwise(
+                    0.0
+                )
+            ).alias("wn"),
+        )
+        sc = pv.select(
+            "v",
+            F.sum("wp").over(wcum).alias("wpl"),
+            F.sum("wn").over(wcum).alias("wnl"),
+        )
+        tot = sc.agg(F.max("wpl").alias("wpt"), F.max("wnl").alias("wnt"))
+        cand = (
+            sc.crossJoin(F.broadcast(tot))
+            .select(
+                "v",
+                "wpl",
+                "wnl",
+                "wpt",
+                "wnt",
+                F.explode(F.array(F.lit(1), F.lit(-1))).alias("pol"),
+            )
+            .select(
+                "v",
+                "pol",
+                F.when(
+                    F.col("pol") == 1,
+                    F.col("wnl") + (F.col("wpt") - F.col("wpl")),
+                )
+                .otherwise(F.col("wpl") + (F.col("wnt") - F.col("wnl")))
+                .alias("err"),
+                (F.col("wpt") + F.col("wnt")).alias("wtot"),
+            )
+        )
+        best = (
+            cand.orderBy(F.asc("err"), F.asc("v"), F.desc("pol"))
+            .limit(1)
+            .collect()[0]
+        )
+        eps = min(max(best["err"] / best["wtot"], 1e-12), 1 - 1e-12)
+        u = math.sqrt((1 - eps) / eps)
+        rounds.append((t, best["v"], best["pol"], eps, u))
+        pred = F.when(F.col("v") <= F.lit(best["v"]), F.lit(best["pol"])).otherwise(
+            F.lit(-best["pol"])
+        )
+        prev = tracked_persist(
+            prev.withColumn(
+                "w",
+                F.when(pred != F.col("y"), F.col("w") * u).otherwise(
+                    F.col("w") / u
+                ),
+            )
+        )
+    # ensemble training-error curve from the base cells + collected
+    # round scalars (product-form sign test — no transcendental)
+    out_rows = []
+    for t, th, pol, eps, u in rounds:
+        prod = F.lit(1.0)
+        for s, th_s, pol_s, _e, u_s in rounds[:t]:
+            pred_s = F.when(
+                F.col("v") <= F.lit(th_s), F.lit(pol_s)
+            ).otherwise(F.lit(-pol_s))
+            prod = prod * F.when(pred_s == 1, F.lit(u_s)).otherwise(
+                F.lit(1.0 / u_s)
+            )
+        ens = cells.select(
+            "y",
+            "cnt",
+            F.when(prod > 1, F.lit(1)).otherwise(F.lit(-1)).alias("pred"),
+        ).agg(
+            (
+                F.sum(
+                    F.when(F.col("pred") != F.col("y"), F.col("cnt")).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum("cnt")
+            ).alias("terr")
+        )
+        out_rows.append(
+            ens.select(
+                F.lit(t).alias("round"),
+                F.round(F.lit(th), 6).alias("threshold"),
+                F.lit(pol).cast("bigint").alias("polarity"),
+                F.round(F.lit(eps) + F.lit(1e-9), 6).alias("eps"),
+                F.round(
+                    F.lit(0.5 * math.log((1 - eps) / eps)) + F.lit(1e-9), 6
+                ).alias("alpha"),
+                F.round(F.col("terr") + F.lit(1e-9), 6).alias("train_err"),
+            )
+        )
+    res = out_rows[0]
+    for df in out_rows[1:]:
+        res = res.unionAll(df)
+    return res

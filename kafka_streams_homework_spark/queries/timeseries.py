@@ -1602,3 +1602,96 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_scales").cast("bigint").alias("n_scales"),
         F.round(F.col("h_exp") + F.lit(1e-9), 6).alias("hurst"),
     )
+
+
+_CROSTON_ALPHA = 0.2
+
+
+@register(
+    "croston_forecast",
+    oracle=f"""
+        WITH dd AS (
+            SELECT l_partkey AS part, l_shipdate AS d,
+                   sum(CAST(l_quantity AS BIGINT)) AS z
+            FROM lineitem GROUP BY 1, 2
+        ), idx AS (
+            SELECT part, d, z,
+                   row_number() OVER (PARTITION BY part ORDER BY d)
+                       AS j,
+                   count(*) OVER (PARTITION BY part) AS m,
+                   date_diff('day',
+                             lag(d) OVER (PARTITION BY part ORDER BY d),
+                             d) AS gap
+            FROM dd
+        ), smoothed AS (
+            SELECT part, m,
+                   sum(CASE WHEN j = 1
+                            THEN pow(1 - {_CROSTON_ALPHA}, m - 1) * z
+                            ELSE {_CROSTON_ALPHA}
+                                 * pow(1 - {_CROSTON_ALPHA}, m - j) * z
+                       END) AS z_hat,
+                   sum(CASE WHEN j = 2
+                            THEN pow(1 - {_CROSTON_ALPHA}, m - 2) * gap
+                            WHEN j > 2
+                            THEN {_CROSTON_ALPHA}
+                                 * pow(1 - {_CROSTON_ALPHA}, m - j) * gap
+                            ELSE 0 END) AS p_hat
+            FROM idx GROUP BY part, m
+        )
+        SELECT part, CAST(m AS BIGINT) AS n_demands,
+               round(z_hat + 1e-9, 4) AS forecast_size,
+               round(p_hat + 1e-9, 4) AS forecast_interval,
+               round(z_hat / p_hat + 1e-9, 6) AS demand_rate
+        FROM smoothed WHERE m >= 3
+    """,
+    description="Croston's method for intermittent demand (alpha="
+    f"{_CROSTON_ALPHA}) per part over ship-date demand days: the "
+    "exponential smoothing recurrences Z_j = Z_(j-1) + a(z_j - "
+    "Z_(j-1)) over demand SIZES and P_j over inter-demand INTERVALS "
+    "unrolled to their closed weighted-sum form ((1-a)^(m-j) decay "
+    "powers — the factored-decay discipline of "
+    "streaming_decayed_leaderboard applied along occurrence index "
+    "instead of time), forecast rate = Z_m/P_m. Per-part windows are "
+    "bounded by that part's demand-day count; the supply-chain "
+    "staple for slow movers that simple EWMA (ewma_smooth) "
+    "systematically over-forecasts",
+)
+def q_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _CROSTON_ALPHA
+    li = _t(spark, sf_dir, "lineitem")
+    dd = li.groupBy(
+        F.col("l_partkey").alias("part"), F.col("l_shipdate").alias("d")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("z"))
+    wp = Window.partitionBy("part").orderBy("d")
+    wc = Window.partitionBy("part")
+    idx = dd.select(
+        "part",
+        "z",
+        F.row_number().over(wp).alias("j"),
+        F.count(F.lit(1)).over(wc).alias("m"),
+        F.datediff(F.col("d"), F.lag("d").over(wp)).alias("gap"),
+    )
+    decay = F.pow(F.lit(1 - a), F.col("m") - F.col("j"))
+    z_term = F.when(
+        F.col("j") == 1, F.pow(F.lit(1 - a), F.col("m") - 1) * F.col("z")
+    ).otherwise(F.lit(a) * decay * F.col("z"))
+    p_term = (
+        F.when(
+            F.col("j") == 2,
+            F.pow(F.lit(1 - a), F.col("m") - 2) * F.col("gap"),
+        )
+        .when(F.col("j") > 2, F.lit(a) * decay * F.col("gap"))
+        .otherwise(F.lit(0.0))
+    )
+    sm = idx.groupBy("part", "m").agg(
+        F.sum(z_term).alias("z_hat"), F.sum(p_term).alias("p_hat")
+    )
+    return sm.filter(F.col("m") >= 3).select(
+        "part",
+        F.col("m").cast("bigint").alias("n_demands"),
+        F.round(F.col("z_hat") + F.lit(1e-9), 4).alias("forecast_size"),
+        F.round(F.col("p_hat") + F.lit(1e-9), 4).alias("forecast_interval"),
+        F.round(F.col("z_hat") / F.col("p_hat") + F.lit(1e-9), 6).alias(
+            "demand_rate"
+        ),
+    )

@@ -382,3 +382,97 @@ def test_streaming_naive_bayes_matches_batch(spark, sf_dir):
         assert spl == pl, (d, spl, pl)
         assert abs(slp - lp) < 1e-5
         assert sic == ic
+
+
+def test_croston_python_replay(spark, sf_dir):
+    """Replay the closed-form Croston smoothers for a sample of parts."""
+    li = Q._t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity"
+    ).collect()
+    demand = defaultdict(lambda: defaultdict(int))
+    for r in li:
+        demand[r.l_partkey][r.l_shipdate] += int(round(r.l_quantity))
+    a = Q._CROSTON_ALPHA
+    out = {r.part: r for r in Q.queries()["croston_forecast"](spark, sf_dir).collect()}
+    checked = 0
+    for part, days in demand.items():
+        if len(days) < 3:
+            assert part not in out
+            continue
+        seq = sorted(days.items())
+        z = seq[0][1]
+        for _, zj in seq[1:]:
+            z = z + a * (zj - z)
+        gaps = [
+            (d2 - d1).days for (d1, _), (d2, _) in zip(seq, seq[1:])
+        ]
+        p = gaps[0]
+        for g in gaps[1:]:
+            p = p + a * (g - p)
+        r = out[part]
+        assert r.n_demands == len(seq)
+        assert abs(r.forecast_size - z) < 1e-3
+        assert abs(r.forecast_interval - p) < 1e-3
+        assert abs(r.demand_rate - z / p) < 1e-4
+        checked += 1
+        if checked >= 100:
+            break
+    assert checked > 10
+
+
+def test_adaboost_stumps_python_replay(spark, sf_dir):
+    """Exact replay of the 3-round boosted-stump training loop."""
+    rows = _events(spark, sf_dir).select("event_type", "value").collect()
+    cells = defaultdict(float)  # (v, y) -> cnt
+    for r in rows:
+        y = 1 if r.event_type == "purchase" else -1
+        cells[(r.value, y)] += 1.0
+    w = {k: 1.0 for k in cells}
+    vals = sorted({v for v, _ in cells})
+    picked = []
+    for _t in range(Q._ADA_ROUNDS):
+        wpl = wnl = 0.0
+        cum = {}
+        for v in vals:
+            wpl += w.get((v, 1), 0.0) * cells.get((v, 1), 0.0)
+            wnl += w.get((v, -1), 0.0) * cells.get((v, -1), 0.0)
+            cum[v] = (wpl, wnl)
+        wpt, wnt = wpl, wnl
+        best = None
+        for v in vals:
+            pl, nl = cum[v]
+            for pol, err in ((1, nl + (wpt - pl)), (-1, pl + (wnt - nl))):
+                key = (err, v, -pol)
+                if best is None or key < best[0]:
+                    best = (key, v, pol, err)
+        eps = min(max(best[3] / (wpt + wnt), 1e-12), 1 - 1e-12)
+        u = math.sqrt((1 - eps) / eps)
+        th, pol = best[1], best[2]
+        picked.append((th, pol, eps, u))
+        for (v, y) in list(w):
+            pred = pol if v <= th else -pol
+            w[(v, y)] = w[(v, y)] * u if pred != y else w[(v, y)] / u
+    out = sorted(
+        Q.queries()["adaboost_stumps"](spark, sf_dir).collect(),
+        key=lambda r: r.round,
+    )
+    n = sum(cells.values())
+    for t, r in enumerate(out, 1):
+        th, pol, eps, u = picked[t - 1]
+        assert abs(r.threshold - th) < 1e-6
+        assert r.polarity == pol
+        assert abs(r.eps - eps) < 1e-6
+        assert abs(r.alpha - 0.5 * math.log((1 - eps) / eps)) < 1e-5
+        # ensemble error via the product-form sign test
+        terr = 0.0
+        for (v, y), cnt in cells.items():
+            prod = 1.0
+            for th_s, pol_s, _e, u_s in picked[:t]:
+                pred_s = pol_s if v <= th_s else -pol_s
+                prod *= u_s if pred_s == 1 else 1.0 / u_s
+            pred = 1 if prod > 1 else -1
+            if pred != y:
+                terr += cnt
+        assert abs(r.train_err - terr / n) < 1e-5
+    # boosting must not increase training error over the single stump
+    assert out[-1].train_err <= out[0].train_err + 1e-9
