@@ -243,6 +243,11 @@ BENCH_QUERIES = [
     # 2 bounded collects/round over the distinct-value cell table)
     "croston_forecast",
     "adaboost_stumps",
+    # causal 2x2 panel estimator (one 4-cell agg) and the Cox
+    # partial-likelihood Newton solve (3 bounded collects over the
+    # duration-cardinality risk table)
+    "diff_in_diff",
+    "cox_regression",
 ]
 
 

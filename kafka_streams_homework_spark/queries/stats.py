@@ -3709,3 +3709,276 @@ def q_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out_rows[1:]:
         res = res.unionAll(df)
     return res
+
+
+@register(
+    "diff_in_diff",
+    oracle="""
+        WITH base AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                   ('0x' || substr(md5('rm:' || user_id::VARCHAR),
+                                   1, 8))::BIGINT % 2 AS grp,
+                   CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1
+                        ELSE 0 END AS post
+            FROM events
+        ), cellagg AS (
+            SELECT grp, post, count(*) AS n, sum(c) AS s,
+                   sum(c * c) AS s2
+            FROM base GROUP BY grp, post
+        ), m AS (
+            SELECT grp, post, CAST(s AS DOUBLE) / n AS mean,
+                   (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                       / (n - 1) / n AS mvar,
+                   n
+            FROM cellagg
+        )
+        SELECT CAST((SELECT sum(n) FROM m) AS BIGINT) AS n_events,
+               round(((SELECT mean FROM m WHERE grp = 1 AND post = 1)
+                      - (SELECT mean FROM m WHERE grp = 1 AND post = 0)
+                      - (SELECT mean FROM m WHERE grp = 0 AND post = 1)
+                      + (SELECT mean FROM m WHERE grp = 0 AND post = 0))
+                     / 100.0 + 1e-9, 6) AS did,
+               round(sqrt((SELECT sum(mvar) FROM m)) / 100.0 + 1e-9, 6)
+                   AS se,
+               round(((SELECT mean FROM m WHERE grp = 1 AND post = 1)
+                      - (SELECT mean FROM m WHERE grp = 1 AND post = 0)
+                      - (SELECT mean FROM m WHERE grp = 0 AND post = 1)
+                      + (SELECT mean FROM m WHERE grp = 0 AND post = 0))
+                     / sqrt((SELECT sum(mvar) FROM m)) + 1e-9, 6)
+                   AS t_stat
+    """,
+    description="Difference-in-differences on the md5-coin cohorts "
+    "around the mid-month cut (2024-01-16): the 2x2 panel estimator "
+    "(treat-post - treat-pre) - (control-post - control-pre) with "
+    "Welch-style SE from the four cell variances — the causal readout "
+    "when assignment isn't randomized at the metric's grain "
+    "(complements cuped_adjustment and stratified_ate). All four "
+    "cell means/variances derive from integer-cents sums and sums of "
+    "squares (one map-side-combinable 4-cell agg over the scan), so "
+    "the estimate is order-insensitive across engines",
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    grp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rm:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    base = ev.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        grp.alias("grp"),
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+        .cast("int")
+        .alias("post"),
+    )
+    cells = base.groupBy("grp", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    m = cells.select(
+        "grp",
+        "post",
+        (F.col("s").cast("double") / F.col("n")).alias("mean"),
+        (
+            (
+                F.col("s2").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            )
+            / (F.col("n") - 1)
+            / F.col("n")
+        ).alias("mvar"),
+        "n",
+    )
+    # four scalars via conditional one-row agg (no pivot dance)
+    agg = m.agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum(
+            F.when((F.col("grp") == 1) & (F.col("post") == 1), F.col("mean"))
+        ).alias("t1"),
+        F.sum(
+            F.when((F.col("grp") == 1) & (F.col("post") == 0), F.col("mean"))
+        ).alias("t0"),
+        F.sum(
+            F.when((F.col("grp") == 0) & (F.col("post") == 1), F.col("mean"))
+        ).alias("c1"),
+        F.sum(
+            F.when((F.col("grp") == 0) & (F.col("post") == 0), F.col("mean"))
+        ).alias("c0"),
+        F.sum("mvar").alias("v"),
+    )
+    did = F.col("t1") - F.col("t0") - F.col("c1") + F.col("c0")
+    return agg.select(
+        "n_events",
+        F.round(did / 100.0 + F.lit(1e-9), 6).alias("did"),
+        F.round(F.sqrt(F.col("v")) / 100.0 + F.lit(1e-9), 6).alias("se"),
+        F.round(did / F.sqrt(F.col("v")) + F.lit(1e-9), 6).alias("t_stat"),
+    )
+
+
+_COX_STEPS = 3
+
+
+def _cox_oracle(steps: int = _COX_STEPS) -> str:
+    """Unrolled Newton iterations for the binary-covariate Cox partial
+    likelihood (Breslow ties). Risk-set counts are reverse cumulative
+    sums over the ordered distinct-duration axis (deterministic);
+    each iteration is a one-row aggregate with the previous beta as a
+    scalar subquery. AS MATERIALIZED per the DuckDB inlining lesson."""
+    parts = [
+        """WITH users AS MATERIALIZED (
+            SELECT user_id,
+                   ('0x' || substr(md5('rm:' || user_id::VARCHAR),
+                                   1, 8))::BIGINT % 2 AS x,
+                   date_diff('second', min(ts),
+                             coalesce(min(CASE WHEN event_type =
+                                          'purchase' THEN ts END),
+                                      max(ts))) AS t,
+                   CASE WHEN min(CASE WHEN event_type = 'purchase'
+                                 THEN ts END) IS NOT NULL
+                        THEN 1 ELSE 0 END AS d
+            FROM events GROUP BY user_id
+        ), per_t AS MATERIALIZED (
+            SELECT t,
+                   sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS c0,
+                   sum(CASE WHEN x = 1 THEN 1 ELSE 0 END) AS c1,
+                   sum(d) AS dt,
+                   sum(d * x) AS d1
+            FROM users GROUP BY t
+        ), risk AS MATERIALIZED (
+            SELECT t, dt, d1,
+                   sum(c0) OVER (ORDER BY t DESC
+                                 ROWS UNBOUNDED PRECEDING) AS n0,
+                   sum(c1) OVER (ORDER BY t DESC
+                                 ROWS UNBOUNDED PRECEDING) AS n1
+            FROM per_t
+        ), b0 AS MATERIALIZED (SELECT 0.0 AS beta)"""
+    ]
+    for s in range(1, steps + 1):
+        parts.append(f"""b{s} AS MATERIALIZED (
+            SELECT beta + u / i AS beta FROM (
+                SELECT (SELECT beta FROM b{s - 1}) AS beta,
+                       sum(d1 - dt * (n1 * exp((SELECT beta FROM b{s - 1})))
+                                / (n0 + n1 * exp((SELECT beta FROM b{s - 1}))))
+                           AS u,
+                       sum(dt * (n1 * exp((SELECT beta FROM b{s - 1}))
+                                 / (n0 + n1 * exp((SELECT beta
+                                                   FROM b{s - 1}))))
+                              * (1 - n1 * exp((SELECT beta FROM b{s - 1}))
+                                     / (n0 + n1 * exp((SELECT beta
+                                                       FROM b{s - 1})))))
+                           AS i
+                FROM risk WHERE dt > 0
+            )
+        )""")
+    last = f"b{steps}"
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT CAST((SELECT count(*) FROM users) AS BIGINT) AS n_users,
+               CAST((SELECT sum(d) FROM users) AS BIGINT) AS n_events,
+               round((SELECT beta FROM {last}) + 1e-9, 6) AS beta,
+               round(exp((SELECT beta FROM {last})) + 1e-9, 4)
+                   AS hazard_ratio,
+               round(1 / sqrt((
+                   SELECT sum(dt * (n1 * exp((SELECT beta FROM {last}))
+                              / (n0 + n1 * exp((SELECT beta FROM {last}))))
+                           * (1 - n1 * exp((SELECT beta FROM {last}))
+                              / (n0 + n1 * exp((SELECT beta FROM {last})))))
+                   FROM risk WHERE dt > 0)) + 1e-9, 6) AS se
+    """
+    )
+
+
+@register(
+    "cox_regression",
+    oracle=_cox_oracle(),
+    description="Cox proportional-hazards regression (binary "
+    f"md5-cohort covariate, Breslow ties, {_COX_STEPS} Newton steps) "
+    "on time from each user's first event to first purchase "
+    "(censored at last event): the survival-regression complement to "
+    "survival_km's nonparametric curve — does the treated cohort "
+    "purchase FASTER, as a hazard ratio with standard error? "
+    "Risk-set counts are reverse cumulative sums over the ordered "
+    "distinct-duration axis (one user-grain rollup, then everything "
+    "is duration-cardinality bounded); for a binary covariate the "
+    "partial-likelihood score needs only (n0, n1, d, d1) per event "
+    "time, so each Newton step is ONE one-row aggregate with the "
+    "previous beta as a collected scalar (BPE-loop discipline). "
+    "Oracle unrolls the steps into MATERIALIZED CTEs",
+)
+def q_cox_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = _t(spark, sf_dir, "events")
+    x = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rm:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    pts = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    )
+    users = ev.groupBy("user_id").agg(
+        F.first(x).alias("x"),
+        (
+            F.unix_timestamp(F.coalesce(pts, F.max("ts")))
+            - F.unix_timestamp(F.min("ts"))
+        ).alias("t"),
+        pts.isNotNull().cast("int").alias("d"),
+    )
+    per_t = users.groupBy("t").agg(
+        F.sum(F.when(F.col("x") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("x") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum("d").alias("dt"),
+        F.sum(F.col("d") * F.col("x")).alias("d1"),
+    )
+    wrev = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = tracked_persist(
+        per_t.select(
+            "t",
+            "dt",
+            "d1",
+            F.sum("c0").over(wrev).alias("n0"),
+            F.sum("c1").over(wrev).alias("n1"),
+        ).filter(F.col("dt") > 0)
+    )
+    beta = 0.0
+    for _s in range(_COX_STEPS):
+        eb = math.exp(beta)
+        p = (F.col("n1") * eb) / (F.col("n0") + F.col("n1") * eb)
+        row = risk.agg(
+            F.sum(F.col("d1") - F.col("dt") * p).alias("u"),
+            F.sum(F.col("dt") * p * (1 - p)).alias("i"),
+        ).collect()[0]
+        beta = beta + row["u"] / row["i"]
+    eb = math.exp(beta)
+    p = (F.col("n1") * eb) / (F.col("n0") + F.col("n1") * eb)
+    info = risk.agg(F.sum(F.col("dt") * p * (1 - p)).alias("i"))
+    totals = users.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("d").cast("bigint").alias("n_events"),
+    )
+    return totals.crossJoin(F.broadcast(info)).select(
+        "n_users",
+        "n_events",
+        F.round(F.lit(beta) + F.lit(1e-9), 6).alias("beta"),
+        F.round(F.lit(math.exp(beta)) + F.lit(1e-9), 4).alias("hazard_ratio"),
+        F.round(1 / F.sqrt(F.col("i")) + F.lit(1e-9), 6).alias("se"),
+    )

@@ -476,3 +476,87 @@ def test_adaboost_stumps_python_replay(spark, sf_dir):
         assert abs(r.train_err - terr / n) < 1e-5
     # boosting must not increase training error over the single stump
     assert out[-1].train_err <= out[0].train_err + 1e-9
+
+
+def test_diff_in_diff_python_replay(spark, sf_dir):
+    """Exact replay of the 2x2 DiD estimator on integer cents."""
+    rows = _events(spark, sf_dir).select("user_id", "ts", "value").collect()
+    import datetime as dt
+    cut = dt.datetime(2024, 1, 16)
+    cells = defaultdict(lambda: [0, 0, 0])  # (grp, post) -> [n, s, s2]
+    for r in rows:
+        g = int(hashlib.md5(f"rm:{r.user_id}".encode()).hexdigest()[:8], 16) % 2
+        p = 1 if r.ts >= cut else 0
+        c = round(r.value * 100)
+        cell = cells[(g, p)]
+        cell[0] += 1
+        cell[1] += c
+        cell[2] += c * c
+    mean = {k: v[1] / v[0] for k, v in cells.items()}
+    mvar = {
+        k: (v[2] - v[1] * v[1] / v[0]) / (v[0] - 1) / v[0]
+        for k, v in cells.items()
+    }
+    did = (mean[(1, 1)] - mean[(1, 0)] - mean[(0, 1)] + mean[(0, 0)]) / 100.0
+    se = math.sqrt(sum(mvar.values())) / 100.0
+    out = Q.queries()["diff_in_diff"](spark, sf_dir).collect()[0]
+    assert out.n_events == len(rows)
+    assert abs(out.did - did) < 1e-5
+    assert abs(out.se - se) < 1e-5
+    assert abs(out.t_stat - did / se) < 1e-4
+
+
+def test_cox_regression_python_replay(spark, sf_dir):
+    """Exact replay of the 3-step Newton solve for the binary-covariate
+    Breslow partial likelihood."""
+    rows = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append((r.ts, r.event_type))
+    data = []
+    for u, evs in per_user.items():
+        first = min(t for t, _ in evs)
+        purch = [t for t, e in evs if e == "purchase"]
+        if purch:
+            t, d = (min(purch) - first).total_seconds(), 1
+        else:
+            t, d = (max(t0 for t0, _ in evs) - first).total_seconds(), 0
+        x = int(hashlib.md5(f"rm:{u}".encode()).hexdigest()[:8], 16) % 2
+        data.append((t, x, d))
+    per_t = defaultdict(lambda: [0, 0, 0, 0])  # t -> c0, c1, dt, d1
+    for t, x, d in data:
+        cell = per_t[t]
+        cell[0] += 1 - x
+        cell[1] += x
+        cell[2] += d
+        cell[3] += d * x
+    n0 = n1 = 0
+    risk = []
+    for t in sorted(per_t, reverse=True):
+        c0, c1, dt_, d1 = per_t[t]
+        n0 += c0
+        n1 += c1
+        if dt_ > 0:
+            risk.append((n0, n1, dt_, d1))
+    beta = 0.0
+    for _ in range(Q._COX_STEPS):
+        u_s = i_s = 0.0
+        eb = math.exp(beta)
+        for n0_, n1_, dt_, d1 in risk:
+            p = n1_ * eb / (n0_ + n1_ * eb)
+            u_s += d1 - dt_ * p
+            i_s += dt_ * p * (1 - p)
+        beta += u_s / i_s
+    eb = math.exp(beta)
+    i_s = sum(
+        dt_ * (n1_ * eb / (n0_ + n1_ * eb)) * (1 - n1_ * eb / (n0_ + n1_ * eb))
+        for n0_, n1_, dt_, d1 in risk
+    )
+    out = Q.queries()["cox_regression"](spark, sf_dir).collect()[0]
+    assert out.n_users == len(per_user)
+    assert out.n_events == sum(d for *_, d in data)
+    assert abs(out.beta - beta) < 1e-5
+    assert abs(out.hazard_ratio - math.exp(beta)) < 1e-3
+    assert abs(out.se - 1 / math.sqrt(i_s)) < 1e-5
