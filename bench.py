@@ -248,6 +248,10 @@ BENCH_QUERIES = [
     # duration-cardinality risk table)
     "diff_in_diff",
     "cox_regression",
+    # retrieval-eval MAP (composed from benched members) and the
+    # ingest-side z-score monitor (stream-static broadcast join)
+    "map_at_k",
+    "streaming_anomaly_zscore",
 ]
 
 

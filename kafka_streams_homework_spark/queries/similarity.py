@@ -706,3 +706,93 @@ def q_knn_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     return S.radius_search(emb, queries, RADIUS_SIM_THRESHOLD)
+
+
+@register(
+    "map_at_k",
+    # Composed from the member pipelines' own oracles (the
+    # ann_recall_at_k pattern): relevance = exact top-k, ranking =
+    # the LSH index's top-k.
+    oracle=f"""
+        WITH exact AS (SELECT * FROM ({REGISTRY['knn_bruteforce'].oracle})),
+             approx AS (SELECT * FROM ({REGISTRY['knn_lsh'].oracle})),
+             marked AS (
+                 SELECT a.query_id, a.rank,
+                        CASE WHEN e.neighbor_id IS NOT NULL THEN 1
+                             ELSE 0 END AS rel
+                 FROM approx a
+                 LEFT JOIN exact e
+                   ON e.query_id = a.query_id
+                  AND e.neighbor_id = a.neighbor_id
+             ), cum AS (
+                 SELECT query_id, rank, rel,
+                        sum(rel) OVER (PARTITION BY query_id
+                                       ORDER BY rank
+                                       ROWS UNBOUNDED PRECEDING)
+                            AS cum_rel
+                 FROM marked
+             )
+        SELECT c.query_id,
+               CAST((SELECT count(*) FROM exact e
+                     WHERE e.query_id = c.query_id) AS BIGINT)
+                   AS n_rel,
+               round(sum(c.rel * c.cum_rel / CAST(c.rank AS DOUBLE))
+                     / (SELECT count(*) FROM exact e
+                        WHERE e.query_id = c.query_id) + 1e-9, 6)
+                   AS ap
+        FROM cum c GROUP BY c.query_id
+    """,
+    description="Mean-average-precision@k of the LSH index against "
+    "the exact top-k relevance set — completes the retrieval-eval "
+    "triad (recall@k: did we find them; NDCG: graded position "
+    "credit; MAP: binary position credit): AP = mean over relevant "
+    "ranks of precision-at-that-rank, from a per-query cumulative "
+    "over the BOUNDED k-row ranking. Both member pipelines are "
+    "oracle-replayable, so the oracle is COMPOSED from their oracle "
+    "strings (zero drift). Per-query rows; k is the registry-wide "
+    "KNN_K",
+)
+def q_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding"
+    )
+    exact = S.knn_bruteforce(emb, queries, KNN_K).select(
+        F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en")
+    )
+    approx = S.knn_lsh_md5(emb, queries, KNN_K, 32, 4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    marked = approx.join(
+        exact,
+        (F.col("query_id") == F.col("eq"))
+        & (F.col("neighbor_id") == F.col("en")),
+        "left",
+    ).select(
+        "query_id",
+        "rank",
+        F.when(F.col("en").isNotNull(), 1).otherwise(0).alias("rel"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = marked.withColumn("cum_rel", F.sum("rel").over(wq))
+    nrel = exact.groupBy(F.col("eq").alias("q2")).agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    return (
+        cum.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.col("rel") * F.col("cum_rel") / F.col("rank").cast("double")
+            ).alias("ap_num")
+        )
+        .join(F.broadcast(nrel), F.col("query_id") == F.col("q2"))
+        .select(
+            "query_id",
+            F.col("n_rel").cast("bigint").alias("n_rel"),
+            F.round(F.col("ap_num") / F.col("n_rel") + F.lit(1e-9), 6).alias(
+                "ap"
+            ),
+        )
+    )

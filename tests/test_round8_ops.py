@@ -560,3 +560,40 @@ def test_cox_regression_python_replay(spark, sf_dir):
     assert abs(out.beta - beta) < 1e-5
     assert abs(out.hazard_ratio - math.exp(beta)) < 1e-3
     assert abs(out.se - 1 / math.sqrt(i_s)) < 1e-5
+
+
+def test_map_at_k_python_replay(spark, sf_dir):
+    """Replay AP@k from the two member pipelines' own outputs."""
+    exact = defaultdict(set)
+    for r in Q.queries()["knn_bruteforce"](spark, sf_dir).collect():
+        exact[r.query_id].add(r.neighbor_id)
+    ranking = defaultdict(list)
+    for r in Q.queries()["knn_lsh"](spark, sf_dir).collect():
+        ranking[r.query_id].append((r.rank, r.neighbor_id))
+    out = {r.query_id: r for r in Q.queries()["map_at_k"](spark, sf_dir).collect()}
+    assert set(out) == set(ranking)
+    for q, ranked in ranking.items():
+        hits = 0
+        ap = 0.0
+        for rank, nb in sorted(ranked):
+            rel = 1 if nb in exact[q] else 0
+            hits += rel
+            ap += rel * hits / rank
+        ap /= len(exact[q])
+        assert out[q].n_rel == len(exact[q])
+        assert abs(out[q].ap - ap) < 1e-5
+        assert 0.0 <= out[q].ap <= 1.0 + 1e-9
+
+
+def test_streaming_anomaly_zscore_matches_batch(spark, sf_dir):
+    batch = {
+        r.event_id: r.z
+        for r in Q.queries()["anomaly_zscore"](spark, sf_dir).collect()
+    }
+    stream = {
+        r.event_id: r.z
+        for r in Q.queries()["streaming_anomaly_zscore"](spark, sf_dir).collect()
+    }
+    assert set(batch) == set(stream)
+    for eid, z in batch.items():
+        assert abs(stream[eid] - z) < 1e-9
