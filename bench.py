@@ -252,6 +252,10 @@ BENCH_QUERIES = [
     # ingest-side z-score monitor (stream-static broadcast join)
     "map_at_k",
     "streaming_anomaly_zscore",
+    # robust per-type standardization (integer-exact quartile
+    # crossings) and the 2-parameter logistic Newton calibration
+    "robust_scale",
+    "platt_scaling",
 ]
 
 

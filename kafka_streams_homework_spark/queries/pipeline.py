@@ -1793,3 +1793,69 @@ def q_class_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local.crossJoin(F.broadcast(mc)).filter(
         F.col("rn") <= F.col("mc")
     ).select("event_id", "event_type")
+
+
+@register(
+    "robust_scale",
+    oracle="""
+        WITH g AS (
+            SELECT event_type AS t, value AS v, count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), cum AS (
+            SELECT t, v,
+                   SUM(c) OVER (PARTITION BY t ORDER BY v) AS cw,
+                   SUM(c) OVER (PARTITION BY t) AS n
+            FROM g
+        ), q AS (
+            SELECT t,
+                   min(CASE WHEN 4 * cw >= n THEN v END) AS q25,
+                   min(CASE WHEN 2 * cw >= n THEN v END) AS q50,
+                   min(CASE WHEN 4 * cw >= 3 * n THEN v END) AS q75
+            FROM cum GROUP BY t
+        )
+        SELECT e.event_id, e.event_type,
+               round((e.value - q.q50) / (q.q75 - q.q25) + 1e-9, 6)
+                   AS scaled
+        FROM events e JOIN q ON q.t = e.event_type
+    """,
+    description="Robust (median/IQR) feature standardization per event "
+    "type: quartiles are exact weight-crossing points over the "
+    "per-DISTINCT-value counts (weighted_median's integer-exact "
+    "4*cum >= k*n comparisons — no interpolation, no float "
+    "percentile), broadcast back onto the scan for a codegen map "
+    "stage. The outlier-immune alternative to z-scoring "
+    "(anomaly_zscore's mu/sigma are themselves distorted by the "
+    "tails they are meant to flag) — the scaler sklearn calls "
+    "RobustScaler, as two bounded aggs + one broadcast join",
+)
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.col("event_type").alias("t"), F.col("value").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.partitionBy("t").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("t")
+    cum = g.select(
+        "t",
+        "v",
+        F.sum("c").over(wcum).alias("cw"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    q = cum.groupBy("t").agg(
+        F.min(F.when(4 * F.col("cw") >= F.col("n"), F.col("v"))).alias("q25"),
+        F.min(F.when(2 * F.col("cw") >= F.col("n"), F.col("v"))).alias("q50"),
+        F.min(
+            F.when(4 * F.col("cw") >= 3 * F.col("n"), F.col("v"))
+        ).alias("q75"),
+    )
+    return ev.join(F.broadcast(q), ev["event_type"] == F.col("t")).select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("value") - F.col("q50")) / (F.col("q75") - F.col("q25"))
+            + F.lit(1e-9),
+            6,
+        ).alias("scaled"),
+    )

@@ -3982,3 +3982,122 @@ def q_cox_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(math.exp(beta)) + F.lit(1e-9), 4).alias("hazard_ratio"),
         F.round(1 / F.sqrt(F.col("i")) + F.lit(1e-9), 6).alias("se"),
     )
+
+
+_PLATT_STEPS = 3
+
+
+def _platt_oracle(steps: int = _PLATT_STEPS) -> str:
+    """Unrolled 2-parameter logistic-regression Newton solve: per
+    step, the five sufficient sums over the distinct-value cells and
+    a closed-form 2x2 solve, previous (a,b) as scalar subqueries."""
+    parts = [
+        """WITH cells AS MATERIALIZED (
+            SELECT value AS v, count(*) AS n,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END) AS pos
+            FROM events GROUP BY value
+        ), s0 AS MATERIALIZED (SELECT 0.0 AS a, 0.0 AS b)"""
+    ]
+    for s in range(1, steps + 1):
+        p = s - 1
+        parts.append(f"""s{s} AS MATERIALIZED (
+            SELECT a + (g0 * h11 - g1 * h01) / (h00 * h11 - h01 * h01)
+                       AS a,
+                   b + (g1 * h00 - g0 * h01) / (h00 * h11 - h01 * h01)
+                       AS b
+            FROM (
+                SELECT (SELECT a FROM s{p}) AS a,
+                       (SELECT b FROM s{p}) AS b,
+                       sum(pos - n * pr) AS g0,
+                       sum(v * (pos - n * pr)) AS g1,
+                       sum(n * pr * (1 - pr)) AS h00,
+                       sum(n * v * pr * (1 - pr)) AS h01,
+                       sum(n * v * v * pr * (1 - pr)) AS h11
+                FROM (
+                    SELECT v, n, pos,
+                           1 / (1 + exp(-((SELECT a FROM s{p})
+                                          + (SELECT b FROM s{p}) * v)))
+                               AS pr
+                    FROM cells
+                )
+            )
+        )""")
+    last = f"s{steps}"
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT CAST((SELECT sum(n) FROM cells) AS BIGINT) AS n_events,
+               round((SELECT a FROM {last}) + 1e-9, 6) AS intercept,
+               round((SELECT b FROM {last}) + 1e-9, 6) AS slope,
+               round((SELECT -sum(pos * ln(pr) + (n - pos) * ln(1 - pr))
+                             / sum(n)
+                      FROM (SELECT n, pos,
+                                   1 / (1 + exp(-((SELECT a FROM {last})
+                                        + (SELECT b FROM {last}) * v)))
+                                       AS pr
+                            FROM cells)) + 1e-9, 6) AS log_loss
+    """
+    )
+
+
+@register(
+    "platt_scaling",
+    oracle=_platt_oracle(),
+    description="Platt scaling — 2-parameter logistic regression "
+    f"sigma(a + b*value) on the purchase target, {_PLATT_STEPS} "
+    "Newton-Raphson steps with a closed-form 2x2 Hessian solve: the "
+    "parametric calibration next to isotonic_calibration's "
+    "nonparametric PAVA (the two standard ways to turn a raw score "
+    "into a probability). The corpus collapses to distinct-value "
+    "cells ONCE (n, pos per value); each Newton step is then one "
+    "cell-bounded aggregate of five sufficient statistics with the "
+    "previous (a,b) as collected scalars (Cox-loop discipline). "
+    "Oracle unrolls the steps into MATERIALIZED CTEs; emits the "
+    "fitted params and final mean log-loss",
+)
+def q_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = _t(spark, sf_dir, "events")
+    cells = tracked_persist(
+        ev.groupBy(F.col("value").alias("v")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("pos"),
+        )
+    )
+    a = b = 0.0
+    for _s in range(_PLATT_STEPS):
+        pr = 1 / (1 + F.exp(-(F.lit(a) + F.lit(b) * F.col("v"))))
+        row = cells.agg(
+            F.sum(F.col("pos") - F.col("n") * pr).alias("g0"),
+            F.sum(F.col("v") * (F.col("pos") - F.col("n") * pr)).alias("g1"),
+            F.sum(F.col("n") * pr * (1 - pr)).alias("h00"),
+            F.sum(F.col("n") * F.col("v") * pr * (1 - pr)).alias("h01"),
+            F.sum(
+                F.col("n") * F.col("v") * F.col("v") * pr * (1 - pr)
+            ).alias("h11"),
+        ).collect()[0]
+        det = row["h00"] * row["h11"] - row["h01"] * row["h01"]
+        a = a + (row["g0"] * row["h11"] - row["g1"] * row["h01"]) / det
+        b = b + (row["g1"] * row["h00"] - row["g0"] * row["h01"]) / det
+    pr = 1 / (1 + F.exp(-(F.lit(a) + F.lit(b) * F.col("v"))))
+    out = cells.agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.round(
+            -F.sum(
+                F.col("pos") * F.log(pr) + (F.col("n") - F.col("pos")) * F.log(1 - pr)
+            )
+            / F.sum("n")
+            + F.lit(1e-9),
+            6,
+        ).alias("log_loss"),
+    )
+    return out.select(
+        "n_events",
+        F.round(F.lit(a) + F.lit(1e-9), 6).alias("intercept"),
+        F.round(F.lit(b) + F.lit(1e-9), 6).alias("slope"),
+        "log_loss",
+    )

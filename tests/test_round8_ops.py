@@ -597,3 +597,71 @@ def test_streaming_anomaly_zscore_matches_batch(spark, sf_dir):
     assert set(batch) == set(stream)
     for eid, z in batch.items():
         assert abs(stream[eid] - z) < 1e-9
+
+
+def test_robust_scale_quartile_replay(spark, sf_dir):
+    """Replay the integer-exact quartile crossings and the scaling."""
+    rows = _events(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    ).collect()
+    per_type = defaultdict(list)
+    for r in rows:
+        per_type[r.event_type].append(r.value)
+    qs = {}
+    for t, vals in per_type.items():
+        sv = sorted(vals)
+        n = len(sv)
+        def crossing(num, den):
+            # smallest v with den*cum >= num*n over distinct values
+            cum = 0
+            seen = sorted(set(sv))
+            cnt = Counter(sv)
+            for v in seen:
+                cum += cnt[v]
+                if den * cum >= num * n:
+                    return v
+        qs[t] = (crossing(1, 4), crossing(1, 2), crossing(3, 4))
+    out = {r.event_id: r for r in Q.queries()["robust_scale"](spark, sf_dir).collect()}
+    assert len(out) == len(rows)
+    for r in rows[:500]:
+        q25, q50, q75 = qs[r.event_type]
+        expect = (r.value - q50) / (q75 - q25)
+        assert abs(out[r.event_id].scaled - expect) < 1e-5
+
+
+def test_platt_scaling_python_replay(spark, sf_dir):
+    """Exact replay of the 3-step 2x2 Newton logistic fit."""
+    rows = _events(spark, sf_dir).select("event_type", "value").collect()
+    cells = defaultdict(lambda: [0, 0])
+    for r in rows:
+        c = cells[r.value]
+        c[0] += 1
+        c[1] += 1 if r.event_type == "purchase" else 0
+    a = b = 0.0
+    for _ in range(Q._PLATT_STEPS):
+        g0 = g1 = h00 = h01 = h11 = 0.0
+        for v, (n, pos) in cells.items():
+            p = 1 / (1 + math.exp(-(a + b * v)))
+            g0 += pos - n * p
+            g1 += v * (pos - n * p)
+            h00 += n * p * (1 - p)
+            h01 += n * v * p * (1 - p)
+            h11 += n * v * v * p * (1 - p)
+        det = h00 * h11 - h01 * h01
+        a += (g0 * h11 - g1 * h01) / det
+        b += (g1 * h00 - g0 * h01) / det
+    ll = 0.0
+    ntot = 0
+    for v, (n, pos) in cells.items():
+        p = 1 / (1 + math.exp(-(a + b * v)))
+        ll -= pos * math.log(p) + (n - pos) * math.log(1 - p)
+        ntot += n
+    out = Q.queries()["platt_scaling"](spark, sf_dir).collect()[0]
+    assert out.n_events == ntot
+    assert abs(out.intercept - a) < 1e-4
+    assert abs(out.slope - b) < 1e-4
+    assert abs(out.log_loss - ll / ntot) < 1e-4
+    # calibrated log-loss must not exceed the prior-only entropy
+    prior = sum(pos for _, pos in cells.values()) / ntot
+    h0 = -(prior * math.log(prior) + (1 - prior) * math.log(1 - prior))
+    assert out.log_loss <= h0 + 1e-6
