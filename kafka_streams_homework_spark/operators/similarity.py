@@ -446,16 +446,34 @@ def _hyperplane_signature(emb, planes) -> "F.Column":
     corpus size — so the signature is one narrow JVM-side projection
     (zip_with/aggregate), no shuffle, no Python in the row path.
     """
-    bits = []
-    for h in planes:
-        h_lit = F.array(*[F.lit(float(x)) for x in h])
-        dot = F.aggregate(
-            F.zip_with(emb, h_lit, lambda a, b: a * b),
+    # ONE nested higher-order expression over an array-of-arrays
+    # literal — not nbits separate aggregate expressions (the unrolled
+    # form built a ~nbits*dim-node tree: seconds of analysis before a
+    # row moved). The matrix literal itself is ONE F.expr parse, not
+    # nbits*dim F.lit() Column constructions — each F.lit is a py4j
+    # round-trip, and 8 192 of them cost ~15 s of pure driver-side
+    # chatter (measured; the expr parse: milliseconds). repr() emits
+    # the shortest exact round-trip decimal and the 'D' suffix forces
+    # DOUBLE, so the parsed values are bit-identical to the floats.
+    mat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in h) + ")"
+            for h in planes
+        )
+        + ")"
+    )
+    dots = F.transform(
+        mat,
+        lambda h: F.aggregate(
+            F.zip_with(emb, h, lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot >= 0, 1).otherwise(0))
-    return F.array(*bits)
+        ),
+    )
+    return F.transform(
+        dots, lambda d: F.when(d >= 0, 1).otherwise(0)
+    )
 
 
 def random_hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
@@ -577,6 +595,20 @@ def md5_hyperplanes(dim: int, nbits: int) -> list[list[float]]:
     ]
 
 
+def _band_bucket_expr(bands: int, bits_per_band: int) -> "F.Column":
+    """array<struct<band,bucket>> from a materialized `sig` column —
+    ONE parsed expression instead of bands x bits_per_band py4j
+    Column constructions (which cost ~3 s of driver chatter per call
+    site at 32x4; the parse: milliseconds). The MSB-first fold
+    acc*2+x reproduces sum(sig[b*k+r] * 2^(k-1-r)) exactly."""
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> named_struct("
+        f"'band', b, 'bucket', aggregate(slice(sig, "
+        f"b*{bits_per_band}+1, {bits_per_band}), 0, "
+        f"(acc, x) -> acc*2 + x)))"
+    )
+
+
 def cosine_pairs_lsh_md5(
     embeddings: DataFrame,
     threshold: float = 0.35,
@@ -611,19 +643,9 @@ def cosine_pairs_lsh_md5(
         "embedding",
         _hyperplane_signature(F.col("embedding"), planes).alias("sig"),
     )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            sum(
-                F.col("sig")[b * bits_per_band + r]
-                * F.lit(2 ** (bits_per_band - 1 - r))
-                for r in range(bits_per_band)
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
     buckets = sig.select(
-        "vec_id", F.explode(F.array(*band_cols)).alias("bb")
+        "vec_id",
+        F.explode(_band_bucket_expr(bands, bits_per_band)).alias("bb"),
     ).select("vec_id", "bb.band", "bb.bucket")
 
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -682,28 +704,34 @@ def knn_lsh_md5(
             [], "query_id long, neighbor_id long, sim double, rank long"
         )
     planes = md5_hyperplanes(first["d"], bands * bits_per_band)
+    from kafka_streams_homework_spark.caching import tracked_persist
+
+    # ONE signature Column for both sides: the expression is unresolved
+    # (binds by column name at select time), and building it parses the
+    # nbits x dim literal matrix — ~0.7 s per construction.
+    sig_col = _hyperplane_signature(
+        F.col("embedding").cast("array<double>"), planes
+    )
 
     def with_buckets(df: DataFrame, id_alias: str) -> DataFrame:
-        sig = df.select(
-            F.col("vec_id").alias(id_alias),
-            F.col("embedding").cast("array<double>").alias("emb"),
-            _hyperplane_signature(
-                F.col("embedding").cast("array<double>"), planes
-            ).alias("sig"),
-        )
-        band_cols = [
-            F.struct(
-                F.lit(b).alias("band"),
-                sum(
-                    F.col("sig")[b * bits_per_band + r]
-                    * F.lit(2 ** (bits_per_band - 1 - r))
-                    for r in range(bits_per_band)
-                ).alias("bucket"),
+        # persist the signature projection as an OPTIMIZER BARRIER:
+        # the band/bucket projection below references `sig` 4*bands
+        # times, and CollapseProject would inline the full
+        # nbits x dim literal plane matrix into every reference — a
+        # ~10^6-node plan that costs seconds to analyze before a
+        # single row moves (measured: 5.7 s for a 10-row query side).
+        # Behind the persist the references resolve to the cached
+        # column instead. Linear, columnar (id + nbits ints per row).
+        sig = tracked_persist(
+            df.select(
+                F.col("vec_id").alias(id_alias),
+                F.col("embedding").cast("array<double>").alias("emb"),
+                sig_col.alias("sig"),
             )
-            for b in range(bands)
-        ]
+        )
         return sig.select(
-            id_alias, F.explode(F.array(*band_cols)).alias("bb")
+            id_alias,
+            F.explode(_band_bucket_expr(bands, bits_per_band)).alias("bb"),
         ).select(id_alias, "bb.band", "bb.bucket")
 
     qb = with_buckets(queries, "query_id")
