@@ -256,6 +256,9 @@ BENCH_QUERIES = [
     # crossings) and the 2-parameter logistic Newton calibration
     "robust_scale",
     "platt_scaling",
+    # closed-form leave-one-out SE for the ratio estimator (one
+    # broadcast of two integer totals + one variance pass)
+    "jackknife_ratio",
 ]
 
 

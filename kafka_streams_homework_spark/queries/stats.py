@@ -4101,3 +4101,78 @@ def q_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(b) + F.lit(1e-9), 6).alias("slope"),
         "log_loss",
     )
+
+
+@register(
+    "jackknife_ratio",
+    oracle="""
+        WITH base AS (
+            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS a,
+                   CAST(l_quantity AS BIGINT) AS b
+            FROM lineitem
+        ), tot AS (
+            SELECT sum(a) AS sa, sum(b) AS sb, count(*) AS n FROM base
+        ), loo AS (
+            SELECT CAST(sa - a AS DOUBLE) / (sb - b)
+                       - CAST(sa AS DOUBLE) / sb AS dev,
+                   CAST(sa AS DOUBLE) / sb AS r_full, n
+            FROM base, tot
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_rows,
+               round(max(r_full) / 100.0 + 1e-9, 6) AS ratio,
+               round(sqrt((max(n) - 1.0) / max(n)
+                          * (sum(dev * dev)
+                             - sum(dev) * sum(dev) / max(n)))
+                     / 100.0 + 1e-9, 6) AS jackknife_se
+        FROM loo
+    """,
+    description="Jackknife standard error of the ratio estimator "
+    "(revenue per unit = sum price / sum quantity over lineitem): "
+    "every leave-one-out replicate is CLOSED FORM from the integer "
+    "totals ((Sa - a_i)/(Sb - b_i) on cents/units — no resampling "
+    "pass per replicate, unlike bootstrap_ci's B replicates), so the "
+    "whole estimate is one 2-integer-total broadcast plus one "
+    "variance pass over the scan. The delta-method-free uncertainty "
+    "for nonlinear statistics, complementing bootstrap_ci "
+    "(percentile CI) with the classic n-replicate SE",
+)
+def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("a"),
+        F.col("l_quantity").cast("bigint").alias("b"),
+    )
+    tot = base.agg(
+        F.sum("a").alias("sa"), F.sum("b").alias("sb"), F.count(F.lit(1)).alias("n")
+    )
+    loo = base.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("sa") - F.col("a")).cast("double")
+            / (F.col("sb") - F.col("b"))
+            - F.col("sa").cast("double") / F.col("sb")
+        ).alias("dev"),
+        (F.col("sa").cast("double") / F.col("sb")).alias("r_full"),
+        "n",
+    )
+    # deviations are computed per row around the EXACT full ratio
+    # (both terms derive from the same integer totals), so the
+    # variance pass sums tiny numbers — no catastrophic cancellation
+    # of the kind sum(r^2) - (sum r)^2/n would hit when every LOO
+    # replicate agrees to 5+ digits.
+    return loo.agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.round(F.max("r_full") / 100.0 + F.lit(1e-9), 6).alias("ratio"),
+        F.round(
+            F.sqrt(
+                (F.max("n") - 1.0)
+                / F.max("n")
+                * (
+                    F.sum(F.col("dev") * F.col("dev"))
+                    - F.sum("dev") * F.sum("dev") / F.max("n")
+                )
+            )
+            / 100.0
+            + F.lit(1e-9),
+            6,
+        ).alias("jackknife_se"),
+    )

@@ -665,3 +665,24 @@ def test_platt_scaling_python_replay(spark, sf_dir):
     prior = sum(pos for _, pos in cells.values()) / ntot
     h0 = -(prior * math.log(prior) + (1 - prior) * math.log(1 - prior))
     assert out.log_loss <= h0 + 1e-6
+
+
+def test_jackknife_ratio_python_replay(spark, sf_dir):
+    """Exact replay of the closed-form LOO replicates and the SE."""
+    rows = Q._t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_quantity"
+    ).collect()
+    data = [(round(r.l_extendedprice * 100), int(r.l_quantity)) for r in rows]
+    sa = sum(a for a, _ in data)
+    sb = sum(b for _, b in data)
+    n = len(data)
+    r_full = sa / sb
+    devs = [(sa - a) / (sb - b) - r_full for a, b in data]
+    sd = sum(devs)
+    sd2 = sum(d * d for d in devs)
+    se = math.sqrt((n - 1) / n * (sd2 - sd * sd / n))
+    out = Q.queries()["jackknife_ratio"](spark, sf_dir).collect()[0]
+    assert out.n_rows == n
+    assert abs(out.ratio - r_full / 100.0) < 1e-6
+    assert abs(out.jackknife_se - se / 100.0) < 1e-6
+    assert out.jackknife_se > 0
