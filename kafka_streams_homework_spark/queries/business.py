@@ -889,12 +889,14 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "shapley_attribution",
     oracle="""
-        WITH ch AS (
+        WITH RECURSIVE ch AS (
             SELECT event_type AS channel,
                    1 << (CAST(row_number() OVER (ORDER BY event_type)
                               AS INTEGER) - 1) AS bit
             FROM (SELECT DISTINCT event_type FROM events
                   WHERE event_type != 'purchase')
+        ), kk AS (
+            SELECT CAST(count(*) AS INTEGER) AS k FROM ch
         ), user_bits AS (
             SELECT e.user_id, ch.bit
             FROM (SELECT DISTINCT user_id, event_type FROM events
@@ -915,21 +917,29 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), observed AS (
             SELECT mask, count(*) AS n, sum(conv) AS c
             FROM users GROUP BY mask
+        ), all_masks(m) AS (
+            SELECT 0
+            UNION ALL
+            SELECT m + 1 FROM all_masks, kk WHERE m + 1 < (1 << k)
         ), masks AS (
             SELECT m.m AS mask,
                    CASE WHEN o.n IS NULL OR o.n = 0 THEN 0.0
                         ELSE CAST(o.c AS DOUBLE) / o.n END AS v
-            FROM generate_series(0, 15) AS m(m)
+            FROM all_masks m
             LEFT JOIN observed o ON o.mask = m.m
         ), contribs AS (
+            -- exact Shapley weights |S|!(k-1-|S|)!/k! DERIVED from the
+            -- counted channel set (ADVICE r8: no hard-coded k=4 table)
             SELECT ch.channel,
-                   (CASE bit_count(CAST(s.mask AS BIGINT))
-                        WHEN 0 THEN 0.25
-                        WHEN 1 THEN 1.0 / 12.0
-                        WHEN 2 THEN 1.0 / 12.0
-                        ELSE 0.25 END)
+                   (CAST(factorial(bit_count(CAST(s.mask AS BIGINT)))
+                         AS DOUBLE)
+                    * CAST(factorial(kk.k - 1
+                           - bit_count(CAST(s.mask AS BIGINT)))
+                           AS DOUBLE)
+                    / CAST(factorial(kk.k) AS DOUBLE))
                    * (t.v - s.v) AS phi_term
             FROM ch
+            CROSS JOIN kk
             JOIN masks s ON (s.mask & ch.bit) = 0
             JOIN masks t ON t.mask = s.mask + ch.bit
         )
@@ -992,22 +1002,44 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed = users.groupBy("mask").agg(
         F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
     )
-    all_masks = spark.range(16).select(F.col("id").cast("int").alias("m"))
+    # coalition space and Shapley weights DERIVED from the counted
+    # channel set (ADVICE r8: no hard-coded k=4 mask/weight table on
+    # either engine) — one bounded agg row, exploded to 2^k masks,
+    # with a runtime guard against an exponential blowup
+    kdf = ch.agg(F.count(F.lit(1)).cast("int").alias("k")).select(
+        F.when(F.col("k") <= 16, F.col("k"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "shapley_attribution: 2^k coalition space needs "
+                    "k <= 16 non-purchase channels"
+                )
+            ).cast("int")
+        )
+        .alias("k")
+    )
+    all_masks = kdf.select(
+        "k",
+        F.explode(
+            F.sequence(F.lit(0), F.expr("shiftleft(1, k) - 1"))
+        ).alias("m"),
+    )
     masks = all_masks.join(
         F.broadcast(observed), F.col("m") == F.col("mask"), "left"
     ).select(
+        "k",
         "m",
         F.when(
             F.col("n").isNull() | (F.col("n") == 0), F.lit(0.0)
         ).otherwise(F.col("c").cast("double") / F.col("n")).alias("v"),
     )
-    s = masks.select(F.col("m").alias("sm"), F.col("v").alias("sv"))
+    s = masks.select("k", F.col("m").alias("sm"), F.col("v").alias("sv"))
     t = masks.select(F.col("m").alias("tm"), F.col("v").alias("tv"))
+    bc = F.bit_count(F.col("sm").cast("bigint"))
     weight = (
-        F.when(F.bit_count(F.col("sm").cast("bigint")) == 0, F.lit(0.25))
-        .when(F.bit_count(F.col("sm").cast("bigint")) == 1, F.lit(1.0) / 12.0)
-        .when(F.bit_count(F.col("sm").cast("bigint")) == 2, F.lit(1.0) / 12.0)
-        .otherwise(F.lit(0.25))
+        F.factorial(bc).cast("double")
+        * F.factorial(F.col("k") - 1 - bc).cast("double")
+        / F.factorial(F.col("k")).cast("double")
     )
     contribs = (
         F.broadcast(ch)

@@ -1817,6 +1817,7 @@ def q_class_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                round((e.value - q.q50) / (q.q75 - q.q25) + 1e-9, 6)
                    AS scaled
         FROM events e JOIN q ON q.t = e.event_type
+        WHERE q.q75 > q.q25
     """,
     description="Robust (median/IQR) feature standardization per event "
     "type: quartiles are exact weight-crossing points over the "
@@ -1849,6 +1850,10 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(
             F.when(4 * F.col("cw") >= 3 * F.col("n"), F.col("v"))
         ).alias("q75"),
+    ).filter(
+        # degenerate IQR=0 groups are excluded identically on both
+        # engines (ADVICE r8: Spark would emit NULL, DuckDB IEEE inf)
+        F.col("q75") > F.col("q25")
     )
     return ev.join(F.broadcast(q), ev["event_type"] == F.col("t")).select(
         "event_id",

@@ -3182,11 +3182,21 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     j = perms.crossJoin(F.broadcast(obs))
+    # cast each OPERAND before multiplying (ADVICE r8): the oracle's
+    # sum(BIGINT) is already HUGEINT (int128), so the products must be
+    # formed in decimal space too — long*long would silently wrap at
+    # crawl scale before the post-hoc cast could save it
     extreme = (
-        F.abs(dec(F.col("ps1") * F.col("pn0") - F.col("ps0") * F.col("pn1")))
-        * dec(F.col("n1") * F.col("n0"))
-        >= F.abs(dec(F.col("s1") * F.col("n0") - F.col("s0") * F.col("n1")))
-        * dec(F.col("pn1") * F.col("pn0"))
+        F.abs(
+            dec(F.col("ps1")) * dec(F.col("pn0"))
+            - dec(F.col("ps0")) * dec(F.col("pn1"))
+        )
+        * (dec(F.col("n1")) * dec(F.col("n0")))
+        >= F.abs(
+            dec(F.col("s1")) * dec(F.col("n0"))
+            - dec(F.col("s0")) * dec(F.col("n1"))
+        )
+        * (dec(F.col("pn1")) * dec(F.col("pn0")))
     ).cast("int")
     res = j.groupBy("s1", "n1", "s0", "n0").agg(
         F.sum(extreme).alias("n_extreme")

@@ -620,3 +620,38 @@ def test_conformal_qhat_rank_is_two_phase(spark, sf_dir):
     df = Q.queries()["conformal_interval"](spark, sf_dir)
     plan = physical_plan(df)
     _entity_windows_bucket_partitioned(plan, "user_id")
+
+
+def test_streaming_naive_bayes_model_is_broadcast_table_not_literals(spark, sf_dir):
+    """VERDICT r8 task 2: the NB model must reach the stream as a
+    stream-static BROADCAST join on a one-row model frame — NOT as
+    vocabulary-sized plan literals, and with zero driver collects."""
+    import inspect
+
+    from kafka_streams_homework_spark.queries import streaming as S
+
+    # 1. no .collect( anywhere in the training/scoring path (docstrings
+    #    stripped — the prose legitimately mentions the banned call)
+    import ast
+    import textwrap
+
+    for fn in (S._nb_model, S._nb_scored_stream):
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Attribute):
+                assert node.attr != "collect", ast.dump(node)
+    # 2. the streaming logical plan joins the static model (broadcast
+    #    hint present) and contains no vocabulary-sized literal: a
+    #    token guaranteed in the corpus must NOT appear in the plan.
+    out = S._nb_scored_stream(spark, sf_dir)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "Join" in plan, plan
+    # a one-token literal per vocab word would repeat common corpus
+    # words hundreds of times; the relational plan mentions none
+    assert "vector" not in plan and "merge" not in plan, plan[:2000]
+    assert "broadcast" in plan.lower(), plan[:2000]
+    # 3. model frame is one row with the map + class arrays
+    model = S._nb_model(spark, sf_dir)
+    cols = set(model.columns)
+    assert {"nb_model", "classes", "priors", "dflts", "one"} <= cols
+    assert model.count() == 1
