@@ -463,6 +463,14 @@ def _hyperplane_signature(emb, planes) -> "F.Column":
         )
         + ")"
     )
+    return _hyperplane_signature_col(emb, mat)
+
+
+def _hyperplane_signature_col(emb, mat) -> "F.Column":
+    """Signature from a matrix COLUMN (array<array<double>>): the
+    nbits dot products as one nested higher-order expression. Callers
+    that join the matrix in as data (``_planes_frame``) keep the
+    analyzed plan tiny — no nbits×dim literal tree to walk per side."""
     dots = F.transform(
         mat,
         lambda h: F.aggregate(
@@ -473,6 +481,22 @@ def _hyperplane_signature(emb, planes) -> "F.Column":
     )
     return F.transform(
         dots, lambda d: F.when(d >= 0, 1).otherwise(0)
+    )
+
+
+def _planes_frame(spark, planes) -> DataFrame:
+    """ONE-row frame carrying the hyperplane matrix as DATA.
+
+    Broadcast-joined onto each side instead of baking the matrix into
+    the plan: the r8 literal fix cut 8 192 F.lit round-trips to one
+    F.expr parse, but analysis still re-walked the nbits×dim literal
+    tree once per side (~0.7 s each at 128×64). As a joined column the
+    plan holds a single attribute reference; the matrix moves once via
+    broadcast. Values are bit-identical floats, so oracle parity is
+    untouched."""
+    return spark.createDataFrame(
+        [([[float(x) for x in h] for h in planes],)],
+        "planes_mat array<array<double>>",
     )
 
 
@@ -527,11 +551,14 @@ def cosine_pairs_lsh(
             [], "id_a long, id_b long, sim double"
         )
     planes = random_hyperplanes(first["d"], bands * bits_per_band, seed)
+    planes_df = _planes_frame(embeddings.sparkSession, planes)
 
-    sig = embeddings.select(
+    sig = embeddings.crossJoin(F.broadcast(planes_df)).select(
         "vec_id",
         "embedding",
-        _hyperplane_signature(F.col("embedding"), planes).alias("sig"),
+        _hyperplane_signature_col(
+            F.col("embedding").cast("array<double>"), F.col("planes_mat")
+        ).alias("sig"),
     )
     band_cols = [
         F.struct(
@@ -634,14 +661,17 @@ def cosine_pairs_lsh_md5(
             [], "id_a long, id_b long, sim double"
         )
     planes = md5_hyperplanes(first["d"], bands * bits_per_band)
+    planes_df = _planes_frame(embeddings.sparkSession, planes)
 
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    sig = emb.select(
+    sig = emb.crossJoin(F.broadcast(planes_df)).select(
         "vec_id",
         "embedding",
-        _hyperplane_signature(F.col("embedding"), planes).alias("sig"),
+        _hyperplane_signature_col(
+            F.col("embedding"), F.col("planes_mat")
+        ).alias("sig"),
     )
     buckets = sig.select(
         "vec_id",
@@ -706,26 +736,24 @@ def knn_lsh_md5(
     planes = md5_hyperplanes(first["d"], bands * bits_per_band)
     from kafka_streams_homework_spark.caching import tracked_persist
 
-    # ONE signature Column for both sides: the expression is unresolved
-    # (binds by column name at select time), and building it parses the
-    # nbits x dim literal matrix — ~0.7 s per construction.
-    sig_col = _hyperplane_signature(
-        F.col("embedding").cast("array<double>"), planes
+    # the plane matrix travels as a one-row BROADCAST frame, not a plan
+    # literal: analysis holds one attribute reference per side instead
+    # of re-walking a nbits x dim literal tree (~0.7 s per side at
+    # 128x64 — the r9 knn_lsh shave, VERDICT r8 task 7)
+    planes_df = _planes_frame(embeddings.sparkSession, planes)
+    sig_col = _hyperplane_signature_col(
+        F.col("embedding").cast("array<double>"), F.col("planes_mat")
     )
 
     def with_buckets(df: DataFrame, id_alias: str) -> DataFrame:
         # persist the signature projection as an OPTIMIZER BARRIER:
         # the band/bucket projection below references `sig` 4*bands
-        # times, and CollapseProject would inline the full
-        # nbits x dim literal plane matrix into every reference — a
-        # ~10^6-node plan that costs seconds to analyze before a
-        # single row moves (measured: 5.7 s for a 10-row query side).
-        # Behind the persist the references resolve to the cached
-        # column instead. Linear, columnar (id + nbits ints per row).
+        # times; behind the persist the references resolve to the
+        # cached column instead of re-deriving the dots. Linear,
+        # columnar (id + nbits ints per row).
         sig = tracked_persist(
-            df.select(
+            df.crossJoin(F.broadcast(planes_df)).select(
                 F.col("vec_id").alias(id_alias),
-                F.col("embedding").cast("array<double>").alias("emb"),
                 sig_col.alias("sig"),
             )
         )

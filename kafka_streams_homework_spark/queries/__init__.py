@@ -68,80 +68,78 @@ del _m, _k, _v
 # twins out / their oracle-checked exact anchors stay). Rotated-out
 # entries still run in pytest and tools/check_oracle.py full sweeps.
 _WINDOW = [
-    # round-8 rotation (VERDICT r7 tasks 1+2): the FINAL rotation leg —
-    # all 50 slots go to never-driver-sampled ORACLE-BEARING names
-    # (none appears in any CORRECTNESS_r01-r07 window; recomputed as
-    # registry minus the union of r01-r07 keys). The 48 remaining
-    # never-sampled oracle-bearing names plus this round's two new
-    # streaming twins fill the window exactly. Rows-only names
-    # (compression_ratio, cosine_pairs_cells, distinct_rollup_hll,
-    # knn_ivf/pq/ivfpq, pca_projection, semantic_dedup) are EXCLUDED
-    # by policy (task 2): a no-oracle name burns a window slot as
-    # err:no_oracle (the r7 streaming_windowed_hll lesson); their
-    # evidence channel is the full sweep + pytest bounds + their
-    # oracle-hash exact twins. After r8, every oracle-bearing registry
-    # name has driver-ledger evidence.
-    # -- r7 late additions (judge priority: landed after the r7
-    #    window froze) --
-    "bpe_train",
+    # round-9 rotation (VERDICT r8 task 1): the LAST ledger leg — the
+    # 29 oracle-bearing names that have never appeared in any
+    # CORRECTNESS_r01-r08 window (recomputed from the artifacts: the
+    # 26 round-8-continuation ops + the 3 streaming twins that landed
+    # after the r8 window froze) take 29 slots; after r9 every
+    # oracle-bearing registry name has driver-ledger evidence. The
+    # remaining slots go to round-9 NEW ops (added as they land) and
+    # the highest-value re-confirmations the judge named: the
+    # flagship alert pipeline family and the five partsupp TPC-H
+    # shapes. Rows-only names stay EXCLUDED by policy (a no-oracle
+    # name burns a slot as err:no_oracle); their evidence channel is
+    # the full sweep + pytest bounds + oracle-hash exact twins.
+    # -- the 26 r8-continuation ops (judge pre-verified all 26) --
+    "adaboost_stumps",
+    "class_balance_sample",
+    "clustering_coefficient",
+    "cox_regression",
+    "croston_forecast",
+    "decision_stump",
+    "diff_in_diff",
+    "dq_referential",
+    "friedman_test",
+    "hits_scores",
+    "hurst_exponent",
+    "image_phash_dedup",
+    "jackknife_ratio",
+    "knn_radius",
+    "kruskal_wallis",
+    "l_diversity_audit",
+    "map_at_k",
+    "naive_bayes_lang",
+    "permutation_test",
+    "platt_scaling",
+    "robust_scale",
+    "shapley_attribution",
+    "streaming_anomaly_zscore",
+    "streaming_naive_bayes",
+    "target_encoding",
+    "woe_iv_binning",
+    # -- the 3 streaming twins that landed after the r8 freeze --
+    "streaming_kmv_distinct",
+    "streaming_psi_drift",
+    "streaming_quality_score",
+    # -- re-confirmations (flagship family + partsupp TPC-H five +
+    #    core operator families; swapped out for new r9 ops as they
+    #    land) --
+    "price_alerts",
+    "price_alerts_sql",
+    "streaming_price_alerts",
+    "streaming_stateful_alerts",
+    "q2_min_cost_supplier_ps",
+    "q9_product_profit_ps",
+    "q11_important_stock_ps",
+    "q16_supplier_count_ps",
+    "q20_part_promotion_ps",
+    "windowed_sum",
+    "latest_by_key",
+    "join_stream_table",
+    "sink_write",
+    "partitioned_sink_scan",
+    "kafka_wire_roundtrip",
+    "avro_wire_roundtrip",
+    "geomean_udaf",
+    "udtf_chunks",
+    "dedup_exact",
     "bpe_encode",
-    "bpe_fertility",
-    "mmr_rerank",
-    "streaming_decayed_leaderboard",
-    "streaming_quantile_hist",
-    # -- round-8 new ops (streaming twins: tokenize-at-ingest + OHLC) --
-    "streaming_bpe_encode",
-    "streaming_ohlc_bars",
-    # -- remaining never-sampled oracle-bearing pool (all of it) --
-    "acf_lags",
-    "activity_streaks",
-    "association_rules",
-    "bloom_prune_join",
-    "categorical_entropy",
-    "churn_flag",
-    "cohort_ltv",
-    "corr_matrix",
-    "degree_distribution",
-    "ewma_smooth",
-    "first_session_metrics",
-    "fulfillment_latency",
-    "funnel_steps",
-    "geo_nearest_supplier",
-    "geo_radius_join",
-    "grouped_ols",
-    "hhi_concentration",
-    "interarrival_stats",
-    "ips_policy_eval",
-    "js_divergence",
-    "kmv_overlap",
-    "linear_attribution",
-    "mann_kendall_trend",
-    "markov_transitions",
-    "mutual_information",
-    "ohlc_bars",
-    "path_to_purchase",
-    "period_over_period",
-    "psi_drift",
-    "quantile_normalize",
-    "ratio_metric_delta",
-    "retention_cohorts",
-    "rich_club",
-    "rolling_anomaly",
-    "seasonality_profile",
-    "sessionized_conversion",
-    "spearman_corr",
-    "sprt_monitor",
-    "theil_sen_trend",
-    "time_weighted_avg",
-    "trend_seasonal_decompose",
-    "weighted_median",
+    "q1_pricing_summary",
 ]
-# Rotated OUT this round: the whole r07 window (49/50 driver-green in
-# CORRECTNESS_r07; the 50th, streaming_windowed_hll, is rows-only by
-# design and now excluded from windows by policy). Every rotated-out
-# entry still runs in pytest and the tools/check_oracle.py full sweep
-# each round. Historical swap notes (r6 and earlier) are in git
-# history.
+# Rotated OUT this round: the whole r08 window (50/50 driver-green in
+# CORRECTNESS_r08). Every rotated-out entry still runs in pytest and
+# the tools/check_oracle.py full sweep each round. Historical swap
+# notes (r7 and earlier) are in git history.
 
 
 WINDOW = 50  # the driver gate's sample size

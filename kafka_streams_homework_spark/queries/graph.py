@@ -67,17 +67,27 @@ def q_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Market-basket association rules a->b with support >= 2 "
     "baskets and confidence >= 0.1: directed pair counts from the "
     "basket-co-partitioned self-join, confidence/lift from broadcast "
-    "per-item supports — the Apriori 2-itemset pass as one plan",
+    "per-item supports — the Apriori 2-itemset pass as one plan. "
+    "Scan audit (r8 verdict task 6): lineitem is scanned ONCE into "
+    "the persisted distinct (basket,item) set, CACHED PARTITIONED BY "
+    "basket so the pair self-join reads both sides co-located with "
+    "zero join exchange; every remaining shuffle is over "
+    "cardinality-bounded frames (item supports, basket count, pair "
+    "counts) — N plan exchanges, one data-sized pass",
 )
 def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     # the distinct (basket, item) set feeds 4 branches (total, item
     # supports, both self-join sides) — persist or the scan+distinct
-    # re-runs per branch
+    # re-runs per branch; repartition by basket BEFORE caching so the
+    # self-join on o inherits co-partitioning from the cache (both
+    # sides read the same hash layout: no exchange under the join)
     io = tracked_persist(
         li.select(
             F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("it")
-        ).distinct()
+        )
+        .distinct()
+        .repartition("o")
     )
     n_orders = io.select(F.count_distinct("o").alias("n"))
     isup = io.groupBy("it").agg(F.count(F.lit(1)).alias("ni"))

@@ -1884,46 +1884,47 @@ def q_anova_f_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Per-column Shannon entropy of categorical columns — "
     "the information-content DQ check (near-zero entropy = a dead "
-    "column; entropy ≈ log2(n_values) = uniform): one groupBy per "
-    "audited column, the entropy a tiny aggregate over value counts "
-    "against a broadcast total. All ratios from exact integer counts "
-    "(both engines log identical doubles); value-cardinality-sized "
-    "state, any corpus volume",
+    "column; entropy ≈ log2(n_values) = uniform). ONE pass per "
+    "table: the two documents columns unpivot via stack() so the "
+    "corpus is scanned once, all three histograms build in a single "
+    "(column_name, v) groupBy, per-column totals come from a window "
+    "over the BOUNDED histogram (value-cardinality rows, fine at any "
+    "volume), and the entropy folds in a final tiny groupBy — 2 "
+    "scans / 3 shuffles where the per-column-subplan form cost 6 "
+    "scans / 16 shuffles (r8 verdict audit). All ratios from exact "
+    "integer counts (both engines log identical doubles)",
 )
 def q_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     docs = _t(spark, sf_dir, "documents")
-
-    def h(df: DataFrame, col: str, name: str) -> DataFrame:
-        counts = df.groupBy(F.col(col).alias("v")).agg(
-            F.count(F.lit(1)).alias("c")
-        )
-        tot = counts.agg(F.sum("c").alias("n"))
-        p = F.col("c") * 1.0 / F.col("n")
-        return (
-            counts.crossJoin(F.broadcast(tot))
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_values"),
-                F.round(
-                    -F.sum(p * F.log(p) / F.log(F.lit(2.0))) + F.lit(1e-9), 6
-                ).alias("entropy_bits"),
-                F.round(
-                    F.log(F.count(F.lit(1))) / F.log(F.lit(2.0)) + F.lit(1e-9),
-                    6,
-                ).alias("max_entropy_bits"),
-            )
-            .select(
-                F.lit(name).alias("column_name"),
-                "n_values",
-                "entropy_bits",
-                "max_entropy_bits",
-            )
-        )
-
+    ev = events.select(
+        F.lit("events.event_type").alias("column_name"),
+        F.col("event_type").alias("v"),
+    )
+    dc = docs.selectExpr(
+        "stack(2, 'documents.lang', lang, 'documents.source', source) "
+        "AS (column_name, v)"
+    )
+    hist = (
+        ev.unionByName(dc)
+        .groupBy("column_name", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").over(Window.partitionBy("column_name"))
+    p = F.col("c") * 1.0 / F.col("n")
     return (
-        h(events, "event_type", "events.event_type")
-        .unionByName(h(docs, "lang", "documents.lang"))
-        .unionByName(h(docs, "source", "documents.source"))
+        hist.withColumn("n", n)
+        .groupBy("column_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.round(
+                -F.sum(p * F.log(p) / F.log(F.lit(2.0))) + F.lit(1e-9), 6
+            ).alias("entropy_bits"),
+            F.round(
+                F.log(F.count(F.lit(1))) / F.log(F.lit(2.0)) + F.lit(1e-9),
+                6,
+            ).alias("max_entropy_bits"),
+        )
     )
 
 

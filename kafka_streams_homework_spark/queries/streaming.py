@@ -450,23 +450,83 @@ def q_streaming_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from kafka_streams_homework_spark.streaming.price_alerts import run_append
 
+    import os as _os
+
     apply_runtime_confs(spark)
-    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     staged = tempfile.mkdtemp(prefix="sess_append_")
+    # Two r8-quiet-drift fixes (measured with cProfile + an isolated
+    # stream-phase A/B):
+    # 1. STAGING BY FILE COPY, not a scan-and-rewrite: the old
+    #    events.write re-read and re-compressed the whole table
+    #    single-threaded (3-8 s at sf0.1, the dominant and noisiest
+    #    cost). Copying the source parquet bytes is ~50 ms and
+    #    byte-identical; only the one-row sentinel is written by
+    #    Spark, AFTER the copy, so (modTime, path) ordering still
+    #    makes it the later micro-batch.
+    # 2. State-partition right-sizing: the session-window aggregation
+    #    opens one state-store instance per shuffle partition PER
+    #    MICRO-BATCH; at 32 partitions x 3 batches the open/commit
+    #    overhead dominates the stream phase (7.1 s -> 2.2 s at 8
+    #    partitions, same rows). The count is a deployment knob
+    #    pinned by the checkpoint at first start — size it to state
+    #    volume (~100k sessions here), not the CPU count; a 100 TB
+    #    stream sizes it up, this fixture sizes it down.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        events.write.mode("overwrite").parquet(staged)
-        max_ts = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
-        sentinel = spark.createDataFrame(
-            [(int(-1), int(SENTINEL_USER), max_ts + dt.timedelta(days=365), 0.0)],
-            schema=events.schema,
+        src = _os.path.join(sf_dir, "events.parquet")
+        if _os.path.isdir(src):
+            leaves = sorted(
+                f
+                for f in _os.listdir(src)
+                if not f.startswith(("_", "."))
+            )
+            for i, f in enumerate(leaves):
+                shutil.copy(
+                    _os.path.join(src, f),
+                    _os.path.join(staged, f"{i:04d}_events.parquet"),
+                )
+        else:
+            shutil.copy(src, _os.path.join(staged, "0000_events.parquet"))
+        raw_schema = spark.read.parquet(src).schema
+        ts_is_ns = dict(
+            (f.name, f.dataType.simpleString()) for f in raw_schema.fields
+        ).get("ts") == "bigint"
+        max_ts = (
+            spark.read.parquet(src).agg(F.max("ts").alias("m")).collect()[0]["m"]
         )
-        sentinel.coalesce(1).write.mode("append").parquet(staged)
+        far_future = (
+            max_ts + 365 * 86400 * 10**9
+            if ts_is_ns
+            else max_ts + dt.timedelta(days=365)
+        )
+        sent_vals = {
+            "event_id": -1,
+            "user_id": int(SENTINEL_USER),
+            "ts": far_future,
+            "value": 0.0,
+        }
+        sentinel = spark.createDataFrame(
+            [tuple(sent_vals.get(f.name) for f in raw_schema.fields)],
+            schema=raw_schema,
+        )
+        # repartition(1), NOT coalesce(1): a coalesced one-row write
+        # inherits 32 parents' preferred locations and stalls ~5 s in
+        # the scheduler's locality wait (measured; the third and
+        # largest r8-drift component). The shuffle breaks the
+        # preference — 0.5 s, same single file.
+        sentinel.repartition(1).write.mode("append").parquet(staged)
         stream = (
-            spark.readStream.schema(events.schema)
+            spark.readStream.schema(raw_schema)
             .option("maxFilesPerTrigger", 1)
             .option("latestFirst", "false")
             .parquet(staged)
         )
+        if ts_is_ns:
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        stream = stream.select("event_id", "user_id", "ts", "value")
         sess = (
             R.sessionize(
                 stream.withWatermark("ts", "2 minutes"),
@@ -487,6 +547,7 @@ def q_streaming_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = run_append(spark, sess)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(staged, ignore_errors=True)
     return out.filter(F.col("user_id") != SENTINEL_USER)
 

@@ -276,7 +276,11 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
-    d = (
+    # persist the CALENDAR-BOUNDED daily series: mean/denominator/lag
+    # branches all reference it, and unpersisted each re-scanned the
+    # full corpus (r8 verdict audit: 10 shuffles -> the one daily
+    # aggregate pass + bounded follow-ups over ~30 cached rows)
+    d = tracked_persist(
         events.filter(F.col("value").isNotNull())
         .groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(F.round(F.avg("value") + F.lit(1e-9), 6).alias("y"))

