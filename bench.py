@@ -259,6 +259,18 @@ BENCH_QUERIES = [
     # closed-form leave-one-out SE for the ratio estimator (one
     # broadcast of two integer totals + one variance pass)
     "jackknife_ratio",
+    # round-9 additions: integer-exact moment normality test, robust
+    # variance-homogeneity gate (median-crossing deviations), nested
+    # lag-1 OLS causality screen over the bounded daily grain,
+    # chi-square token feature ranking (vocab x classes grid),
+    # doubly-robust off-policy value, and the Page-Hinkley sequential
+    # mean-shift monitor
+    "jarque_bera",
+    "levene_test",
+    "granger_lag1",
+    "chi2_token_ranking",
+    "doubly_robust_eval",
+    "page_hinkley_drift",
 ]
 
 
@@ -345,6 +357,18 @@ def main() -> None:
         "loadavg_end": [round(x, 2) for x in load_end],
         "verdict": verdict,
     }
+    if verdict != "quiet":
+        # loud, unmissable, and self-describing in the artifact too
+        # (VERDICT r8 task 3): a non-quiet run must never be committed
+        # as a round-over-round reference by accident.
+        warn = (
+            f"BENCH WARNING: box verdict is '{verdict}' "
+            f"(loadavg_start={box_load['loadavg_start']}, ncpus={ncpus}) — "
+            "totals from this run are NOT comparable round-over-round; "
+            "re-run on a quiet box before recording a baseline."
+        )
+        print(f"\n!!! {warn}\n", file=sys.stderr)
+        box_load["warning"] = warn
     full = {
         "metric": "total_bench_time",
         "value": total,

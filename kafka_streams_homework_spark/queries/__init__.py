@@ -128,13 +128,14 @@ _WINDOW = [
     "join_stream_table",
     "sink_write",
     "partitioned_sink_scan",
-    "kafka_wire_roundtrip",
-    "avro_wire_roundtrip",
-    "geomean_udaf",
-    "udtf_chunks",
-    "dedup_exact",
-    "bpe_encode",
     "q1_pricing_summary",
+    # -- round-9 NEW ops (never sampled by definition) --
+    "jarque_bera",
+    "levene_test",
+    "granger_lag1",
+    "chi2_token_ranking",
+    "doubly_robust_eval",
+    "page_hinkley_drift",
 ]
 # Rotated OUT this round: the whole r08 window (50/50 driver-green in
 # CORRECTNESS_r08). Every rotated-out entry still runs in pytest and

@@ -4187,3 +4187,351 @@ def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jackknife_se"),
     )
+
+
+@register(
+    "jarque_bera",
+    oracle="""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS HUGEINT) AS c
+            FROM events WHERE value IS NOT NULL
+        ), s AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   sum(c) AS s1,
+                   sum(c * c) AS s2,
+                   sum(c * c * c) AS s3,
+                   sum(c * c * c * c) AS s4
+            FROM c GROUP BY event_type
+        ), m AS (
+            SELECT event_type, n,
+                   CAST(s1 AS DOUBLE) / n AS mu,
+                   CAST(s2 AS DOUBLE) / n AS r2,
+                   CAST(s3 AS DOUBLE) / n AS r3,
+                   CAST(s4 AS DOUBLE) / n AS r4
+            FROM s
+        ), k AS (
+            SELECT event_type, n, mu,
+                   r2 - mu * mu AS m2,
+                   r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+                   r4 - 4 * mu * r3 + 6 * mu * mu * r2
+                      - 3 * mu * mu * mu * mu AS m4
+            FROM m
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n,
+               round(m3 / (m2 * sqrt(m2)) + 1e-9, 6) AS skewness,
+               round(m4 / (m2 * m2) + 1e-9, 6) AS kurtosis,
+               round(n / 6.0 * ((m3 / (m2 * sqrt(m2)))
+                                * (m3 / (m2 * sqrt(m2)))
+                                + (m4 / (m2 * m2) - 3)
+                                  * (m4 / (m2 * m2) - 3) / 4.0)
+                     + 1e-9, 6) AS jb_stat,
+               n / 6.0 * ((m3 / (m2 * sqrt(m2)))
+                          * (m3 / (m2 * sqrt(m2)))
+                          + (m4 / (m2 * m2) - 3)
+                            * (m4 / (m2 * m2) - 3) / 4.0)
+                   > 5.991 AS normal_rejected
+        FROM k
+    """,
+    description="Jarque-Bera normality test per event type — the "
+    "distribution-shape DQ gate (heavy tails / skew flag a value "
+    "column whose z-scores and CIs lie): sample skewness and excess "
+    "kurtosis from the four power sums, JB = n/6 (S^2 + (K-3)^2/4) "
+    "vs the chi-square(2) 95% cut 5.991. The power sums accumulate "
+    "INTEGER-EXACTLY on cents (Spark per-term decimal(38,0) "
+    "products, DuckDB HUGEINT — c^4 ~ 1e20 per term, sums < 1e26, "
+    "both exact), so the double conversion happens once per "
+    "aggregate with IDENTICAL operands on both engines and the "
+    "central-moment algebra is bit-reproducible; cents scaling "
+    "cancels in the scale-invariant S and K. One scan, one "
+    "5-row agg — any corpus volume",
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = F.round(F.col("value") * 100).cast("decimal(38,0)")
+    s = ev.select("event_type", c.alias("c")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).alias("s3"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") * F.col("c")).alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - mu * mu
+    m3 = r3 - 3 * mu * r2 + 2 * mu * mu * mu
+    m4 = r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2)
+    jb = n / F.lit(6.0) * (skew * skew + (kurt - 3) * (kurt - 3) / F.lit(4.0))
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(skew + F.lit(1e-9), 6).alias("skewness"),
+        F.round(kurt + F.lit(1e-9), 6).alias("kurtosis"),
+        F.round(jb + F.lit(1e-9), 6).alias("jb_stat"),
+        (jb > 5.991).alias("normal_rejected"),
+    )
+
+
+@register(
+    "levene_test",
+    oracle="""
+        WITH cv AS (
+            SELECT event_type AS g,
+                   CAST(round(value * 100) AS BIGINT) AS v,
+                   count(*) AS c
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT g, v, c,
+                   sum(c) OVER (PARTITION BY g ORDER BY v) AS cw,
+                   sum(c) OVER (PARTITION BY g) AS n
+            FROM cv
+        ), med AS (
+            SELECT g, min(CASE WHEN 2 * cw >= n THEN v END) AS med
+            FROM cum GROUP BY g
+        ), z AS (
+            SELECT cv.g, cv.c, abs(cv.v - med.med) AS z
+            FROM cv JOIN med ON med.g = cv.g
+        ), per_g AS (
+            SELECT g, sum(c) AS n_g, sum(c * z) AS sz,
+                   sum(c * z * z) AS szz
+            FROM z GROUP BY g
+        ), tot AS (
+            SELECT count(*) AS k, sum(n_g) AS n,
+                   CAST(sum(sz) AS DOUBLE) / sum(n_g) AS zbar
+            FROM per_g
+        ), parts AS (
+            SELECT tot.k, tot.n,
+                   sum(n_g * (CAST(sz AS DOUBLE) / n_g - zbar)
+                           * (CAST(sz AS DOUBLE) / n_g - zbar)) AS num,
+                   sum(CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n_g)
+                       AS den
+            FROM per_g, tot GROUP BY tot.k, tot.n
+        )
+        SELECT CAST(k AS BIGINT) AS n_groups,
+               CAST(n AS BIGINT) AS n_total,
+               CAST(k - 1 AS BIGINT) AS df1,
+               CAST(n - k AS BIGINT) AS df2,
+               round((n - k) * 1.0 / (k - 1) * num / den + 1e-9, 6)
+                   AS w_stat
+        FROM parts
+    """,
+    description="Levene variance-homogeneity test in its robust "
+    "Brown-Forsythe form (deviations from the per-group MEDIAN, not "
+    "mean) across the five event types — the gate that decides "
+    "whether anova_f_test / welch_ttest assumptions hold: per-group "
+    "medians are integer-exact weight crossings over the "
+    "distinct-cents histogram (robust_scale's 2*cw >= n rule), the "
+    "absolute deviations are therefore INTEGER cents, and the "
+    "between/within sums accumulate exactly (bigint / per-term "
+    "products) before one identical double conversion per engine. "
+    "Histogram-sized state: the cumulative runs over distinct "
+    "values per group, never row volume",
+)
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cv = ev.groupBy(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("g")
+    cum = cv.select(
+        "g",
+        "v",
+        "c",
+        F.sum("c").over(wcum).alias("cw"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    med = cum.groupBy("g").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("n"), F.col("v"))).alias("med")
+    )
+    z = cv.join(med, "g").select(
+        "g", "c", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    per_g = z.groupBy("g").agg(
+        F.sum("c").alias("n_g"),
+        F.sum(F.col("c") * F.col("z")).alias("sz"),
+        F.sum(F.col("c") * F.col("z") * F.col("z")).alias("szz"),
+    )
+    tot = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        (F.sum("sz").cast("double") / F.sum("n_g")).alias("zbar"),
+    )
+    zg = F.col("sz").cast("double") / F.col("n_g")
+    parts = per_g.crossJoin(F.broadcast(tot)).groupBy("k", "n").agg(
+        F.sum(
+            F.col("n_g") * (zg - F.col("zbar")) * (zg - F.col("zbar"))
+        ).alias("num"),
+        F.sum(
+            F.col("szz").cast("double")
+            - F.col("sz").cast("double")
+            * F.col("sz").cast("double")
+            / F.col("n_g")
+        ).alias("den"),
+    )
+    return parts.select(
+        F.col("k").cast("bigint").alias("n_groups"),
+        F.col("n").cast("bigint").alias("n_total"),
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("df2"),
+        F.round(
+            (F.col("n") - F.col("k"))
+            * 1.0
+            / (F.col("k") - 1)
+            * F.col("num")
+            / F.col("den")
+            + F.lit(1e-9),
+            6,
+        ).alias("w_stat"),
+    )
+
+
+@register(
+    "doubly_robust_eval",
+    oracle="""
+        WITH log AS (
+            SELECT event_id, user_id,
+                   CAST(round(value, 2) AS DECIMAL(18,2)) AS r,
+                   user_id % 2 AS bucket,
+                   ('0x' || substr(md5('act:' || event_id::VARCHAR),
+                                   1, 8))::BIGINT AS h
+            FROM events WHERE value IS NOT NULL
+        ), act AS (
+            SELECT *,
+                   CASE WHEN bucket = 0 THEN
+                       CASE WHEN h < 2147483648 THEN 0
+                            WHEN h < 3579139413 THEN 1 ELSE 2 END
+                   ELSE
+                       CASE WHEN h < 715827882 THEN 0
+                            WHEN h < 2147483648 THEN 1 ELSE 2 END
+                   END AS a,
+                   user_id % 3 AS a_target
+            FROM log
+        ), wtd AS (
+            SELECT *,
+                   CASE WHEN bucket = 0 THEN
+                       CASE a WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 6 END
+                   ELSE
+                       CASE a WHEN 0 THEN 6 WHEN 1 THEN 3 ELSE 2 END
+                   END AS w
+            FROM act
+        ), cells AS (
+            SELECT bucket AS cb, a AS ca,
+                   CAST(sum(r) AS DOUBLE) / count(*) AS qhat
+            FROM wtd GROUP BY 1, 2
+        ), terms AS (
+            SELECT wtd.*,
+                   qt.qhat AS q_target, qa.qhat AS q_logged
+            FROM wtd
+            JOIN cells qt ON qt.cb = wtd.bucket AND qt.ca = wtd.a_target
+            JOIN cells qa ON qa.cb = wtd.bucket AND qa.ca = wtd.a
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN a = a_target THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_matched,
+               round(sum(q_target) / count(*) + 1e-9, 6) AS dm,
+               round(sum(q_target
+                         + CASE WHEN a = a_target
+                                THEN w * (CAST(r AS DOUBLE) - q_logged)
+                                ELSE 0.0 END) / count(*) + 1e-9, 6)
+                   AS dr
+        FROM terms
+    """,
+    description="Doubly-robust off-policy evaluation — the "
+    "variance/bias sweet spot between ips_policy_eval's unbiased-but-"
+    "noisy importance weighting and a pure outcome model: same logged "
+    "bandit setup (integer md5 propensity draws, exact 1/p weights "
+    "{2,3,6}), plus an outcome model q(bucket, action) fit as the "
+    "6-cell logged-reward mean (DECIMAL sums, one double division "
+    "per cell with identical operands), combined per event as "
+    "q(x, pi(x)) + 1{a = pi(x)} w (r - q(x, a)). The DIRECT-METHOD "
+    "estimate is emitted alongside for the bias/variance read. One "
+    "scan + one bounded cell agg + two broadcast joins of the 6-row "
+    "model — any corpus volume",
+)
+def q_doubly_robust_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("act:"), F.col("event_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = F.col("user_id") % 2
+    a = F.when(
+        bucket == 0,
+        F.when(h < 2147483648, 0).when(h < 3579139413, 1).otherwise(2),
+    ).otherwise(
+        F.when(h < 715827882, 0).when(h < 2147483648, 1).otherwise(2)
+    )
+    w = F.when(
+        bucket == 0,
+        F.when(a == 0, 2).when(a == 1, 3).otherwise(6),
+    ).otherwise(F.when(a == 0, 6).when(a == 1, 3).otherwise(2))
+    wtd = ev.select(
+        F.round("value", 2).cast("decimal(18,2)").alias("r"),
+        bucket.alias("bucket"),
+        a.alias("a"),
+        (F.col("user_id") % 3).alias("a_target"),
+        w.alias("w"),
+    )
+    cells = wtd.groupBy(
+        F.col("bucket").alias("cb"), F.col("a").alias("ca")
+    ).agg((F.sum("r").cast("double") / F.count(F.lit(1))).alias("qhat"))
+    terms = wtd.join(
+        F.broadcast(
+            cells.select(
+                F.col("cb").alias("tb"),
+                F.col("ca").alias("ta"),
+                F.col("qhat").alias("q_target"),
+            )
+        ),
+        (F.col("tb") == F.col("bucket")) & (F.col("ta") == F.col("a_target")),
+    ).join(
+        F.broadcast(
+            cells.select(
+                F.col("cb").alias("lb"),
+                F.col("ca").alias("la"),
+                F.col("qhat").alias("q_logged"),
+            )
+        ),
+        (F.col("lb") == F.col("bucket")) & (F.col("la") == F.col("a")),
+    )
+    matched = F.col("a") == F.col("a_target")
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(matched, 1).otherwise(0)).cast("bigint").alias(
+            "n_matched"
+        ),
+        F.round(
+            F.sum("q_target") / F.count(F.lit(1)) + F.lit(1e-9), 6
+        ).alias("dm"),
+        F.round(
+            F.sum(
+                F.col("q_target")
+                + F.when(
+                    matched,
+                    F.col("w")
+                    * (F.col("r").cast("double") - F.col("q_logged")),
+                ).otherwise(F.lit(0.0))
+            )
+            / F.count(F.lit(1))
+            + F.lit(1e-9),
+            6,
+        ).alias("dr"),
+    )

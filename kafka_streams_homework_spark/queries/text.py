@@ -1933,3 +1933,131 @@ def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("score") + F.lit(1e-9), 6).alias("log_posterior"),
         (F.col("cl") == F.col("lang")).alias("is_correct"),
     )
+
+
+CHI2_TOP_K = 10  # features kept per class
+
+
+@register(
+    "chi2_token_ranking",
+    oracle=f"""
+        WITH pres AS (
+            SELECT DISTINCT doc_id, lang,
+                   unnest(str_split(lower(text), ' ')) AS tok
+            FROM documents
+        ), nn AS (
+            SELECT count(*) AS n FROM documents
+        ), nc AS (
+            SELECT lang AS cl, count(*) AS n_c FROM documents GROUP BY 1
+        ), dft AS (
+            SELECT tok, count(*) AS df_t FROM pres GROUP BY tok
+        ), a AS (
+            SELECT tok, lang AS cl, count(*) AS a
+            FROM pres GROUP BY 1, 2
+        ), grid AS (
+            SELECT dft.tok, nc.cl, nc.n_c, dft.df_t, nn.n,
+                   COALESCE(a.a, 0) AS a
+            FROM dft CROSS JOIN nc CROSS JOIN nn
+            LEFT JOIN a ON a.tok = dft.tok AND a.cl = nc.cl
+        ), scored AS (
+            SELECT cl, tok, a,
+                   round(CAST(n AS DOUBLE)
+                         * (CAST(a AS DOUBLE) * n - CAST(n_c AS DOUBLE) * df_t)
+                         * (CAST(a AS DOUBLE) * n - CAST(n_c AS DOUBLE) * df_t)
+                         / (CAST(n_c AS DOUBLE) * (n - n_c)
+                            * df_t * (n - df_t))
+                         + 1e-9, 6) AS chi2
+            FROM grid WHERE df_t < n
+        ), ranked AS (
+            SELECT cl, tok, a, chi2,
+                   row_number() OVER (PARTITION BY cl
+                                      ORDER BY chi2 DESC, tok ASC) AS rank
+            FROM scored
+        )
+        SELECT cl, tok, CAST(a AS BIGINT) AS df_in_class, chi2,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {10}
+    """,
+    description="Chi-square token-feature ranking per language class — "
+    "the feature-selection stage in front of naive_bayes_lang "
+    "(fastText-style pipelines prune the vocabulary to the most "
+    "class-discriminative terms before training): token PRESENCE per "
+    "doc (distinct doc-token pairs), then for every (token, class) "
+    "2x2 contingency cell the chi-square simplifies to "
+    "N(AN - n_c df_t)^2 / (n_c (N-n_c) df_t (N-df_t)) — the "
+    "cross-product difference is EXACT integer arithmetic, one "
+    "double conversion per cell with identical operands on both "
+    "engines. The full grid is (vocab x classes) via the NB-style "
+    "cross-join-with-defaults (A=0 cells score negative association "
+    "honestly); top-10 per class by the ROUNDED score with token "
+    "tie-break (house parity rule). Vocabulary-bounded everywhere; "
+    "tokens appearing in EVERY doc are excluded (df_t = N makes the "
+    "denominator zero and the feature useless)",
+)
+def q_chi2_token_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.functions import distinct_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    pres = docs.select(
+        "doc_id", "lang", F.explode(distinct_tokens("text")).alias("tok")
+    )
+    nn = docs.agg(F.count(F.lit(1)).alias("n"))
+    nc = docs.groupBy(F.col("lang").alias("cl")).agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    dft = pres.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    a = pres.groupBy("tok", F.col("lang").alias("cl")).agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    grid = (
+        dft.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nn))
+        .join(
+            a.select(
+                F.col("tok").alias("t2"), F.col("cl").alias("c2"), "a"
+            ),
+            (F.col("tok") == F.col("t2")) & (F.col("cl") == F.col("c2")),
+            "left",
+        )
+        .select(
+            "cl",
+            "tok",
+            "n_c",
+            "df_t",
+            "n",
+            F.coalesce(F.col("a"), F.lit(0)).alias("a"),
+        )
+        .filter(F.col("df_t") < F.col("n"))
+    )
+    d = (
+        F.col("a").cast("double") * F.col("n")
+        - F.col("n_c").cast("double") * F.col("df_t")
+    )
+    chi2 = F.round(
+        F.col("n").cast("double")
+        * d
+        * d
+        / (
+            F.col("n_c").cast("double")
+            * (F.col("n") - F.col("n_c"))
+            * F.col("df_t")
+            * (F.col("n") - F.col("df_t"))
+        )
+        + F.lit(1e-9),
+        6,
+    )
+    w = Window.partitionBy("cl").orderBy(
+        F.col("chi2").desc(), F.col("tok").asc()
+    )
+    return (
+        grid.select("cl", "tok", F.col("a").alias("df_in_class"), chi2.alias("chi2"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= CHI2_TOP_K)
+        .select(
+            "cl",
+            "tok",
+            F.col("df_in_class").cast("bigint").alias("df_in_class"),
+            "chi2",
+            "rank",
+        )
+    )

@@ -1699,3 +1699,213 @@ def q_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "demand_rate"
         ),
     )
+
+
+@register(
+    "granger_lag1",
+    oracle="""
+        WITH dy AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   round(avg(value) + 1e-9, 6) AS y
+            FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+            GROUP BY 1
+        ), dx AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   round(avg(value) + 1e-9, 6) AS x
+            FROM events WHERE event_type = 'click' AND value IS NOT NULL
+            GROUP BY 1
+        ), d AS (
+            SELECT dy.day, dy.y, dx.x,
+                   row_number() OVER (ORDER BY dy.day) AS i
+            FROM dy JOIN dx ON dx.day = dy.day
+        ), pairs AS (
+            SELECT cur.y AS yt, prev.y AS a, prev.x AS b
+            FROM d cur JOIN d prev ON prev.i = cur.i - 1
+        ), s AS (
+            SELECT count(*) AS n,
+                   sum(yt) AS sy, sum(a) AS sa, sum(b) AS sb,
+                   sum(a*a) AS saa, sum(b*b) AS sbb, sum(a*b) AS sab,
+                   sum(a*yt) AS say, sum(b*yt) AS sby, sum(yt*yt) AS syy
+            FROM pairs
+        ), c AS (
+            SELECT n,
+                   saa - sa*sa/n AS caa, sbb - sb*sb/n AS cbb,
+                   sab - sa*sb/n AS cab, say - sa*sy/n AS cay,
+                   sby - sb*sy/n AS cby, syy - sy*sy/n AS cyy
+            FROM s
+        ), fit AS (
+            SELECT n,
+                   (cbb*cay - cab*cby) / (caa*cbb - cab*cab) AS b1,
+                   (caa*cby - cab*cay) / (caa*cbb - cab*cab) AS b2,
+                   cyy - cay*cay/caa AS rss_r,
+                   cyy - ((cbb*cay - cab*cby) / (caa*cbb - cab*cab)) * cay
+                       - ((caa*cby - cab*cay) / (caa*cbb - cab*cab)) * cby
+                       AS rss_f
+            FROM c
+        )
+        SELECT CAST(n AS BIGINT) AS n_pairs,
+               round(b1 + 1e-9, 6) AS beta_ylag,
+               round(b2 + 1e-9, 6) AS beta_xlag,
+               round(rss_r + 1e-9, 6) AS rss_restricted,
+               round(rss_f + 1e-9, 6) AS rss_full,
+               round((rss_r - rss_f) / (rss_f / (n - 3)) + 1e-9, 6)
+                   AS f_stat
+        FROM fit
+    """,
+    description="Granger lag-1 causality test: does yesterday's CLICK "
+    "daily mean improve today's PURCHASE daily mean prediction beyond "
+    "purchase's own lag? Both series collapse to the calendar-bounded "
+    "daily grain FIRST (acf_lags' pre-rounded-series discipline, so "
+    "both engines regress identical inputs), consecutive joined days "
+    "pair via the row-number index, and both nested OLS fits are "
+    "CLOSED FORM from one 10-number moment aggregate — restricted "
+    "y_t~y_{t-1} vs full y_t~y_{t-1}+x_{t-1}, F = (RSS_r - RSS_f) / "
+    "(RSS_f / (n-3)). The econometric causal screen next to "
+    "diff_in_diff (designed effect) and mann_kendall_trend "
+    "(monotonic drift); everything after the daily rollup is "
+    "~30-row arithmetic at any corpus volume",
+)
+def q_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+
+    def daily(t: str, name: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(F.round(F.avg("value") + F.lit(1e-9), 6).alias(name))
+        )
+
+    d = (
+        daily("purchase", "y")
+        .join(daily("click", "x"), "day")
+        .select(
+            "y", "x", F.row_number().over(Window.orderBy("day")).alias("i")
+        )
+    )
+    cur = d.select(F.col("y").alias("yt"), F.col("i"))
+    prev = d.select(
+        F.col("y").alias("a"), F.col("x").alias("b"), (F.col("i") + 1).alias("pi")
+    )
+    pairs = cur.join(prev, F.col("pi") == F.col("i"))
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yt").alias("sy"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("yt")).alias("say"),
+        F.sum(F.col("b") * F.col("yt")).alias("sby"),
+        F.sum(F.col("yt") * F.col("yt")).alias("syy"),
+    )
+    n = F.col("n")
+    caa = F.col("saa") - F.col("sa") * F.col("sa") / n
+    cbb = F.col("sbb") - F.col("sb") * F.col("sb") / n
+    cab = F.col("sab") - F.col("sa") * F.col("sb") / n
+    cay = F.col("say") - F.col("sa") * F.col("sy") / n
+    cby = F.col("sby") - F.col("sb") * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    det = caa * cbb - cab * cab
+    b1 = (cbb * cay - cab * cby) / det
+    b2 = (caa * cby - cab * cay) / det
+    rss_r = cyy - cay * cay / caa
+    rss_f = cyy - b1 * cay - b2 * cby
+    return s.select(
+        n.cast("bigint").alias("n_pairs"),
+        F.round(b1 + F.lit(1e-9), 6).alias("beta_ylag"),
+        F.round(b2 + F.lit(1e-9), 6).alias("beta_xlag"),
+        F.round(rss_r + F.lit(1e-9), 6).alias("rss_restricted"),
+        F.round(rss_f + F.lit(1e-9), 6).alias("rss_full"),
+        F.round(
+            (rss_r - rss_f) / (rss_f / (n - F.lit(3))) + F.lit(1e-9), 6
+        ).alias("f_stat"),
+    )
+
+
+@register(
+    "page_hinkley_drift",
+    oracle="""
+        WITH d AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   round(avg(value) + 1e-9, 6) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ), m AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   sum(x) / count(*) AS mu,
+                   sqrt((sum(x * x) - sum(x) * sum(x) / count(*))
+                        / (count(*) - 1)) AS sd
+            FROM d GROUP BY event_type
+        ), cums AS (
+            SELECT d.event_type, d.day, m.n, m.sd,
+                   sum(d.x - m.mu - 0.01)
+                       OVER (PARTITION BY d.event_type ORDER BY d.day
+                             ROWS UNBOUNDED PRECEDING) AS c
+            FROM d JOIN m USING (event_type)
+        ), ph AS (
+            SELECT event_type, day, n, sd,
+                   c - min(c) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING) AS ph
+            FROM cums
+        )
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n_days,
+               round(max(ph) + 1e-9, 6) AS max_ph,
+               round(2 * max(sd) + 1e-9, 6) AS lambda,
+               min(CASE WHEN round(ph + 1e-9, 6)
+                             > round(2 * sd + 1e-9, 6)
+                        THEN day END) AS alarm_day,
+               min(CASE WHEN round(ph + 1e-9, 6)
+                             > round(2 * sd + 1e-9, 6)
+                        THEN day END) IS NOT NULL AS drifted
+        FROM ph GROUP BY event_type
+    """,
+    description="Page-Hinkley change detection per event type — the "
+    "sequential mean-shift monitor next to psi_drift (distributional) "
+    "and rolling_anomaly (pointwise): over the calendar-bounded "
+    "pre-rounded daily-mean series, PH_t = cumsum(x - mu - delta) "
+    "minus its running minimum, alarming when the excursion exceeds "
+    "lambda = 2 sd of the series (explicit-moment sd, never "
+    "engine-internal stddev). Cumulative sum and running min are "
+    "windows over the ~30-day series, so everything after the daily "
+    "rollup is bounded at any corpus volume; delta = 0.01 damps "
+    "drift-free wander. Alarm day and verdict compare ROUNDED "
+    "values on both engines (house parity rule)",
+)
+def q_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.avg("value") + F.lit(1e-9), 6).alias("x"))
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("x") / F.count(F.lit(1))).alias("mu"),
+        F.sqrt(
+            (
+                F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x") / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sd"),
+    )
+    wc = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        d.join(F.broadcast(m), "event_type")
+        .withColumn("c", F.sum(F.col("x") - F.col("mu") - 0.01).over(wc))
+        .withColumn("ph", F.col("c") - F.min("c").over(wc))
+    )
+    lam = F.round(2 * F.col("sd") + F.lit(1e-9), 6)
+    rph = F.round(F.col("ph") + F.lit(1e-9), 6)
+    alarm = F.min(F.when(rph > lam, F.col("day")))
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.round(F.max("ph") + F.lit(1e-9), 6).alias("max_ph"),
+        F.max(lam).alias("lambda"),
+        alarm.alias("alarm_day"),
+        alarm.isNotNull().alias("drifted"),
+    )
