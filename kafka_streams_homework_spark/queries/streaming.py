@@ -1453,32 +1453,43 @@ def _nb_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("lang", F.explode(tokens("text")).alias("tok"))
-    tc = toks.groupBy("tok", F.col("lang").alias("cl")).agg(
-        F.count(F.lit(1)).alias("c")
+    # ONE corpus pass: tc feeds class totals, the vocab cap, and the
+    # grid join — persist it (vocab x classes rows) or each consumer
+    # re-runs the explode+groupBy over the full corpus
+    tc = tracked_persist(
+        toks.groupBy("tok", F.col("lang").alias("cl")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
     )
     class_tot = tc.groupBy("cl").agg(F.sum("c").alias("tl"))
-    vocab_n = tc.select("tok").distinct().agg(F.count(F.lit(1)).alias("v"))
+    tok_tot = tc.groupBy("tok").agg(F.sum("c").alias("ct"))
+    vocab_n = tok_tot.agg(F.count(F.lit(1)).alias("v"))
     priors = docs.groupBy(F.col("lang").alias("cl")).agg(
         F.count(F.lit(1)).alias("nd")
     )
-    ndocs = docs.agg(F.count(F.lit(1)).alias("n"))
+    ndocs = priors.agg(F.sum("nd").alias("n"))  # no second docs scan
     cls = (
         priors.join(class_tot, "cl").crossJoin(vocab_n).crossJoin(ndocs)
     )  # k rows: (cl, nd, tl, v, n)
-    # top-V frequency cap — two_phase_rank, not a single-task sort;
-    # V >> fixture vocab, so the fixture output equals the uncapped
-    # oracle's; at crawl scale it bounds the broadcast (OOV bucket).
-    tok_tot = tc.groupBy("tok").agg(F.sum("c").alias("ct"))
-    kept = (
-        R.two_phase_rank(
-            tok_tot,
-            [F.col("ct").desc(), F.col("tok").asc()],
-            -F.col("ct"),
-            "rk",
+    # top-V frequency cap — engaged ONLY when the counted vocabulary
+    # exceeds the cap (one bounded scalar read decides; the capped
+    # path is two_phase_rank, never a single-task sort). V >> fixture
+    # vocab, so the fixture output equals the uncapped oracle's; at
+    # crawl scale it bounds the broadcast (OOV bucket).
+    n_vocab = vocab_n.first()["v"]
+    if n_vocab > NB_TOP_V:
+        kept = (
+            R.two_phase_rank(
+                tok_tot,
+                [F.col("ct").desc(), F.col("tok").asc()],
+                -F.col("ct"),
+                "rk",
+            )
+            .filter(F.col("rk") <= NB_TOP_V)
+            .select("tok")
         )
-        .filter(F.col("rk") <= NB_TOP_V)
-        .select("tok")
-    )
+    else:
+        kept = tok_tot.select("tok")
     full = kept.crossJoin(F.broadcast(cls)).join(
         tc.select(
             F.col("tok").alias("t2"), F.col("cl").alias("c2"), "c"
@@ -1535,31 +1546,40 @@ def _nb_scored_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the absence of vocabulary-sized plan literals)."""
     from kafka_streams_homework_spark.functions import tokens
 
-    model = _nb_model(spark, sf_dir)
+    # persist the one-row model: the static side of a stream-static
+    # join is re-evaluated per micro-batch (and again for the
+    # broadcast), and the training plan behind it is multi-stage —
+    # cache it so every evaluation after the first reads one row
+    model = tracked_persist(_nb_model(spark, sf_dir))
     stream = _docs_stream(spark, sf_dir).withColumn("one", F.lit(1))
     joined = stream.join(F.broadcast(model), "one")
     tk = tokens("text")
 
-    def _score(i):
-        fold = F.aggregate(
-            tk,
-            F.lit(0.0),
-            lambda acc, t: acc
-            + F.coalesce(
-                F.get(F.try_element_at(F.col("nb_model"), t), i),
-                F.get(F.col("dflts"), i),
+    # ONE fold over the token array, accumulating the k-class score
+    # VECTOR (init = priors, each step adds the token's per-class
+    # log-prob vector, default vector for unseen tokens) — one map
+    # lookup per token instead of one per (token, class)
+    scores = F.aggregate(
+        tk,
+        F.col("priors"),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.coalesce(
+                F.try_element_at(F.col("nb_model"), t), F.col("dflts")
             ),
-        )
-        return F.get(F.col("priors"), i) + fold
-
-    scored = F.transform(
-        F.sequence(F.lit(0), F.size("classes") - 1),
-        lambda i: F.struct(
-            (-F.round(_score(i) + F.lit(1e-9), 6)).alias("ns"),
-            F.get(F.col("classes"), i).alias("cl"),
+            lambda a, b: a + b,
         ),
     )
-    best = F.array_min(scored)
+    best = F.array_min(
+        F.zip_with(
+            scores,
+            F.col("classes"),
+            lambda s, c: F.struct(
+                (-F.round(s + F.lit(1e-9), 6)).alias("ns"),
+                c.alias("cl"),
+            ),
+        )
+    )
     return joined.select(
         "doc_id",
         best["cl"].alias("pred_lang"),
