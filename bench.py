@@ -271,6 +271,9 @@ BENCH_QUERIES = [
     "chi2_token_ranking",
     "doubly_robust_eval",
     "page_hinkley_drift",
+    # online PH at ingest (second applyInPandasWithState custom-state
+    # op in the set — Python state-handler regression signal)
+    "streaming_page_hinkley",
 ]
 
 

@@ -123,7 +123,6 @@ _WINDOW = [
     "q11_important_stock_ps",
     "q16_supplier_count_ps",
     "q20_part_promotion_ps",
-    "windowed_sum",
     "latest_by_key",
     "join_stream_table",
     "sink_write",
@@ -136,6 +135,7 @@ _WINDOW = [
     "chi2_token_ranking",
     "doubly_robust_eval",
     "page_hinkley_drift",
+    "streaming_page_hinkley",
 ]
 # Rotated OUT this round: the whole r08 window (50/50 driver-green in
 # CORRECTNESS_r08). Every rotated-out entry still runs in pytest and

@@ -1632,3 +1632,69 @@ def q_streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", "z")
     )
     return run_append(spark, out)
+
+
+@register(
+    "streaming_page_hinkley",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type, ts, event_id, value,
+                   sum(value) OVER w / count(*) OVER w AS m
+            FROM events WHERE value IS NOT NULL
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        ), dev AS (
+            SELECT event_type, ts, event_id,
+                   sum(value - m - 0.01)
+                       OVER (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+            FROM seq
+        ), ph AS (
+            SELECT event_type, ts,
+                   cum - min(cum)
+                       OVER (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS ph
+            FROM dev
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(max(ph) + 1e-9, 6) AS max_ph,
+               min(CASE WHEN round(ph + 1e-9, 6) > 1000.0 THEN ts END)
+                   AS alarm_ts,
+               min(CASE WHEN round(ph + 1e-9, 6) > 1000.0 THEN ts END)
+                   IS NOT NULL AS drifted
+        FROM ph GROUP BY event_type
+    """,
+    description="ONLINE Page-Hinkley mean-shift detection AT INGEST — "
+    "the genuinely sequential form (running mean, single pass, six "
+    "scalars of state per group) as CUSTOM STATEFUL streaming state "
+    "(applyInPandasWithState), joining streaming_kmv_distinct as the "
+    "second U4-escape-hatch proof: where the batch "
+    "page_hinkley_drift needs the closed daily grain and the global "
+    "series mean (two passes), this maintains m_t = cumsum/n "
+    "incrementally and alarms the moment the excursion "
+    "cum - min(cum) exceeds the fixed deployment threshold "
+    "lambda=1000. The handler adds plain left-to-right Python "
+    "floats (no numpy reassociation) in (ts, event_id) order — the "
+    "SAME association as the oracle's running windowed sums, so the "
+    "final excursion hash-matches. Update semantics; run_upsert "
+    "keeps the final readout per type. At 100 TB/day the state is "
+    "O(|groups|) scalars",
+)
+def q_streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import run_upsert
+    from kafka_streams_homework_spark.streaming.stateful import (
+        page_hinkley_stateful,
+    )
+
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    ph = page_hinkley_stateful(stream, "event_type", "ts", "value")
+    emitted = run_upsert(spark, ph, ["g"], mode="update")
+    return emitted.select(
+        F.col("g").alias("event_type"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("max_ph") + F.lit(1e-9), 6).alias("max_ph"),
+        F.col("alarm_ts"),
+        F.col("alarm_ts").isNotNull().alias("drifted"),
+    )

@@ -40,6 +40,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 OUTPUT_SCHEMA = StructType(
@@ -308,4 +309,100 @@ def kmv_distinct_stateful(
         stateStructType=KMV_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+PH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("g", StringType()),
+        StructField("n", LongType()),
+        StructField("max_ph", DoubleType()),
+        StructField("alarm_ts", TimestampType()),
+    ]
+)
+
+# (count, running raw sum, cum deviation, running min of cum,
+#  max excursion, first alarm timestamp)
+PH_STATE_SCHEMA = (
+    "n bigint, s double, cum double, mn double, maxph double, "
+    "alarm_ts timestamp"
+)
+
+PH_DELTA = 0.01
+PH_LAMBDA = 1000.0  # fixed deployment threshold, shared with the oracle
+
+
+def _ph_handler(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    # Online Page-Hinkley with RUNNING mean (the river/MOA form): for
+    # each observation in (ts, event_id) order, m_t = cumsum/n (same
+    # association as the oracle's windowed avg — plain left-to-right
+    # Python floats, no numpy reassociation), cum += x - m_t - delta,
+    # excursion = cum - min(cum so far). Sequential-by-contract: an
+    # online detector's state is order-defined, so rows sort by
+    # (ts, event_id) within each batch and batches are assumed
+    # time-ordered (the file source replays in order; a Kafka source
+    # provides per-partition order).
+    if state.exists:
+        n, s, cum, mn, maxph, alarm_ts = state.get
+        alarm = alarm_ts
+    else:
+        n, s, cum, mn, maxph, alarm = 0, 0.0, 0.0, float("inf"), 0.0, None
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts_v, x in zip(pdf["ts"], pdf["value"]):
+            n += 1
+            s += float(x)
+            m = s / n
+            cum += float(x) - m - PH_DELTA
+            mn = min(mn, cum)
+            ph = cum - mn
+            maxph = max(maxph, ph)
+            if alarm is None and round(ph + 1e-9, 6) > PH_LAMBDA:
+                alarm = ts_v
+    state.update((n, s, cum, mn, maxph, alarm))
+    yield pd.DataFrame(
+        {
+            "g": [None if key[0] is None else str(key[0])],
+            "n": [n],
+            "max_ph": [maxph],
+            "alarm_ts": [alarm],
+        }
+    )
+
+
+def page_hinkley_stateful(
+    stream: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Online Page-Hinkley mean-shift detector as CUSTOM STATEFUL
+    streaming state (applyInPandasWithState) — the at-ingest twin of
+    the batch page_hinkley_drift (which runs on the closed daily
+    grain with the GLOBAL series mean; this one is the genuinely
+    online form with the running mean, so it needs no second pass
+    and its state is six scalars per group at any volume). Emits the
+    latest (n, max excursion, first alarm time) per group per
+    trigger; update semantics — run_upsert keeps the final readout.
+    """
+    return (
+        stream.select(
+            F.col(group_col).alias("g"),
+            F.col(ts_col).alias("ts"),
+            F.col("event_id"),
+            F.col(value_col).alias("value"),
+        )
+        .filter(F.col("value").isNotNull())
+        .groupBy("g")
+        .applyInPandasWithState(
+            _ph_handler,
+            outputStructType=PH_OUTPUT_SCHEMA,
+            stateStructType=PH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

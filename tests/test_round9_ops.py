@@ -249,3 +249,39 @@ def test_page_hinkley_python_replay(spark, sf_dir):
         assert abs(o["lambda"] - lam) < 1e-6
         drifted = any(round(p + 1e-9, 6) > lam for p in phs)
         assert o.drifted == drifted
+
+
+def test_streaming_page_hinkley_python_replay(spark, sf_dir):
+    """Sequential replay of the ONLINE (running-mean) PH detector —
+    identical left-to-right association as the handler."""
+    rows = (
+        _events(spark, sf_dir)
+        .filter("value is not null")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in rows:
+        series[r.event_type].append((r.ts, r.event_id, r.value))
+    out = {
+        r.event_type: r
+        for r in Q.queries()["streaming_page_hinkley"](spark, sf_dir).collect()
+    }
+    assert set(out) == set(series)
+    for g, evs in series.items():
+        evs.sort(key=lambda e: (e[0], e[1]))
+        n, s, cum, mn, maxph, alarm = 0, 0.0, 0.0, float("inf"), 0.0, None
+        for ts_v, _, x in evs:
+            n += 1
+            s += x
+            cum += x - s / n - 0.01
+            mn = min(mn, cum)
+            ph = cum - mn
+            maxph = max(maxph, ph)
+            if alarm is None and round(ph + 1e-9, 6) > 1000.0:
+                alarm = ts_v
+        o = out[g]
+        assert o.n == n
+        assert abs(o.max_ph - maxph) < 1e-5
+        assert o.alarm_ts == alarm
+        assert o.drifted == (alarm is not None)
