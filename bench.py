@@ -274,6 +274,10 @@ BENCH_QUERIES = [
     # online PH at ingest (second applyInPandasWithState custom-state
     # op in the set — Python state-handler regression signal)
     "streaming_page_hinkley",
+    # tokenizer coverage metric (one corpus scan + bounded rank) and
+    # the NB classifier evaluation (composes the shared scoring pass)
+    "vocab_oov_rate",
+    "nb_class_metrics",
 ]
 
 

@@ -123,8 +123,6 @@ _WINDOW = [
     "q11_important_stock_ps",
     "q16_supplier_count_ps",
     "q20_part_promotion_ps",
-    "latest_by_key",
-    "join_stream_table",
     "sink_write",
     "partitioned_sink_scan",
     "q1_pricing_summary",
@@ -136,6 +134,8 @@ _WINDOW = [
     "doubly_robust_eval",
     "page_hinkley_drift",
     "streaming_page_hinkley",
+    "vocab_oov_rate",
+    "nb_class_metrics",
 ]
 # Rotated OUT this round: the whole r08 window (50/50 driver-green in
 # CORRECTNESS_r08). Every rotated-out entry still runs in pytest and

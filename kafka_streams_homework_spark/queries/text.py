@@ -2061,3 +2061,162 @@ def q_chi2_token_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+OOV_TOP_V = 32  # deliberately small so the coverage metric is non-trivial
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+        WITH occ AS (
+            SELECT lang, unnest(str_split(lower(text), ' ')) AS tok
+            FROM documents
+        ), tot AS (
+            SELECT tok, count(*) AS ct FROM occ GROUP BY tok
+        ), kept AS (
+            SELECT tok FROM (
+                SELECT tok, row_number() OVER (ORDER BY ct DESC, tok ASC)
+                           AS rk
+                FROM tot
+            ) WHERE rk <= {32}
+        )
+        SELECT occ.lang,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN kept.tok IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               round(sum(CASE WHEN kept.tok IS NULL THEN 1 ELSE 0 END)
+                     * 1.0 / count(*) + 1e-9, 6) AS oov_rate
+        FROM occ LEFT JOIN kept ON kept.tok = occ.tok
+        GROUP BY occ.lang
+    """,
+    description="Out-of-vocabulary rate per language against a top-V "
+    "frequency vocabulary (V=32, deliberately below the corpus vocab "
+    "so the metric is non-degenerate) — the tokenizer-coverage "
+    "metric that justifies streaming_naive_bayes' top-V cap and "
+    "bpe_train's vocabulary budget: what fraction of token "
+    "OCCURRENCES would fall to the OOV bucket? Top-V selection is "
+    "two_phase_rank by (count DESC, token ASC) — the house "
+    "no-single-task-sort rank over the vocabulary-bounded count "
+    "table — and coverage is one broadcast semi-join back onto the "
+    "occurrence stream. One corpus scan; everything else "
+    "vocabulary-bounded",
+)
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.functions import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select("lang", F.explode(tokens("text")).alias("tok"))
+    tot = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
+    kept = (
+        R.two_phase_rank(
+            tot, [F.col("ct").desc(), F.col("tok").asc()], -F.col("ct"), "rk"
+        )
+        .filter(F.col("rk") <= OOV_TOP_V)
+        .select(F.col("tok").alias("k_tok"))
+    )
+    j = occ.join(F.broadcast(kept), F.col("tok") == F.col("k_tok"), "left")
+    oov = F.when(F.col("k_tok").isNull(), 1).otherwise(0)
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        F.round(
+            F.sum(oov) * F.lit(1.0) / F.count(F.lit(1)) + F.lit(1e-9), 6
+        ).alias("oov_rate"),
+    )
+
+
+@register(
+    "nb_class_metrics",
+    oracle="""
+        WITH preds AS (
+            SELECT p.doc_id, p.pred_lang, d.lang AS true_lang
+            FROM (""" + _NAIVE_BAYES_ORACLE + """) p
+            JOIN documents d ON d.doc_id = p.doc_id
+        ), classes AS (
+            SELECT DISTINCT lang AS cl FROM documents
+        ), m AS (
+            SELECT cl,
+                   (SELECT count(*) FROM preds WHERE true_lang = cl)
+                       AS n_true,
+                   (SELECT count(*) FROM preds WHERE pred_lang = cl)
+                       AS n_pred,
+                   (SELECT count(*) FROM preds
+                    WHERE pred_lang = cl AND true_lang = cl) AS tp
+            FROM classes
+        )
+        SELECT cl,
+               CAST(n_true AS BIGINT) AS n_true,
+               CAST(n_pred AS BIGINT) AS n_pred,
+               CAST(tp AS BIGINT) AS tp,
+               CASE WHEN n_pred = 0 THEN NULL
+                    ELSE round(tp * 1.0 / n_pred + 1e-9, 6) END
+                   AS precision,
+               CASE WHEN n_true = 0 THEN NULL
+                    ELSE round(tp * 1.0 / n_true + 1e-9, 6) END AS recall,
+               CASE WHEN n_pred = 0 OR n_true = 0
+                         OR tp * 1.0 / n_pred + tp * 1.0 / n_true = 0
+                    THEN NULL
+                    ELSE round(2 * (tp * 1.0 / n_pred) * (tp * 1.0 / n_true)
+                               / (tp * 1.0 / n_pred + tp * 1.0 / n_true)
+                               + 1e-9, 6) END AS f1
+        FROM m
+    """,
+    description="Per-class precision/recall/F1 of the naive-Bayes "
+    "language classifier against the labeled corpus — the evaluation "
+    "leg of the learned-classifier family (map_at_k/ndcg_eval do "
+    "this for retrieval; this does it for classification): composes "
+    "the registered naive_bayes_lang plan, joins truth back, and "
+    "folds (n_true, n_pred, tp) per class with NULL-guarded ratio "
+    "metrics computed identically on both engines. Class-bounded "
+    "state after the shared NB scoring pass",
+)
+def q_nb_class_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    preds = q_naive_bayes_lang(spark, sf_dir).select(
+        "doc_id", "pred_lang"
+    ).join(
+        docs.select(F.col("doc_id").alias("d2"), F.col("lang").alias("true_lang")),
+        F.col("doc_id") == F.col("d2"),
+    )
+    classes = docs.select(F.col("lang").alias("cl")).distinct()
+    by_true = preds.groupBy(F.col("true_lang").alias("cl")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    by_pred = preds.groupBy(F.col("pred_lang").alias("cl")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    tp = preds.filter(F.col("pred_lang") == F.col("true_lang")).groupBy(
+        F.col("true_lang").alias("cl")
+    ).agg(F.count(F.lit(1)).alias("tp"))
+    m = (
+        classes.join(F.broadcast(by_true), "cl", "left")
+        .join(F.broadcast(by_pred), "cl", "left")
+        .join(F.broadcast(tp), "cl", "left")
+        .select(
+            "cl",
+            F.coalesce(F.col("n_true"), F.lit(0)).alias("n_true"),
+            F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+        )
+    )
+    p = F.col("tp") * F.lit(1.0) / F.col("n_pred")
+    r = F.col("tp") * F.lit(1.0) / F.col("n_true")
+    return m.select(
+        "cl",
+        F.col("n_true").cast("bigint").alias("n_true"),
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.when(F.col("n_pred") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(p + F.lit(1e-9), 6))
+        .alias("precision"),
+        F.when(F.col("n_true") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(r + F.lit(1e-9), 6))
+        .alias("recall"),
+        F.when(
+            (F.col("n_pred") == 0) | (F.col("n_true") == 0) | (p + r == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(2 * p * r / (p + r) + F.lit(1e-9), 6))
+        .alias("f1"),
+    )

@@ -285,3 +285,59 @@ def test_streaming_page_hinkley_python_replay(spark, sf_dir):
         assert abs(o.max_ph - maxph) < 1e-5
         assert o.alarm_ts == alarm
         assert o.drifted == (alarm is not None)
+
+
+def test_vocab_oov_rate_python_replay(spark, sf_dir):
+    docs = Q._t(spark, sf_dir, "documents").select("lang", "text").collect()
+    from collections import Counter
+
+    tot = Counter()
+    per_lang = defaultdict(list)
+    for d in docs:
+        toks = d.text.lower().split(" ")
+        tot.update(toks)
+        per_lang[d.lang].extend(toks)
+    kept = {
+        t
+        for t, _ in sorted(tot.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : Q.OOV_TOP_V
+        ]
+    }
+    out = {
+        r.lang: r for r in Q.queries()["vocab_oov_rate"](spark, sf_dir).collect()
+    }
+    assert set(out) == set(per_lang)
+    for lang, toks in per_lang.items():
+        n_oov = sum(1 for t in toks if t not in kept)
+        o = out[lang]
+        assert o.n_tokens == len(toks)
+        assert o.n_oov == n_oov
+        assert abs(o.oov_rate - n_oov / len(toks)) < 1e-6
+
+
+def test_nb_class_metrics_consistency(spark, sf_dir):
+    """Metrics must agree with the registered NB predictions."""
+    preds = {
+        r.doc_id: r.pred_lang
+        for r in Q.queries()["naive_bayes_lang"](spark, sf_dir).collect()
+    }
+    truth = {
+        r.doc_id: r.lang
+        for r in Q._t(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    out = {r.cl: r for r in Q.queries()["nb_class_metrics"](spark, sf_dir).collect()}
+    assert set(out) == set(truth.values())
+    for cl, o in out.items():
+        n_true = sum(1 for t in truth.values() if t == cl)
+        n_pred = sum(1 for p in preds.values() if p == cl)
+        tp = sum(1 for d, p in preds.items() if p == cl and truth[d] == cl)
+        assert (o.n_true, o.n_pred, o.tp) == (n_true, n_pred, tp)
+        if n_pred:
+            assert abs(o.precision - tp / n_pred) < 1e-6
+        if n_true:
+            assert abs(o.recall - tp / n_true) < 1e-6
+        if n_pred and n_true and tp:
+            p, r = tp / n_pred, tp / n_true
+            assert abs(o.f1 - 2 * p * r / (p + r)) < 1e-6
