@@ -4338,10 +4338,15 @@ def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    cv = ev.groupBy(
-        F.col("event_type").alias("g"),
-        F.round(F.col("value") * 100).cast("bigint").alias("v"),
-    ).agg(F.count(F.lit(1)).alias("c"))
+    # persist the distinct-cents histogram (value-cardinality rows):
+    # the median chain and the deviation join both read it, and
+    # unpersisted each re-ran the corpus groupBy
+    cv = tracked_persist(
+        ev.groupBy(
+            F.col("event_type").alias("g"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        ).agg(F.count(F.lit(1)).alias("c"))
+    )
     wcum = Window.partitionBy("g").orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -2001,14 +2001,19 @@ def q_chi2_token_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     pres = docs.select(
         "doc_id", "lang", F.explode(distinct_tokens("text")).alias("tok")
     )
-    nn = docs.agg(F.count(F.lit(1)).alias("n"))
     nc = docs.groupBy(F.col("lang").alias("cl")).agg(
         F.count(F.lit(1)).alias("n_c")
     )
-    dft = pres.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
-    a = pres.groupBy("tok", F.col("lang").alias("cl")).agg(
-        F.count(F.lit(1)).alias("a")
+    nn = nc.agg(F.sum("n_c").alias("n"))  # no second docs scan
+    # ONE corpus pass: the (tok, class) presence counts; df_t derives
+    # from them (each doc has exactly one lang, so sum over classes =
+    # docs containing the token) — vocabulary-bounded from here on
+    a = tracked_persist(
+        pres.groupBy("tok", F.col("lang").alias("cl")).agg(
+            F.count(F.lit(1)).alias("a")
+        )
     )
+    dft = a.groupBy("tok").agg(F.sum("a").alias("df_t"))
     grid = (
         dft.crossJoin(F.broadcast(nc))
         .crossJoin(F.broadcast(nn))

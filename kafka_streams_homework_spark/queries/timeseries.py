@@ -1775,7 +1775,9 @@ def q_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.avg("value") + F.lit(1e-9), 6).alias(name))
         )
 
-    d = (
+    # persist the calendar-bounded joined daily series: both pair
+    # sides read it (acf_lags discipline — one corpus pass)
+    d = tracked_persist(
         daily("purchase", "y")
         .join(daily("click", "x"), "day")
         .select(
