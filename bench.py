@@ -278,6 +278,9 @@ BENCH_QUERIES = [
     # the NB classifier evaluation (composes the shared scoring pass)
     "vocab_oov_rate",
     "nb_class_metrics",
+    # per-doc OOV coverage gate at ingest (stateless broadcast-array
+    # membership filter)
+    "streaming_oov_gate",
 ]
 
 

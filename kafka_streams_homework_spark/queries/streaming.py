@@ -1698,3 +1698,85 @@ def q_streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("alarm_ts"),
         F.col("alarm_ts").isNotNull().alias("drifted"),
     )
+
+
+@register(
+    "streaming_oov_gate",
+    oracle="""
+        WITH occ AS (
+            SELECT unnest(str_split(lower(text), ' ')) AS tok
+            FROM documents
+        ), tot AS (
+            SELECT tok, count(*) AS ct FROM occ GROUP BY tok
+        ), kept AS (
+            SELECT list(tok) AS vocab FROM (
+                SELECT tok FROM (
+                    SELECT tok,
+                           row_number() OVER (ORDER BY ct DESC, tok ASC)
+                               AS rk
+                    FROM tot
+                ) WHERE rk <= 32
+            )
+        )
+        SELECT d.doc_id,
+               CAST(len(str_split(lower(d.text), ' ')) AS BIGINT)
+                   AS n_tokens,
+               CAST(len(list_filter(str_split(lower(d.text), ' '),
+                                    t -> NOT list_contains(k.vocab, t)))
+                    AS BIGINT) AS n_oov,
+               round(len(list_filter(str_split(lower(d.text), ' '),
+                                     t -> NOT list_contains(k.vocab, t)))
+                     * 1.0 / len(str_split(lower(d.text), ' '))
+                     + 1e-9, 6) AS oov_rate,
+               len(list_filter(str_split(lower(d.text), ' '),
+                               t -> NOT list_contains(k.vocab, t)))
+                   * 2 <= len(str_split(lower(d.text), ' ')) AS keep
+        FROM documents d CROSS JOIN kept k
+    """,
+    description="Per-document OOV gate AT INGEST — the fourth member "
+    "of the ingest quartet's coverage leg (gate: "
+    "streaming_quality_score, tokenize: streaming_bpe_encode, "
+    "classify: streaming_naive_bayes, coverage: this): the top-V "
+    "vocabulary (V=32, vocab_oov_rate's two_phase_rank selection) is "
+    "built batch-side and reaches the doc stream as a ONE-ROW "
+    "broadcast array via a stream-static join; each arriving doc "
+    "counts its uncovered token occurrences with a JVM filter over "
+    "the bounded array (no explode, no per-doc aggregation state) "
+    "and is kept when OOV <= half its tokens — the integer-exact "
+    "2*n_oov <= n_tokens comparison, no float threshold. Entirely "
+    "STATELESS append mode; at 100 TB/day a zero-shuffle map stage "
+    "with one bounded broadcast",
+)
+def q_streaming_oov_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.functions import tokens
+    from kafka_streams_homework_spark.streaming.price_alerts import run_append
+
+    apply_runtime_confs(spark)
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(tokens("text")).alias("tok"))
+    tot = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
+    kept = (
+        R.two_phase_rank(
+            tot, [F.col("ct").desc(), F.col("tok").asc()], -F.col("ct"), "rk"
+        )
+        .filter(F.col("rk") <= 32)
+        .agg(F.array_sort(F.collect_list("tok")).alias("vocab"))
+        .withColumn("one", F.lit(1))
+    )
+    stream = _docs_stream(spark, sf_dir).withColumn("one", F.lit(1))
+    tk = tokens("text")
+    n_oov = F.size(
+        F.filter(
+            tk, lambda t: ~F.array_contains(F.col("vocab"), t)
+        )
+    )
+    out = stream.join(F.broadcast(kept), "one").select(
+        "doc_id",
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        n_oov.cast("bigint").alias("n_oov"),
+        F.round(
+            n_oov * F.lit(1.0) / F.size(tk) + F.lit(1e-9), 6
+        ).alias("oov_rate"),
+        (n_oov * 2 <= F.size(tk)).alias("keep"),
+    )
+    return run_append(spark, out)

@@ -341,3 +341,27 @@ def test_nb_class_metrics_consistency(spark, sf_dir):
         if n_pred and n_true and tp:
             p, r = tp / n_pred, tp / n_true
             assert abs(o.f1 - 2 * p * r / (p + r)) < 1e-6
+
+
+def test_streaming_oov_gate_python_replay(spark, sf_dir):
+    docs = Q._t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    from collections import Counter
+
+    tot = Counter()
+    for d in docs:
+        tot.update(d.text.lower().split(" "))
+    kept = {
+        t for t, _ in sorted(tot.items(), key=lambda kv: (-kv[1], kv[0]))[:32]
+    }
+    out = {
+        r.doc_id: r
+        for r in Q.queries()["streaming_oov_gate"](spark, sf_dir).collect()
+    }
+    assert set(out) == {d.doc_id for d in docs}
+    for d in docs:
+        toks = d.text.lower().split(" ")
+        n_oov = sum(1 for t in toks if t not in kept)
+        o = out[d.doc_id]
+        assert o.n_tokens == len(toks)
+        assert o.n_oov == n_oov
+        assert o.keep == (2 * n_oov <= len(toks))
