@@ -2178,11 +2178,17 @@ def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_nb_class_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    preds = q_naive_bayes_lang(spark, sf_dir).select(
-        "doc_id", "pred_lang"
-    ).join(
-        docs.select(F.col("doc_id").alias("d2"), F.col("lang").alias("true_lang")),
-        F.col("doc_id") == F.col("d2"),
+    # persist the doc-count prediction table: three class folds read
+    # it, and unpersisted each re-ran the whole NB scoring plan
+    preds = tracked_persist(
+        q_naive_bayes_lang(spark, sf_dir)
+        .select("doc_id", "pred_lang")
+        .join(
+            docs.select(
+                F.col("doc_id").alias("d2"), F.col("lang").alias("true_lang")
+            ),
+            F.col("doc_id") == F.col("d2"),
+        )
     )
     classes = docs.select(F.col("lang").alias("cl")).distinct()
     by_true = preds.groupBy(F.col("true_lang").alias("cl")).agg(
