@@ -281,6 +281,9 @@ BENCH_QUERIES = [
     # per-doc OOV coverage gate at ingest (stateless broadcast-array
     # membership filter)
     "streaming_oov_gate",
+    # reciprocal-rank eval of the LSH index (composes the benched
+    # knn members; bounded k-row rankings)
+    "mrr_eval",
 ]
 
 

@@ -123,7 +123,6 @@ _WINDOW = [
     "q11_important_stock_ps",
     "q16_supplier_count_ps",
     "q20_part_promotion_ps",
-    "partitioned_sink_scan",
     "q1_pricing_summary",
     # -- round-9 NEW ops (never sampled by definition) --
     "jarque_bera",
@@ -136,6 +135,7 @@ _WINDOW = [
     "vocab_oov_rate",
     "nb_class_metrics",
     "streaming_oov_gate",
+    "mrr_eval",
 ]
 # Rotated OUT this round: the whole r08 window (50/50 driver-green in
 # CORRECTNESS_r08). Every rotated-out entry still runs in pytest and

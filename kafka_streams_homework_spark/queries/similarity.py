@@ -804,3 +804,76 @@ def q_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "mrr_eval",
+    # Composed from the member pipelines' own oracles (the map_at_k
+    # pattern): relevance = exact top-k, ranking = the LSH top-k.
+    oracle=f"""
+        WITH exact AS (SELECT * FROM ({REGISTRY['knn_bruteforce'].oracle})),
+             approx AS (SELECT * FROM ({REGISTRY['knn_lsh'].oracle})),
+             marked AS (
+                 SELECT a.query_id, a.rank,
+                        CASE WHEN e.neighbor_id IS NOT NULL THEN 1
+                             ELSE 0 END AS rel
+                 FROM approx a
+                 LEFT JOIN exact e
+                   ON e.query_id = a.query_id
+                  AND e.neighbor_id = a.neighbor_id
+             ), firsts AS (
+                 SELECT query_id,
+                        min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+                 FROM marked GROUP BY query_id
+             )
+        SELECT query_id,
+               CAST(first_rel AS BIGINT) AS first_rel_rank,
+               round(COALESCE(1.0 / first_rel, 0.0) + 1e-9, 6)
+                   AS reciprocal_rank
+        FROM firsts
+    """,
+    description="Reciprocal rank of the first relevant hit per query "
+    "for the LSH index against the exact top-k relevance set — the "
+    "third leg of the retrieval-eval triad next to map_at_k (binary "
+    "position credit over ALL relevant hits) and ndcg_eval (graded "
+    "credit): MRR is the metric for known-item search, where only "
+    "the first correct answer matters. Composed from the member "
+    "pipelines' oracle strings (zero drift); a query whose top-k "
+    "contains no exact neighbor scores 0 by the standard convention. "
+    "Per-query rows from the bounded k-row rankings",
+)
+def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        "vec_id", "embedding"
+    )
+    exact = tracked_persist(
+        S.knn_bruteforce(emb, queries, KNN_K).select(
+            F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en")
+        )
+    )
+    approx = S.knn_lsh_md5(emb, queries, KNN_K, 32, 4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    marked = approx.join(
+        exact,
+        (F.col("query_id") == F.col("eq"))
+        & (F.col("neighbor_id") == F.col("en")),
+        "left",
+    ).select(
+        "query_id",
+        "rank",
+        F.when(F.col("en").isNotNull(), 1).otherwise(0).alias("rel"),
+    )
+    firsts = marked.groupBy("query_id").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel")
+    )
+    return firsts.select(
+        "query_id",
+        F.col("first_rel").cast("bigint").alias("first_rel_rank"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0))
+            + F.lit(1e-9),
+            6,
+        ).alias("reciprocal_rank"),
+    )

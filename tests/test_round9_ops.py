@@ -365,3 +365,22 @@ def test_streaming_oov_gate_python_replay(spark, sf_dir):
         assert o.n_tokens == len(toks)
         assert o.n_oov == n_oov
         assert o.keep == (2 * n_oov <= len(toks))
+
+
+def test_mrr_eval_python_replay(spark, sf_dir):
+    exact = defaultdict(set)
+    for r in Q.queries()["knn_bruteforce"](spark, sf_dir).collect():
+        exact[r.query_id].add(r.neighbor_id)
+    approx = defaultdict(list)
+    for r in Q.queries()["knn_lsh"](spark, sf_dir).collect():
+        approx[r.query_id].append((r.rank, r.neighbor_id))
+    out = {r.query_id: r for r in Q.queries()["mrr_eval"](spark, sf_dir).collect()}
+    assert set(out) == set(approx)
+    for q, ranked in approx.items():
+        first = min(
+            (rk for rk, nb in ranked if nb in exact[q]), default=None
+        )
+        o = out[q]
+        assert o.first_rel_rank == first
+        rr = 1.0 / first if first else 0.0
+        assert abs(o.reciprocal_rank - rr) < 1e-6
