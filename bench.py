@@ -315,6 +315,8 @@ def main() -> None:
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    legs: dict[str, list[float]] = {}
+    min_s: dict[str, float] = {}
 
     def timed_run(name: str) -> float:
         t0 = time.perf_counter()
@@ -347,6 +349,13 @@ def main() -> None:
         sd = (sum((s - mean) ** 2 for s in samples) / len(samples)) ** 0.5
         timings[name] = round(median, 3)
         spreads[name] = round(sd, 3)
+        # VERDICT r9 task 7: the raw per-run legs AND their minimum go
+        # into the artifact. On an epoch-noisy box the median of a
+        # violent sample set can plant a 2x false regression; min_s is
+        # the contention-floor estimate a later judge can trust, and
+        # the legs let them see the spread without rerunning.
+        legs[name] = [round(s, 3) for s in samples]
+        min_s[name] = round(samples[0], 3)
 
     total = round(sum(timings.values()), 3)
     load_end = os.getloadavg()
@@ -392,6 +401,9 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": timings,
         "stddev": spreads,
+        "legs": legs,
+        "min_s": min_s,
+        "total_min_s": round(sum(min_s.values()), 3),
         "runs_per_query": runs_per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -68,79 +68,77 @@ del _m, _k, _v
 # twins out / their oracle-checked exact anchors stay). Rotated-out
 # entries still run in pytest and tools/check_oracle.py full sweeps.
 _WINDOW = [
-    # round-9 rotation (VERDICT r8 task 1): the LAST ledger leg — the
-    # 29 oracle-bearing names that have never appeared in any
-    # CORRECTNESS_r01-r08 window (recomputed from the artifacts: the
-    # 26 round-8-continuation ops + the 3 streaming twins that landed
-    # after the r8 window froze) take 29 slots; after r9 every
-    # oracle-bearing registry name has driver-ledger evidence. The
-    # remaining slots go to round-9 NEW ops (added as they land) and
-    # the highest-value re-confirmations the judge named: the
-    # flagship alert pipeline family and the five partsupp TPC-H
-    # shapes. Rows-only names stay EXCLUDED by policy (a no-oracle
-    # name burns a slot as err:no_oracle); their evidence channel is
-    # the full sweep + pytest bounds + oracle-hash exact twins.
-    # -- the 26 r8-continuation ops (judge pre-verified all 26) --
-    "adaboost_stumps",
-    "class_balance_sample",
-    "clustering_coefficient",
-    "cox_regression",
-    "croston_forecast",
-    "decision_stump",
-    "diff_in_diff",
-    "dq_referential",
-    "friedman_test",
-    "hits_scores",
-    "hurst_exponent",
-    "image_phash_dedup",
-    "jackknife_ratio",
-    "knn_radius",
-    "kruskal_wallis",
-    "l_diversity_audit",
-    "map_at_k",
-    "naive_bayes_lang",
-    "permutation_test",
-    "platt_scaling",
-    "robust_scale",
-    "shapley_attribution",
-    "streaming_anomaly_zscore",
-    "streaming_naive_bayes",
-    "target_encoding",
-    "woe_iv_binning",
-    # -- the 3 streaming twins that landed after the r8 freeze --
-    "streaming_kmv_distinct",
-    "streaming_psi_drift",
-    "streaming_quality_score",
-    # -- re-confirmations (flagship family + partsupp TPC-H five +
-    #    core operator families; swapped out for new r9 ops as they
-    #    land) --
-    "price_alerts",
-    "price_alerts_sql",
-    "streaming_price_alerts",
-    "streaming_stateful_alerts",
-    "q2_min_cost_supplier_ps",
-    "q9_product_profit_ps",
-    "q11_important_stock_ps",
-    "q16_supplier_count_ps",
-    "q20_part_promotion_ps",
-    "q1_pricing_summary",
-    # -- round-9 NEW ops (never sampled by definition) --
-    "jarque_bera",
-    "levene_test",
-    "granger_lag1",
-    "chi2_token_ranking",
-    "doubly_robust_eval",
-    "page_hinkley_drift",
-    "streaming_page_hinkley",
-    "vocab_oov_rate",
-    "nb_class_metrics",
-    "streaming_oov_gate",
-    "mrr_eval",
+    # round-10 rotation — the POST-LEDGER POLICY (VERDICT r9 task 6,
+    # formalized in README "Driver-window policy"): the r9 ledger goal
+    # is reached (every oracle-bearing name has driver evidence), so
+    # from now on (a) every NEW op enters its birth-round window, and
+    # (b) all remaining slots go to the OLDEST-EVIDENCE names — the
+    # names whose last driver-window appearance is furthest back
+    # (recomputed from CORRECTNESS_r01..r09: 18 names last sampled in
+    # r1, 26 in r3, the rest r4+) — so ledger freshness has a bounded
+    # age. New r10 ops swap in as they land, displacing from the END
+    # of the oldest-evidence block (the youngest of the old). Rows-only
+    # names stay EXCLUDED by policy (a no-oracle name burns a slot as
+    # err:no_oracle); their evidence channel is the full sweep +
+    # pytest bounds + oracle-hash exact twins.
+    # -- last driver-sampled in r1 (18) --
+    "above_avg",
+    "anti_join",
+    "filter_threshold",
+    "json_extract",
+    "media_resize",
+    "pivot_counts",
+    "project_alert",
+    "q6_forecast_revenue",
+    "running_total",
+    "salted_join",
+    "semi_join",
+    "set_except",
+    "set_intersect",
+    "sliding_window",
+    "train_test_split",
+    "value_histogram",
+    "value_percentiles",
+    "windowed_sum_salted",
+    # -- last driver-sampled in r3 (26) --
+    "agg_stats",
+    "decontaminate",
+    "dedup_embedding",
+    "dedup_exact",
+    "doc_fingerprint",
+    "frame_sample",
+    "interval_join",
+    "join_left",
+    "knn_filtered",
+    "lang_id",
+    "lm_score",
+    "pii_scrub",
+    "price_alerts_priced",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "quality_score",
+    "range_join",
+    "rollup_agg",
+    "sequence_pack",
+    "sink_write",
+    "stratified_sample",
+    "text_stats",
+    "token_count",
+    "topk_per_group",
+    "tumbling_window",
+    "windowed_distinct",
+    # -- next-oldest (r4) fill; displaced first by new r10 ops --
+    "anomaly_zscore",
+    "bm25_rank",
+    "cdc_chunks",
+    "classifier_score",
+    "copurchase_topk",
+    "dedup_clusters",
 ]
-# Rotated OUT this round: the whole r08 window (50/50 driver-green in
-# CORRECTNESS_r08). Every rotated-out entry still runs in pytest and
+# Rotated OUT this round: the whole r09 window (50/50 driver-green in
+# CORRECTNESS_r09). Every rotated-out entry still runs in pytest and
 # the tools/check_oracle.py full sweep each round. Historical swap
-# notes (r7 and earlier) are in git history.
+# notes (r8 and earlier) are in git history.
 
 
 WINDOW = 50  # the driver gate's sample size

@@ -4300,8 +4300,9 @@ def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT cv.g, cv.c, abs(cv.v - med.med) AS z
             FROM cv JOIN med ON med.g = cv.g
         ), per_g AS (
-            SELECT g, sum(c) AS n_g, sum(c * z) AS sz,
-                   sum(c * z * z) AS szz
+            SELECT g, sum(c) AS n_g,
+                   sum(CAST(c AS HUGEINT) * z) AS sz,
+                   sum(CAST(c AS HUGEINT) * z * z) AS szz
             FROM z GROUP BY g
         ), tot AS (
             SELECT count(*) AS k, sum(n_g) AS n,
@@ -4331,8 +4332,10 @@ def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     "medians are integer-exact weight crossings over the "
     "distinct-cents histogram (robust_scale's 2*cw >= n rule), the "
     "absolute deviations are therefore INTEGER cents, and the "
-    "between/within sums accumulate exactly (bigint / per-term "
-    "products) before one identical double conversion per engine. "
+    "between/within sums accumulate exactly in 128-bit per-term "
+    "products (decimal(38,0) on Spark, HUGEINT in DuckDB — ADVICE "
+    "r9: raw bigint products would silently wrap at crawl scale) "
+    "before one identical double conversion per engine. "
     "Histogram-sized state: the cumulative runs over distinct "
     "values per group, never row volume",
 )
@@ -4364,10 +4367,15 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = cv.join(med, "g").select(
         "g", "c", F.abs(F.col("v") - F.col("med")).alias("z")
     )
+    # cast each OPERAND to decimal(38,0) before multiplying (ADVICE r9:
+    # the oracle's sum(BIGINT) is HUGEINT/int128, so raw long products
+    # would silently wrap on the Spark side at crawl scale — same
+    # pattern as permutation_test / jarque_bera)
+    decq = lambda name: F.col(name).cast("decimal(38,0)")  # noqa: E731
     per_g = z.groupBy("g").agg(
         F.sum("c").alias("n_g"),
-        F.sum(F.col("c") * F.col("z")).alias("sz"),
-        F.sum(F.col("c") * F.col("z") * F.col("z")).alias("szz"),
+        F.sum(decq("c") * decq("z")).alias("sz"),
+        F.sum(decq("c") * decq("z") * decq("z")).alias("szz"),
     )
     tot = per_g.agg(
         F.count(F.lit(1)).alias("k"),

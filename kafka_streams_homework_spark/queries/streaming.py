@@ -471,8 +471,15 @@ def q_streaming_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame
     #    pinned by the checkpoint at first start — size it to state
     #    volume (~100k sessions here), not the CPU count; a 100 TB
     #    stream sizes it up, this fixture sizes it down.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    #    Scoped via spark.newSession() (ADVICE r9): the clone shares
+    #    the SparkContext but owns its SQLConf, so a concurrent query
+    #    on the caller's session can never inherit the reduced
+    #    parallelism (the old session-global set/finally-restore was
+    #    not interleaving-safe). The stream plan is built on the
+    #    clone; the collected result frame is handed back on the
+    #    caller's session.
+    qs = apply_runtime_confs(spark.newSession())
+    qs.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         src = _os.path.join(sf_dir, "events.parquet")
         if _os.path.isdir(src):
@@ -517,7 +524,7 @@ def q_streaming_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame
         # preference — 0.5 s, same single file.
         sentinel.repartition(1).write.mode("append").parquet(staged)
         stream = (
-            spark.readStream.schema(raw_schema)
+            qs.readStream.schema(raw_schema)
             .option("maxFilesPerTrigger", 1)
             .option("latestFirst", "false")
             .parquet(staged)
@@ -547,7 +554,6 @@ def q_streaming_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = run_append(spark, sess)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(staged, ignore_errors=True)
     return out.filter(F.col("user_id") != SENTINEL_USER)
 
@@ -1471,25 +1477,23 @@ def _nb_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     cls = (
         priors.join(class_tot, "cl").crossJoin(vocab_n).crossJoin(ndocs)
     )  # k rows: (cl, nd, tl, v, n)
-    # top-V frequency cap — engaged ONLY when the counted vocabulary
-    # exceeds the cap (one bounded scalar read decides; the capped
-    # path is two_phase_rank, never a single-task sort). V >> fixture
-    # vocab, so the fixture output equals the uncapped oracle's; at
-    # crawl scale it bounds the broadcast (OOV bucket).
-    n_vocab = vocab_n.first()["v"]
-    if n_vocab > NB_TOP_V:
-        kept = (
-            R.two_phase_rank(
-                tok_tot,
-                [F.col("ct").desc(), F.col("tok").asc()],
-                -F.col("ct"),
-                "rk",
-            )
-            .filter(F.col("rk") <= NB_TOP_V)
-            .select("tok")
+    # top-V frequency cap — FULLY RELATIONAL (ADVICE r9: the previous
+    # vocab_n.first() was a driver-side action at plan-construction
+    # time, eagerly running the corpus pass and violating the
+    # zero-driver-actions invariant). two_phase_rank is always in the
+    # plan; the rk <= V filter is a no-op when vocab < V, so fixture
+    # output stays bit-identical to the uncapped oracle while the
+    # broadcast stays bounded at crawl scale (OOV bucket).
+    kept = (
+        R.two_phase_rank(
+            tok_tot,
+            [F.col("ct").desc(), F.col("tok").asc()],
+            -F.col("ct"),
+            "rk",
         )
-    else:
-        kept = tok_tot.select("tok")
+        .filter(F.col("rk") <= NB_TOP_V)
+        .select("tok")
+    )
     full = kept.crossJoin(F.broadcast(cls)).join(
         tc.select(
             F.col("tok").alias("t2"), F.col("cl").alias("c2"), "c"

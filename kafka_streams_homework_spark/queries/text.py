@@ -1976,7 +1976,7 @@ CHI2_TOP_K = 10  # features kept per class
         )
         SELECT cl, tok, CAST(a AS BIGINT) AS df_in_class, chi2,
                CAST(rank AS BIGINT) AS rank
-        FROM ranked WHERE rank <= {10}
+        FROM ranked WHERE rank <= {CHI2_TOP_K}
     """,
     description="Chi-square token-feature ranking per language class — "
     "the feature-selection stage in front of naive_bayes_lang "
@@ -2084,7 +2084,7 @@ OOV_TOP_V = 32  # deliberately small so the coverage metric is non-trivial
                 SELECT tok, row_number() OVER (ORDER BY ct DESC, tok ASC)
                            AS rk
                 FROM tot
-            ) WHERE rk <= {32}
+            ) WHERE rk <= {OOV_TOP_V}
         )
         SELECT occ.lang,
                CAST(count(*) AS BIGINT) AS n_tokens,

@@ -83,10 +83,70 @@ def plan_string(df, mode: str = "formatted") -> str:
     )
 
 
+_PATTERNS = {
+    "exchanges": re.compile(r"(?<![a-zA-Z])Exchange\b"),
+    "scans": re.compile(r"Scan parquet"),
+}
+
+
+def _canon(s: str) -> str:
+    # strip operator ids, expr ids, AND the per-depth indentation
+    # prefix: the same cached build prints at different tree depths on
+    # each reference, so leading tree-drawing chars must not
+    # differentiate two prints of one cache
+    s = re.sub(r"(?m)^[\s:+\-|]*", "", s)
+    return re.sub(r"\(\d+\)|#\d+L?|plan_id=\d+", "", s)
+
+
+def _depth(line: str) -> int:
+    m = re.search(r"[A-Za-z*]", line)
+    return m.start() if m else len(line)
+
+
+def dedup_counts(tree: str, seen: set[str] | None = None) -> dict[str, int]:
+    """Count plan nodes with each DISTINCT cached-build subtree counted
+    ONCE. The formatted explain re-prints an InMemoryRelation's build
+    plan at every InMemoryTableScan reference, so a raw grep over the
+    tree over-states shuffles/scans by the reference count for
+    cache-heavy iterative queries (VERDICT r9: hits_scores printed 152
+    exchanges; the deduplicated plan has far fewer) — at runtime each
+    cache materializes once and later references hit memory."""
+    if seen is None:
+        seen = set()
+    lines = tree.splitlines()
+    counts = {k: 0 for k in _PATTERNS}
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if re.search(r"\bInMemoryRelation\b", line):
+            d = _depth(line)
+            j = i + 1
+            sub = []
+            while j < len(lines) and _depth(lines[j]) > d:
+                sub.append(lines[j])
+                j += 1
+            key = _canon("\n".join(sub))
+            if key not in seen:
+                seen.add(key)
+                inner = dedup_counts("\n".join(sub), seen)
+                for k, v in inner.items():
+                    counts[k] += v
+            i = j
+        else:
+            for k, pat in _PATTERNS.items():
+                if pat.search(line):
+                    counts[k] += 1
+            i += 1
+    return counts
+
+
 def summarize(plan: str) -> dict[str, object]:
     tree = plan.split("\n\n")[0]
+    deduped = dedup_counts(tree)
     return {
-        "exchanges": len(re.findall(r"(?<![a-zA-Z])Exchange\b", tree)),
+        # executed shuffle count: each distinct cached build counted once
+        "exchanges": deduped["exchanges"],
+        "exchanges_printed": len(re.findall(r"(?<![a-zA-Z])Exchange\b", tree)),
         "broadcast_joins": len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", tree)),
         "smj": len(re.findall(r"SortMergeJoin", tree)),
         "pushed": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
@@ -94,7 +154,8 @@ def summarize(plan: str) -> dict[str, object]:
         # BUILD plan, not an execution-time scan: each InMemoryTableScan
         # re-prints it, so raw "Scan parquet" over-counts for queries
         # that fold a persisted intermediate (rollup cascade, LM ops)
-        "scans": len(re.findall(r"Scan parquet", tree)),
+        "scans": deduped["scans"],
+        "scans_printed": len(re.findall(r"Scan parquet", tree)),
         "cached": len(re.findall(r"InMemoryTableScan", tree)),
         "tree": tree,
     }
@@ -115,15 +176,18 @@ def main() -> None:
         df = fn(spark, sf_dir)
         plan = plan_string(df)
         s = summarize(plan)
+        shuffles = str(s["exchanges"])
+        if s["exchanges_printed"] != s["exchanges"]:
+            shuffles += f" ({s['exchanges_printed']} printed)"
         rows.append(
             (
                 name,
-                str(s["exchanges"]),
+                shuffles,
                 str(s["broadcast_joins"]),
                 str(s["smj"]),
                 "yes" if s["pushed"] else "—",
                 (
-                    f"{s['scans']} print(s), {s['cached']} from cache"
+                    f"{s['scans']} scan(s), {s['cached']} cache ref(s)"
                     if s["cached"]
                     else f"{s['scans']} scan(s)"
                 ),
@@ -141,8 +205,12 @@ def main() -> None:
             "# PLANS — physical-plan audit (auto-generated by tools/plan_audit.py)\n\n"
             f"Captured at `{sf_dir}` with AQE enabled (final plans may further\n"
             "coalesce partitions / convert joins at runtime). Columns:\n"
-            "shuffle exchanges (excl. broadcast), broadcast joins, sort-merge\n"
-            "joins, parquet filter pushdown present.\n\n"
+            "shuffle exchanges (excl. broadcast; each distinct cached build\n"
+            "counted ONCE — the formatted explain re-prints a cache's build\n"
+            "plan at every reference, and at runtime each cache materializes\n"
+            "once; the raw printed count follows in parens when different),\n"
+            "broadcast joins, sort-merge joins, parquet filter pushdown\n"
+            "present.\n\n"
             "Formatted plan trees below the table are capped to the\n"
             "headline set (DETAIL in tools/plan_audit.py); rerun with a\n"
             "query name in DETAIL to dump any other plan.\n\n"
