@@ -284,6 +284,14 @@ BENCH_QUERIES = [
     # reciprocal-rank eval of the LSH index (composes the benched
     # knn members; bounded k-row rankings)
     "mrr_eval",
+    # round-10 additions: Kendall tau-b between the daily series
+    # (day-grain-bounded pair expansion), Hill tail-index over the
+    # top-k order statistics (bounded two-phase rank + fixed-point
+    # log sum), negative-binomial overdispersion fit (one
+    # user-cardinality rollup + one exact moment agg)
+    "kendall_tau_b",
+    "hill_tail_index",
+    "negbin_fit",
 ]
 
 

@@ -131,9 +131,12 @@ _WINDOW = [
     "anomaly_zscore",
     "bm25_rank",
     "cdc_chunks",
-    "classifier_score",
-    "copurchase_topk",
-    "dedup_clusters",
+    # -- round-10 NEW ops (birth-round window per the README policy;
+    #    displaced classifier_score/copurchase_topk/dedup_clusters
+    #    from the r4 fill) --
+    "kendall_tau_b",
+    "hill_tail_index",
+    "negbin_fit",
 ]
 # Rotated OUT this round: the whole r09 window (50/50 driver-green in
 # CORRECTNESS_r09). Every rotated-out entry still runs in pytest and

@@ -4548,3 +4548,292 @@ def q_doubly_robust_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dr"),
     )
+
+
+@register(
+    "kendall_tau_b",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   round(avg(CASE WHEN event_type = 'purchase'
+                                  THEN value END) + 1e-9, 6) AS x,
+                   round(avg(CASE WHEN event_type = 'click'
+                                  THEN value END) + 1e-9, 6) AS y
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1
+            HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+               AND count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+        ), pairs AS (
+            SELECT CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1
+                        ELSE 0 END AS con,
+                   CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1
+                        ELSE 0 END AS dis,
+                   CASE WHEN b.x = a.x AND b.y <> a.y THEN 1
+                        ELSE 0 END AS tx,
+                   CASE WHEN b.y = a.y AND b.x <> a.x THEN 1
+                        ELSE 0 END AS ty
+            FROM d a JOIN d b ON b.day > a.day
+        ), m AS (
+            SELECT count(*) AS n0, sum(con) AS c, sum(dis) AS dd,
+                   sum(tx) AS tx, sum(ty) AS ty
+            FROM pairs
+        )
+        SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+               CAST(c AS BIGINT) AS concordant,
+               CAST(dd AS BIGINT) AS discordant,
+               round((CAST(c AS DOUBLE) - CAST(dd AS DOUBLE))
+                     / sqrt((CAST(n0 AS DOUBLE) - CAST(tx AS DOUBLE))
+                            * (CAST(n0 AS DOUBLE) - CAST(ty AS DOUBLE)))
+                     + 1e-9, 6) AS tau_b
+        FROM m
+    """,
+    description="Kendall tau-b rank correlation between the daily "
+    "purchase and click mean-value series — the concordance-based "
+    "member completing the correlation family (corr_matrix Pearson, "
+    "spearman_corr rank-rho; tau-b is the one with a direct "
+    "probabilistic reading P(concordant)-P(discordant), robust to "
+    "monotone transforms and gross outliers). Pair generation is "
+    "DAY-GRAIN bounded (k days -> k(k-1)/2 pairs regardless of row "
+    "volume); concordant/discordant/tie counts are INTEGER-exact "
+    "comparisons of identically-6dp-rounded daily means, with the "
+    "tau-b tie correction (n0-tx)(n0-ty) under one double sqrt per "
+    "engine. Ties-in-both-pairs counted in neither correction term "
+    "(standard tau-b). One corpus groupBy + one bounded broadcast "
+    "self-join",
+)
+def q_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = tracked_persist(
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("x"),
+            F.round(
+                F.avg(
+                    F.when(F.col("event_type") == "click", F.col("value"))
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    a = d.select(
+        F.col("day").alias("d1"), F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    b = d.select(
+        F.col("day").alias("d2"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    pairs = a.join(F.broadcast(b), F.col("d2") > F.col("d1")).select(
+        F.when(dx * dy > 0, 1).otherwise(0).alias("con"),
+        F.when(dx * dy < 0, 1).otherwise(0).alias("dis"),
+        F.when(
+            (F.col("x2") == F.col("x1")) & (F.col("y2") != F.col("y1")), 1
+        )
+        .otherwise(0)
+        .alias("tx"),
+        F.when(
+            (F.col("y2") == F.col("y1")) & (F.col("x2") != F.col("x1")), 1
+        )
+        .otherwise(0)
+        .alias("ty"),
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("con").alias("c"),
+        F.sum("dis").alias("dd"),
+        F.sum("tx").alias("tx"),
+        F.sum("ty").alias("ty"),
+    )
+    ndays = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    tau = (F.col("c").cast("double") - F.col("dd").cast("double")) / F.sqrt(
+        (F.col("n0").cast("double") - F.col("tx").cast("double"))
+        * (F.col("n0").cast("double") - F.col("ty").cast("double"))
+    )
+    return ndays.crossJoin(F.broadcast(m)).select(
+        "n_days",
+        F.col("c").cast("bigint").alias("concordant"),
+        F.col("dd").cast("bigint").alias("discordant"),
+        F.round(tau + F.lit(1e-9), 6).alias("tau_b"),
+    )
+
+
+HILL_TOP_K = 100  # tail order statistics used by the Hill estimator
+
+
+@register(
+    "hill_tail_index",
+    oracle=f"""
+        WITH v AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_id
+            FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+              AND value > 0
+        ), rk AS (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents DESC, event_id ASC)
+                       AS r
+            FROM v
+        ), top AS (
+            SELECT CAST(round(ln(cents) * 1000000) AS BIGINT) AS l, r
+            FROM rk WHERE r <= {{K}} + 1
+        )
+        SELECT CAST({{K}} AS BIGINT) AS k,
+               (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_values,
+               round(((SELECT CAST(sum(l) AS DOUBLE) FROM top
+                       WHERE r <= {{K}})
+                      - {{K}} * (SELECT CAST(l AS DOUBLE) FROM top
+                                 WHERE r = {{K}} + 1))
+                     / {{K}} / 1000000 + 1e-9, 6) AS inv_alpha,
+               round({{K}} * 1000000.0
+                     / ((SELECT CAST(sum(l) AS DOUBLE) FROM top
+                         WHERE r <= {{K}})
+                        - {{K}} * (SELECT CAST(l AS DOUBLE) FROM top
+                                   WHERE r = {{K}} + 1))
+                     + 1e-9, 6) AS alpha
+        FROM (SELECT 1)
+    """.replace("{K}", str(HILL_TOP_K)),
+    description="Hill tail-index estimator over purchase values: "
+    f"alpha from the top-{HILL_TOP_K} order statistics "
+    "(1/alpha = mean(ln x_(i)) - ln x_(k+1)) — the heavy-tail "
+    "diagnostic next to zipf_fit (token ranks) and hurst_exponent "
+    "(long memory): alpha < 2 means infinite variance and every "
+    "mean-based monitor (anomaly_zscore, welch_ttest) is on thin "
+    "ice. Order statistics via two_phase_rank on integer cents "
+    "(deterministic event_id tie-break, no single-task sort); logs "
+    "QUANTIZED to fixed-point ln*1e6 integers (the zipf_fit "
+    "discipline) so the k-term sum is exact and both engines make "
+    "ONE double conversion. k is a fixed constant: the scan stays "
+    "one pass + one bounded rank at any volume",
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & (F.col("value") > 0)
+    )
+    v = ev.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "event_id",
+    )
+    rk = R.two_phase_rank(
+        v,
+        [F.col("cents").desc(), F.col("event_id").asc()],
+        -F.col("cents"),
+        "r",
+    ).filter(F.col("r") <= HILL_TOP_K + 1)
+    top = rk.select(
+        F.round(F.log(F.col("cents").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("l"),
+        "r",
+    )
+    s = top.agg(
+        F.sum(F.when(F.col("r") <= HILL_TOP_K, F.col("l"))).alias("sl"),
+        F.max(F.when(F.col("r") == HILL_TOP_K + 1, F.col("l"))).alias(
+            "lk1"
+        ),
+    )
+    nvals = v.agg(F.count(F.lit(1)).cast("bigint").alias("n_values"))
+    inv_alpha = (
+        (F.col("sl").cast("double") - HILL_TOP_K * F.col("lk1").cast("double"))
+        / HILL_TOP_K
+        / 1e6
+    )
+    alpha = HILL_TOP_K * 1e6 / (
+        F.col("sl").cast("double") - HILL_TOP_K * F.col("lk1").cast("double")
+    )
+    return (
+        nvals.crossJoin(F.broadcast(s))
+        .select(
+            F.lit(HILL_TOP_K).cast("bigint").alias("k"),
+            "n_values",
+            F.round(inv_alpha + F.lit(1e-9), 6).alias("inv_alpha"),
+            F.round(alpha + F.lit(1e-9), 6).alias("alpha"),
+        )
+    )
+
+
+@register(
+    "negbin_fit",
+    oracle="""
+        WITH pc AS (
+            SELECT user_id, count(*) AS c
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ), m AS (
+            SELECT count(*) AS n, sum(c) AS s1,
+                   sum(CAST(c AS HUGEINT) * c) AS s2
+            FROM pc
+        )
+        SELECT CAST(n AS BIGINT) AS n_users,
+               round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) + 1e-9, 6)
+                   AS mean_count,
+               round((CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                        / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                     + 1e-9, 6) AS var_count,
+               CASE WHEN (CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                            / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                         > CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                    THEN round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                               / ((CAST(s2 AS DOUBLE)
+                                   - CAST(s1 AS DOUBLE)
+                                     * CAST(s1 AS DOUBLE)
+                                     / CAST(n AS DOUBLE))
+                                  / CAST(n AS DOUBLE)
+                                  - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                               + 1e-9, 6)
+                    ELSE NULL END AS nb_r,
+               ((CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                > CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   AS overdispersed
+        FROM m
+    """,
+    description="Negative-binomial method-of-moments fit of the "
+    "per-user purchase-count distribution (conditional on >= 1 "
+    "purchase — the observed-buyer panel): mean, population variance "
+    "and the NB size parameter r = mu^2/(var - mu) — the "
+    "overdispersion diagnostic that decides whether Poisson rate "
+    "monitors (interarrival_stats, rolling_anomaly's count legs) are "
+    "mis-calibrated (var >> mean means bursty users, not a busier "
+    "service). Moments are INTEGER-exact (128-bit c*c products, the "
+    "house discipline), r computed from them in one identical double "
+    "expression per engine, NULL when the data is not overdispersed "
+    "(equi/underdispersed -> NB degenerate). One user-cardinality "
+    "rollup + one moment agg: two map-side-combined shuffles total",
+)
+def q_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    pc = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = pc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(dec(F.col("c")) * dec(F.col("c"))).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    mean = s1d / nd
+    var = (s2d - s1d * s1d / nd) / nd
+    return m.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(mean + F.lit(1e-9), 6).alias("mean_count"),
+        F.round(var + F.lit(1e-9), 6).alias("var_count"),
+        F.when(var > mean, F.round(mean * mean / (var - mean) + F.lit(1e-9), 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("nb_r"),
+        (var > mean).alias("overdispersed"),
+    )

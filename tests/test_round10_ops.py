@@ -1,0 +1,105 @@
+"""Semantic tests for the round-10 operators.
+
+Each new registry entry gets an exact python-replay check beyond the
+DuckDB oracle gate (which covers cross-engine value parity — these pin
+the SEMANTICS against an independent reimplementation).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from kafka_streams_homework_spark import queries as Q
+
+
+def _events(spark, sf_dir):
+    return Q._t(spark, sf_dir, "events")
+
+
+def test_kendall_tau_b_python_replay(spark, sf_dir):
+    rows = (
+        _events(spark, sf_dir)
+        .filter("value is not null")
+        .select("ts", "event_type", "value")
+        .collect()
+    )
+    acc = defaultdict(lambda: {"purchase": [], "click": []})
+    for r in rows:
+        if r.event_type in ("purchase", "click"):
+            acc[r.ts.date()][r.event_type].append(r.value)
+    series = []
+    for day in sorted(acc):
+        p, c = acc[day]["purchase"], acc[day]["click"]
+        if p and c:
+            series.append(
+                (
+                    round(sum(p) / len(p) + 1e-9, 6),
+                    round(sum(c) / len(c) + 1e-9, 6),
+                )
+            )
+    con = dis = tx = ty = n0 = 0
+    for i in range(len(series)):
+        for j in range(i + 1, len(series)):
+            dx = series[j][0] - series[i][0]
+            dy = series[j][1] - series[i][1]
+            n0 += 1
+            if dx * dy > 0:
+                con += 1
+            elif dx * dy < 0:
+                dis += 1
+            elif dx == 0 and dy != 0:
+                tx += 1
+            elif dy == 0 and dx != 0:
+                ty += 1
+    tau = (con - dis) / math.sqrt((n0 - tx) * (n0 - ty))
+    row = Q.queries()["kendall_tau_b"](spark, sf_dir).collect()[0]
+    assert row.n_days == len(series)
+    assert (row.concordant, row.discordant) == (con, dis)
+    assert abs(row.tau_b - tau) < 1e-5
+    assert -1.0 <= row.tau_b <= 1.0
+
+
+def test_hill_tail_index_python_replay(spark, sf_dir):
+    rows = (
+        _events(spark, sf_dir)
+        .filter("event_type = 'purchase' and value is not null and value > 0")
+        .select("value")
+        .collect()
+    )
+    cents = sorted((round(r.value * 100) for r in rows), reverse=True)
+    k = 100
+    assert len(cents) >= k + 1, "fixture too small for the Hill k"
+    ls = [round(math.log(c) * 1e6) for c in cents[: k + 1]]
+    inv_alpha = (sum(ls[:k]) - k * ls[k]) / k / 1e6
+    row = Q.queries()["hill_tail_index"](spark, sf_dir).collect()[0]
+    assert row.k == k
+    assert row.n_values == len(cents)
+    assert abs(row.inv_alpha - inv_alpha) < 1e-5
+    assert abs(row.alpha - 1.0 / inv_alpha) < 1e-3
+    assert row.alpha > 0
+
+
+def test_negbin_fit_python_replay(spark, sf_dir):
+    rows = (
+        _events(spark, sf_dir)
+        .filter("event_type = 'purchase'")
+        .select("user_id")
+        .collect()
+    )
+    counts = defaultdict(int)
+    for r in rows:
+        counts[r.user_id] += 1
+    cs = list(counts.values())
+    n = len(cs)
+    mean = sum(cs) / n
+    var = (sum(c * c for c in cs) - sum(cs) ** 2 / n) / n
+    row = Q.queries()["negbin_fit"](spark, sf_dir).collect()[0]
+    assert row.n_users == n
+    assert abs(row.mean_count - mean) < 1e-5
+    assert abs(row.var_count - var) < 1e-5
+    assert row.overdispersed == (var > mean)
+    if var > mean:
+        assert abs(row.nb_r - mean * mean / (var - mean)) < 1e-4
+    else:
+        assert row.nb_r is None
