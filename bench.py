@@ -292,6 +292,13 @@ BENCH_QUERIES = [
     "kendall_tau_b",
     "hill_tail_index",
     "negbin_fit",
+    # int8 scalar-quantized cosine top-k (the 4x-denser storage path
+    # next to knn_pq; oracle-hash-checked, unlike the sketch members)
+    "knn_sq8",
+    # sliding-window admission gate, batch RANGE window + the O(K)-
+    # state applyInPandasWithState twin (third custom-stateful op)
+    "rate_gate",
+    "streaming_rate_gate",
 ]
 
 

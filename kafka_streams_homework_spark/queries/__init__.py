@@ -127,16 +127,15 @@ _WINDOW = [
     "topk_per_group",
     "tumbling_window",
     "windowed_distinct",
-    # -- next-oldest (r4) fill; displaced first by new r10 ops --
-    "anomaly_zscore",
-    "bm25_rank",
-    "cdc_chunks",
     # -- round-10 NEW ops (birth-round window per the README policy;
-    #    displaced classifier_score/copurchase_topk/dedup_clusters
-    #    from the r4 fill) --
+    #    displaced the whole r4 fill: anomaly_zscore/bm25_rank/
+    #    cdc_chunks/classifier_score/copurchase_topk/dedup_clusters) --
     "kendall_tau_b",
     "hill_tail_index",
     "negbin_fit",
+    "knn_sq8",
+    "rate_gate",
+    "streaming_rate_gate",
 ]
 # Rotated OUT this round: the whole r09 window (50/50 driver-green in
 # CORRECTNESS_r09). Every rotated-out entry still runs in pytest and

@@ -1864,3 +1864,54 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("scaled"),
     )
+
+
+RATE_WINDOW_US = 86_400_000_000  # 24 h trailing admission window
+RATE_MAX_PREV = 3  # admit while fewer than this many prior events
+
+
+@register(
+    "rate_gate",
+    oracle=f"""
+        WITH counted AS (
+            SELECT event_id, user_id,
+                   count(*) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN {RATE_WINDOW_US} PRECEDING
+                                 AND 1 PRECEDING) AS n_prev
+            FROM events
+        )
+        SELECT event_id, user_id,
+               CAST(n_prev AS BIGINT) AS n_prev_24h,
+               (n_prev < {RATE_MAX_PREV}) AS admitted
+        FROM counted
+    """,
+    description="Per-event sliding-window rate gate: admit an event "
+    "iff its user produced fewer than "
+    f"{RATE_MAX_PREV} events in the trailing 24 h — the per-source "
+    "politeness/flood cap every crawl-scale ingest runs in front of "
+    "the quality gates (a runaway publisher must throttle at "
+    "admission, before it poisons dedup clusters and domain_mix "
+    "weights). The decision counts ALL prior events (admitted or "
+    "not), which keeps it a pure RANGE-frame window on the epoch-"
+    "microsecond axis — one shuffle on user_id, per-user state "
+    "bounded by the window, exactly SQL-expressible (same-microsecond "
+    "peers excluded by the frame on both engines). The streaming twin "
+    "(streaming_rate_gate) makes the same decisions online with "
+    "O(K) timestamps of state per key",
+)
+def q_rate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    eps = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(eps)
+        .rangeBetween(-RATE_WINDOW_US, -1)
+    )
+    n_prev = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        n_prev.cast("bigint").alias("n_prev_24h"),
+        (n_prev < RATE_MAX_PREV).alias("admitted"),
+    )

@@ -877,3 +877,99 @@ def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("reciprocal_rank"),
     )
+
+
+@register(
+    "knn_sq8",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), sc AS (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS s
+            FROM e
+        ), q AS (
+            SELECT vec_id,
+                   list_transform(v, x -> CAST(round(x * 127.0 / s)
+                                               AS BIGINT)) AS q8
+            FROM sc WHERE s > 0
+        ), n AS (
+            SELECT vec_id, q8,
+                   list_inner_product(q8, q8) AS nrm
+            FROM q
+        ), qs AS (
+            SELECT * FROM n WHERE vec_id < {KNN_QUERY_MAX_ID}
+        ), scored AS (
+            SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_inner_product(qs.q8, c.q8)
+                         / (sqrt(qs.nrm) * sqrt(c.nrm)), 6) AS sim_sq8
+            FROM qs JOIN n c ON c.vec_id != qs.vec_id
+        )
+        SELECT query_id, neighbor_id, sim_sq8, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY sim_sq8 DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {KNN_K}
+    """,
+    description="Scalar-quantized (int8) cosine top-k — the STORAGE "
+    "path for 100 TB vector search: per-vector symmetric quantization "
+    "q_i = round(127 * x_i / max|x|) cuts the corpus to a quarter of "
+    "float32 (an IVF cell holds 4x more vectors per executor page), "
+    "and the int8-cosine ranking is computed entirely in INTEGER dot "
+    "products (exact cross-engine; one sqrt/divide double conversion "
+    "per pair, identical both sides) — so unlike the PQ/LSH members "
+    "this sketch is oracle-HASH-checked, not rows-only. Same "
+    "broadcast-queries/one-corpus-scan shape as knn_bruteforce; "
+    "recall vs the exact float ranking pinned in pytest. Zero-scale "
+    "vectors are excluded identically on both engines",
+)
+def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("v"))
+    base = base.withColumn(
+        "s", F.array_max(F.transform("v", lambda x: F.abs(x)))
+    ).filter(F.col("s") > 0)
+    q8 = base.select(
+        "vec_id",
+        F.transform(
+            "v", lambda x: F.round(x * 127.0 / F.col("s")).cast("long")
+        ).alias("q8"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n = q8.select("vec_id", "q8", dot(F.col("q8"), F.col("q8")).alias("nrm"))
+    qs = n.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q8").alias("qq"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = F.broadcast(qs).join(
+        n, F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            dot(F.col("qq"), F.col("q8")).cast("double")
+            / (
+                F.sqrt(F.col("qn").cast("double"))
+                * F.sqrt(F.col("nrm").cast("double"))
+            ),
+            6,
+        ).alias("sim_sq8"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_sq8").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= KNN_K)
+        .select("query_id", "neighbor_id", "sim_sq8", "rank")
+    )

@@ -1784,3 +1784,41 @@ def q_streaming_oov_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_oov * 2 <= F.size(tk)).alias("keep"),
     )
     return run_append(spark, out)
+
+
+@register(
+    "streaming_rate_gate",
+    oracle="""
+        WITH counted AS (
+            SELECT event_id, user_id,
+                   count(*) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 86400000000 PRECEDING
+                                 AND 1 PRECEDING) AS n_prev
+            FROM events
+        )
+        SELECT event_id, user_id, (n_prev < 3) AS admitted
+        FROM counted
+    """,
+    description="Per-user sliding-window rate gate AT INGEST — the "
+    "online twin of batch rate_gate, sharing its oracle (same 24 h / "
+    "3-event admission rule, same decisions per event): "
+    "applyInPandasWithState in APPEND mode emits one admit/deny row "
+    "per event while holding only the K most-recent prior timestamps "
+    "per key — O(K) state regardless of per-key volume, because the "
+    "decision needs min(true_count, K) and the K newest prior events "
+    "are exactly the ones any future window can still contain. The "
+    "admission-control leg of the ingest battery (quality gate -> "
+    "OOV gate -> rate gate), and the third custom-stateful op in the "
+    "registry (KMV sketch, Page-Hinkley, rate gate)",
+)
+def q_streaming_rate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import run_append
+    from kafka_streams_homework_spark.streaming.stateful import (
+        rate_gate_stateful,
+    )
+
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    out = rate_gate_stateful(stream)
+    return run_append(spark, out)

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -403,6 +404,82 @@ def page_hinkley_stateful(
             outputStructType=PH_OUTPUT_SCHEMA,
             stateStructType=PH_STATE_SCHEMA,
             outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+RG_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("admitted", BooleanType()),
+    ]
+)
+
+# the K most-recent prior event times (epoch micros), newest last
+RG_STATE_SCHEMA = "recent array<bigint>"
+
+RG_WINDOW_US = 86_400_000_000  # mirror queries.pipeline.RATE_WINDOW_US
+RG_MAX_PREV = 3  # mirror queries.pipeline.RATE_MAX_PREV
+
+
+def _rate_gate_handler(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    # Sliding-window admission with O(K) state: the decision
+    # "admit iff fewer than K prior events in [t-W, t-1]" only needs
+    # min(true_count, K), and the K MOST-RECENT prior timestamps are
+    # exactly the ones any FUTURE window can still contain (an entry
+    # older than all retained ones expires no later than they do) —
+    # so retaining K timestamps per key reproduces the batch RANGE
+    # window's decision bit-for-bit at any per-key volume. Rows sort
+    # by (eps, event_id) within the batch; same-microsecond peers are
+    # excluded by the strict e < t bound, matching the frame's
+    # "1 PRECEDING" upper edge.
+    recent: list[int] = list(state.get[0]) if state.exists else []
+    out_ids: list[int] = []
+    out_adm: list[bool] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["eps", "event_id"])
+        for eid, t in zip(pdf["event_id"], pdf["eps"]):
+            t = int(t)
+            n_prev = sum(1 for e in recent if t - RG_WINDOW_US <= e < t)
+            out_ids.append(int(eid))
+            out_adm.append(n_prev < RG_MAX_PREV)
+            recent.append(t)
+            if len(recent) > RG_MAX_PREV:
+                recent = recent[-RG_MAX_PREV:]
+    state.update((recent,))
+    yield pd.DataFrame(
+        {
+            "event_id": out_ids,
+            "user_id": [key[0]] * len(out_ids),
+            "admitted": out_adm,
+        }
+    )
+
+
+def rate_gate_stateful(stream: DataFrame) -> DataFrame:
+    """Online per-user rate gate as CUSTOM STATEFUL streaming state
+    (applyInPandasWithState, append mode) — the at-ingest twin of the
+    batch ``rate_gate`` RANGE window, sharing its oracle: each event
+    is admitted iff its user produced fewer than RG_MAX_PREV events in
+    the trailing 24 h, decided from K retained timestamps per key."""
+    return (
+        stream.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("eps"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _rate_gate_handler,
+            outputStructType=RG_OUTPUT_SCHEMA,
+            stateStructType=RG_STATE_SCHEMA,
+            outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

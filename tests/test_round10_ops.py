@@ -103,3 +103,69 @@ def test_negbin_fit_python_replay(spark, sf_dir):
         assert abs(row.nb_r - mean * mean / (var - mean)) < 1e-4
     else:
         assert row.nb_r is None
+
+
+def test_knn_sq8_recall_vs_exact(spark, sf_dir):
+    """int8 scalar quantization must preserve the neighborhood: high
+    top-5 recall vs the exact float cosine ranking, and per-pair sim
+    distortion bounded by the quantization step."""
+    exact = Q.queries()["knn_bruteforce"](spark, sf_dir).collect()
+    sq8 = Q.queries()["knn_sq8"](spark, sf_dir).collect()
+    ex = defaultdict(set)
+    for r in exact:
+        ex[r.query_id].add(r.neighbor_id)
+    got = defaultdict(set)
+    sims = {}
+    for r in sq8:
+        got[r.query_id].add(r.neighbor_id)
+        sims[(r.query_id, r.neighbor_id)] = r.sim_sq8
+    assert set(got) == set(ex)
+    hits = sum(len(ex[q] & got[q]) for q in ex)
+    total = sum(len(ex[q]) for q in ex)
+    assert hits / total >= 0.8, f"sq8 recall {hits}/{total}"
+    # distortion: where both rankings agree, sims differ by < 0.02
+    exact_sims = {(r.query_id, r.neighbor_id): r.sim for r in exact}
+    common = set(sims) & set(exact_sims)
+    assert common
+    assert max(abs(sims[k] - exact_sims[k]) for k in common) < 0.02
+
+
+def test_rate_gate_python_replay(spark, sf_dir):
+    rows = (
+        _events(spark, sf_dir)
+        .select("event_id", "user_id", "ts")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in rows:
+        eps = int(r.ts.timestamp() * 1_000_000)
+        per_user[r.user_id].append((eps, r.event_id))
+    W, K = 86_400_000_000, 3
+    expect = {}
+    for uid, evs in per_user.items():
+        evs.sort()
+        for i, (t, eid) in enumerate(evs):
+            n_prev = sum(
+                1 for (e, _) in evs[:i] if t - W <= e <= t - 1
+            )
+            expect[eid] = (n_prev, n_prev < K)
+    out = Q.queries()["rate_gate"](spark, sf_dir).collect()
+    assert len(out) == len(expect)
+    denied = 0
+    for r in out:
+        n_prev, adm = expect[r.event_id]
+        assert (r.n_prev_24h, r.admitted) == (n_prev, adm), r
+        denied += 0 if adm else 1
+    assert 0 < denied < len(out), "fixture must exercise both branches"
+
+
+def test_streaming_rate_gate_matches_batch(spark, sf_dir):
+    batch = {
+        r.event_id: r.admitted
+        for r in Q.queries()["rate_gate"](spark, sf_dir).collect()
+    }
+    stream = {
+        r.event_id: r.admitted
+        for r in Q.queries()["streaming_rate_gate"](spark, sf_dir).collect()
+    }
+    assert stream == batch
