@@ -299,6 +299,9 @@ BENCH_QUERIES = [
     # state applyInPandasWithState twin (third custom-stateful op)
     "rate_gate",
     "streaming_rate_gate",
+    # median-rank-regression Weibull fit of inter-purchase gaps (one
+    # per-user lag window + bounded rank + exact moment agg)
+    "weibull_fit",
 ]
 
 

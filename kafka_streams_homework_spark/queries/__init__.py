@@ -126,8 +126,8 @@ _WINDOW = [
     "token_count",
     "topk_per_group",
     "tumbling_window",
-    "windowed_distinct",
     # -- round-10 NEW ops (birth-round window per the README policy;
+    #    windowed_distinct displaced from the r3 block by the 7th op;
     #    displaced the whole r4 fill: anomaly_zscore/bm25_rank/
     #    cdc_chunks/classifier_score/copurchase_topk/dedup_clusters) --
     "kendall_tau_b",
@@ -136,6 +136,7 @@ _WINDOW = [
     "knn_sq8",
     "rate_gate",
     "streaming_rate_gate",
+    "weibull_fit",
 ]
 # Rotated OUT this round: the whole r09 window (50/50 driver-green in
 # CORRECTNESS_r09). Every rotated-out entry still runs in pytest and

@@ -4837,3 +4837,113 @@ def q_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nb_r"),
         (var > mean).alias("overdispersed"),
     )
+
+
+@register(
+    "weibull_fit",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, epoch_us(ts) AS e, event_id
+            FROM events WHERE event_type = 'purchase'
+        ), gaps AS (
+            SELECT e - lag(e) OVER (PARTITION BY user_id
+                                    ORDER BY e, event_id) AS d,
+                   event_id
+            FROM p
+        ), pos AS (
+            SELECT d, event_id,
+                   row_number() OVER (ORDER BY d, event_id) AS r,
+                   count(*) OVER () AS n
+            FROM gaps WHERE d > 0
+        ), q AS (
+            SELECT CAST(round(ln(d) * 1000000) AS BIGINT) AS x,
+                   CAST(round(ln(-ln(1 - (r - 0.3) / (n + 0.4)))
+                              * 1000000) AS BIGINT) AS y,
+                   n
+            FROM pos
+        ), m AS (
+            SELECT max(n) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx
+            FROM q
+        )
+        SELECT CAST(n AS BIGINT) AS n_gaps,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     + 1e-9, 6) AS shape_k,
+               round(exp((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                            / ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE)
+                                    * CAST(sx AS DOUBLE)))) / 1000000)
+                     / 1000000 + 1e-9, 6) AS scale_s
+        FROM m
+    """,
+    description="Weibull fit of the inter-purchase gap distribution by "
+    "median-rank regression (Benard's approximation F_i = "
+    "(i-0.3)/(n+0.4), then OLS of ln(-ln(1-F)) on ln(gap)) — the "
+    "PARAMETRIC survival member next to survival_km (non-parametric), "
+    "cox_regression (semi-parametric) and interarrival_stats: "
+    "shape k < 1 means burst-then-lapse purchasing (churn risk "
+    "concentrates early), k > 1 means habituation. Gap ranks come "
+    "from two_phase_rank bucketed by whole seconds (no single-task "
+    "sort; rank sums are tie-order invariant so the event_id "
+    "tie-break only pins determinism); both logs are QUANTIZED to "
+    "fixed-point 1e6 integers (zipf_fit discipline) so the OLS "
+    "moments accumulate exactly in 128-bit products, one identical "
+    "double conversion per engine; scale reported in seconds "
+    "(exp(lnλ_µs)/1e6). State: one per-user lag window + a "
+    "gap-cardinality rank + one moment agg",
+)
+def q_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    e = F.unix_micros(F.col("ts"))
+    wlag = Window.partitionBy("user_id").orderBy(e, F.col("event_id"))
+    gaps = (
+        ev.select(
+            (e - F.lag(e).over(wlag)).alias("d"),
+            "event_id",
+        )
+        .filter(F.col("d") > 0)
+    )
+    pos = R.two_phase_rank(
+        gaps,
+        [F.col("d").asc(), F.col("event_id").asc()],
+        F.col("d") / F.lit(1_000_000),
+        "r",
+        total_name="n",
+    )
+    fhat = (F.col("r").cast("double") - 0.3) / (F.col("n").cast("double") + 0.4)
+    q = pos.select(
+        (F.round(F.log(F.col("d").cast("double")) * 1e6))
+        .cast("bigint")
+        .alias("x"),
+        (F.round(F.log(-F.log(F.lit(1.0) - fhat)) * 1e6))
+        .cast("bigint")
+        .alias("y"),
+        "n",
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = q.agg(
+        F.max("n").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    ln_lambda_us = (sxd / nd - (syd / nd) / slope) / 1e6
+    return m.select(
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.round(slope + F.lit(1e-9), 6).alias("shape_k"),
+        F.round(F.exp(ln_lambda_us) / 1e6 + F.lit(1e-9), 6).alias("scale_s"),
+    )

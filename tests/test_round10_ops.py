@@ -169,3 +169,43 @@ def test_streaming_rate_gate_matches_batch(spark, sf_dir):
         for r in Q.queries()["streaming_rate_gate"](spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_weibull_fit_python_replay(spark, sf_dir):
+    rows = (
+        _events(spark, sf_dir)
+        .filter("event_type = 'purchase'")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(
+            (int(r.ts.timestamp() * 1_000_000), r.event_id)
+        )
+    gaps = []
+    for evs in per_user.values():
+        evs.sort()
+        for a, b in zip(evs, evs[1:]):
+            d = b[0] - a[0]
+            if d > 0:
+                gaps.append(d)
+    gaps.sort()
+    n = len(gaps)
+    pts = []
+    for i, d in enumerate(gaps, start=1):
+        fh = (i - 0.3) / (n + 0.4)
+        pts.append(
+            (round(math.log(d) * 1e6), round(math.log(-math.log(1 - fh)) * 1e6))
+        )
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    k = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    scale_s = math.exp((sx / n - (sy / n) / k) / 1e6) / 1e6
+    row = Q.queries()["weibull_fit"](spark, sf_dir).collect()[0]
+    assert row.n_gaps == n
+    assert abs(row.shape_k - k) < 1e-4
+    assert abs(row.scale_s - scale_s) / scale_s < 1e-3
+    assert row.shape_k > 0 and row.scale_s > 0
