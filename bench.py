@@ -302,6 +302,8 @@ BENCH_QUERIES = [
     # median-rank-regression Weibull fit of inter-purchase gaps (one
     # per-user lag window + bounded rank + exact moment agg)
     "weibull_fit",
+    # Gumbel EVT fit of daily maxima (calendar-bounded block rollup)
+    "gumbel_fit",
 ]
 
 

@@ -125,9 +125,8 @@ _WINDOW = [
     "text_stats",
     "token_count",
     "topk_per_group",
-    "tumbling_window",
     # -- round-10 NEW ops (birth-round window per the README policy;
-    #    windowed_distinct displaced from the r3 block by the 7th op;
+    #    windowed_distinct + tumbling_window displaced from the r3 block;
     #    displaced the whole r4 fill: anomaly_zscore/bm25_rank/
     #    cdc_chunks/classifier_score/copurchase_topk/dedup_clusters) --
     "kendall_tau_b",
@@ -137,6 +136,7 @@ _WINDOW = [
     "rate_gate",
     "streaming_rate_gate",
     "weibull_fit",
+    "gumbel_fit",
 ]
 # Rotated OUT this round: the whole r09 window (50/50 driver-green in
 # CORRECTNESS_r09). Every rotated-out entry still runs in pytest and

@@ -4947,3 +4947,108 @@ def q_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope + F.lit(1e-9), 6).alias("shape_k"),
         F.round(F.exp(ln_lambda_us) / 1e6 + F.lit(1e-9), 6).alias("scale_s"),
     )
+
+
+@register(
+    "gumbel_fit",
+    oracle="""
+        WITH bm AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   max(CAST(round(value * 100) AS BIGINT)) AS mx
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1
+        ), pos AS (
+            SELECT mx, day,
+                   row_number() OVER (ORDER BY mx, day) AS r,
+                   count(*) OVER () AS n
+            FROM bm
+        ), q AS (
+            SELECT mx AS x,
+                   CAST(round(-ln(-ln((r - 0.3) / (n + 0.4)))
+                              * 1000000) AS BIGINT) AS y,
+                   n
+            FROM pos
+        ), m AS (
+            SELECT max(n) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM q
+        ), fit AS (
+            SELECT n, sx, sy,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                   * 1000000 AS beta_c
+            FROM m
+        )
+        SELECT CAST(n AS BIGINT) AS n_blocks,
+               round((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                      - beta_c * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                        / 1000000) / 100 + 1e-9, 6) AS location_mu,
+               round(beta_c / 100 + 1e-9, 6) AS scale_beta,
+               round(((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                       - beta_c * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                         / 1000000)
+                      - beta_c * -4.600149226776579) / 100 + 1e-9, 6)
+                   AS return_level_p99
+        FROM fit
+    """,
+    description="Gumbel (EVT type-I) fit of the DAILY MAXIMUM event "
+    "value by median-rank regression — the block-maxima member of the "
+    "tail family (hill_tail_index fits the upper-order-statistics "
+    "tail; this fits the extreme-value law of per-day peaks, the "
+    "quantity capacity planning and fraud ceilings actually monitor): "
+    "Benard positions over the n-day maxima, x = INTEGER cents (no "
+    "log — the Gumbel linearization is x = mu + beta*(-ln(-ln F))), "
+    "y fixed-point-quantized, OLS moments in 128-bit products, one "
+    "identical double conversion per engine; reports mu, beta and "
+    "the p99 return level (the daily max exceeded on ~1% of days), "
+    "all in dollars. The blockwise rollup is calendar-bounded: 100 TB "
+    "of events still collapses to one row per day before any rank",
+)
+def q_gumbel_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bm = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.max(F.round(F.col("value") * 100).cast("bigint")).alias("mx"))
+    pos = R.two_phase_rank(
+        bm,
+        [F.col("mx").asc(), F.col("day").asc()],
+        F.col("mx"),
+        "r",
+        total_name="n",
+    )
+    fhat = (F.col("r").cast("double") - 0.3) / (F.col("n").cast("double") + 0.4)
+    q = pos.select(
+        F.col("mx").alias("x"),
+        (F.round(-F.log(-F.log(fhat)) * 1e6)).cast("bigint").alias("y"),
+        "n",
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = q.agg(
+        F.max("n").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    syyd = F.col("syy").cast("double")
+    beta_c = (nd * sxyd - sxd * syd) / (nd * syyd - syd * syd) * 1e6
+    mu_c = sxd / nd - beta_c * (syd / nd) / 1e6
+    # ln(-ln(0.99)) pinned as ONE shared literal (not two libm calls)
+    # so a 1-ulp libm divergence can never flip the 6dp rounding
+    _LNLN99 = -4.600149226776579
+    return m.select(
+        F.col("n").cast("bigint").alias("n_blocks"),
+        F.round(mu_c / 100 + F.lit(1e-9), 6).alias("location_mu"),
+        F.round(beta_c / 100 + F.lit(1e-9), 6).alias("scale_beta"),
+        F.round(
+            (mu_c - beta_c * _LNLN99) / 100 + F.lit(1e-9),
+            6,
+        ).alias("return_level_p99"),
+    )

@@ -209,3 +209,35 @@ def test_weibull_fit_python_replay(spark, sf_dir):
     assert abs(row.shape_k - k) < 1e-4
     assert abs(row.scale_s - scale_s) / scale_s < 1e-3
     assert row.shape_k > 0 and row.scale_s > 0
+
+
+def test_gumbel_fit_python_replay(spark, sf_dir):
+    rows = (
+        _events(spark, sf_dir)
+        .filter("value is not null")
+        .select("ts", "value")
+        .collect()
+    )
+    daily = defaultdict(int)
+    for r in rows:
+        c = round(r.value * 100)
+        d = r.ts.date()
+        daily[d] = max(daily[d], c)
+    mx = sorted(daily.values())
+    n = len(mx)
+    pts = []
+    for i, x in enumerate(mx, start=1):
+        fh = (i - 0.3) / (n + 0.4)
+        pts.append((x, round(-math.log(-math.log(fh)) * 1e6)))
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    syy = sum(y * y for _, y in pts)
+    beta_c = (n * sxy - sx * sy) / (n * syy - sy * sy) * 1e6
+    mu_c = sx / n - beta_c * (sy / n) / 1e6
+    row = Q.queries()["gumbel_fit"](spark, sf_dir).collect()[0]
+    assert row.n_blocks == n
+    assert abs(row.location_mu - mu_c / 100) < 1e-3
+    assert abs(row.scale_beta - beta_c / 100) < 1e-3
+    # return level must sit above the fitted location and be finite
+    assert row.return_level_p99 > row.location_mu
