@@ -1804,10 +1804,10 @@ def q_streaming_oov_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "online twin of batch rate_gate, sharing its oracle (same 24 h / "
     "3-event admission rule, same decisions per event): "
     "applyInPandasWithState in APPEND mode emits one admit/deny row "
-    "per event while holding only the K most-recent prior timestamps "
-    "per key — O(K) state regardless of per-key volume, because the "
-    "decision needs min(true_count, K) and the K newest prior events "
-    "are exactly the ones any future window can still contain. The "
+    "per event while holding only (microsecond, count) pairs for the "
+    "newest distinct micros per key — O(K) state regardless of "
+    "per-key volume, decision-exact under same-microsecond ties "
+    "(the strict e < t frame edge), vectorized via searchsorted. The "
     "admission-control leg of the ingest battery (quality gate -> "
     "OOV gate -> rate gate), and the third custom-stateful op in the "
     "registry (KMV sketch, Page-Hinkley, rate gate)",

@@ -417,11 +417,34 @@ RG_OUTPUT_SCHEMA = StructType(
     ]
 )
 
-# the K most-recent prior event times (epoch micros), newest last
-RG_STATE_SCHEMA = "recent array<bigint>"
+# (timestamp, count) pairs for retained distinct microseconds, newest
+# FIRST: cnt[0] = min(events at ts[0], K); older pairs kept while the
+# cumulative count of pairs after index 0 is < K (each cnt capped at K)
+RG_STATE_SCHEMA = "ts array<bigint>, cnt array<int>"
 
 RG_WINDOW_US = 86_400_000_000  # mirror queries.pipeline.RATE_WINDOW_US
 RG_MAX_PREV = 3  # mirror queries.pipeline.RATE_MAX_PREV
+
+
+def _rg_trim(ts: list[int], cnt: list[int]) -> tuple[list[int], list[int]]:
+    # Invariant: keep the newest distinct microsecond (count capped at
+    # K) plus the newest strictly-older distinct microseconds until
+    # their cumulative (capped) count reaches K — ≤ K+1 pairs total.
+    # Why this is decision-exact for any future event at t ≥ ts[0]:
+    # n_prev = min(K, #events in [t-W, t)). A dropped pair is older
+    # than every retained non-newest pair; if it would land in some
+    # future window, the ≥K retained strictly-older events land there
+    # too, so the capped decision is already "deny". Per-pair capping
+    # at K is safe because sum(min(c_i, K)) ≥ min(sum c_i, K).
+    out_ts, out_cnt, older = [], [], 0
+    for t, c in zip(ts, cnt):
+        out_ts.append(t)
+        out_cnt.append(min(c, RG_MAX_PREV))
+        if out_ts[0] != t:
+            older += out_cnt[-1]
+            if older >= RG_MAX_PREV:
+                break
+    return out_ts, out_cnt
 
 
 def _rate_gate_handler(
@@ -429,35 +452,46 @@ def _rate_gate_handler(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    # Sliding-window admission with O(K) state: the decision
-    # "admit iff fewer than K prior events in [t-W, t-1]" only needs
-    # min(true_count, K), and the K MOST-RECENT prior timestamps are
-    # exactly the ones any FUTURE window can still contain (an entry
-    # older than all retained ones expires no later than they do) —
-    # so retaining K timestamps per key reproduces the batch RANGE
-    # window's decision bit-for-bit at any per-key volume. Rows sort
-    # by (eps, event_id) within the batch; same-microsecond peers are
-    # excluded by the strict e < t bound, matching the frame's
-    # "1 PRECEDING" upper edge.
-    recent: list[int] = list(state.get[0]) if state.exists else []
-    out_ids: list[int] = []
-    out_adm: list[bool] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["eps", "event_id"])
-        for eid, t in zip(pdf["event_id"], pdf["eps"]):
-            t = int(t)
-            n_prev = sum(1 for e in recent if t - RG_WINDOW_US <= e < t)
-            out_ids.append(int(eid))
-            out_adm.append(n_prev < RG_MAX_PREV)
-            recent.append(t)
-            if len(recent) > RG_MAX_PREV:
-                recent = recent[-RG_MAX_PREV:]
-    state.update((recent,))
+    # Sliding-window admission with O(K) state and a VECTORIZED
+    # decision: rows sort by eps once per batch, so "events strictly
+    # before t and within [t-W, t)" inside the batch is a pair of
+    # np.searchsorted calls (side='left' excludes same-microsecond
+    # peers, matching the RANGE frame's "1 PRECEDING" upper edge —
+    # tie-exact, unlike a last-K-timestamps trim, which lets a tie
+    # displace an older in-window event). The carried state is
+    # (distinct microsecond, count) pairs per _rg_trim, which is
+    # decision-exact under ties at any per-key volume.
+    import numpy as np
+
+    if state.exists:
+        st_ts, st_cnt = list(state.get[0]), list(state.get[1])
+    else:
+        st_ts, st_cnt = [], []
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values(["eps", "event_id"], ignore_index=True)
+    eps = pdf["eps"].to_numpy(dtype="int64")
+    lo = eps - RG_WINDOW_US
+    n_prev = np.searchsorted(eps, eps, side="left") - np.searchsorted(
+        eps, lo, side="left"
+    )
+    for t, c in zip(st_ts, st_cnt):  # ≤ K+1 retained pairs
+        n_prev = n_prev + c * ((t < eps) & (t >= lo))
+    admitted = n_prev < RG_MAX_PREV
+    # fold the batch into the pair state (batch eps ≥ state eps by
+    # replay order; a batch row tying state's newest merges counts)
+    u_ts, u_cnt = np.unique(eps, return_counts=True)
+    new_ts = u_ts[::-1].tolist()
+    new_cnt = u_cnt[::-1].tolist()
+    if st_ts and new_ts and new_ts[-1] == st_ts[0]:
+        new_cnt[-1] += st_cnt[0]
+        st_ts, st_cnt = st_ts[1:], st_cnt[1:]
+    st_ts, st_cnt = _rg_trim(new_ts + st_ts, new_cnt + st_cnt)
+    state.update((st_ts, st_cnt))
     yield pd.DataFrame(
         {
-            "event_id": out_ids,
-            "user_id": [key[0]] * len(out_ids),
-            "admitted": out_adm,
+            "event_id": pdf["event_id"].to_numpy(dtype="int64"),
+            "user_id": np.full(len(pdf), key[0], dtype="int64"),
+            "admitted": admitted,
         }
     )
 
@@ -467,7 +501,8 @@ def rate_gate_stateful(stream: DataFrame) -> DataFrame:
     (applyInPandasWithState, append mode) — the at-ingest twin of the
     batch ``rate_gate`` RANGE window, sharing its oracle: each event
     is admitted iff its user produced fewer than RG_MAX_PREV events in
-    the trailing 24 h, decided from K retained timestamps per key."""
+    the trailing 24 h, decided from ≤ K+1 retained (microsecond,
+    count) pairs per key — tie-exact vs the batch RANGE frame."""
     return (
         stream.select(
             "user_id",

@@ -1,0 +1,133 @@
+"""Round-11 operator tests.
+
+Covers the r10 ADVICE-high fix: streaming_rate_gate must match the
+batch RANGE frame under same-microsecond timestamp ties (the strict
+``e < t`` upper edge), including ties that arrive after K in-window
+events and ties that straddle micro-batch boundaries — the fixture
+data has no per-user microsecond ties, so only these synthetic cases
+exercise the tie path.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+import uuid
+
+from kafka_streams_homework_spark.streaming.price_alerts import run_append
+from kafka_streams_homework_spark.streaming.stateful import (
+    RG_MAX_PREV,
+    RG_WINDOW_US,
+    rate_gate_stateful,
+)
+
+RG_SCHEMA = "user_id long, event_id long, ts timestamp"
+
+_EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _us(micros: int) -> dt.datetime:
+    return _EPOCH + dt.timedelta(microseconds=micros)
+
+
+def _write_batches(spark, tmp_path, batches):
+    # one parquet file per micro-batch, mtime-pinned replay order
+    # (same pattern as tests/test_streaming.py::_write_events)
+    path = str(tmp_path / f"rg-{uuid.uuid4().hex[:8]}")
+    seen: set[str] = set()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, RG_SCHEMA).repartition(1).write.mode(
+            "append"
+        ).parquet(path)
+        current = set(glob.glob(f"{path}/*.parquet"))
+        for f in current - seen:
+            os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+        seen = current
+    return path
+
+
+def _replay_expected(rows):
+    """Reference decisions: the batch RANGE frame (strict e < t)."""
+    per_user: dict[int, list[tuple[int, int]]] = {}
+    for uid, eid, t in rows:
+        per_user.setdefault(uid, []).append(
+            (int((t - _EPOCH).total_seconds() * 1_000_000), eid)
+        )
+    expect = {}
+    for evs in per_user.values():
+        evs.sort()
+        for i, (t, eid) in enumerate(evs):
+            n_prev = sum(
+                1 for (e, _) in evs if t - RG_WINDOW_US <= e < t
+            )
+            expect[eid] = n_prev < RG_MAX_PREV
+    return expect
+
+
+def _run_gate(spark, path):
+    stream = (
+        spark.readStream.schema(RG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = run_append(spark, rate_gate_stateful(stream))
+    return {r.event_id: r.admitted for r in out.collect()}
+
+
+def test_rate_gate_ties_single_batch(spark, tmp_path):
+    """The r10 ADVICE repro: eps 10,20,30,40,40 — the second eps-40
+    event has 3 strictly-older in-window events (deny); a
+    last-K-timestamps state admits it because the tie displaced 10."""
+    rows = [(1, i, _us(e)) for i, e in enumerate([10, 20, 30, 40, 40])]
+    expect = _replay_expected(rows)
+    assert expect[4] is False  # the tie event must be DENIED
+    got = _run_gate(spark, _write_batches(spark, tmp_path, [rows]))
+    assert got == expect
+
+
+def test_rate_gate_ties_across_batches(spark, tmp_path):
+    """Ties at the micro-batch boundary and beyond K in-window events:
+    the carried (microsecond, count) pair state must reproduce every
+    batch-frame decision, including deep tie runs (4 events at the
+    same microsecond) and a re-opened window after expiry."""
+    W = RG_WINDOW_US
+    eps = [
+        # batch 1: 3 admits, then a tie pair at 40
+        10, 20, 30, 40, 40,
+        # batch 2: tie with state's newest micro, then fresh micros
+        40, 40, 41, 50,
+        # batch 3: far future — window expired, gate re-opens; then a
+        # tie run at the same new microsecond
+        W + 100, W + 100, W + 100, W + 100, W + 101,
+    ]
+    rows = [(7, i, _us(e)) for i, e in enumerate(eps)]
+    expect = _replay_expected(rows)
+    batches = [rows[:5], rows[5:9], rows[9:]]
+    got = _run_gate(spark, _write_batches(spark, tmp_path, batches))
+    assert got == expect
+    # sanity on the interesting decisions
+    assert got[4] is False  # tie after 3 in-window events
+    assert got[9] is True  # window expired -> re-admitted
+    # the whole tie run at W+100 admits: ties never count as "prior"
+    assert got[10] is True and got[11] is True and got[12] is True
+    assert got[13] is False  # W+101 sees 4 strictly-older events
+
+
+def test_rate_gate_multi_user_interleaved(spark, tmp_path):
+    """Per-key state isolation: interleaved users with different tie
+    patterns, split across batches at awkward points."""
+    rows = []
+    eid = 0
+    for uid, eps_list in [
+        (1, [5, 5, 5, 5, 6]),
+        (2, [100, 200, 300, 400, 500]),
+        (3, [1, 2, 3, 3, 3, 4]),
+    ]:
+        for e in eps_list:
+            rows.append((uid, eid, _us(e)))
+            eid += 1
+    expect = _replay_expected(rows)
+    batches = [rows[:6], rows[6:11], rows[11:]]
+    got = _run_gate(spark, _write_batches(spark, tmp_path, batches))
+    assert got == expect
