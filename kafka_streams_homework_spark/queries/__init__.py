@@ -100,7 +100,8 @@ _WINDOW = [
     "value_histogram",
     "value_percentiles",
     "windowed_sum_salted",
-    # -- last driver-sampled in r3 (26) --
+    # -- last driver-sampled in r3 (24 here; 2 of the 26 were
+    #    displaced to make room for r10 birth-round ops) --
     "agg_stats",
     "decontaminate",
     "dedup_embedding",

@@ -4568,10 +4568,8 @@ def q_doubly_robust_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ELSE 0 END AS con,
                    CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1
                         ELSE 0 END AS dis,
-                   CASE WHEN b.x = a.x AND b.y <> a.y THEN 1
-                        ELSE 0 END AS tx,
-                   CASE WHEN b.y = a.y AND b.x <> a.x THEN 1
-                        ELSE 0 END AS ty
+                   CASE WHEN b.x = a.x THEN 1 ELSE 0 END AS tx,
+                   CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS ty
             FROM d a JOIN d b ON b.day > a.day
         ), m AS (
             SELECT count(*) AS n0, sum(con) AS c, sum(dis) AS dd,
@@ -4597,8 +4595,9 @@ def q_doubly_robust_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "volume); concordant/discordant/tie counts are INTEGER-exact "
     "comparisons of identically-6dp-rounded daily means, with the "
     "tau-b tie correction (n0-tx)(n0-ty) under one double sqrt per "
-    "engine. Ties-in-both-pairs counted in neither correction term "
-    "(standard tau-b). One corpus groupBy + one bounded broadcast "
+    "engine, with textbook tie counting: a pair tied in x counts in "
+    "tx regardless of y (and vice versa), so a both-tied pair counts "
+    "in BOTH terms. One corpus groupBy + one bounded broadcast "
     "self-join",
 )
 def q_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4634,16 +4633,8 @@ def q_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(F.broadcast(b), F.col("d2") > F.col("d1")).select(
         F.when(dx * dy > 0, 1).otherwise(0).alias("con"),
         F.when(dx * dy < 0, 1).otherwise(0).alias("dis"),
-        F.when(
-            (F.col("x2") == F.col("x1")) & (F.col("y2") != F.col("y1")), 1
-        )
-        .otherwise(0)
-        .alias("tx"),
-        F.when(
-            (F.col("y2") == F.col("y1")) & (F.col("x2") != F.col("x1")), 1
-        )
-        .otherwise(0)
-        .alias("ty"),
+        F.when(F.col("x2") == F.col("x1"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("y2") == F.col("y1"), 1).otherwise(0).alias("ty"),
     )
     m = pairs.agg(
         F.count(F.lit(1)).alias("n0"),
