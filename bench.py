@@ -337,9 +337,42 @@ def main() -> None:
     spreads: dict[str, float] = {}
     legs: dict[str, list[float]] = {}
     min_s: dict[str, float] = {}
+    stall_dumps: list[str] = []
 
-    def timed_run(name: str) -> float:
+    # In-session stall watchdog (r10 verdict #1): BASELINE.md's
+    # round-10 closing leg recorded streaming_stateful_alerts at
+    # 20.9-25.6 s in-session vs 3.45 s quiet, same code — adjudicated
+    # "stall" but never root-caused because by the time anyone looked,
+    # the run was over. Arm per query once a first leg exists: when a
+    # later leg exceeds max(3x fastest-leg-so-far, 6 s), dump JVM
+    # thread stacks + GC heap + Python driver stacks MID-STALL via
+    # tools.stall_probe so the evidence lands in the artifact.
+    import threading
+
+    from tools.stall_probe import dump_all, jvm_pid
+
+    try:
+        _pid = jvm_pid(spark)
+    except Exception:
+        _pid = None
+
+    def timed_run(name: str, prior_min: float | None) -> float:
         t0 = time.perf_counter()
+        done = threading.Event()
+        if _pid is not None and prior_min is not None:
+            arm = max(3 * prior_min, 6.0)
+
+            def watchdog() -> None:
+                k = 0
+                while not done.wait(timeout=0.5):
+                    if time.perf_counter() - t0 >= arm and k < 3:
+                        tag = f"bench-{int(time.time())}-{name}-d{k}"
+                        stall_dumps.append(dump_all(_pid, tag))
+                        k += 1
+                        if done.wait(timeout=3.0):
+                            break
+
+            threading.Thread(target=watchdog, daemon=True).start()
         # noop write, not count(): count() lets Catalyst prune every
         # column and answer map-only plans from parquet row-group
         # metadata, so pure-projection queries (token_count, pii_scrub,
@@ -347,6 +380,7 @@ def main() -> None:
         # sink forces full evaluation of every output column and
         # discards rows executor-side (no driver collect).
         registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        done.set()
         elapsed = time.perf_counter() - t0
         # drop intra-query persists immediately: each run re-pays its
         # own cache build, and a heavy query's cached table (e.g.
@@ -355,15 +389,21 @@ def main() -> None:
         release_caches()
         return elapsed
 
+    def sampled_runs(name: str, n: int, seed: list[float]) -> list[float]:
+        out = list(seed)
+        for _ in range(n):
+            out.append(timed_run(name, min(out) if out else None))
+        return out
+
     for name in BENCH_QUERIES:
-        samples = sorted(timed_run(name) for _ in range(runs_per_query))
+        samples = sorted(sampled_runs(name, runs_per_query, []))
         # sub-second queries: ~50 ms of JVM jitter exceeds 10%, so buy
         # extra cheap samples to stabilize the median. Four extras
         # (r7, was two): the r6 artifact showed 0.3 s queries reading
         # 3x on sample-epoch contention (importance_sample sigma=0.24);
         # a 7-sample median rides out a 2-3 sample slow epoch.
         if samples[len(samples) // 2] < 1.0:
-            samples = sorted(samples + [timed_run(name) for _ in range(4)])
+            samples = sorted(sampled_runs(name, 4, samples))
         median = samples[len(samples) // 2]
         mean = sum(samples) / len(samples)
         sd = (sum((s - mean) ** 2 for s in samples) / len(samples)) ** 0.5
@@ -423,6 +463,9 @@ def main() -> None:
         "stddev": spreads,
         "legs": legs,
         "min_s": min_s,
+        # mid-stall evidence files (empty = no leg exceeded 3x its
+        # query's fastest leg; see the watchdog above)
+        "stall_dumps": stall_dumps,
         "total_min_s": round(sum(min_s.values()), 3),
         "runs_per_query": runs_per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
