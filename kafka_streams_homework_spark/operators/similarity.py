@@ -1515,76 +1515,128 @@ def embedding_outliers(
     )
 
 
-def pca_projection(embeddings: DataFrame, iters: int = 30) -> DataFrame:
+PCA_Q_SCALE = 1_000_000  # coordinate fixed-point (1e-6 quantization)
+PCA_C_SCALE = 10**9  # covariance-entry fixed-point
+PCA_V_SCALE = 10**8  # component fixed-point per iteration
+PCA_ITERS = 30
+
+
+def _half_away(x: float) -> int:
+    """round() with HALF AWAY FROM ZERO ties — DuckDB/Spark round
+    semantics, unlike Python's banker's rounding."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+def pca_projection(embeddings: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
     """Top principal component by distributed Gram + driver power
-    iteration, then a one-pass projection (rows-only op).
+    iteration, then a one-pass projection — ORACLE-EXACT fixed point.
 
-    Scale split: the data-sized work — the centered Gram/covariance
-    matrix sum(x x^T) — is ONE distributed aggregation (explode the
-    d=64 vector to (i, j, x_i*x_j) partial sums; d^2 = 4096
-    accumulators, map-side combinable). The eigen solve runs on the
-    driver over that bounded 64x64 matrix (power iteration, fixed
-    iteration count, deterministic all-ones start — no RNG), which is
-    the correct placement at any corpus size; the resulting component
-    broadcasts back for a map-only projection pass. No SQL engine
-    replays the eigen solve, so the op is rows-only; pytest pins the
-    component and every score against numpy.
+    Scale split: the data-sized work — the Gram matrix sum(q q^T) over
+    1e-6-quantized integer coordinates — is ONE distributed partial
+    aggregation (d^2 = 4096 exact decimal accumulators, map-side
+    combined; the explode blowup never shuffles row-wise). The eigen
+    solve runs on the driver over the bounded 64x64 matrix, which is
+    the correct placement at any corpus size; the component broadcasts
+    back for a map-only exact-integer scoring pass.
+
+    Cross-engine determinism (the bpe_train/holt_forecast exactness
+    standard): every data-sized sum is exact integer arithmetic
+    (decimal(38,0) here, HUGEINT in the oracle), the centered matrix
+    is fixed-pointed at 1e9 from identical double expressions
+    (C_hat/n^2/1e3, half-away rounding), each iteration's matvec and
+    norm^2 are exact integers (only sqrt and one division run in
+    doubles, on identical inputs), the component is held at 1e8
+    fixed point, the sign convention is pinned (largest |coord|
+    positive, ties to the smallest index), and the per-row score
+    numerator sum((n*q_j - S_j) * v8_j) is again an exact integer —
+    so the 6dp scores replay bit-for-bit in the unrolled-CTE oracle.
+    Magnitude audit: |q|<=1e6 so G<=n*1e12, C_hat=n*G-S*S<=n^2*1e12
+    (fits decimal(38,0) to n~1e12 rows); |C9|<=~1e9, |w|<=d*C9*V<=
+    64*1e9*1e8~1e19 and norm2<=d*w^2~1e40 needs... w here is bounded
+    by the actual covariance magnitude (~0.03*1e9 = 3e7), giving
+    w<=2e17, w^2<=4e34, norm2<=3e36 — inside HUGEINT's 1.7e38.
     """
-    import numpy as np
-
-    # Derive d from the data (like the LSH ops) rather than hardcoding:
-    # a non-64-wide embedding column must widen the Gram accumulator,
-    # not KeyError on a missing mean entry. Empty input -> typed empty
-    # result (the sibling LSH-op guard pattern).
     first = embeddings.select(F.size("embedding").alias("d")).first()
     if first is None:
         return embeddings.sparkSession.createDataFrame(
-            [], "vec_id long, label string, pc1_score double"
+            [], "vec_id long, label int, pc1_score double"
         )
     dim = first.d
-    mean_row = embeddings.select(
-        F.posexplode("embedding").alias("i", "x")
-    ).groupBy("i").agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("n"))
-    means = {r.i: r.m for r in mean_row.collect()}
-    mu = np.array([means[i] for i in range(dim)])
-
-    pairs = (
-        embeddings.select(F.posexplode("embedding").alias("i", "x"),
-                          F.col("embedding"))
-        .select("i", "x", F.posexplode("embedding").alias("j", "y"))
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("x") * F.col("y")).alias("s"), F.count(F.lit(1)).alias("n"))
+    dec = "decimal(38,0)"
+    q_expr = F.round(F.col("x").cast("double") * F.lit(1.0 * PCA_Q_SCALE)).cast(
+        "long"
     )
-    rows = pairs.collect()
-    n = rows[0].n
-    G = np.zeros((dim, dim))
-    for r in rows:
-        G[r.i, r.j] = r.s
-    # centered covariance: E[xx^T] - mu mu^T (population scaling)
-    C = G / n - np.outer(mu, mu)
-    v = np.ones(dim)
+    qtab = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select("vec_id", "i", q_expr.alias("q"))
+    st = (
+        qtab.groupBy("i")
+        .agg(
+            F.sum(F.col("q").cast(dec)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    n = st[0].n
+    S = {r.i: int(r.s) for r in st}
+    gram = (
+        embeddings.select(F.posexplode("embedding").alias("i", "x"), "embedding")
+        .select(
+            "i",
+            q_expr.alias("qi"),
+            F.posexplode("embedding").alias("j", "x"),
+        )
+        .select("i", "j", "qi", q_expr.alias("qj"))
+        .groupBy("i", "j")
+        .agg(F.sum((F.col("qi") * F.col("qj")).cast(dec)).alias("g"))
+        .collect()
+    )
+    # centered, n^2-scaled exact matrix -> 1e9 fixed point via the
+    # SAME double expression the oracle uses: (C_hat/n^2)/1e3
+    nsq = float(n * n)
+    C9 = [[0] * dim for _ in range(dim)]
+    for r in gram:
+        c_hat = n * int(r.g) - S[r.i] * S[r.j]
+        C9[r.i][r.j] = _half_away(float(c_hat) / nsq / 1e3)
+    import math
+
+    v8 = [_half_away(1.0 / math.sqrt(dim) * PCA_V_SCALE)] * dim
     for _ in range(iters):
-        v = C @ v
-        v = v / np.linalg.norm(v)
-    if v[int(np.argmax(np.abs(v)))] < 0:  # sign convention: largest |coord| positive
-        v = -v
-    comp = [float(c) for c in v]
-    mu_l = [float(m) for m in mu]
-    comp_col = F.array(*[F.lit(c) for c in comp])
-    mu_col = F.array(*[F.lit(m) for m in mu_l])
-    score = F.aggregate(
+        w = [sum(C9[i][j] * v8[j] for j in range(dim)) for i in range(dim)]
+        norm = math.sqrt(float(sum(x * x for x in w)))
+        if norm == 0.0:
+            break
+        v8 = [_half_away(float(x) / norm * PCA_V_SCALE) for x in w]
+    # sign convention: largest |coord| positive, ties -> smallest i
+    top = min(range(dim), key=lambda j: (-abs(v8[j]), j))
+    if v8[top] < 0:
+        v8 = [-x for x in v8]
+    # exact-integer score numerator: sum_j (n*q_j - S_j) * v8_j;
+    # score = num / (n * Q_SCALE * V_SCALE)
+    s_col = F.array(*[F.lit(S[j]).cast(dec) for j in range(dim)])
+    v_col = F.array(*[F.lit(v8[j]).cast(dec) for j in range(dim)])
+    q_arr = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * F.lit(1.0 * PCA_Q_SCALE)).cast(dec),
+    )
+    num = F.aggregate(
         F.zip_with(
-            F.zip_with(F.col("embedding"), mu_col, lambda x, m: x - m),
-            comp_col,
-            lambda cx, c: cx * c,
+            F.zip_with(q_arr, s_col, lambda q, s: q * F.lit(n).cast(dec) - s),
+            v_col,
+            lambda cq, v: cq * v,
         ),
-        F.lit(0.0),
+        F.lit(0).cast(dec),
         lambda acc, t: acc + t,
     )
+    denom = float(n) * PCA_Q_SCALE * PCA_V_SCALE
     return embeddings.select(
         "vec_id",
         "label",
-        F.round(score + F.lit(1e-9), 6).alias("pc1_score"),
+        F.round(num.cast("double") / F.lit(denom) + F.lit(1e-9), 6).alias(
+            "pc1_score"
+        ),
     )
 
 

@@ -538,20 +538,89 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_oracle(dim: int, iters: int) -> str:
+    """Unrolled-CTE twin of ``pca_projection`` (the mmr_rerank
+    pattern): quantized-integer Gram, 1e9-fixed-point centered matrix,
+    then ``iters`` identical power-iteration steps — each an exact
+    HUGEINT matvec + exact HUGEINT norm^2 with only sqrt and one
+    division in doubles, mirroring the engine's driver loop expression
+    by expression. Sign pinned (largest |coord| positive, ties to the
+    smallest index); the per-row score numerator is again an exact
+    integer, so the 6dp scores replay bit-for-bit."""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+        w{k} AS MATERIALIZED (
+            SELECT c.i AS i, sum(CAST(c.c AS HUGEINT) * v{k - 1}.v) AS w
+            FROM c9 c JOIN v{k - 1} ON v{k - 1}.i = c.j GROUP BY 1
+        ), nm{k} AS MATERIALIZED (SELECT sum(w * w) AS n2 FROM w{k}),
+        v{k} AS MATERIALIZED (
+            SELECT i, CAST(round(CAST(w AS DOUBLE)
+                / sqrt(CAST((SELECT n2 FROM nm{k}) AS DOUBLE))
+                * 100000000.0) AS BIGINT) AS v
+            FROM w{k}
+        )""")
+    return f"""
+        WITH q AS MATERIALIZED (
+            SELECT vec_id, g.i AS i,
+                   CAST(round(CAST(embedding[g.i + 1] AS DOUBLE)
+                        * 1000000.0) AS BIGINT) AS q
+            FROM embeddings, (SELECT unnest(range({dim})) AS i) g
+        ), st AS MATERIALIZED (
+            SELECT i, sum(q) AS s FROM q GROUP BY i
+        ), nn AS (
+            SELECT count(*) AS n FROM embeddings
+        ), c9 AS MATERIALIZED (
+            SELECT ab.i AS i, ab.j AS j,
+                   CAST(round(CAST(nn.n * ab.g - a.s * b.s AS DOUBLE)
+                        / CAST(nn.n * nn.n AS DOUBLE) / 1000.0)
+                        AS BIGINT) AS c
+            FROM (
+                SELECT qa.i AS i, qb.i AS j,
+                       sum(CAST(qa.q AS HUGEINT) * qb.q) AS g
+                FROM q qa JOIN q qb ON qa.vec_id = qb.vec_id
+                GROUP BY 1, 2
+            ) ab
+            JOIN st a ON a.i = ab.i JOIN st b ON b.i = ab.j, nn
+        ), v0 AS MATERIALIZED (
+            SELECT i, CAST(round(1.0 / sqrt(CAST({dim} AS DOUBLE))
+                * 100000000.0) AS BIGINT) AS v
+            FROM st
+        ),{",".join(steps)},
+        sgn AS (
+            SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg
+            FROM v{iters} ORDER BY abs(v) DESC, i ASC LIMIT 1
+        ), comp AS MATERIALIZED (
+            SELECT i, CAST(v * sg AS HUGEINT) AS v FROM v{iters}, sgn
+        ), num AS (
+            SELECT q.vec_id,
+                   sum(CAST(nn.n * q.q - st.s AS HUGEINT) * comp.v) AS num
+            FROM q JOIN st ON st.i = q.i JOIN comp ON comp.i = q.i, nn
+            GROUP BY 1
+        )
+        SELECT e.vec_id, e.label,
+               round(CAST(num.num AS DOUBLE)
+                     / (CAST(nn.n AS DOUBLE) * 1000000.0 * 100000000.0)
+                     + 1e-9, 6) AS pc1_score
+        FROM num JOIN embeddings e ON e.vec_id = num.vec_id, nn
+    """
+
+
 @register(
     "pca_projection",
-    # No oracle: the 64x64 eigen solve is not SQL-replayable; the
-    # component and every projected score are pinned against numpy in
-    # pytest (exact replay of the deterministic power iteration).
+    oracle=_pca_oracle(EMB_DIM, 30),
     description="Top-principal-component projection of the embedding "
-    "corpus: the covariance/Gram matrix is ONE distributed partial "
-    "aggregation (d^2 = 4096 accumulators, map-side combined — the "
-    "explode blowup never shuffles row-wise), the eigen solve is a "
-    "deterministic driver-side power iteration on the bounded 64x64 "
-    "matrix (all-ones start, fixed 30 iterations, sign convention "
-    "pinned), and the projection broadcasts the component back for a "
-    "map-only scoring pass. The embedding-drift/visualization "
-    "primitive; rows-only (numpy-replayed in pytest)",
+    "corpus: the quantized-integer Gram matrix is ONE distributed "
+    "partial aggregation (d^2 = 4096 exact decimal accumulators, "
+    "map-side combined — the explode blowup never shuffles row-wise), "
+    "the eigen solve is a deterministic driver-side power iteration "
+    "on the bounded 64x64 matrix (1e9 fixed-point entries, exact "
+    "integer matvec + norm^2 per step, 30 iterations, sign pinned to "
+    "largest-|coord|-positive), and the projection broadcasts the "
+    "component back for a map-only exact-integer scoring pass. The "
+    "embedding-drift/visualization primitive; oracle-hash via the "
+    "unrolled-CTE twin (upgraded from rows-only, r10 verdict #5 — "
+    "the bpe_train/holt_forecast fixed-point exactness standard)",
 )
 def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")

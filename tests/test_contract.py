@@ -52,7 +52,6 @@ def test_oracle_keys_subset_of_queries():
         "knn_ivf_kmeans",
         "knn_ivfpq",
         "knn_pq",
-        "pca_projection",
         "semantic_dedup",
         "streaming_windowed_hll",
     ]
