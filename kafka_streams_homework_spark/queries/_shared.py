@@ -121,6 +121,20 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def _emb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings.parquet as a streaming source — the ingest-side view
+    of the vector corpus for streaming ANN maintenance (new vectors
+    are cell-assigned AT INGEST; a batch re-index is the slow path).
+    Same layout-agnostic file/directory handling as
+    ``_events_stream``."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(raw_schema)
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", "embeddings.parquet").parquet(sf_dir)
+
+
 def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet as a streaming source — the ingest-side view
     of the corpus for streaming twins of the LLM-pipeline text ops

@@ -1822,3 +1822,91 @@ def q_streaming_rate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
     out = rate_gate_stateful(stream)
     return run_append(spark, out)
+
+
+ANN_INGEST_CELLS = 8
+
+
+@register(
+    "streaming_ann_ingest",
+    oracle=f"""
+        WITH a AS (
+            SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS cell,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {ANN_INGEST_CELLS}
+        ), e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), s AS (
+            SELECT e.vec_id, a.cell,
+                   list_inner_product(e.v, a.c)
+                   / (sqrt(list_inner_product(e.v, e.v))
+                      * sqrt(list_inner_product(a.c, a.c))) AS sim
+            FROM e, a
+        ), best AS (
+            SELECT vec_id, cell, sim,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY sim DESC, cell ASC) AS rk
+            FROM s
+        )
+        SELECT vec_id, CAST(cell AS INT) AS cell,
+               round(sim, 6) AS csim
+        FROM best WHERE rk = 1
+    """,
+    description="Streaming ANN index maintenance — the at-ingest twin "
+    "of knn_ivf_indexed's build-time cell assignment (r10 verdict #6, "
+    "the last batch/streaming asymmetry in the LLM surface): new "
+    "embeddings are assigned to their coarse-quantizer cell AT INGEST "
+    "via the broadcast centroid table (stream-static, append mode, "
+    "stateless — the per-row argmax runs inside one nested-array "
+    "broadcast row, the assign_cells zero-shuffle idiom, so no "
+    "streaming aggregation state exists). Centroids here are the "
+    "md5-smallest anchor vectors (deterministic and SQL-replayable, "
+    "unlike the numpy Lloyd quantizer — which is why this row is "
+    "oracle-HASH while knn_ivf_kmeans stays rows-only); pytest pins "
+    "parity with the batch assign_cells operator on the same anchor "
+    "table. At scale the assignment appends to the cell-partitioned "
+    "index (ivf_write_index layout); probes stay partition-pruned",
+)
+def q_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import run_append
+
+    apply_runtime_confs(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(ANN_INGEST_CELLS)
+        .collect()
+    )
+    anchors.sort(key=lambda r: (r.h, r.vec_id))
+    nested = [[float(v) for v in r.embedding] for r in anchors]
+    cdf = spark.createDataFrame([(nested,)], "cents array<array<double>>")
+    sims = F.transform(
+        F.col("cents"),
+        lambda cent: S.cosine_similarity(
+            F.col("embedding").cast("array<double>"), cent
+        ),
+    )
+    out = (
+        _emb_stream(spark, sf_dir)
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            "vec_id",
+            (F.array_position(sims, F.array_max(sims)) - 1)
+            .cast("int")
+            .alias("cell"),
+            F.round(F.array_max(sims), 6).alias("csim"),
+        )
+    )
+    return run_append(spark, out)

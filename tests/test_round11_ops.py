@@ -114,6 +114,55 @@ def test_rate_gate_ties_across_batches(spark, tmp_path):
     assert got[13] is False  # W+101 sees 4 strictly-older events
 
 
+def test_streaming_ann_ingest_matches_batch_assign(spark, sf_dir):
+    """The at-ingest cell assignment must equal the batch assign_cells
+    operator run over the same md5-anchor centroid table — the
+    streaming index maintenance path and the batch re-index path may
+    never disagree on a vector's cell."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_homework_spark import queries as Q
+    from kafka_streams_homework_spark.operators.similarity import (
+        assign_cells,
+    )
+    from kafka_streams_homework_spark.queries.streaming import (
+        ANN_INGEST_CELLS,
+    )
+
+    emb = Q._t(spark, sf_dir, "embeddings")
+    anchors = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(ANN_INGEST_CELLS)
+        .collect()
+    )
+    cents = spark.createDataFrame(
+        [
+            (i, [float(v) for v in r.embedding])
+            for i, r in enumerate(sorted(anchors, key=lambda r: (r.h, r.vec_id)))
+        ],
+        "cell int, centroid array<double>",
+    )
+    batch = {
+        r.vec_id: r.cell
+        for r in assign_cells(
+            emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+            cents,
+        ).collect()
+    }
+    stream = {
+        r.vec_id: r.cell
+        for r in Q.queries()["streaming_ann_ingest"](spark, sf_dir).collect()
+    }
+    assert stream == batch
+    # every cell is non-empty at fixture scale (anchors attract mass)
+    assert len(set(stream.values())) == ANN_INGEST_CELLS
+
+
 def test_rate_gate_multi_user_interleaved(spark, tmp_path):
     """Per-key state isolation: interleaved users with different tie
     patterns, split across batches at awkward points."""
