@@ -26,6 +26,18 @@ from kafka_streams_homework_spark.queries import multimodal as _mod_multimodal
 from kafka_streams_homework_spark.queries import sketches as _mod_sketches
 from kafka_streams_homework_spark.queries import geo as _mod_geo
 
+# streaming_funnel_steps shares funnel_steps' oracle verbatim (the
+# ann_recall_at_k zero-drift composition pattern), but business.py
+# registers AFTER streaming.py — so the bind happens here, once every
+# family module is imported. QuerySpec is frozen; replace the entry
+# in place (dict assignment keeps registry order).
+import dataclasses as _dc  # noqa: E402
+
+REGISTRY["streaming_funnel_steps"] = _dc.replace(
+    REGISTRY["streaming_funnel_steps"],
+    oracle=REGISTRY["funnel_steps"].oracle,
+)
+
 # Re-export every module-level name (q_* functions, constants,
 # underscore helpers like _t/_partsupp/_kcore_peel) exactly as the
 # monolith exposed them.
@@ -68,81 +80,78 @@ del _m, _k, _v
 # twins out / their oracle-checked exact anchors stay). Rotated-out
 # entries still run in pytest and tools/check_oracle.py full sweeps.
 _WINDOW = [
-    # round-10 rotation — the POST-LEDGER POLICY (VERDICT r9 task 6,
-    # formalized in README "Driver-window policy"): the r9 ledger goal
-    # is reached (every oracle-bearing name has driver evidence), so
-    # from now on (a) every NEW op enters its birth-round window, and
-    # (b) all remaining slots go to the OLDEST-EVIDENCE names — the
-    # names whose last driver-window appearance is furthest back
-    # (recomputed from CORRECTNESS_r01..r09: 18 names last sampled in
-    # r1, 26 in r3, the rest r4+) — so ledger freshness has a bounded
-    # age. New r10 ops swap in as they land, displacing from the END
-    # of the oldest-evidence block (the youngest of the old). Rows-only
-    # names stay EXCLUDED by policy (a no-oracle name burns a slot as
-    # err:no_oracle); their evidence channel is the full sweep +
-    # pytest bounds + oracle-hash exact twins.
-    # -- last driver-sampled in r1 (18) --
-    "above_avg",
-    "anti_join",
-    "filter_threshold",
-    "json_extract",
-    "media_resize",
-    "pivot_counts",
-    "project_alert",
-    "q6_forecast_revenue",
-    "running_total",
-    "salted_join",
-    "semi_join",
-    "set_except",
-    "set_intersect",
-    "sliding_window",
-    "train_test_split",
-    "value_histogram",
-    "value_percentiles",
-    "windowed_sum_salted",
-    # -- last driver-sampled in r3 (24 here; 2 of the 26 were
-    #    displaced to make room for r10 birth-round ops) --
-    "agg_stats",
-    "decontaminate",
-    "dedup_embedding",
-    "dedup_exact",
-    "doc_fingerprint",
-    "frame_sample",
-    "interval_join",
-    "join_left",
-    "knn_filtered",
-    "lang_id",
-    "lm_score",
-    "pii_scrub",
-    "price_alerts_priced",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "quality_score",
-    "range_join",
-    "rollup_agg",
-    "sequence_pack",
-    "sink_write",
-    "stratified_sample",
-    "text_stats",
-    "token_count",
-    "topk_per_group",
-    # -- round-10 NEW ops (birth-round window per the README policy;
-    #    windowed_distinct + tumbling_window displaced from the r3 block;
-    #    displaced the whole r4 fill: anomaly_zscore/bm25_rank/
-    #    cdc_chunks/classifier_score/copurchase_topk/dedup_clusters) --
-    "kendall_tau_b",
-    "hill_tail_index",
-    "negbin_fit",
-    "knn_sq8",
+    # ROUND-11 ROTATION (post-ledger policy, README "Driver-window
+    # policy"): (a) the 6 r11 birth-round oracle-bearing entries —
+    # five new ops plus pca_projection, newly UPGRADED from rows-only
+    # to oracle-hash, so its first-ever hash evidence lands here;
+    # (b) 3 r11-CHANGED names whose behavior was touched this round
+    # (streaming_rate_gate tie-exact rewrite + its batch twin sharing
+    # the oracle; kendall_tau_b textbook tie counting) — a changed op
+    # re-earns driver evidence in its change round, same spirit as
+    # birth-round entry; (c) the remaining 41 slots go to the
+    # OLDEST-EVIDENCE oracle-bearing names, recomputed from
+    # CORRECTNESS_r01..r10 (2 names last sampled in r3, then the r4
+    # alphabetical head). The whole r10 window rotated out 50/50
+    # hash-green (CORRECTNESS_r10.json).
+    # -- (a) r11 new / upgraded (6) --
+    "streaming_ann_ingest",
+    "streaming_funnel_steps",
+    "textrank_keywords",
+    "flesch_reading_ease",
+    "pr_curve",
+    "pca_projection",
+    # -- (b) r11 changed (3) --
     "rate_gate",
     "streaming_rate_gate",
-    "weibull_fit",
-    "gumbel_fit",
+    "kendall_tau_b",
+    # -- (c) oldest evidence: last driver-sampled r3 (2) --
+    "tumbling_window",
+    "windowed_distinct",
+    # -- (c) oldest evidence: last driver-sampled r4 (39) --
+    "anomaly_zscore",
+    "bm25_rank",
+    "cdc_chunks",
+    "classifier_score",
+    "copurchase_topk",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_exact_normalized",
+    "dedup_ngram_jaccard",
+    "doc_chunks",
+    "domain_mix",
+    "embedding_outliers",
+    "geomean_udaf",
+    "hierarchical_rollup",
+    "importance_sample",
+    "inverted_index",
+    "knn_bruteforce",
+    "knn_ivf_indexed",
+    "latest_by_key",
+    "merge_apply_cdc",
+    "multimodal_meta",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q20_part_promotion",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q9_product_profit",
+    "quality_buckets",
+    "quantile_rollup_hist",
+    "repetition_score",
+    "scd2_history",
+    "scd2_lookup",
+    "sessionize",
+    "split_leakage_free",
+    "tfidf_top_terms",
+    "timeseries_resample",
 ]
-# Rotated OUT this round: the whole r09 window (50/50 driver-green in
-# CORRECTNESS_r09). Every rotated-out entry still runs in pytest and
+# Rotated OUT this round: the whole r10 window (50/50 driver-green in
+# CORRECTNESS_r10). Every rotated-out entry still runs in pytest and
 # the tools/check_oracle.py full sweep each round. Historical swap
-# notes (r8 and earlier) are in git history.
+# notes (r9 and earlier) are in git history.
 
 
 WINDOW = 50  # the driver gate's sample size

@@ -1824,6 +1824,54 @@ def q_streaming_rate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_append(spark, out)
 
 
+@register(
+    "streaming_funnel_steps",
+    # Composed from the batch twin's own oracle (the ann_recall_at_k
+    # zero-drift pattern): the streaming op must reproduce the exact
+    # funnel table funnel_steps defines.
+    oracle=None,  # bound after business.py registers funnel_steps (see below)
+    description="Greedy ordered funnel AT INGEST — the fourth custom-"
+    "stateful op (applyInPandasWithState, update mode) and the "
+    "streaming twin of funnel_steps, sharing its oracle: per-user "
+    "state is THREE epoch-micro scalars (earliest view, earliest "
+    "in-gap click, earliest in-gap purchase — greedy-earliest means a "
+    "set step time never changes, so state is O(1) per user at any "
+    "volume). Each micro-batch evaluates as a SET (vectorized "
+    "per-type mins), so same-microsecond ties within a batch resolve "
+    "exactly like the batch SQL min-aggregates; run_upsert keeps the "
+    "final per-user position and the read-side fold unpivots to the "
+    "(step_idx, step, n_users) funnel table — the product-analytics "
+    "readout maintained live instead of recomputed per batch",
+)
+def q_streaming_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import run_upsert
+    from kafka_streams_homework_spark.streaming.stateful import (
+        FN_STEPS,
+        funnel_stateful,
+    )
+
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    pos = run_upsert(spark, funnel_stateful(stream), ["user_id"], mode="update")
+    counts = pos.agg(
+        *[
+            F.sum((F.col("reached") >= i).cast("long")).alias(f"n{i}")
+            for i in range(1, len(FN_STEPS) + 1)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("bigint").alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col(f"n{i + 1}").cast("bigint").alias("n_users"),
+            )
+            for i, s in enumerate(FN_STEPS)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select("r.*")
+
+
 ANN_INGEST_CELLS = 8
 
 

@@ -2231,3 +2231,252 @@ def q_nb_class_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(2 * p * r / (p + r) + F.lit(1e-9), 6))
         .alias("f1"),
     )
+
+
+TEXTRANK_TOPK = 20
+TEXTRANK_DAMPING = 0.85
+TEXTRANK_ITERS = 3
+TEXTRANK_MIN_LEN = 4
+
+
+def _textrank_keep_sql(col: str) -> str:
+    return f"len({col}) >= {TEXTRANK_MIN_LEN} AND {col} NOT IN ('{_STOPWORD_SQL}')"
+
+
+def _textrank_iter_sql(prev: str, k: int) -> str:
+    return f"""
+        pr{k} AS MATERIALIZED (
+            SELECT p.b AS node,
+                   0.15 + {TEXTRANK_DAMPING} * sum(p.w * r.pr / d.ow) AS pr
+            FROM edges p JOIN {prev} r ON r.node = p.a
+            JOIN deg d ON d.a = p.a
+            GROUP BY p.b
+        )"""
+
+
+@register(
+    "textrank_keywords",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, str_split(lower(text), ' ') AS tok FROM documents
+        ), adj AS (
+            SELECT tok[i] AS wa, tok[i + 1] AS wb
+            FROM t, unnest(generate_series(1, len(tok) - 1)) AS u(i)
+            WHERE len(tok) >= 2
+              AND {_textrank_keep_sql("tok[i]")}
+              AND {_textrank_keep_sql("tok[i + 1]")}
+              AND tok[i] != tok[i + 1]
+        ), edges AS (
+            SELECT a, b, CAST(count(*) AS DOUBLE) AS w FROM (
+                SELECT wa AS a, wb AS b FROM adj
+                UNION ALL
+                SELECT wb AS a, wa AS b FROM adj
+            ) GROUP BY 1, 2
+        ), deg AS (
+            SELECT a, sum(w) AS ow FROM edges GROUP BY a
+        ), pr0 AS (
+            SELECT DISTINCT a AS node, 1.0 AS pr FROM edges
+        ),{",".join(_textrank_iter_sql(f"pr{k - 1}", k) for k in range(1, TEXTRANK_ITERS + 1))}
+        SELECT word, score, CAST(rank AS BIGINT) AS rank FROM (
+            SELECT node AS word, round(pr, 6) AS score,
+                   row_number() OVER (
+                       ORDER BY round(pr, 6) DESC, node ASC) AS rank
+            FROM pr{TEXTRANK_ITERS}
+        ) WHERE rank <= {TEXTRANK_TOPK}
+    """,
+    description="TextRank keyword extraction: weighted PageRank over "
+    "the word co-occurrence graph (adjacent content tokens — length "
+    f">= {TEXTRANK_MIN_LEN}, stopwords excluded — undirected edge per "
+    "adjacency, weight = corpus count), 3 fixed power iterations at "
+    "damping 0.85, top-20 by rounded score with word tiebreak. The "
+    "graph-centrality keyword ranker next to RAKE (degree-scored "
+    "phrases) and chi2_token_ranking (class-supervised): TextRank "
+    "needs no labels and no phrase segmentation. Scale shape = "
+    "copurchase_pagerank's: the corpus collapses to a VOCAB-bounded "
+    "edge list once (one token-pair agg), each iteration is one "
+    "co-partitioned join + partial agg on the bounded graph, and the "
+    "oracle unrolls the same 3 iterations (same expression shapes, "
+    "same float discipline)",
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = F.split(F.lower(F.col("text")), " ")
+    m = F.size(tok) - 1
+    zipped = F.arrays_zip(F.slice(tok, 1, m), F.slice(tok, 2, m))
+
+    def keep(c):
+        return (F.length(c) >= TEXTRANK_MIN_LEN) & (
+            ~c.isin(T.EN_STOPWORDS)
+        )
+
+    adj = (
+        docs.filter(F.size(tok) >= 2)
+        .select(F.explode(zipped).alias("bg"))
+        .select(F.col("bg")["0"].alias("wa"), F.col("bg")["1"].alias("wb"))
+        .filter(keep(F.col("wa")) & keep(F.col("wb")) & (F.col("wa") != F.col("wb")))
+    )
+    edges = tracked_persist(
+        adj.select(F.col("wa").alias("a"), F.col("wb").alias("b"))
+        .unionAll(adj.select(F.col("wb").alias("a"), F.col("wa").alias("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    deg = edges.groupBy("a").agg(F.sum("w").alias("ow"))
+    pr = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "pr", F.lit(1.0)
+    )
+    for _ in range(TEXTRANK_ITERS):
+        pr = (
+            edges.join(pr, edges["a"] == pr["node"])
+            .join(deg, "a")
+            .groupBy(F.col("b").alias("node2"))
+            .agg(
+                (
+                    F.lit(0.15)
+                    + F.lit(TEXTRANK_DAMPING)
+                    * F.sum(F.col("w") * F.col("pr") / F.col("ow"))
+                ).alias("pr")
+            )
+            .withColumnRenamed("node2", "node")
+        )
+    scored = pr.select(
+        F.col("node").alias("word"),
+        F.round(F.col("pr"), 6).alias("score"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TEXTRANK_TOPK)
+    )
+
+
+@register(
+    "flesch_reading_ease",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id,
+                   len(str_split(lower(text), ' ')) AS n_words,
+                   greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                       AS n_sentences,
+                   len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   + len(list_filter(str_split(lower(text), ' '),
+                         w -> NOT regexp_matches(w, '[aeiouy]')))
+                       AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               round(206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+                     + 1e-9, 6) AS flesch
+        FROM s WHERE n_words > 0
+    """,
+    description="Flesch reading-ease score per document — the "
+    "readability member of the quality battery (quality_score counts "
+    "surface ratios; lm_score measures corpus surprise; flesch is the "
+    "classic sentence-length x word-complexity readout used as an "
+    "LLM-corpus quality feature). Syllables via the vowel-group "
+    "heuristic (runs of [aeiouy], vowel-less tokens count 1), "
+    "sentences via [.!?]+ runs clamped to >= 1 (the synthetic fixture "
+    "has no punctuation, so the sentence leg clamps identically on "
+    "both engines — documented, like the deliberately tiny stopword "
+    "list). One JVM regex scan per doc, no shuffle at all — the "
+    "integer counts make the 6dp score identical cross-engine",
+)
+def q_flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_words = F.size(toks)
+    n_sent = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0)))
+    )
+    vgroups = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+    )
+    novowel = F.size(F.expr("filter(split(lower(text), ' '), w -> w NOT RLIKE '[aeiouy]')"))
+    n_syll = vgroups + novowel
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent)
+        - F.lit(84.6) * (n_syll.cast("double") / n_words)
+        + F.lit(1e-9),
+        6,
+    )
+    return docs.filter(n_words > 0).select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_syll.cast("bigint").alias("n_syllables"),
+        flesch.alias("flesch"),
+    )
+
+
+@register(
+    "pr_curve",
+    oracle=f"""
+        WITH scored AS (
+            SELECT (lang = 'en') AS label,
+                   round(len(list_filter(str_split(lower(text), ' '),
+                        x -> x IN ('{_STOPWORD_SQL}')))::DOUBLE
+                         / len(str_split(lower(text), ' ')), 6) AS s
+            FROM documents
+        ), g AS (
+            SELECT s, count(*) AS n,
+                   SUM(CASE WHEN label THEN 1 ELSE 0 END) AS npos
+            FROM scored GROUP BY s
+        ), c AS (
+            SELECT s AS threshold,
+                   SUM(npos) OVER (ORDER BY s DESC) AS tp,
+                   SUM(n - npos) OVER (ORDER BY s DESC) AS fp,
+                   (SELECT SUM(npos) FROM g) AS p
+            FROM g
+        )
+        SELECT threshold, CAST(tp AS BIGINT) AS tp,
+               CAST(fp AS BIGINT) AS fp,
+               round(CAST(tp AS DOUBLE) / (tp + fp) + 1e-9, 6) AS precision,
+               round(CAST(tp AS DOUBLE) / p + 1e-9, 6) AS recall
+        FROM c
+    """,
+    description="Precision-recall curve of the lang_id scorer against "
+    "its own labels (stopword_ratio vs lang='en') — the threshold-"
+    "selection companion to lang_id_auc's single ROC scalar (PR is "
+    "the right view under class imbalance, where ROC flatters). One "
+    "point per DISTINCT rounded score: predict positive at s >= "
+    "threshold, tp/fp from one descending cumulative window over the "
+    "score-cardinality-bounded grid (exact integers; the two "
+    "divisions are identical doubles cross-engine). Aggregation "
+    "state is |distinct scores| rows, never a per-doc driver sort",
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = T.lang_id_heuristic(docs, 0.1).select(
+        (F.col("lang") == "en").alias("label"),
+        F.col("stopword_ratio").alias("s"),
+    )
+    g = scored.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("npos"),
+    )
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.select(
+        F.col("s").alias("threshold"),
+        F.sum("npos").over(w).alias("tp"),
+        F.sum(F.col("n") - F.col("npos")).over(w).alias("fp"),
+    ).crossJoin(F.broadcast(g.agg(F.sum("npos").alias("p"))))
+    return c.select(
+        "threshold",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.round(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+            + F.lit(1e-9),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double") / F.col("p") + F.lit(1e-9), 6
+        ).alias("recall"),
+    )

@@ -496,6 +496,83 @@ def _rate_gate_handler(
     )
 
 
+FN_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("reached", LongType()),
+    ]
+)
+
+# greedy funnel times (epoch micros; -1 = step not reached yet)
+FN_STATE_SCHEMA = "t1 bigint, t2 bigint, t3 bigint"
+
+FN_GAP_US = 86_400_000_000  # mirror queries.business funnel gap (24 h)
+FN_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_handler(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    # Greedy-earliest funnel with 3 scalars of state: t1 = earliest
+    # view, t2 = earliest click in [t1, t1+gap], t3 = earliest
+    # purchase in [t2, t2+gap] (the batch funnel_steps contract).
+    # Each micro-batch is evaluated AS A SET (vectorized mins over the
+    # batch's per-type eps arrays), so same-microsecond ties WITHIN a
+    # batch resolve exactly like the SQL min-aggregates; replay order
+    # is nondecreasing ts, so a later batch can never improve an
+    # already-set step time (greedy = first qualifying wins).
+    import numpy as np
+
+    t1, t2, t3 = (state.get if state.exists else (-1, -1, -1))
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    eps = pdf["eps"].to_numpy(dtype="int64")
+    et = pdf["event_type"].to_numpy()
+
+    def _min_in(mask) -> int:
+        sel = eps[mask]
+        return int(sel.min()) if len(sel) else -1
+
+    if t1 < 0:
+        t1 = _min_in(et == FN_STEPS[0])
+    if t1 >= 0 and t2 < 0:
+        t2 = _min_in(
+            (et == FN_STEPS[1]) & (eps >= t1) & (eps <= t1 + FN_GAP_US)
+        )
+    if t2 >= 0 and t3 < 0:
+        t3 = _min_in(
+            (et == FN_STEPS[2]) & (eps >= t2) & (eps <= t2 + FN_GAP_US)
+        )
+    state.update((t1, t2, t3))
+    reached = 3 if t3 >= 0 else 2 if t2 >= 0 else 1 if t1 >= 0 else 0
+    yield pd.DataFrame({"user_id": [key[0]], "reached": [reached]})
+
+
+def funnel_stateful(stream: DataFrame) -> DataFrame:
+    """Per-user greedy funnel position as CUSTOM STATEFUL streaming
+    state (applyInPandasWithState, update mode) — the at-ingest twin
+    of the batch ``funnel_steps`` chained-join plan, sharing its
+    oracle after the read-side unpivot: state is three epoch-micro
+    scalars per user at any volume."""
+    return (
+        stream.select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("eps"),
+        )
+        .filter(F.col("event_type").isin(list(FN_STEPS)))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_handler,
+            outputStructType=FN_OUTPUT_SCHEMA,
+            stateStructType=FN_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def rate_gate_stateful(stream: DataFrame) -> DataFrame:
     """Online per-user rate gate as CUSTOM STATEFUL streaming state
     (applyInPandasWithState, append mode) — the at-ingest twin of the

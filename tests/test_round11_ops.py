@@ -114,6 +114,74 @@ def test_rate_gate_ties_across_batches(spark, tmp_path):
     assert got[13] is False  # W+101 sees 4 strictly-older events
 
 
+def test_streaming_funnel_matches_batch_across_batches(spark, tmp_path):
+    """The stateful funnel tracker must reproduce the batch chained-
+    join funnel on awkward inputs: out-of-funnel-order events,
+    same-microsecond view/click ties (both qualify via >=), gap
+    expiry, and funnels that straddle micro-batch boundaries."""
+    from kafka_streams_homework_spark.operators.relational import (
+        funnel_steps,
+    )
+    from kafka_streams_homework_spark.streaming.price_alerts import (
+        run_upsert,
+    )
+    from kafka_streams_homework_spark.streaming.stateful import (
+        FN_GAP_US,
+        funnel_stateful,
+    )
+
+    W = FN_GAP_US
+    schema = "user_id long, event_type string, ts timestamp"
+    rows = [
+        # u1: full funnel split across 3 batches
+        (1, "view", _us(10)),
+        (1, "click", _us(5)),  # pre-view click never counts
+        (1, "click", _us(20)),
+        (1, "purchase", _us(30)),
+        # u2: view/click tie at the same microsecond (>= qualifies),
+        # purchase outside the click gap
+        (2, "view", _us(100)),
+        (2, "click", _us(100)),
+        (2, "purchase", _us(100 + W + 1)),
+        # u3: click only — never enters the funnel
+        (3, "click", _us(50)),
+        # u4: view, then click past the gap
+        (4, "view", _us(0)),
+        (4, "click", _us(W + 1)),
+    ]
+    rows.sort(key=lambda r: r[2])  # replay in event-time order
+    path = str(tmp_path / f"fn-{uuid.uuid4().hex[:8]}")
+    seen: set[str] = set()
+    batches = [rows[:4], rows[4:7], rows[7:]]
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(path)
+        current = set(glob.glob(f"{path}/*.parquet"))
+        for f in current - seen:
+            os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+        seen = current
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    pos = run_upsert(
+        spark, funnel_stateful(stream), ["user_id"], mode="update"
+    )
+    got = {r.user_id: r.reached for r in pos.collect()}
+    assert got == {1: 3, 2: 2, 3: 0, 4: 1}
+    # and the folded counts equal the batch operator on the same rows
+    batch_df = spark.createDataFrame(rows, schema)
+    expect = {
+        r.step: r.n_users
+        for r in funnel_steps(
+            batch_df, ["view", "click", "purchase"], gap="24 hours"
+        ).collect()
+    }
+    assert expect == {"view": 3, "click": 2, "purchase": 1}
+
+
 def test_streaming_ann_ingest_matches_batch_assign(spark, sf_dir):
     """The at-ingest cell assignment must equal the batch assign_cells
     operator run over the same md5-anchor centroid table — the
@@ -180,3 +248,93 @@ def test_rate_gate_multi_user_interleaved(spark, tmp_path):
     batches = [rows[:6], rows[6:11], rows[11:]]
     got = _run_gate(spark, _write_batches(spark, tmp_path, batches))
     assert got == expect
+
+
+def test_flesch_python_replay(spark, sf_dir):
+    """Counts and the 6dp score replayed in pure python for every doc."""
+    import re
+
+    from kafka_streams_homework_spark import queries as Q
+
+    docs = {
+        r.doc_id: r.text
+        for r in Q._t(spark, sf_dir, "documents").collect()
+    }
+    got = {
+        r.doc_id: (r.n_words, r.n_sentences, r.n_syllables, r.flesch)
+        for r in Q.queries()["flesch_reading_ease"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(docs)
+    for did, text in docs.items():
+        toks = text.lower().split(" ")
+        nw = len(toks)
+        ns = max(1, len(re.findall(r"[.!?]+", text)))
+        syl = len(re.findall(r"[aeiouy]+", text.lower())) + sum(
+            1 for w in toks if not re.search(r"[aeiouy]", w)
+        )
+        flesch = round(206.835 - 1.015 * (nw / ns) - 84.6 * (syl / nw) + 1e-9, 6)
+        assert got[did] == (nw, ns, syl, flesch), (did, got[did])
+
+
+def test_textrank_python_replay(spark, sf_dir):
+    """Edge list + 3 pagerank iterations replayed in python; top-20
+    ranking must match exactly (scores to 6dp)."""
+    from collections import defaultdict
+
+    from kafka_streams_homework_spark import queries as Q
+    from kafka_streams_homework_spark.operators.text import EN_STOPWORDS
+    from kafka_streams_homework_spark.queries.text import (
+        TEXTRANK_DAMPING,
+        TEXTRANK_ITERS,
+        TEXTRANK_MIN_LEN,
+        TEXTRANK_TOPK,
+    )
+
+    docs = Q._t(spark, sf_dir, "documents").select("text").collect()
+    sw = set(EN_STOPWORDS)
+
+    def keep(w):
+        return len(w) >= TEXTRANK_MIN_LEN and w not in sw
+
+    edges = defaultdict(float)
+    for r in docs:
+        toks = r.text.lower().split(" ")
+        for a, b in zip(toks, toks[1:]):
+            if keep(a) and keep(b) and a != b:
+                edges[(a, b)] += 1.0
+                edges[(b, a)] += 1.0
+    ow = defaultdict(float)
+    for (a, _b), w in edges.items():
+        ow[a] += w
+    pr = {a: 1.0 for a in ow}
+    for _ in range(TEXTRANK_ITERS):
+        nxt = defaultdict(float)
+        for (a, b), w in edges.items():
+            nxt[b] += w * pr[a] / ow[a]
+        pr = {b: 0.15 + TEXTRANK_DAMPING * s for b, s in nxt.items()}
+    expect = sorted(
+        ((round(s, 6), w) for w, s in pr.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:TEXTRANK_TOPK]
+    got = sorted(
+        Q.queries()["textrank_keywords"](spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [(r.score, r.word) for r in got] == expect
+
+
+def test_pr_curve_invariants(spark, sf_dir):
+    """Recall is nondecreasing as the threshold drops, hits 1.0 at the
+    minimum threshold, and tp+fp equals the doc count there."""
+    from kafka_streams_homework_spark import queries as Q
+
+    rows = sorted(
+        Q.queries()["pr_curve"](spark, sf_dir).collect(),
+        key=lambda r: -r.threshold,
+    )
+    n_docs = Q._t(spark, sf_dir, "documents").count()
+    recalls = [r.recall for r in rows]
+    assert recalls == sorted(recalls)
+    assert abs(rows[-1].recall - 1.0) < 1e-6
+    assert rows[-1].tp + rows[-1].fp == n_docs
+    assert all(0 <= r.precision <= 1.0 + 1e-9 for r in rows)
