@@ -304,6 +304,19 @@ BENCH_QUERIES = [
     "weibull_fit",
     # Gumbel EVT fit of daily maxima (calendar-bounded block rollup)
     "gumbel_fit",
+    # round-11 additions: the at-ingest ANN cell assignment (stateless
+    # broadcast argmax through the streaming machinery), the fourth
+    # custom-stateful op (per-user greedy funnel, 3 scalars of state),
+    # vocab-bounded TextRank (3 pagerank iterations on the
+    # co-occurrence graph), one-scan readability, the PR curve over
+    # the score-cardinality grid, and the now-oracle-exact fixed-point
+    # PCA (its Gram scan is the data-sized term)
+    "streaming_ann_ingest",
+    "streaming_funnel_steps",
+    "textrank_keywords",
+    "flesch_reading_ease",
+    "pr_curve",
+    "pca_projection",
 ]
 
 

@@ -81,8 +81,8 @@ del _m, _k, _v
 # entries still run in pytest and tools/check_oracle.py full sweeps.
 _WINDOW = [
     # ROUND-11 ROTATION (post-ledger policy, README "Driver-window
-    # policy"): (a) the 6 r11 birth-round oracle-bearing entries —
-    # five new ops plus pca_projection, newly UPGRADED from rows-only
+    # policy"): (a) the 8 r11 birth-round oracle-bearing entries —
+    # seven new ops plus pca_projection, newly UPGRADED from rows-only
     # to oracle-hash, so its first-ever hash evidence lands here;
     # (b) 3 r11-CHANGED names whose behavior was touched this round
     # (streaming_rate_gate tie-exact rewrite + its batch twin sharing
@@ -91,10 +91,13 @@ _WINDOW = [
     # birth-round entry; (c) the remaining 41 slots go to the
     # OLDEST-EVIDENCE oracle-bearing names, recomputed from
     # CORRECTNESS_r01..r10 (2 names last sampled in r3, then the r4
-    # alphabetical head). The whole r10 window rotated out 50/50
+    # alphabetical head; 39 fill shrank to 37 when the two late r11
+    # ops landed). The whole r10 window rotated out 50/50
     # hash-green (CORRECTNESS_r10.json).
-    # -- (a) r11 new / upgraded (6) --
+    # -- (a) r11 new / upgraded (8) --
     "streaming_ann_ingest",
+    "streaming_media_resize",
+    "label_propagation",
     "streaming_funnel_steps",
     "textrank_keywords",
     "flesch_reading_ease",
@@ -107,7 +110,7 @@ _WINDOW = [
     # -- (c) oldest evidence: last driver-sampled r3 (2) --
     "tumbling_window",
     "windowed_distinct",
-    # -- (c) oldest evidence: last driver-sampled r4 (39) --
+    # -- (c) oldest evidence: last driver-sampled r4 (37) --
     "anomaly_zscore",
     "bm25_rank",
     "cdc_chunks",
@@ -145,9 +148,9 @@ _WINDOW = [
     "scd2_lookup",
     "sessionize",
     "split_leakage_free",
-    "tfidf_top_terms",
-    "timeseries_resample",
 ]
+# (tfidf_top_terms / timeseries_resample displaced from the r4 fill to
+# make room for the two late r11 ops — next-oldest for r12.)
 # Rotated OUT this round: the whole r10 window (50/50 driver-green in
 # CORRECTNESS_r10). Every rotated-out entry still runs in pytest and
 # the tools/check_oracle.py full sweep each round. Historical swap

@@ -1123,3 +1123,92 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("clustering_coef"),
     )
+
+
+LPA_ITERS = 4
+
+
+def _lpa_iter_sql(prev: str, k: int) -> str:
+    return f"""
+        lb{k} AS MATERIALIZED (
+            SELECT node, l AS label FROM (
+                SELECT e.a AS node, r.label AS l,
+                       row_number() OVER (
+                           PARTITION BY e.a
+                           ORDER BY sum(e.w) DESC, r.label ASC) AS rk
+                FROM edges e JOIN {prev} r ON r.node = e.b
+                GROUP BY e.a, r.label
+            ) WHERE rk = 1
+        )"""
+
+
+@register(
+    "label_propagation",
+    oracle=f"""
+        WITH p AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                   count(*) AS w
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ), edges AS (
+            SELECT pa AS a, pb AS b, w FROM p
+            UNION ALL
+            SELECT pb, pa, w FROM p
+        ), lb0 AS (
+            SELECT DISTINCT a AS node, a AS label FROM edges
+        ),{",".join(_lpa_iter_sql(f"lb{k - 1}", k) for k in range(1, LPA_ITERS + 1))}
+        SELECT node AS part, CAST(label AS BIGINT) AS community
+        FROM lb{LPA_ITERS}
+    """,
+    description="Label-propagation community detection (synchronous "
+    f"LPA, {LPA_ITERS} fixed iterations) over the co-purchase graph "
+    "(pair count >= 2, the graph_modularity substrate): each node "
+    "adopts the label with the max total edge weight among its "
+    "neighbors, ties to the SMALLEST label — every update is exact "
+    "integer arithmetic (weights are counts, labels are part keys), "
+    "so the whole trajectory is deterministic with NO float anywhere, "
+    "unlike pagerank. The unsupervised communities complement "
+    "graph_modularity (which SCORES a given brand partition) and "
+    "dedup_clusters (connectivity-only components — LPA splits "
+    "connected-but-weakly-joined regions). Engine iteration = one "
+    "co-partitioned join + one max(struct(w, -label)) partial agg per "
+    "step on the bounded edge list (no window shuffle); oracle "
+    "unrolls the same steps as MATERIALIZED CTEs",
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    p = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    edges = tracked_persist(
+        p.select(F.col("pa").alias("a"), F.col("pb").alias("b"), "w").unionAll(
+            p.select(F.col("pb").alias("a"), F.col("pa").alias("b"), "w")
+        )
+    )
+    lab = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(LPA_ITERS):
+        lab = (
+            edges.join(lab, edges["b"] == lab["node"])
+            .groupBy(F.col("a"), F.col("label"))
+            .agg(F.sum("w").alias("s"))
+            .groupBy(F.col("a").alias("node2"))
+            .agg(
+                (-F.max(F.struct(F.col("s"), (-F.col("label")).alias("nl")))["nl"]).alias(
+                    "label"
+                )
+            )
+            .withColumnRenamed("node2", "node")
+        )
+    return lab.select(
+        F.col("node").alias("part"),
+        F.col("label").cast("bigint").alias("community"),
+    )

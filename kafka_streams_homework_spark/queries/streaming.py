@@ -1958,3 +1958,39 @@ def q_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_append(spark, out)
+
+
+@register(
+    "streaming_media_resize",
+    # same oracle as the batch media_resize twin (per-row stateless
+    # transform -> batch-count-independent; streaming/batch parity)
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   greatest(octet_length(encode(text)) % 640, 1) AS w,
+                   greatest(octet_length(encode(text)) % 480, 1) AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+               CAST(floor(w * least(64.0 / greatest(w, h), 1.0)) AS INTEGER) AS thumb_w,
+               CAST(floor(h * least(64.0 / greatest(w, h), 1.0)) AS INTEGER) AS thumb_h
+        FROM d
+    """,
+    description="Multimodal preprocessing AT INGEST — the streaming "
+    "twin of media_resize and the first streaming x multimodal "
+    "registry member (production image pipelines decode/resize at "
+    "ingest, not as a batch afterthought): the identical fused "
+    "decode-resize mapInPandas stage runs on the documents stream "
+    "(stateless — mapInPandas is streaming-legal with zero state), "
+    "append collector, batch twin's oracle verbatim. Proves the "
+    "engine's Arrow-batched Python escape hatch composes with "
+    "Structured Streaming unchanged — same plan shape, same codec "
+    "arithmetic, one Python crossing per micro-batch partition",
+)
+def q_streaming_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import run_append
+
+    apply_runtime_confs(spark)
+    stream = _docs_stream(spark, sf_dir)
+    return run_append(spark, M.decode_and_resize(M.to_media(stream)))
