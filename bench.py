@@ -317,6 +317,9 @@ BENCH_QUERIES = [
     "flesch_reading_ease",
     "pr_curve",
     "pca_projection",
+    # r11 late wave: streaming multimodal ingest + integer-exact LPA
+    "streaming_media_resize",
+    "label_propagation",
 ]
 
 

@@ -685,3 +685,71 @@ def test_streaming_naive_bayes_model_is_broadcast_table_not_literals(spark, sf_d
     cols = set(model.columns)
     assert {"nb_model", "classes", "priors", "dflts", "one"} <= cols
     assert model.count() == 1
+
+
+def test_pca_projection_scoring_pass_is_map_only(spark, sf_dir):
+    """r11 pca upgrade: the final projection (returned frame) must be
+    a map-only pass over the embeddings scan — the component and S
+    ride as literals, so the plan may contain NO Exchange at all (the
+    Gram aggregation happened in separate bounded collect jobs at
+    plan-construction time)."""
+    df = Q.queries()["pca_projection"](spark, sf_dir)
+    assert count_exchanges(df) == 0, physical_plan(df)
+
+
+def test_streaming_ann_ingest_assignment_is_broadcast_map(spark, sf_dir):
+    """The at-ingest cell assignment must reach the stream as a
+    BROADCAST of the one-row nested centroid frame (stateless argmax
+    map) — no shuffle of the vector stream, no streaming aggregation
+    state."""
+    from kafka_streams_homework_spark.queries._shared import _emb_stream
+    from kafka_streams_homework_spark.queries.streaming import (
+        q_streaming_ann_ingest,  # noqa: F401 — the op under test
+    )
+    import kafka_streams_homework_spark.queries.streaming as S
+    from pyspark.sql import functions as F
+
+    # rebuild the streaming frame the op runs (pre-sink); assert on
+    # its plan: broadcast join present, zero exchanges on the stream
+    emb = Q._t(spark, sf_dir, "embeddings")
+    anchors = (
+        emb.select(
+            "vec_id", "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        ).orderBy("h", "vec_id").limit(S.ANN_INGEST_CELLS).collect()
+    )
+    nested = [[float(v) for v in r.embedding] for r in anchors]
+    cdf = spark.createDataFrame([(nested,)], "cents array<array<double>>")
+    from kafka_streams_homework_spark.operators.similarity import (
+        cosine_similarity,
+    )
+    sims = F.transform(
+        F.col("cents"),
+        lambda cent: cosine_similarity(
+            F.col("embedding").cast("array<double>"), cent
+        ),
+    )
+    out = (
+        _emb_stream(spark, sf_dir)
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            "vec_id",
+            (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cell"),
+        )
+    )
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "Join" in plan
+    # stateless map: no aggregate (= no streaming state store) in the
+    # analyzed plan (a streaming frame refuses optimizedPlan()
+    # inspection outside writeStream, so assert on analyzed)
+    assert "Aggregate" not in plan, plan
+
+
+def test_textrank_iterations_run_on_bounded_edge_list(spark, sf_dir):
+    """TextRank's pagerank iterations must consume the PERSISTED
+    vocab-bounded edge list (InMemoryTableScan in the plan), never
+    re-tokenize the corpus per iteration — the corpus scan appears
+    once in the cache build, not once per step."""
+    df = Q.queries()["textrank_keywords"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "InMemoryTableScan" in plan, plan
