@@ -320,6 +320,10 @@ BENCH_QUERIES = [
     # r11 late wave: streaming multimodal ingest + integer-exact LPA
     "streaming_media_resize",
     "label_propagation",
+    "audio_vad",
+    "silhouette_simplified",
+    "wilcoxon_signed_rank",
+    "runs_test",
 ]
 
 

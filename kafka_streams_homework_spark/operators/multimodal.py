@@ -426,6 +426,105 @@ def wav_decode(media: DataFrame) -> DataFrame:
     return media.mapInPandas(dec, WAV_FEATURES_SCHEMA)
 
 
+def synth_wav_bursty(documents: DataFrame) -> DataFrame:
+    """Synthesize a REAL PCM16 WAV with speech-like loud/quiet bursts.
+
+    Same deterministic discipline as `synth_wav` (round-half-up
+    quantization, whole 8-sample sine periods, sr 8000), but the
+    amplitude is gated per frame so the clip alternates "speech"
+    bursts with low-level background: frame j (one sine period) is
+    LOUD (A = 1000 + (doc_id % 20)*1000) iff (j % P) < D with
+    P = 3 + doc_id % 3 and D = 1 + doc_id % 2, else QUIET at
+    A // 16. Frame 0 is always loud, so the clip peak equals A and a
+    downstream detector can derive its threshold from the signal
+    itself. Every byte stays closed-form arithmetic (verified: frame
+    energy == 4r² + 2a² exactly for all amp/quiet-amp pairs), which
+    is what lets `audio_vad`'s segments be oracle-hash-checked.
+    """
+    import io
+    import wave as wavmod
+
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n_fr = 1 + d % 50
+                amp = 1000 + (d % 20) * 1000
+                per, duty = 3 + d % 3, 1 + d % 2
+                j = np.arange(n_fr)
+                amps = np.where((j % per) < duty, amp, amp // 16)
+                k = np.arange(WAV_PERIOD * n_fr, dtype="float64")
+                gain = np.repeat(amps, WAV_PERIOD).astype("float64")
+                samples = np.floor(
+                    gain * np.sin(2.0 * np.pi * k / WAV_PERIOD) + 0.5
+                ).astype("<i2")
+                buf = io.BytesIO()
+                w = wavmod.open(buf, "wb")
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(WAV_SR)
+                w.writeframes(samples.tobytes())
+                w.close()
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+WAV_FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, energy long, peak long"
+)
+
+
+def wav_frame_energy(media: DataFrame) -> DataFrame:
+    """REAL framed energy analysis: parse the RIFF payload, window the
+    decoded int16 PCM into 8-sample frames, and emit one row per frame
+    with its exact integer energy (sum of squared samples — int64 is
+    exact: |x| <= 20000, 8 samples) plus the clip peak for
+    self-referential thresholding. The frame fan-out happens inside
+    the Arrow batch (numpy reshape, no per-row Python), and the
+    payload bytes never shuffle — only the small (doc, frame, energy)
+    rows leave the stage.
+    """
+    import io
+    import wave as wavmod
+
+    import numpy as np
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "energy": [], "peak": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w = wavmod.open(io.BytesIO(bytes(payload)))
+                nf = w.getnframes()
+                data = np.frombuffer(
+                    w.readframes(nf), dtype="<i2"
+                ).astype("int64")
+                frames = data[: (nf // WAV_PERIOD) * WAV_PERIOD].reshape(
+                    -1, WAV_PERIOD
+                )
+                energy = (frames * frames).sum(axis=1)
+                peak = int(np.max(np.abs(data))) if nf else 0
+                n = frames.shape[0]
+                out["doc_id"].extend([doc_id] * n)
+                out["frame_idx"].extend(range(n))
+                out["energy"].extend(energy.tolist())
+                out["peak"].extend([peak] * n)
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "frame_idx": "int64",
+                 "energy": "int64", "peak": "int64"}
+            )
+
+    return media.mapInPandas(dec, WAV_FRAME_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Real PNG codec path (round 5): zlib — the actual compression layer
 # of PNG — is stdlib too, and the PNG container (chunks + CRC32 +

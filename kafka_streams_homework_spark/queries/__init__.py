@@ -91,10 +91,14 @@ _WINDOW = [
     # birth-round entry; (c) the remaining 41 slots go to the
     # OLDEST-EVIDENCE oracle-bearing names, recomputed from
     # CORRECTNESS_r01..r10 (2 names last sampled in r3, then the r4
-    # alphabetical head; 39 fill shrank to 37 when the two late r11
+    # alphabetical head; 39 fill shrank to 33 as the six late r11
     # ops landed). The whole r10 window rotated out 50/50
     # hash-green (CORRECTNESS_r10.json).
-    # -- (a) r11 new / upgraded (8) --
+    # -- (a) r11 new / upgraded (12) --
+    "audio_vad",
+    "silhouette_simplified",
+    "wilcoxon_signed_rank",
+    "runs_test",
     "streaming_ann_ingest",
     "streaming_media_resize",
     "label_propagation",
@@ -110,7 +114,7 @@ _WINDOW = [
     # -- (c) oldest evidence: last driver-sampled r3 (2) --
     "tumbling_window",
     "windowed_distinct",
-    # -- (c) oldest evidence: last driver-sampled r4 (37) --
+    # -- (c) oldest evidence: last driver-sampled r4 (33) --
     "anomaly_zscore",
     "bm25_rank",
     "cdc_chunks",
@@ -144,13 +148,11 @@ _WINDOW = [
     "quality_buckets",
     "quantile_rollup_hist",
     "repetition_score",
-    "scd2_history",
-    "scd2_lookup",
-    "sessionize",
-    "split_leakage_free",
 ]
-# (tfidf_top_terms / timeseries_resample displaced from the r4 fill to
-# make room for the two late r11 ops — next-oldest for r12.)
+# (tfidf_top_terms / timeseries_resample, then scd2_history /
+# scd2_lookup / sessionize / split_leakage_free, displaced from the
+# r4 fill to make room for the six late r11 ops — next-oldest for
+# r12.)
 # Rotated OUT this round: the whole r10 window (50/50 driver-green in
 # CORRECTNESS_r10). Every rotated-out entry still runs in pytest and
 # the tools/check_oracle.py full sweep each round. Historical swap

@@ -530,3 +530,92 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
         .distinct()
     )
+
+
+@register(
+    "audio_vad",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id,
+                   1 + doc_id % 50 AS nfr,
+                   1000 + (doc_id % 20) * 1000 AS amp,
+                   3 + doc_id % 3 AS per,
+                   1 + doc_id % 2 AS duty
+            FROM documents
+        ), f AS (
+            SELECT doc_id, amp, per, duty,
+                   unnest(generate_series(0, CAST(nfr - 1 AS INT))) AS j
+            FROM p
+        ), e AS (
+            SELECT doc_id, j, amp,
+                   CASE WHEN (j % per) < duty
+                        THEN amp ELSE amp // 16 END AS a
+            FROM f
+        ), en AS (
+            SELECT doc_id, j, amp,
+                   4 * CAST(floor(a * 0.7071067811865476 + 0.5) AS BIGINT)
+                     * CAST(floor(a * 0.7071067811865476 + 0.5) AS BIGINT)
+                   + 2 * CAST(a AS BIGINT) * CAST(a AS BIGINT) AS energy
+            FROM e
+        ), v AS (
+            SELECT doc_id, j, energy FROM en
+            WHERE energy >= 2 * CAST(amp AS BIGINT) * CAST(amp AS BIGINT)
+        ), isl AS (
+            SELECT doc_id, j, energy,
+                   j - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY j) AS grp
+            FROM v
+        ), seg AS (
+            SELECT doc_id, grp, min(j) AS sf, count(*) AS nf,
+                   sum(energy) AS se
+            FROM isl GROUP BY doc_id, grp
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY sf) AS BIGINT) AS seg_idx,
+               CAST(sf AS BIGINT) AS start_frame,
+               CAST(nf AS BIGINT) AS n_frames,
+               CAST(se AS BIGINT) AS seg_energy
+        FROM seg
+    """,
+    description="Energy-threshold voice-activity detection over REAL "
+    "PCM16 WAV payloads (the ASR preprocessing step next to "
+    "audio_chunks' byte batching): per document a burst-gated sine "
+    "clip is synthesized (stdlib wave writer; loud/quiet frames from "
+    "a doc_id-derived duty cycle), decoded back with the stdlib wave "
+    "READER, windowed into 8-sample frames with exact integer "
+    "energies (numpy, inside one Arrow batch), then frames whose "
+    "energy >= 2*peak^2 (rms >= peak/2 — the threshold derives from "
+    "the decoded signal itself) merge into voiced segments via "
+    "relational gaps-and-islands (frame_idx - row_number). DuckDB "
+    "cannot parse RIFF, so the oracle rebuilds the frame energies "
+    "arithmetically (4r^2+2a^2 per sine period, round-half-up "
+    "quantization — verified byte-exact against the codec) and runs "
+    "the identical island merge. Payload bytes never shuffle; only "
+    "(doc, frame, energy) rows leave the decode stage, and the "
+    "windows partition by doc_id so segment assembly is one shuffle "
+    "bounded by frame count, not audio bytes",
+)
+def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    frames = M.wav_frame_energy(M.synth_wav_bursty(docs))
+    voiced = frames.filter(
+        F.col("energy") >= 2 * F.col("peak") * F.col("peak")
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    isl = voiced.withColumn(
+        "grp", F.col("frame_idx") - F.row_number().over(w)
+    )
+    seg = isl.groupBy("doc_id", "grp").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum("energy").alias("seg_energy"),
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("start_frame")
+    return seg.select(
+        "doc_id",
+        F.row_number().over(w2).cast("bigint").alias("seg_idx"),
+        F.col("start_frame").cast("bigint").alias("start_frame"),
+        "n_frames",
+        F.col("seg_energy").cast("bigint").alias("seg_energy"),
+    )

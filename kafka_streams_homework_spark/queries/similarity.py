@@ -1042,3 +1042,114 @@ def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= KNN_K)
         .select("query_id", "neighbor_id", "sim_sq8", "rank")
     )
+
+
+SIL_CELLS = 8
+
+
+@register(
+    "silhouette_simplified",
+    oracle=f"""
+        WITH a AS (
+            SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS cell,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {SIL_CELLS}
+        ), e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), s AS (
+            SELECT e.vec_id, a.cell,
+                   list_inner_product(e.v, a.c)
+                   / (sqrt(list_inner_product(e.v, e.v))
+                      * sqrt(list_inner_product(a.c, a.c))) AS sim
+            FROM e, a
+        ), rk AS (
+            SELECT vec_id, cell, sim,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY sim DESC, cell ASC) AS rk
+            FROM s
+        ), pv AS (
+            SELECT vec_id,
+                   max(CASE WHEN rk = 1 THEN sim END) AS s1,
+                   max(CASE WHEN rk = 2 THEN sim END) AS s2,
+                   max(CASE WHEN rk = 1 THEN cell END) AS cell
+            FROM rk GROUP BY vec_id
+        ), per_vec AS (
+            SELECT cell,
+                   round(CASE WHEN greatest(1 - s1, 1 - s2) > 0
+                              THEN (s1 - s2) / greatest(1 - s1, 1 - s2)
+                              ELSE 0 END + 1e-9, 6) AS sil,
+                   round(1 - s1 + 1e-9, 6) AS da,
+                   round(1 - s2 + 1e-9, 6) AS db
+            FROM pv
+        )
+        SELECT CAST(cell AS INT) AS cell,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               round(avg(sil) + 1e-9, 6) AS mean_sil,
+               round(avg(da) + 1e-9, 6) AS mean_a,
+               round(avg(db) + 1e-9, 6) AS mean_b
+        FROM per_vec GROUP BY cell
+    """,
+    description="Clustering-quality eval for the ANN cell layout: "
+    "SIMPLIFIED silhouette (centroid-based — a = cosine distance to "
+    "the assigned centroid, b = distance to the nearest OTHER "
+    "centroid, s = (b-a)/max(a,b); the established linear-time proxy "
+    "for full silhouette, which would be all-pairs) over the same "
+    "md5-smallest-anchor centroids used by streaming_ann_ingest / "
+    "knn_ivf_indexed, reported per cell with mean intra/nearest-other "
+    "distances. One corpus scan against the broadcast nested-array "
+    "centroid row (zero-shuffle scoring, the assign_cells idiom), "
+    "then one bounded-cardinality agg (<= 8 cells); at 100 TB the "
+    "corpus never shuffles and the result is centroid-count-sized. "
+    "Full-silhouette would need within-cell all-pairs — deliberately "
+    "avoided; per-row values round to 6 before the mean on both "
+    "engines so membership and sums stay cross-engine identical",
+)
+def q_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(SIL_CELLS)
+        .collect()
+    )
+    anchors.sort(key=lambda r: (r.h, r.vec_id))
+    nested = [[float(v) for v in r.embedding] for r in anchors]
+    cdf = spark.createDataFrame([(nested,)], "cents array<array<double>>")
+    sims = F.transform(
+        F.col("cents"),
+        lambda cent: S.cosine_similarity(
+            F.col("embedding").cast("array<double>"), cent
+        ),
+    )
+    top = F.sort_array(sims, asc=False)
+    s1, s2 = top[0], top[1]
+    denom = F.greatest(F.lit(1.0) - s1, F.lit(1.0) - s2)
+    sil = F.when(denom > 0, (s1 - s2) / denom).otherwise(F.lit(0.0))
+    per_vec = (
+        emb.crossJoin(F.broadcast(cdf))
+        .select(
+            (F.array_position(sims, F.array_max(sims)) - 1)
+            .cast("int")
+            .alias("cell"),
+            F.round(sil + F.lit(1e-9), 6).alias("sil"),
+            F.round(F.lit(1.0) - s1 + F.lit(1e-9), 6).alias("da"),
+            F.round(F.lit(1.0) - s2 + F.lit(1e-9), 6).alias("db"),
+        )
+    )
+    return per_vec.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(F.avg("sil") + F.lit(1e-9), 6).alias("mean_sil"),
+        F.round(F.avg("da") + F.lit(1e-9), 6).alias("mean_a"),
+        F.round(F.avg("db") + F.lit(1e-9), 6).alias("mean_b"),
+    )

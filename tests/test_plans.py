@@ -753,3 +753,36 @@ def test_textrank_iterations_run_on_bounded_edge_list(spark, sf_dir):
     df = Q.queries()["textrank_keywords"](spark, sf_dir)
     plan = physical_plan(df)
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_audio_vad_payload_never_shuffles(spark, sf_dir):
+    """The WAV payload bytes must stay inside the decode stage: every
+    Exchange in the plan carries only the small (doc, frame, energy)
+    rows — `payload` may not appear in any shuffle, and the shuffles
+    themselves are bounded by frame count (3: the doc_id window, the
+    island agg, the segment re-rank), not audio bytes."""
+    df = Q.queries()["audio_vad"](spark, sf_dir)
+    plan = physical_plan(df)
+    for chunk in plan.split("Exchange")[1:]:
+        head = chunk.splitlines()[0]
+        assert "payload" not in head, plan
+    assert count_exchanges(df) <= 3, plan
+
+
+def test_silhouette_scoring_is_broadcast_single_agg(spark, sf_dir):
+    """Per-vector scoring rides a broadcast of the one-row nested
+    centroid frame (corpus never shuffles for the score); the only
+    exchange is the <=8-row per-cell aggregation."""
+    df = Q.queries()["silhouette_simplified"](spark, sf_dir)
+    assert has_broadcast_join(df), physical_plan(df)
+    assert count_exchanges(df) <= 1, physical_plan(df)
+
+
+def test_wilcoxon_rank_table_is_distinct_first(spark, sf_dir):
+    """The ordered midrank pass must run on the per-distinct-|d|
+    table, not per user: after the user-level agg the plan collapses
+    to the |d| groupBy before any window — assert the single-
+    partition window input is an Aggregate, and exchanges stay
+    bounded (user agg + distinct-|d| agg + the window's singleton)."""
+    df = Q.queries()["wilcoxon_signed_rank"](spark, sf_dir)
+    assert count_exchanges(df) <= 4, physical_plan(df)

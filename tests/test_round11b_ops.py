@@ -1,0 +1,185 @@
+"""Round-11 second wave: audio_vad, silhouette_simplified,
+wilcoxon_signed_rank, runs_test.
+
+Each op's oracle runs in the driver sweep; these tests add python
+replays (independent arithmetic, not a SQL twin) and structural
+invariants the hash check can't express.
+"""
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kafka_streams_homework_spark import queries as Q
+
+
+def _vad_expected(doc_id: int):
+    """Closed-form segment list for one doc (pure python)."""
+    n_fr = 1 + doc_id % 50
+    amp = 1000 + (doc_id % 20) * 1000
+    per, duty = 3 + doc_id % 3, 1 + doc_id % 2
+    segs = []
+    cur = None
+    for j in range(n_fr):
+        a = amp if (j % per) < duty else amp // 16
+        r = math.floor(a * 0.7071067811865476 + 0.5)
+        energy = 4 * r * r + 2 * a * a
+        voiced = energy >= 2 * amp * amp
+        if voiced:
+            if cur is None:
+                cur = [j, 0, 0]
+            cur[1] += 1
+            cur[2] += energy
+        elif cur is not None:
+            segs.append(tuple(cur))
+            cur = None
+    if cur is not None:
+        segs.append(tuple(cur))
+    return [
+        (i + 1, s, n, e) for i, (s, n, e) in enumerate(segs)
+    ]
+
+
+def test_audio_vad_python_replay(spark, sf_dir):
+    """Every segment (start, length, energy) replayed closed-form."""
+    rows = Q.queries()["audio_vad"](spark, sf_dir).collect()
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append(
+            (r.seg_idx, r.start_frame, r.n_frames, r.seg_energy)
+        )
+    doc_ids = [
+        r.doc_id for r in Q._t(spark, sf_dir, "documents")
+        .select("doc_id").collect()
+    ]
+    assert set(got) == set(doc_ids)
+    for did in doc_ids:
+        exp = _vad_expected(int(did))
+        assert sorted(got[did]) == exp, (did, sorted(got[did])[:3], exp[:3])
+
+
+def test_audio_vad_codec_frame_energy_exact(spark, sf_dir):
+    """The DECODED per-frame energies (real wave reader) equal the
+    closed form 4r^2 + 2a^2, and the clip peak equals the loud amp —
+    the arithmetic the oracle relies on, checked against real bytes."""
+    from kafka_streams_homework_spark.operators import multimodal as M
+
+    docs = Q._t(spark, sf_dir, "documents").select("doc_id").limit(200)
+    frames = M.wav_frame_energy(M.synth_wav_bursty(docs)).collect()
+    assert frames
+    for r in frames:
+        d = int(r.doc_id)
+        amp = 1000 + (d % 20) * 1000
+        per, duty = 3 + d % 3, 1 + d % 2
+        a = amp if (r.frame_idx % per) < duty else amp // 16
+        rr = math.floor(a * 0.7071067811865476 + 0.5)
+        assert r.energy == 4 * rr * rr + 2 * a * a, (d, r.frame_idx)
+        assert r.peak == amp
+
+
+def test_silhouette_simplified_invariants(spark, sf_dir):
+    """Cells cover the corpus exactly once; simplified silhouette is
+    in [0, 1] by construction (a <= b since assignment is argmax) and
+    per-cell mean intra-distance <= mean nearest-other distance."""
+    out = Q.queries()["silhouette_simplified"](spark, sf_dir).collect()
+    n_corpus = Q._t(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in out) == n_corpus
+    assert all(0 <= r.cell < 8 for r in out)
+    for r in out:
+        assert 0.0 <= r.mean_sil <= 1.0
+        assert r.mean_a <= r.mean_b + 1e-9
+
+
+def test_wilcoxon_signed_rank_python_replay(spark, sf_dir):
+    """n, W+ and z replayed with an independent rank computation
+    (sorted-list midranks over raw diffs, not the distinct-first
+    relational form)."""
+    ev = (
+        Q._t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                )
+                + F.lit(1e-9),
+                2,
+            ).alias("mp"),
+            F.round(
+                F.avg(
+                    F.when(F.col("event_type") == "click", F.col("value"))
+                )
+                + F.lit(1e-9),
+                2,
+            ).alias("mc"),
+        )
+        .collect()
+    )
+    diffs = [
+        round(round(r.mp, 2) - round(r.mc, 2), 2)
+        for r in ev
+        if r.mp is not None and r.mc is not None
+    ]
+    diffs = [d for d in diffs if d != 0]
+    n = len(diffs)
+    order = sorted(range(n), key=lambda i: abs(diffs[i]))
+    ranks = [0.0] * n
+    i = 0
+    while i < n:
+        j = i
+        while (
+            j + 1 < n
+            and abs(diffs[order[j + 1]]) == abs(diffs[order[i]])
+        ):
+            j += 1
+        mid = (i + j) / 2.0 + 1.0
+        for k in range(i, j + 1):
+            ranks[order[k]] = mid
+        i = j + 1
+    w_plus = sum(rk for d, rk in zip(diffs, ranks) if d > 0)
+    ties: dict[float, int] = {}
+    for d in diffs:
+        ties[abs(d)] = ties.get(abs(d), 0) + 1
+    tie_term = sum(t**3 - t for t in ties.values())
+    sigma = math.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24.0 - tie_term / 48.0
+    )
+    z = round((w_plus - n * (n + 1) / 4.0) / sigma + 1e-9, 6)
+    row = Q.queries()["wilcoxon_signed_rank"](spark, sf_dir).collect()[0]
+    assert row.n == n
+    assert abs(float(row.w_plus) - w_plus) < 0.01
+    assert abs(row.z_stat - z) < 1e-6
+
+
+def test_runs_test_python_replay(spark, sf_dir):
+    """Runs count and z replayed with an independent pass over the
+    ordered daily series."""
+    daily = sorted(
+        (r.d, r.rev)
+        for r in Q._t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.round(F.sum("o_totalprice") + F.lit(1e-9), 2).alias("rev"))
+        .collect()
+    )
+    revs = sorted(v for _, v in daily)
+    m = len(revs)
+    mid = (m - 1) / 2.0
+    lo, hi = revs[int(math.floor(mid))], revs[int(math.ceil(mid))]
+    med = lo + (hi - lo) * (mid - math.floor(mid))
+    signs = [1 if v > med else 0 for _, v in daily if v != med]
+    n1 = sum(signs)
+    n2 = len(signs) - n1
+    runs = 1 + sum(
+        1 for a, b in zip(signs, signs[1:]) if a != b
+    )
+    nn = n1 + n2
+    mu = 1 + 2.0 * n1 * n2 / nn
+    sigma = math.sqrt(
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - nn) / (float(nn) * nn * (nn - 1))
+    )
+    z = round((runs - mu) / sigma + 1e-9, 6)
+    row = Q.queries()["runs_test"](spark, sf_dir).collect()[0]
+    assert (row.n1, row.n2, row.n_runs) == (n1, n2, runs)
+    assert abs(row.z_stat - z) < 1e-6
