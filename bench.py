@@ -324,6 +324,8 @@ BENCH_QUERIES = [
     "silhouette_simplified",
     "wilcoxon_signed_rank",
     "runs_test",
+    "gif_pipeline",
+    "katz_centrality",
 ]
 
 

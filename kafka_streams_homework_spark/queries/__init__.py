@@ -81,9 +81,9 @@ del _m, _k, _v
 # entries still run in pytest and tools/check_oracle.py full sweeps.
 _WINDOW = [
     # ROUND-11 ROTATION (post-ledger policy, README "Driver-window
-    # policy"): (a) the 8 r11 birth-round oracle-bearing entries —
-    # seven new ops plus pca_projection, newly UPGRADED from rows-only
-    # to oracle-hash, so its first-ever hash evidence lands here;
+    # policy"): (a) the 14 r11 birth-round oracle-bearing entries —
+    # thirteen new ops plus pca_projection, newly UPGRADED from
+    # rows-only to oracle-hash, so its first hash evidence lands here;
     # (b) 3 r11-CHANGED names whose behavior was touched this round
     # (streaming_rate_gate tie-exact rewrite + its batch twin sharing
     # the oracle; kendall_tau_b textbook tie counting) — a changed op
@@ -91,14 +91,16 @@ _WINDOW = [
     # birth-round entry; (c) the remaining 41 slots go to the
     # OLDEST-EVIDENCE oracle-bearing names, recomputed from
     # CORRECTNESS_r01..r10 (2 names last sampled in r3, then the r4
-    # alphabetical head; 39 fill shrank to 33 as the six late r11
+    # alphabetical head; 39 fill shrank to 31 as the eight late r11
     # ops landed). The whole r10 window rotated out 50/50
     # hash-green (CORRECTNESS_r10.json).
-    # -- (a) r11 new / upgraded (12) --
+    # -- (a) r11 new / upgraded (14) --
     "audio_vad",
     "silhouette_simplified",
     "wilcoxon_signed_rank",
     "runs_test",
+    "gif_pipeline",
+    "katz_centrality",
     "streaming_ann_ingest",
     "streaming_media_resize",
     "label_propagation",
@@ -114,7 +116,7 @@ _WINDOW = [
     # -- (c) oldest evidence: last driver-sampled r3 (2) --
     "tumbling_window",
     "windowed_distinct",
-    # -- (c) oldest evidence: last driver-sampled r4 (33) --
+    # -- (c) oldest evidence: last driver-sampled r4 (31) --
     "anomaly_zscore",
     "bm25_rank",
     "cdc_chunks",
@@ -146,12 +148,11 @@ _WINDOW = [
     "q4_order_priority",
     "q9_product_profit",
     "quality_buckets",
-    "quantile_rollup_hist",
-    "repetition_score",
 ]
 # (tfidf_top_terms / timeseries_resample, then scd2_history /
-# scd2_lookup / sessionize / split_leakage_free, displaced from the
-# r4 fill to make room for the six late r11 ops — next-oldest for
+# scd2_lookup / sessionize / split_leakage_free, then
+# quantile_rollup_hist / repetition_score, displaced from the r4
+# fill to make room for the eight late r11 ops — next-oldest for
 # r12.)
 # Rotated OUT this round: the whole r10 window (50/50 driver-green in
 # CORRECTNESS_r10). Every rotated-out entry still runs in pytest and

@@ -1212,3 +1212,93 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("part"),
         F.col("label").cast("bigint").alias("community"),
     )
+
+
+_KATZ_ALPHA = 0.05
+_KATZ_ITERS = 3
+
+
+@register(
+    "katz_centrality",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+            GROUP BY 1, 2
+        ), w1 AS (
+            SELECT pb AS node, CAST(sum(w) AS BIGINT) AS c
+            FROM pairs GROUP BY pb
+        ), w2 AS (
+            SELECT p.pb AS node, CAST(sum(p.w * r.c) AS BIGINT) AS c
+            FROM pairs p JOIN w1 r ON r.node = p.pa GROUP BY p.pb
+        ), w3 AS (
+            SELECT p.pb AS node, CAST(sum(p.w * r.c) AS BIGINT) AS c
+            FROM pairs p JOIN w2 r ON r.node = p.pa GROUP BY p.pb
+        )
+        SELECT w1.node AS part,
+               w1.c AS in_weight,
+               round({_KATZ_ALPHA} * w1.c
+                     + {_KATZ_ALPHA} * {_KATZ_ALPHA} * w2.c
+                     + {_KATZ_ALPHA} * {_KATZ_ALPHA} * {_KATZ_ALPHA} * w3.c
+                     + 1e-9, 6) AS katz
+        FROM w1 JOIN w2 ON w2.node = w1.node JOIN w3 ON w3.node = w1.node
+    """,
+    description="Katz centrality over the co-purchase graph — the "
+    "eigenvector-centrality-family member next to copurchase_pagerank "
+    "(degree-normalized) and hits_scores (hub/authority): truncated "
+    f"attenuated walk counting, katz(v) = sum_k alpha^k (A^k 1)_v for "
+    f"k<=3 at alpha={_KATZ_ALPHA}. Every walk count is an EXACT "
+    "INTEGER (edge weights are co-purchase counts), so unlike the "
+    "damped float recursion the whole trajectory is engine-portable "
+    "arithmetic and only the final alpha-weighted combination runs in "
+    "doubles on identical inputs (bigint is audited: walk-3 counts "
+    "stay <= ~1e10 at sf1; at larger corpora drop alpha into the "
+    "per-step sum before the cast or widen to decimal(38,0) — noted, "
+    "not needed at fixture scale). Engine iteration is the pagerank "
+    "shape: edge list persisted once, each step one co-partitioned "
+    "join + partial agg; exact-SQL oracle, 3 unrolled CTEs. The "
+    "undirected edge duplication guarantees every node has in-edges, "
+    "so the three walk frames share the same node set and the final "
+    "3-way join is inner",
+)
+def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = tracked_persist(
+        a.join(b, "ok")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    walks = [
+        pairs.groupBy(F.col("pb").alias("node")).agg(
+            F.sum("w").cast("bigint").alias("c")
+        )
+    ]
+    for _ in range(_KATZ_ITERS - 1):
+        prev = walks[-1]
+        walks.append(
+            pairs.join(prev, pairs["pa"] == prev["node"])
+            .groupBy(F.col("pb").alias("node2"))
+            .agg(F.sum(F.col("w") * F.col("c")).cast("bigint").alias("c"))
+            .select(F.col("node2").alias("node"), "c")
+        )
+    w1, w2, w3 = walks
+    out = (
+        w1.select("node", F.col("c").alias("c1"))
+        .join(w2.select("node", F.col("c").alias("c2")), "node")
+        .join(w3.select("node", F.col("c").alias("c3")), "node")
+    )
+    katz = (
+        F.lit(_KATZ_ALPHA) * F.col("c1")
+        + F.lit(_KATZ_ALPHA) * F.lit(_KATZ_ALPHA) * F.col("c2")
+        + F.lit(_KATZ_ALPHA) * F.lit(_KATZ_ALPHA) * F.lit(_KATZ_ALPHA) * F.col("c3")
+    )
+    return out.select(
+        F.col("node").alias("part"),
+        F.col("c1").alias("in_weight"),
+        F.round(katz + F.lit(1e-9), 6).alias("katz"),
+    )

@@ -619,3 +619,53 @@ def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         F.col("seg_energy").cast("bigint").alias("seg_energy"),
     )
+
+
+@register(
+    "gif_pipeline",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id,
+                   8 + (doc_id % 24) AS w,
+                   8 + (doc_id % 16) AS h
+            FROM documents
+        ), g AS (
+            SELECT p.doc_id, p.w, p.h,
+                   SUM((11 * gx.x + 5 * gy.y + 3 * p.doc_id) % 256)
+                       AS total
+            FROM p, range(0, 32) AS gx(x), range(0, 24) AS gy(y)
+            WHERE gx.x < p.w AND gy.y < p.h
+            GROUP BY p.doc_id, p.w, p.h
+        )
+        SELECT doc_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               round(CAST(total AS DOUBLE) / (w * h) + 1e-9, 6)
+                   AS mean_pixel
+        FROM g
+    """,
+    description="REAL image decode, fourth codec leg: per document a "
+    "spec-conformant grayscale GIF87a is synthesized — LZW (GIF's "
+    "actual compression layer) emitted as a genuine variable-width "
+    "LSB-first code stream with dictionary growth and sub-block "
+    "framing — then decoded back by a chunk-walking reader (real "
+    "dictionary rebuild incl. the KwKwK case and the reader-side "
+    "width off-by-one, palette and trailer validation) in a second "
+    "Arrow-batched mapInPandas. Pixel(x,y) = (11x+5y+3*doc_id) % 256 "
+    "is closed-form, so DuckDB recomputes the decoded mean pixel "
+    "from a lateral range() grid without running LZW: the hash check "
+    "proves the reconstructed bitmap is exact. Joins wav (RIFF/PCM), "
+    "png (zlib), jpeg (T.81) and mjpeg-avi in the decode_real "
+    "family; payload bytes never shuffle",
+)
+def q_gif_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = M.gif_decode(M.synth_gif(docs))
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_pixels",
+        F.round(F.col("mean_pixel") + F.lit(1e-9), 6).alias("mean_pixel"),
+    )

@@ -183,3 +183,92 @@ def test_runs_test_python_replay(spark, sf_dir):
     row = Q.queries()["runs_test"](spark, sf_dir).collect()[0]
     assert (row.n1, row.n2, row.n_runs) == (n1, n2, runs)
     assert abs(row.z_stat - z) < 1e-6
+
+
+def test_gif_codec_roundtrip_random():
+    """Pure-python property check: random and degenerate bitmaps
+    round-trip bit-exactly through the real GIF87a/LZW codec."""
+    import random
+
+    from kafka_streams_homework_spark.operators.multimodal import (
+        decode_gif_gray8,
+        encode_gif_gray8,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        [[rng.randrange(256) for _ in range(rng.randint(1, 48))]
+         for _ in range(rng.randint(1, 48))]
+        for _ in range(25)
+    ]
+    cases += [[[0]], [[255] * 60] * 60, [[7] * 3] * 50]
+    for px in cases:
+        w, h = len(px[0]), len(px)
+        # rectangularize ragged random rows
+        px = [row[:w] + [0] * (w - len(row)) for row in px]
+        dw, dh, flat = decode_gif_gray8(encode_gif_gray8(px))
+        assert (dw, dh) == (w, h)
+        assert flat == [p for row in px for p in row]
+
+
+def test_gif_pipeline_python_replay(spark, sf_dir):
+    """Decoded mean pixel equals the closed form for every doc."""
+    got = {
+        r.doc_id: (r.width, r.height, r.n_pixels, r.mean_pixel)
+        for r in Q.queries()["gif_pipeline"](spark, sf_dir).collect()
+    }
+    doc_ids = [
+        r.doc_id for r in Q._t(spark, sf_dir, "documents")
+        .select("doc_id").collect()
+    ]
+    assert set(got) == set(doc_ids)
+    for did in doc_ids:
+        d = int(did)
+        w, h = 8 + d % 24, 8 + d % 16
+        total = sum(
+            (11 * x + 5 * y + 3 * d) % 256
+            for x in range(w) for y in range(h)
+        )
+        exp = round(total / (w * h) + 1e-9, 6)
+        assert got[did] == (w, h, w * h, exp), (did, got[did])
+
+
+def test_katz_python_replay(spark, sf_dir):
+    """Walk counts and the attenuated combination replayed in pure
+    python from the raw lineitem pairs."""
+    from collections import defaultdict
+
+    from kafka_streams_homework_spark.queries.graph import _KATZ_ALPHA
+
+    li = [
+        (r.l_orderkey, r.l_partkey)
+        for r in Q._t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ]
+    by_order = defaultdict(list)
+    for ok, pk in li:
+        by_order[ok].append(pk)
+    w = defaultdict(int)
+    for parts in by_order.values():
+        for pa in parts:
+            for pb in parts:
+                if pa != pb:
+                    w[(pa, pb)] += 1
+    w1, w2, w3 = defaultdict(int), defaultdict(int), defaultdict(int)
+    for (pa, pb), c in w.items():
+        w1[pb] += c
+    for (pa, pb), c in w.items():
+        w2[pb] += c * w1[pa]
+    for (pa, pb), c in w.items():
+        w3[pb] += c * w2[pa]
+    got = {
+        r.part: (r.in_weight, r.katz)
+        for r in Q.queries()["katz_centrality"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(w1)
+    a = _KATZ_ALPHA
+    for node in w1:
+        katz = round(a * w1[node] + a * a * w2[node]
+                     + a * a * a * w3[node] + 1e-9, 6)
+        assert got[node] == (w1[node], katz), (node, got[node])
