@@ -326,6 +326,9 @@ BENCH_QUERIES = [
     "runs_test",
     "gif_pipeline",
     "katz_centrality",
+    "seq_pattern_support",
+    "bartlett_test",
+    "tukey_outlier_fences",
 ]
 
 

@@ -81,26 +81,29 @@ del _m, _k, _v
 # entries still run in pytest and tools/check_oracle.py full sweeps.
 _WINDOW = [
     # ROUND-11 ROTATION (post-ledger policy, README "Driver-window
-    # policy"): (a) the 14 r11 birth-round oracle-bearing entries —
-    # thirteen new ops plus pca_projection, newly UPGRADED from
+    # policy"): (a) the 17 r11 birth-round oracle-bearing entries —
+    # sixteen new ops plus pca_projection, newly UPGRADED from
     # rows-only to oracle-hash, so its first hash evidence lands here;
     # (b) 3 r11-CHANGED names whose behavior was touched this round
     # (streaming_rate_gate tie-exact rewrite + its batch twin sharing
     # the oracle; kendall_tau_b textbook tie counting) — a changed op
     # re-earns driver evidence in its change round, same spirit as
-    # birth-round entry; (c) the remaining 41 slots go to the
+    # birth-round entry; (c) the remaining 30 slots go to the
     # OLDEST-EVIDENCE oracle-bearing names, recomputed from
     # CORRECTNESS_r01..r10 (2 names last sampled in r3, then the r4
-    # alphabetical head; 39 fill shrank to 31 as the eight late r11
+    # alphabetical head; 39 fill shrank to 28 as the eleven late r11
     # ops landed). The whole r10 window rotated out 50/50
     # hash-green (CORRECTNESS_r10.json).
-    # -- (a) r11 new / upgraded (14) --
+    # -- (a) r11 new / upgraded (17) --
     "audio_vad",
     "silhouette_simplified",
     "wilcoxon_signed_rank",
     "runs_test",
     "gif_pipeline",
     "katz_centrality",
+    "seq_pattern_support",
+    "bartlett_test",
+    "tukey_outlier_fences",
     "streaming_ann_ingest",
     "streaming_media_resize",
     "label_propagation",
@@ -116,7 +119,7 @@ _WINDOW = [
     # -- (c) oldest evidence: last driver-sampled r3 (2) --
     "tumbling_window",
     "windowed_distinct",
-    # -- (c) oldest evidence: last driver-sampled r4 (31) --
+    # -- (c) oldest evidence: last driver-sampled r4 (28) --
     "anomaly_zscore",
     "bm25_rank",
     "cdc_chunks",
@@ -145,15 +148,12 @@ _WINDOW = [
     "q20_part_promotion",
     "q22_idle_customers",
     "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q9_product_profit",
-    "quality_buckets",
 ]
-# (tfidf_top_terms / timeseries_resample, then scd2_history /
-# scd2_lookup / sessionize / split_leakage_free, then
-# quantile_rollup_hist / repetition_score, displaced from the r4
-# fill to make room for the eight late r11 ops — next-oldest for
-# r12.)
+# (tfidf_top_terms / timeseries_resample, scd2_history / scd2_lookup /
+# sessionize / split_leakage_free, quantile_rollup_hist /
+# repetition_score, then q4_order_priority / q9_product_profit /
+# quality_buckets, displaced from the r4 fill to make room for the
+# eleven late r11 ops — next-oldest for r12.)
 # Rotated OUT this round: the whole r10 window (50/50 driver-green in
 # CORRECTNESS_r10). Every rotated-out entry still runs in pytest and
 # the tools/check_oracle.py full sweep each round. Historical swap

@@ -1069,3 +1069,82 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_users_touched").cast("bigint").alias("n_users_touched"),
         )
     )
+
+
+@register(
+    "seq_pattern_support",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_type AS t, ts FROM events
+        ), a1 AS (
+            SELECT user_id, t AS a, min(ts) AS ta
+            FROM ev GROUP BY user_id, t
+        ), a2 AS (
+            SELECT e.user_id, a1.a, e.t AS b, min(e.ts) AS tb
+            FROM ev e JOIN a1 ON a1.user_id = e.user_id
+            WHERE e.ts > a1.ta
+            GROUP BY e.user_id, a1.a, e.t
+        ), a3 AS (
+            SELECT e.user_id, a2.a, a2.b, e.t AS c
+            FROM ev e JOIN a2 ON a2.user_id = e.user_id
+            WHERE e.ts > a2.tb
+            GROUP BY e.user_id, a2.a, a2.b, e.t
+        ), n AS (
+            SELECT count(DISTINCT user_id) AS nu FROM ev
+        )
+        SELECT a, b, c,
+               CAST(count(*) AS BIGINT) AS support,
+               round(count(*) / CAST(n.nu AS DOUBLE) + 1e-9, 6)
+                   AS support_ratio
+        FROM a3, n
+        GROUP BY a, b, c, n.nu
+    """,
+    description="Sequential-pattern mining (the PrefixSpan/SPADE "
+    "support-counting core, the ORDERED complement to "
+    "association_rules' itemsets and the all-patterns generalization "
+    "of funnel_steps' single fixed funnel): for every event-type "
+    "trigram (a,b,c), the number of users whose history contains it "
+    "as a strictly-time-ordered subsequence. Existence is decided by "
+    "the GREEDY EARLIEST chain (min ts of a, then min b after it, "
+    "then any c after that — the standard subsequence lemma), so the "
+    "engine never enumerates event triples: two co-partitioned "
+    "equi-joins on user_id with a bounded fan-out (<= |types| = 5 "
+    "rows, then <= 25, per user) and per-level min aggregations. At "
+    "100 TB the blowup is the TYPE-count multiplier, not events^3, "
+    "and every join is user-co-partitioned. Strict ts comparison; "
+    "the fixtures have no per-user timestamp ties (verified r10)",
+)
+def q_seq_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("event_type").alias("t"), "ts"
+    )
+    a1 = ev.groupBy("user_id", F.col("t").alias("a")).agg(
+        F.min("ts").alias("ta")
+    )
+    a2 = (
+        ev.join(a1, "user_id")
+        .filter(F.col("ts") > F.col("ta"))
+        .groupBy("user_id", "a", F.col("t").alias("b"))
+        .agg(F.min("ts").alias("tb"))
+    )
+    a3 = (
+        ev.join(a2, "user_id")
+        .filter(F.col("ts") > F.col("tb"))
+        .groupBy("user_id", "a", "b", F.col("t").alias("c"))
+        .agg(F.lit(1).alias("one"))
+    )
+    nu = ev.select(F.countDistinct("user_id").alias("nu"))
+    return (
+        a3.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "a",
+            "b",
+            "c",
+            "support",
+            F.round(
+                F.col("support") / F.col("nu").cast("double") + F.lit(1e-9), 6
+            ).alias("support_ratio"),
+        )
+    )

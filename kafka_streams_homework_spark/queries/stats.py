@@ -5244,3 +5244,166 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_runs",
         F.round((r - mu) / sigma + F.lit(1e-9), 6).alias("z_stat"),
     )
+
+
+@register(
+    "bartlett_test",
+    oracle="""
+        WITH v AS (
+            SELECT event_type AS g,
+                   CAST(round(value * 100) AS BIGINT) AS v
+            FROM events WHERE value IS NOT NULL
+        ), per_g AS (
+            SELECT g, count(*) AS n,
+                   sum(CAST(v AS HUGEINT)) AS s1,
+                   sum(CAST(v AS HUGEINT) * v) AS s2
+            FROM v GROUP BY g
+        ), var_g AS (
+            SELECT g, n,
+                   (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (n - 1)) / 10000.0 AS s2g
+            FROM per_g
+        ), agg AS (
+            SELECT count(*) AS k, sum(n) AS n,
+                   sum((n - 1) * s2g) AS sp_num,
+                   sum((n - 1) * ln(s2g)) AS sum_ln,
+                   sum(1.0 / (n - 1)) AS sum_inv
+            FROM var_g
+        )
+        SELECT CAST(k AS BIGINT) AS n_groups,
+               CAST(n AS BIGINT) AS n_total,
+               round(((n - k) * ln(sp_num / (n - k)) - sum_ln)
+                     / (1.0 + (sum_inv - 1.0 / (n - k))
+                               / (3.0 * (k - 1)))
+                     + 1e-9, 6) AS bartlett_stat
+        FROM agg
+    """,
+    description="Bartlett's test for homogeneity of variances across "
+    "event types — the PARAMETRIC sibling of levene_test (which is "
+    "robust to non-normality; reporting both is the standard "
+    "variance-check pair): per-group variances from EXACT integer "
+    "cent sums (n*S2 - S1^2 over bigint/HUGEINT, the levene "
+    "discipline — one scan, map-side combinable, group-count-bounded "
+    "state), then the chi-square statistic "
+    "T = ((N-k) ln(Sp^2) - sum (n_i-1) ln(S_i^2)) / C with the "
+    "standard correction C. Floats start only at the 5-row "
+    "per-group stage on identical exact inputs",
+)
+def q_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    per_g = v.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("s2"),
+    )
+    var_g = per_g.select(
+        "g",
+        "n",
+        (
+            (
+                F.col("n").cast("double") * F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double")
+            )
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+            / 10000.0
+        ).alias("s2g"),
+    )
+    agg = var_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n"),
+        F.sum((F.col("n") - 1) * F.col("s2g")).alias("sp_num"),
+        F.sum((F.col("n") - 1) * F.log(F.col("s2g"))).alias("sum_ln"),
+        F.sum(F.lit(1.0) / (F.col("n") - 1)).alias("sum_inv"),
+    )
+    n, k = F.col("n"), F.col("k")
+    stat = (
+        (n - k) * F.log(F.col("sp_num") / (n - k)) - F.col("sum_ln")
+    ) / (
+        F.lit(1.0)
+        + (F.col("sum_inv") - F.lit(1.0) / (n - k)) / (3.0 * (k - 1))
+    )
+    return agg.select(
+        k.cast("bigint").alias("n_groups"),
+        n.cast("bigint").alias("n_total"),
+        F.round(stat + F.lit(1e-9), 6).alias("bartlett_stat"),
+    )
+
+
+@register(
+    "tukey_outlier_fences",
+    oracle="""
+        WITH v AS (
+            SELECT event_type AS g,
+                   CAST(round(value * 100) AS BIGINT) AS v
+            FROM events WHERE value IS NOT NULL
+        ), q AS (
+            SELECT g,
+                   quantile_cont(v, 0.25) AS q1,
+                   quantile_cont(v, 0.75) AS q3
+            FROM v GROUP BY g
+        ), f AS (
+            SELECT g, q1, q3,
+                   q1 - 1.5 * (q3 - q1) AS lo,
+                   q3 + 1.5 * (q3 - q1) AS hi
+            FROM q
+        )
+        SELECT v.g AS event_type,
+               round(min(f.q1) / 100.0 + 1e-9, 6) AS q1,
+               round(min(f.q3) / 100.0 + 1e-9, 6) AS q3,
+               CAST(sum(CASE WHEN v.v < f.lo THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low,
+               CAST(sum(CASE WHEN v.v > f.hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_high,
+               CAST(count(*) AS BIGINT) AS n
+        FROM v JOIN f ON f.g = v.g
+        GROUP BY v.g
+    """,
+    description="Tukey's IQR outlier fences per event type — the "
+    "box-plot outlier rule completing the robust-outlier battery "
+    "next to anomaly_zscore (parametric) and robust_scale (MAD): "
+    "exact interpolated quartiles over integer cents, fences at "
+    "q1/q3 -/+ 1.5*IQR, and below/above counts. Quartiles of "
+    "integer positions land on the dyadic .25 grid and the fence "
+    "arithmetic stays on the .125 grid — exactly representable "
+    "doubles, so the strict fence comparisons are engine-identical "
+    "(the runs_test median argument). Two passes over the "
+    "group-partitioned cents (quantile agg + counting join), both "
+    "group-count-bounded",
+)
+def q_tukey_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    q = v.groupBy("g").agg(
+        F.expr("percentile(v, 0.25)").alias("q1"),
+        F.expr("percentile(v, 0.75)").alias("q3"),
+    )
+    f = q.select(
+        "g",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        v.join(F.broadcast(f), "g")
+        .groupBy(F.col("g").alias("event_type"))
+        .agg(
+            F.round(F.min("q1") / 100.0 + F.lit(1e-9), 6).alias("q1"),
+            F.round(F.min("q3") / 100.0 + F.lit(1e-9), 6).alias("q3"),
+            F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(F.when(F.col("v") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )

@@ -272,3 +272,119 @@ def test_katz_python_replay(spark, sf_dir):
         katz = round(a * w1[node] + a * a * w2[node]
                      + a * a * a * w3[node] + 1e-9, 6)
         assert got[node] == (w1[node], katz), (node, got[node])
+
+
+def test_seq_pattern_support_python_replay(spark, sf_dir):
+    """Support replayed by brute-force subsequence search over every
+    user's ordered history (independent of the greedy-chain form)."""
+    from collections import defaultdict
+    from itertools import product
+
+    ev = (
+        Q._t(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    hist = defaultdict(list)
+    for r in ev:
+        hist[r.user_id].append((r.ts, r.event_type))
+    types = sorted({r.event_type for r in ev})
+
+    def has_subseq(seq, pat):
+        i = 0
+        last = None
+        for t, ty in seq:
+            if ty == pat[i] and (last is None or t > last):
+                last = t
+                i += 1
+                if i == len(pat):
+                    return True
+        return False
+
+    support = defaultdict(int)
+    for u, seq in hist.items():
+        seq.sort()
+        for pat in product(types, repeat=3):
+            if has_subseq(seq, pat):
+                support[pat] += 1
+    got = {
+        (r.a, r.b, r.c): (r.support, r.support_ratio)
+        for r in Q.queries()["seq_pattern_support"](spark, sf_dir).collect()
+    }
+    exp = {p: s for p, s in support.items() if s > 0}
+    assert set(got) == set(exp)
+    nu = len(hist)
+    for p, s in exp.items():
+        assert got[p] == (s, round(s / nu + 1e-9, 6)), (p, got[p])
+
+
+def test_bartlett_python_replay(spark, sf_dir):
+    """Statistic replayed from per-group cent lists in pure python."""
+    from collections import defaultdict
+
+    ev = (
+        Q._t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.round(F.col("value") * 100).alias("v"))
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in ev:
+        groups[r.event_type].append(int(r.v))
+    k = len(groups)
+    n = sum(len(g) for g in groups.values())
+    sp_num = sum_ln = sum_inv = 0.0
+    for g in groups.values():
+        ni = len(g)
+        s1, s2 = sum(g), sum(x * x for x in g)
+        s2g = (ni * s2 - s1 * s1) / (ni * (ni - 1)) / 10000.0
+        sp_num += (ni - 1) * s2g
+        sum_ln += (ni - 1) * math.log(s2g)
+        sum_inv += 1.0 / (ni - 1)
+    stat = ((n - k) * math.log(sp_num / (n - k)) - sum_ln) / (
+        1.0 + (sum_inv - 1.0 / (n - k)) / (3.0 * (k - 1))
+    )
+    row = Q.queries()["bartlett_test"](spark, sf_dir).collect()[0]
+    assert (row.n_groups, row.n_total) == (k, n)
+    assert abs(row.bartlett_stat - round(stat + 1e-9, 6)) < 1e-6
+
+
+def test_tukey_fences_python_replay(spark, sf_dir):
+    """Quartiles, fences and outlier counts replayed in python."""
+    from collections import defaultdict
+
+    ev = (
+        Q._t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.round(F.col("value") * 100).alias("v"))
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in ev:
+        groups[r.event_type].append(int(r.v))
+
+    def pct(sorted_xs, p):
+        mid = (len(sorted_xs) - 1) * p
+        lo, hi = (
+            sorted_xs[int(math.floor(mid))],
+            sorted_xs[int(math.ceil(mid))],
+        )
+        return lo + (hi - lo) * (mid - math.floor(mid))
+
+    got = {
+        r.event_type: (r.q1, r.q3, r.n_low, r.n_high, r.n)
+        for r in Q.queries()["tukey_outlier_fences"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(groups)
+    for g, xs in groups.items():
+        xs.sort()
+        q1, q3 = pct(xs, 0.25), pct(xs, 0.75)
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        exp = (
+            round(q1 / 100.0 + 1e-9, 6),
+            round(q3 / 100.0 + 1e-9, 6),
+            sum(1 for x in xs if x < lo),
+            sum(1 for x in xs if x > hi),
+            len(xs),
+        )
+        assert got[g] == exp, (g, got[g], exp)
