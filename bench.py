@@ -329,6 +329,8 @@ BENCH_QUERIES = [
     "seq_pattern_support",
     "bartlett_test",
     "tukey_outlier_fences",
+    "count_min_sketch",
+    "rouge_n_pairs",
 ]
 
 

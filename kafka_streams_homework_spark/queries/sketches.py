@@ -355,3 +355,109 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+
+
+CMS_W = 512
+CMS_D = 4
+CMS_TOPK = 20
+
+
+@register(
+    "count_min_sketch",
+    oracle=f"""
+        WITH truec AS (
+            SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY 1
+        ), cells AS (
+            SELECT j.j AS j,
+                   ('0x' || substr(md5(j.j::VARCHAR || ':'
+                                       || t.k::VARCHAR), 1, 8))::BIGINT
+                       % {CMS_W} AS col,
+                   CAST(sum(t.c) AS BIGINT) AS cnt
+            FROM truec t, range(0, {CMS_D}) AS j(j)
+            GROUP BY 1, 2
+        ), cand AS (
+            SELECT k, c FROM truec
+            ORDER BY c DESC, k ASC LIMIT {CMS_TOPK}
+        ), est AS (
+            SELECT cand.k, cand.c, min(cells.cnt) AS est
+            FROM cand, range(0, {CMS_D}) AS j(j)
+            JOIN cells ON cells.j = j.j
+             AND cells.col = ('0x' || substr(md5(j.j::VARCHAR || ':'
+                                  || cand.k::VARCHAR), 1, 8))::BIGINT
+                                  % {CMS_W}
+            GROUP BY cand.k, cand.c
+        )
+        SELECT k AS l_partkey, c AS true_cnt,
+               CAST(est AS BIGINT) AS cms_est,
+               CAST(est - c AS BIGINT) AS overest
+        FROM est
+    """,
+    description="Count-Min sketch with estimate-error audit — the "
+    f"point-query frequency sketch next to misra_gries (heavy "
+    f"hitters), kmv (distinct) and the HLL/bloom members: a "
+    f"{CMS_D}x{CMS_W} counter matrix over md5 row-hashes (the "
+    "engine-portable _h32 idiom, so the sketch contents are "
+    "BIT-IDENTICAL across engines and the row is oracle-HASH, unlike "
+    "native-hash sketches which stay rows-only), queried for the "
+    "top-20 true-count part keys; reported alongside the exact "
+    "counts the sketch would replace, with the one-sided "
+    "overestimate per key. Build is ONE map-side-combinable pass: "
+    "per-key counts first (key-cardinality rows), then the x4 "
+    "row fan-out on the COLLAPSED keys, never on raw lineitem — at "
+    "100 TB the sketch state is 2048 cells regardless of volume and "
+    "merges by cell-wise addition across partitions/streams",
+)
+def q_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    truec = tracked_persist(
+        li.groupBy(F.col("l_partkey").alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+    )
+    js = spark.range(CMS_D).select(F.col("id").cast("int").alias("j"))
+
+    def col_expr(key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            key.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % CMS_W
+        )
+
+    cells = (
+        truec.crossJoin(F.broadcast(js))
+        .groupBy("j", col_expr(F.col("k")).alias("col"))
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
+    )
+    wtop = Window.orderBy(F.col("c").desc(), F.col("k").asc())
+    cand = (
+        truec.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= CMS_TOPK)
+        .drop("rk")
+    )
+    est = (
+        cand.crossJoin(F.broadcast(js))
+        .withColumn("col", col_expr(F.col("k")))
+        .join(F.broadcast(cells), ["j", "col"])
+        .groupBy("k", "c")
+        .agg(F.min("cnt").cast("bigint").alias("est"))
+    )
+    return est.select(
+        F.col("k").alias("l_partkey"),
+        F.col("c").alias("true_cnt"),
+        F.col("est").alias("cms_est"),
+        (F.col("est") - F.col("c")).cast("bigint").alias("overest"),
+    )

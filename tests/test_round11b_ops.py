@@ -388,3 +388,76 @@ def test_tukey_fences_python_replay(spark, sf_dir):
             len(xs),
         )
         assert got[g] == exp, (g, got[g], exp)
+
+
+def test_count_min_sketch_python_replay(spark, sf_dir):
+    """Sketch cells, estimates and the one-sided error replayed with
+    hashlib md5 in pure python; CMS guarantee est >= true pinned."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from kafka_streams_homework_spark.queries.sketches import (
+        CMS_D,
+        CMS_TOPK,
+        CMS_W,
+    )
+
+    keys = [
+        r.l_partkey
+        for r in Q._t(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .collect()
+    ]
+    true = Counter(keys)
+
+    def col(j, k):
+        h = hashlib.md5(f"{j}:{k}".encode()).hexdigest()[:8]
+        return int(h, 16) % CMS_W
+
+    cells = defaultdict(int)
+    for k, c in true.items():
+        for j in range(CMS_D):
+            cells[(j, col(j, k))] += c
+    cand = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_TOPK]
+    got = {
+        r.l_partkey: (r.true_cnt, r.cms_est, r.overest)
+        for r in Q.queries()["count_min_sketch"](spark, sf_dir).collect()
+    }
+    assert set(got) == {k for k, _ in cand}
+    for k, c in cand:
+        est = min(cells[(j, col(j, k))] for j in range(CMS_D))
+        assert got[k] == (c, est, est - c), (k, got[k])
+        assert est >= c  # CMS one-sided guarantee
+
+
+def test_rouge_n_pairs_python_replay(spark, sf_dir):
+    """ROUGE-1/2 replayed with collections.Counter clipping over the
+    same near-dup pair set."""
+    from collections import Counter
+
+    docs = {
+        r.doc_id: r.text.lower().split(" ")
+        for r in Q._t(spark, sf_dir, "documents").collect()
+    }
+    rows = Q.queries()["rouge_n_pairs"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        ta, tb = docs[r.doc_a], docs[r.doc_b]
+        u_ov = sum((Counter(ta) & Counter(tb)).values())
+        big = lambda t: Counter(
+            [" ".join(t[i : i + 2]) for i in range(len(t) - 1)]
+        )
+        b_ov = sum((big(ta) & big(tb)).values())
+        na, nb = len(ta), len(tb)
+        ban, bbn = max(na - 1, 0), max(nb - 1, 0)
+
+        def f1(ov, nr, nc):
+            if ov == 0:
+                return 0.0
+            p, rr = ov / nc, ov / nr
+            return 2 * p * rr / (p + rr)
+
+        assert abs(r.rouge1_recall - round(u_ov / na + 1e-9, 6)) < 2e-6
+        assert abs(r.rouge1_precision - round(u_ov / nb + 1e-9, 6)) < 2e-6
+        assert abs(r.rouge1_f - round(f1(u_ov, na, nb) + 1e-9, 6)) < 2e-6
+        assert abs(r.rouge2_f - round(f1(b_ov, ban, bbn) + 1e-9, 6)) < 2e-6
