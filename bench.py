@@ -331,6 +331,7 @@ BENCH_QUERIES = [
     "tukey_outlier_fences",
     "count_min_sketch",
     "rouge_n_pairs",
+    "streaming_count_min",
 ]
 
 

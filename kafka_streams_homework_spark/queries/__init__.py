@@ -81,20 +81,20 @@ del _m, _k, _v
 # entries still run in pytest and tools/check_oracle.py full sweeps.
 _WINDOW = [
     # ROUND-11 ROTATION (post-ledger policy, README "Driver-window
-    # policy"): (a) the 19 r11 birth-round oracle-bearing entries —
-    # eighteen new ops plus pca_projection, newly UPGRADED from
+    # policy"): (a) the 20 r11 birth-round oracle-bearing entries —
+    # nineteen new ops plus pca_projection, newly UPGRADED from
     # rows-only to oracle-hash, so its first hash evidence lands here;
     # (b) 3 r11-CHANGED names whose behavior was touched this round
     # (streaming_rate_gate tie-exact rewrite + its batch twin sharing
     # the oracle; kendall_tau_b textbook tie counting) — a changed op
     # re-earns driver evidence in its change round, same spirit as
-    # birth-round entry; (c) the remaining 28 slots go to the
+    # birth-round entry; (c) the remaining 27 slots go to the
     # OLDEST-EVIDENCE oracle-bearing names, recomputed from
     # CORRECTNESS_r01..r10 (2 names last sampled in r3, then the r4
-    # alphabetical head; 39 fill shrank to 26 as the thirteen late r11
+    # alphabetical head; 39 fill shrank to 25 as the fourteen late r11
     # ops landed). The whole r10 window rotated out 50/50
     # hash-green (CORRECTNESS_r10.json).
-    # -- (a) r11 new / upgraded (19) --
+    # -- (a) r11 new / upgraded (20) --
     "audio_vad",
     "silhouette_simplified",
     "wilcoxon_signed_rank",
@@ -106,6 +106,7 @@ _WINDOW = [
     "tukey_outlier_fences",
     "count_min_sketch",
     "rouge_n_pairs",
+    "streaming_count_min",
     "streaming_ann_ingest",
     "streaming_media_resize",
     "label_propagation",
@@ -121,7 +122,7 @@ _WINDOW = [
     # -- (c) oldest evidence: last driver-sampled r3 (2) --
     "tumbling_window",
     "windowed_distinct",
-    # -- (c) oldest evidence: last driver-sampled r4 (26) --
+    # -- (c) oldest evidence: last driver-sampled r4 (25) --
     "anomaly_zscore",
     "bm25_rank",
     "cdc_chunks",
@@ -147,14 +148,13 @@ _WINDOW = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "q17_small_qty_revenue",
-    "q20_part_promotion",
 ]
 # (tfidf_top_terms / timeseries_resample, scd2_history / scd2_lookup /
 # sessionize / split_leakage_free, quantile_rollup_hist /
 # repetition_score, q4_order_priority / q9_product_profit /
-# quality_buckets, then q22_idle_customers / q2_min_cost_supplier,
-# displaced from the r4 fill to make room for the thirteen late r11
-# ops — next-oldest for r12.)
+# quality_buckets, then q22_idle_customers / q2_min_cost_supplier /
+# q20_part_promotion, displaced from the r4 fill to make room for
+# the fourteen late r11 ops — next-oldest for r12.)
 # Rotated OUT this round: the whole r10 window (50/50 driver-green in
 # CORRECTNESS_r10). Every rotated-out entry still runs in pytest and
 # the tools/check_oracle.py full sweep each round. Historical swap

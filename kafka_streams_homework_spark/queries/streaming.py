@@ -1994,3 +1994,116 @@ def q_streaming_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     stream = _docs_stream(spark, sf_dir)
     return run_append(spark, M.decode_and_resize(M.to_media(stream)))
+
+
+# mirrors sketches.CMS_W/CMS_D/CMS_TOPK (registration-order decoupled;
+# parity pinned in tests)
+SCMS_W = 512
+SCMS_D = 4
+SCMS_TOPK = 20
+
+
+@register(
+    "streaming_count_min",
+    oracle=f"""
+        WITH truec AS (
+            SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ), cells AS (
+            SELECT j.j AS j,
+                   ('0x' || substr(md5(j.j::VARCHAR || ':'
+                                       || t.k::VARCHAR), 1, 8))::BIGINT
+                       % {SCMS_W} AS col,
+                   CAST(sum(t.c) AS BIGINT) AS cnt
+            FROM truec t, range(0, {SCMS_D}) AS j(j)
+            GROUP BY 1, 2
+        ), cand AS (
+            SELECT k, c FROM truec
+            ORDER BY c DESC, k ASC LIMIT {SCMS_TOPK}
+        ), est AS (
+            SELECT cand.k, cand.c, min(cells.cnt) AS est
+            FROM cand, range(0, {SCMS_D}) AS j(j)
+            JOIN cells ON cells.j = j.j
+             AND cells.col = ('0x' || substr(md5(j.j::VARCHAR || ':'
+                                  || cand.k::VARCHAR), 1, 8))::BIGINT
+                                  % {SCMS_W}
+            GROUP BY cand.k, cand.c
+        )
+        SELECT k AS user_id, c AS true_cnt,
+               CAST(est AS BIGINT) AS cms_est,
+               CAST(est - c AS BIGINT) AS overest
+        FROM est
+    """,
+    description="Count-Min sketch MAINTAINED AT INGEST — the "
+    "streaming twin of count_min_sketch and the sketch-family member "
+    "of the streaming-ingest surface (streaming_kmv_distinct "
+    "pattern): each arriving event fans out to its 4 md5 row-cells "
+    "via a broadcast stream-static join (stateless, engine-portable "
+    "hashes), the streaming aggregation state IS the 4x512 counter "
+    "matrix (2048 mergeable cells — bounded state at any volume, the "
+    "same matrix a second cluster's sketch would merge into "
+    "cell-wise), and the top-20 user estimates are read off the "
+    "emitted cells downstream with the one-sided error audited "
+    "against exact counts. Update mode via run_upsert keyed "
+    "(j, col); the oracle replays the identical arithmetic in batch "
+    "SQL, so the row is oracle-HASH like its batch twin",
+)
+def q_streaming_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_homework_spark.streaming.price_alerts import run_upsert
+
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    js = spark.createDataFrame(
+        [(i,) for i in range(SCMS_D)], "j int"
+    )
+
+    def col_expr(key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            key.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % SCMS_W
+        )
+
+    cells_stream = (
+        stream.select("user_id")
+        .crossJoin(F.broadcast(js))
+        .groupBy("j", col_expr(F.col("user_id")).alias("col"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    cells = run_upsert(spark, cells_stream, key_cols=["j", "col"])
+    ev = _t(spark, sf_dir, "events")
+    truec = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wtop = Window.orderBy(F.col("c").desc(), F.col("k").asc())
+    cand = (
+        truec.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= SCMS_TOPK)
+        .drop("rk")
+    )
+    est = (
+        cand.crossJoin(F.broadcast(js))
+        .withColumn("col", col_expr(F.col("k")))
+        .join(F.broadcast(cells), ["j", "col"])
+        .groupBy("k", "c")
+        .agg(F.min("cnt").cast("bigint").alias("est"))
+    )
+    return est.select(
+        F.col("k").alias("user_id"),
+        F.col("c").alias("true_cnt"),
+        F.col("est").alias("cms_est"),
+        (F.col("est") - F.col("c")).cast("bigint").alias("overest"),
+    )

@@ -461,3 +461,49 @@ def test_rouge_n_pairs_python_replay(spark, sf_dir):
         assert abs(r.rouge1_precision - round(u_ov / nb + 1e-9, 6)) < 2e-6
         assert abs(r.rouge1_f - round(f1(u_ov, na, nb) + 1e-9, 6)) < 2e-6
         assert abs(r.rouge2_f - round(f1(b_ov, ban, bbn) + 1e-9, 6)) < 2e-6
+
+
+def test_streaming_count_min_matches_batch_cells(spark, sf_dir):
+    """The streaming-maintained sketch constants mirror the batch op
+    and the emitted estimates obey the CMS one-sided guarantee; the
+    estimate table equals a batch recomputation over the same
+    events."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from kafka_streams_homework_spark.queries.sketches import (
+        CMS_D,
+        CMS_W,
+    )
+    from kafka_streams_homework_spark.queries.streaming import (
+        SCMS_D,
+        SCMS_TOPK,
+        SCMS_W,
+    )
+
+    assert (SCMS_W, SCMS_D) == (CMS_W, CMS_D)  # constant parity
+    users = [
+        r.user_id
+        for r in Q._t(spark, sf_dir, "events").select("user_id").collect()
+    ]
+    true = Counter(users)
+    cells = defaultdict(int)
+
+    def col(j, k):
+        return int(
+            hashlib.md5(f"{j}:{k}".encode()).hexdigest()[:8], 16
+        ) % SCMS_W
+
+    for k, c in true.items():
+        for j in range(SCMS_D):
+            cells[(j, col(j, k))] += c
+    cand = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:SCMS_TOPK]
+    got = {
+        r.user_id: (r.true_cnt, r.cms_est, r.overest)
+        for r in Q.queries()["streaming_count_min"](spark, sf_dir).collect()
+    }
+    assert set(got) == {k for k, _ in cand}
+    for k, c in cand:
+        est = min(cells[(j, col(j, k))] for j in range(SCMS_D))
+        assert got[k] == (c, est, est - c)
+        assert est >= c
