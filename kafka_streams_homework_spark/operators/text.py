@@ -795,8 +795,21 @@ def bpe_train_merges(
         ),
     ).localCheckpoint(eager=True)
     wspec = Window.partitionBy("w").orderBy("pos")
-    tokens_after = int(seg.agg(F.sum("freq")).first()[0] or 0)
     merges: list[tuple] = []
+    # r11 job fusion (the loop is driver-latency-bound at bounded
+    # vocab): each step now pays ONE driver action — (a) the per-step
+    # corpus token count rides the argmax collect (total = sum over the
+    # pair groups with null-nsym groups kept), and the token total of
+    # step t's input IS tokens_after of step t-1, so records close with
+    # lag 1 (the final one from one post-loop aggregate); (b) the
+    # segmentation checkpoint is LAZY — the next step's argmax collect
+    # is the first action touching it and materializes it en route, so
+    # there is no separate checkpoint job. Superseded checkpoint blocks
+    # are released one step later (only after the collect that
+    # materialized their successor — releasing earlier would free
+    # blocks the successor's compute still reads).
+    toks_before: int | None = None
+    prev_seg = None
     for step in range(1, n_merges + 1):
         p = seg.select(
             "w",
@@ -806,17 +819,40 @@ def bpe_train_merges(
             F.lead("sym").over(wspec).alias("nsym"),
             F.lead("pos").over(wspec).alias("npos"),
         )
+        # keep the null-nsym (word-final) groups through the aggregate:
+        # sum(cnt) over ALL groups then equals sum(freq) over all
+        # segmentation rows = the corpus token count, so the total rides
+        # the SAME single TakeOrdered collect as the argmax (a global
+        # unbounded window over the vocab²-bounded pair table — no
+        # second scan, no broadcast, still one job per collect)
         best = (
-            p.filter(F.col("nsym").isNotNull())
-            .groupBy("sym", "nsym")
+            p.groupBy("sym", "nsym")
             .agg(F.sum("freq").alias("cnt"))
+            .withColumn("toks", F.sum("cnt").over(Window.partitionBy()))
+            .filter(F.col("nsym").isNotNull())
             .orderBy(F.col("cnt").desc(), "sym", "nsym")
             .limit(1)
             .collect()
         )
+        # the collect above materialized (lazy-checkpointed) seg — the
+        # previous segmentation's blocks are now fully superseded
+        if prev_seg is not None:
+            release_checkpoint(prev_seg)
+            prev_seg = None
+        toks_now = (
+            int(best[0].toks)
+            if best
+            else int(seg.agg(F.sum("freq")).first()[0] or 0)
+        )
+        if toks_before is not None:
+            # close the previous step's record: n_applied = token drop
+            s_, a_, b_, cnt_ = merges[-1]
+            merges[-1] = (s_, a_, b_, cnt_, toks_before - toks_now, toks_now)
+        toks_before = toks_now
         if not best:
             break
         a, b, cnt = best[0].sym, best[0].nsym, int(best[0].cnt)
+        merges.append((step, a, b, cnt))  # open record, closed next step
         # Greedy non-overlap applied with WINDOWS ONLY — no self-joins.
         # (A join-based formulation is semantically fine but poisons
         # Catalyst's sizeInBytes estimate across the checkpoint chain:
@@ -878,17 +914,22 @@ def bpe_train_merges(
                 .otherwise(F.col("sym"))
                 .alias("sym"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY: materialized by the next step's argmax collect (or
+            # the post-loop aggregate) — no dedicated checkpoint job
+            .localCheckpoint(eager=False)
         )
-        # the eager checkpoint materialized the new segmentation, so
-        # the previous step's blocks are fully superseded — release
-        # them now instead of leaking one block set per merge step
-        # (bfs_hops footprint discipline, VERDICT r7 task 6)
+    if merges and len(merges[-1]) == 4:
+        # the loop ended (n_merges reached or vocabulary exhausted) with
+        # the last record still open — one final bounded aggregate
+        # closes it (and materializes the last lazy checkpoint)
+        toks_now = int(seg.agg(F.sum("freq")).first()[0] or 0)
+        s_, a_, b_, cnt_ = merges[-1]
+        merges[-1] = (s_, a_, b_, cnt_, toks_before - toks_now, toks_now)
+    if prev_seg is not None:
+        # seg is materialized on every path that reaches here (argmax
+        # collect, empty-vocab fallback aggregate, or the record-closing
+        # aggregate above) — the penultimate blocks are superseded
         release_checkpoint(prev_seg)
-        tokens_now = int(seg.agg(F.sum("freq")).first()[0] or 0)
-        n_applied = tokens_after - tokens_now
-        tokens_after = tokens_now
-        merges.append((step, a, b, cnt, n_applied, tokens_after))
     if return_segmentation:
         # the trained tokenizer itself: (w, freq, pos, sym) after all
         # merges — vocabulary-cardinality, the input to encode/apply

@@ -10,6 +10,38 @@ from __future__ import annotations
 from kafka_streams_homework_spark.queries._shared import *  # noqa
 
 
+def _copurchase_pairs(li, pred: str):
+    """Co-purchase (pa, pb) pair multiset from ONE lineitem scan.
+
+    Replaces the naive self-join `a JOIN b ON a.ok = b.ok` that every
+    graph query here used to build: that shape scans lineitem twice and
+    shuffles both sides, while the decision only needs each order's
+    part list (guide §2.3 "shuffle fewer bytes" / §2.4). Collect the
+    basket per order (one scan, one shuffle of (ok, part)), then expand
+    the pairs with a nested array transform — for elements x_i, y_j the
+    expansion emits exactly one struct per (row_i, row_j) combination
+    satisfying the predicate, which is precisely the self-join's output
+    multiset, so every downstream count/distinct is bit-identical.
+    Basket sizes are per-order line counts (bounded, ≤7 on TPC-H), so
+    the n² expansion per basket is constant work; at 100 TB the one
+    shuffle is half the naive plan's and the scan count drops 2 → 1.
+
+    pred: "lt" keeps pa < pb (undirected, one row per unordered pair of
+    rows), "ne" keeps pa != pb (directed-both).
+    """
+    cond = "p.pa < p.pb" if pred == "lt" else "p.pa != p.pb"
+    baskets = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.collect_list("l_partkey").alias("ps")
+    )
+    return baskets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(ps, x -> transform(ps, y -> "
+                f"struct(x AS pa, y AS pb)))), p -> {cond})"
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
+
 
 @register(
     "copurchase_topk",
@@ -30,9 +62,9 @@ from kafka_streams_homework_spark.queries._shared import *  # noqa
 )
 def q_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
-    pairs = a.join(b, "ok").filter(F.col("part_a") < F.col("part_b"))
+    pairs = _copurchase_pairs(li, "lt").select(
+        F.col("pa").alias("part_a"), F.col("pb").alias("part_b")
+    )
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -158,11 +190,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_homework_spark.operators.graph import triangle_count
 
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     edges = (
-        a.join(b, "ok")
-        .filter(F.col("src") < F.col("dst"))
+        _copurchase_pairs(li, "lt")
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
@@ -217,22 +247,37 @@ _PAGERANK_DAMPING = 0.85
 )
 def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    pairs = tracked_persist(
-        a.join(b, "ok")
-        .filter(F.col("pa") != F.col("pb"))
+    # r11 optimization (guide §2.3/§2.4/§5): (a) one-scan pair build via
+    # _copurchase_pairs; (b) attach the out-degree ONCE instead of
+    # re-joining deg per iteration (pure column attach — the summand
+    # w*pr/ow is evaluated identically per row, so results are
+    # bit-equal); (c) EAGERLY localCheckpoint the pa-partitioned,
+    # pa-sorted edge table: iterations then stream a materialized,
+    # pre-partitioned, pre-sorted RDD through the sort-merge join — the
+    # old plain persist let AQE's concurrently materializing query
+    # stages race on the unbuilt cache (profiled ~26 s of duplicated
+    # task time at sf0.1) and re-shuffled + re-sorted the edges every
+    # iteration; now only the node-sized rank table moves per round.
+    pairs = (
+        _copurchase_pairs(li, "ne")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        # out-degree via an unbounded window instead of a second
+        # aggregate + join: w is an integer-valued count (exact in
+        # double), so the window sum equals the groupBy sum bit-for-bit
+        # regardless of addition order. The window's hash(pa) exchange
+        # + local sort on pa become the PERSISTED layout: sorted, pa-
+        # partitioned edges checkpointed once.
+        .withColumn("ow", F.sum("w").over(Window.partitionBy("pa")))
+        .sortWithinPartitions("pa")
+        .localCheckpoint(eager=True)
     )
-    deg = pairs.groupBy("pa").agg(F.sum("w").alias("ow"))
     pr = pairs.select(F.col("pa").alias("node")).distinct().withColumn(
         "pr", F.lit(1.0)
     )
     for _ in range(_PAGERANK_ITERS):
         pr = (
             pairs.join(pr, pairs["pa"] == pr["node"])
-            .join(deg, "pa")
             .groupBy(F.col("pb").alias("node2"))
             .agg(
                 (
@@ -243,7 +288,12 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("node2").alias("node"), "pr")
         )
-    return pr.select(F.col("node").alias("part"), F.round("pr", 6).alias("pagerank"))
+    # pairs is the terminal localCheckpoint feeding the returned plan —
+    # its blocks are freed by the ContextCleaner once the frame is
+    # unreferenced (same lifecycle as dedup_clusters' final labels)
+    return pr.select(
+        F.col("node").alias("part"), F.round("pr", 6).alias("pagerank")
+    )
 
 
 @register(
@@ -280,15 +330,9 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_graph_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst")
-    )
     edges = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("src") != F.col("dst")))
-        .select("src", "dst")
+        _copurchase_pairs(li, "ne")
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .distinct()
     )
     from kafka_streams_homework_spark.operators.graph import bfs_hops
@@ -403,17 +447,9 @@ def _kcore_peel(cur: DataFrame, k: int, cap: int):
 )
 def q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst")
-    )
     cur = (
-        a.join(
-            b, (F.col("ok") == F.col("ok2")) & (F.col("src") != F.col("dst"))
-        )
-        .select("src", "dst")
+        _copurchase_pairs(li, "ne")
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .distinct()
     )
     core, _depth, _converged = _kcore_peel(cur, KCORE_K, KCORE_CAP)
@@ -508,11 +544,9 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_homework_spark.operators.graph import neighbor_jaccard
 
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     edges = (
-        a.join(b, "ok")
-        .filter(F.col("src") < F.col("dst"))
+        _copurchase_pairs(li, "lt")
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
@@ -548,15 +582,7 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(
-        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("pb")
-    )
-    pairs = (
-        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("pa") < F.col("pb")))
-        .select("pa", "pb")
-        .distinct()
-    )
+    pairs = _copurchase_pairs(li, "lt").distinct()
     deg = (
         pairs.select(F.col("pa").alias("node"))
         .unionByName(pairs.select(F.col("pb").alias("node")))
@@ -615,11 +641,9 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     edges = (
-        a.join(b, "ok")
-        .filter(F.col("src") < F.col("dst"))
+        _copurchase_pairs(li, "lt")
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
@@ -679,11 +703,8 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
     e = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
+        _copurchase_pairs(li, "lt")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
@@ -786,11 +807,8 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
     e = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
+        _copurchase_pairs(li, "lt")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
@@ -876,11 +894,8 @@ RICH_CLUB_K = [2, 4, 8, 16, 32, 64]
 )
 def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
     e = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
+        _copurchase_pairs(li, "lt")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
@@ -973,11 +988,9 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     e = tracked_persist(
-        a.join(b, "ok")
-        .filter(F.col("src") < F.col("dst"))
+        _copurchase_pairs(li, "lt")
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
@@ -1091,11 +1104,9 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_homework_spark.operators.graph import triangle_count
 
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     edges = tracked_persist(
-        a.join(b, "ok")
-        .filter(F.col("src") < F.col("dst"))
+        _copurchase_pairs(li, "lt")
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
@@ -1178,11 +1189,8 @@ def _lpa_iter_sql(prev: str, k: int) -> str:
 )
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
     p = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
+        _copurchase_pairs(li, "lt")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
@@ -1265,11 +1273,8 @@ _KATZ_ITERS = 3
 )
 def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
     pairs = tracked_persist(
-        a.join(b, "ok")
-        .filter(F.col("pa") != F.col("pb"))
+        _copurchase_pairs(li, "ne")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("w"))
     )

@@ -3128,8 +3128,15 @@ _PERM_B = 200  # permutation resamples (bounded fan-out multiplier)
     "(resampling CI) with a sharp-null significance test",
 )
 def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("purchase", "click")
+    # the x B explode makes this scan compute-heavy (B md5s per input
+    # row): redistribute a single-row-group fixture scan first or the
+    # whole B*N md5 pass serializes on ONE core (profiled 9.2 s in one
+    # task at sf0.1; bootstrap_ci's discipline) — no-op when the source
+    # already has >= defaultParallelism splits (guide §2.5 input skew)
+    ev = spread(
+        _t(spark, sf_dir, "events").filter(
+            F.col("event_type").isin("purchase", "click")
+        )
     )
     base = ev.select(
         "event_id",
@@ -3603,7 +3610,16 @@ def q_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     ev = _t(spark, sf_dir, "events")
-    cells = tracked_persist(
+    # r11 (guide §5/§2.4): lazy localCheckpoints instead of a persist
+    # chain — the per-round argmax collect is the first action touching
+    # each round's cell table and materializes it en route, so there is
+    # no cache-build race between AQE's concurrently materializing
+    # stages (the old persist chain profiled ~48 s of duplicated task
+    # time at sf0.1) and no extra checkpoint job. The round totals
+    # (wpt/wnt) ride the SAME single-partition ordered window as the
+    # cumulative sums (max over the monotone cumulative — exact), so
+    # the broadcast scalar-subquery stage per round is gone too.
+    cells = (
         ev.groupBy(
             F.col("value").alias("v"),
             F.when(F.col("event_type") == "purchase", 1)
@@ -3612,12 +3628,17 @@ def q_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
         .withColumn("w", F.lit(1.0))
+        .localCheckpoint(eager=False)
     )
     wcum = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    wall = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     rounds = []
     prev = cells
+    superseded = None
     for t in range(1, _ADA_ROUNDS + 1):
         pv = prev.groupBy("v").agg(
             F.sum(
@@ -3635,19 +3656,22 @@ def q_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v",
             F.sum("wp").over(wcum).alias("wpl"),
             F.sum("wn").over(wcum).alias("wnl"),
+        ).select(
+            "v",
+            "wpl",
+            "wnl",
+            F.max("wpl").over(wall).alias("wpt"),
+            F.max("wnl").over(wall).alias("wnt"),
         )
-        tot = sc.agg(F.max("wpl").alias("wpt"), F.max("wnl").alias("wnt"))
         cand = (
-            sc.crossJoin(F.broadcast(tot))
-            .select(
+            sc.select(
                 "v",
                 "wpl",
                 "wnl",
                 "wpt",
                 "wnt",
                 F.explode(F.array(F.lit(1), F.lit(-1))).alias("pol"),
-            )
-            .select(
+            ).select(
                 "v",
                 "pol",
                 F.when(
@@ -3664,20 +3688,32 @@ def q_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .collect()[0]
         )
+        # the collect above materialized prev's lazy checkpoint — the
+        # round before it is now fully superseded (never cells itself:
+        # the ensemble curve below re-reads the base cell table)
+        if superseded is not None:
+            release_checkpoint(superseded)
+            superseded = None
         eps = min(max(best["err"] / best["wtot"], 1e-12), 1 - 1e-12)
         u = math.sqrt((1 - eps) / eps)
         rounds.append((t, best["v"], best["pol"], eps, u))
+        if t == _ADA_ROUNDS:
+            break  # the re-weighted table would never be read
         pred = F.when(F.col("v") <= F.lit(best["v"]), F.lit(best["pol"])).otherwise(
             F.lit(-best["pol"])
         )
-        prev = tracked_persist(
-            prev.withColumn(
-                "w",
-                F.when(pred != F.col("y"), F.col("w") * u).otherwise(
-                    F.col("w") / u
-                ),
-            )
-        )
+        if prev is not cells:
+            superseded = prev
+        prev = prev.withColumn(
+            "w",
+            F.when(pred != F.col("y"), F.col("w") * u).otherwise(
+                F.col("w") / u
+            ),
+        ).localCheckpoint(eager=False)
+    if prev is not cells:
+        # the last round's re-weighted table is materialized but never
+        # read again (the curve below scans the BASE cells) — free it
+        release_checkpoint(prev)
     # ensemble training-error curve from the base cells + collected
     # round scalars (product-form sign test — no transcendental)
     out_rows = []

@@ -1665,7 +1665,10 @@ def _bpe_encode_oracle(n_merges: int) -> str:
 
 
 def _corpus_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # spread: the tokenize+explode is compute-heavy per input row and a
+    # single-row-group fixture scan otherwise serializes it on one core
+    # (guide §2.5 input skew; no-op at real scan parallelism)
+    docs = spread(_t(spark, sf_dir, "documents"))
     return (
         docs.select(
             F.explode(F.split(F.lower("text"), " ")).alias("w")

@@ -27,9 +27,10 @@ def main() -> int:
     else:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         names = argv
+    import shutil
+
+    shutil.rmtree(LOGDIR, ignore_errors=True)
     os.makedirs(LOGDIR, exist_ok=True)
-    for f in os.listdir(LOGDIR):
-        os.unlink(os.path.join(LOGDIR, f))
 
     from pyspark.sql import SparkSession
 
@@ -46,6 +47,8 @@ def main() -> int:
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", LOGDIR)
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
     )
     for k, v in S.RUNTIME_CONFS.items():
         builder = builder.config(k, v)
@@ -71,8 +74,12 @@ def main() -> int:
     app_start = spark.sparkContext.startTime  # ms epoch
     spark.stop()
 
-    # parse the event log
-    logs = [os.path.join(LOGDIR, f) for f in os.listdir(LOGDIR)]
+    # parse the event log (Spark 4 may write a rolling-log directory)
+    logs = []
+    for root, _dirs, files in os.walk(LOGDIR):
+        for f in files:
+            if "appstatus" not in f:
+                logs.append(os.path.join(root, f))
     assert len(logs) == 1, logs
     jobs = {}  # jobId -> dict
     stages = {}  # stageId -> dict
@@ -92,12 +99,12 @@ def main() -> int:
                     jobs[ev["Job ID"]]["t1"] = ev["Completion Time"]
             elif e == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
-                stages[si["Stage ID"]] = {
-                    "name": si["Stage Name"].split("\n")[0][:60],
-                    "tasks": si["Number of Tasks"],
-                    "ms": (si.get("Completion Time", 0) or 0)
-                    - (si.get("Submission Time", 0) or 0),
-                }
+                d = stages.setdefault(si["Stage ID"], {})
+                d["name"] = si["Stage Name"].split("\n")[0][:60]
+                d["tasks"] = si["Number of Tasks"]
+                d["ms"] = (si.get("Completion Time", 0) or 0) - (
+                    si.get("Submission Time", 0) or 0
+                )
             elif e == "SparkListenerTaskEnd":
                 sid = ev["Stage ID"]
                 ti = ev.get("Task Info", {})
