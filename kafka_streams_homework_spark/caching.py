@@ -37,15 +37,38 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+def tracked_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
+    """``df.localCheckpoint`` whose blocks ``release_caches`` frees.
+
+    For multi-consumer intermediates that dominate a query's PLANNING
+    cost when expressed as a persist: a cached subtree is re-analyzed
+    and re-canonicalized at every reference, while a checkpoint is a
+    LogicalRDD leaf — Catalyst sees a flat plan (r11 measurement:
+    1.6 s of driver gap on the dedup pairs plan, mostly canonicalizing
+    the 4-way-referenced shingle cache). Lazy by default: the first
+    action materializes the RDD; harnesses release the blocks between
+    sweeps exactly like tracked persists.
+    """
+    out = df.localCheckpoint(eager=eager)
+    _TRACKED_CKPTS.append(out)
+    return out
+
+
+_TRACKED_CKPTS: list[DataFrame] = []
+
+
 def release_caches() -> int:
     """Unpersist every tracked intermediate; returns how many."""
-    n = len(_TRACKED)
+    n = len(_TRACKED) + len(_TRACKED_CKPTS)
     for df in _TRACKED:
         try:
             df.unpersist()
         except Exception:
             pass  # session already stopped
     _TRACKED.clear()
+    for df in _TRACKED_CKPTS:
+        release_checkpoint(df)
+    _TRACKED_CKPTS.clear()
     return n
 
 

@@ -35,7 +35,11 @@ import warnings
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kafka_streams_homework_spark.caching import release_checkpoint, tracked_persist
+from kafka_streams_homework_spark.caching import (
+    release_checkpoint,
+    tracked_checkpoint,
+    tracked_persist,
+)
 from kafka_streams_homework_spark.functions import shingle_hashes, shingles, tokens
 from kafka_streams_homework_spark.sources.batch import spread
 
@@ -111,12 +115,25 @@ def _doc_shingle_hashes(documents: DataFrame, n: int) -> DataFrame:
     dedups repeat invocations by canonicalized plan, so re-entry reuses
     the same blocks rather than stacking new ones).
     """
-    return tracked_persist(
+    # the n_sh > 0 filter sits ABOVE the persist: pushed into the plan
+    # it lands BELOW the spread exchange (filters sink past a
+    # round-robin repartition) where its size(hs) predicate re-evaluates
+    # the ENTIRE shingling expression on the unspread scan task —
+    # profiled 1.85 s single-task at sf0.1, the exact serialization
+    # spread exists to prevent (guide §4.4 duplicate-eval, §2.5). On top
+    # of the cache it is a near-free scan predicate and every consumer
+    # sees the same rows as before.
+    # tracked_checkpoint, not persist (r11): the substrate is referenced
+    # 3-4x by every near-dup plan, and each reference re-canonicalized
+    # the whole cached subtree at planning time (~1.6 s driver gap per
+    # pairs query); a LogicalRDD leaf plans flat, and the lazy
+    # materialization on first action replaces the cache-build race
+    # between AQE's concurrent leaf stages.
+    return tracked_checkpoint(
         spread(documents.select("doc_id", "text"))
         .select("doc_id", shingle_hashes(tokens("text"), n).alias("hs"))
-        .filter(F.size("hs") > 0)
         .select("doc_id", "hs", F.size("hs").alias("n_sh"))
-    )
+    ).filter(F.col("n_sh") > 0)
 
 
 def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
@@ -283,31 +300,34 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     standard large-graph CC shape (a large-star/small-star variant
     would cut rounds further, same primitives).
     """
-    edges = (
+    # r11 (guide §2.4): edges checkpointed pre-partitioned + pre-sorted
+    # on the per-round join key dst — every round then streams the
+    # materialized edge RDD through the sort-merge join and only the
+    # node-sized label table shuffles. The round itself is reformulated
+    # as union+min-aggregate (messages ∪ own label, one groupBy) —
+    # min(own, min(neighbors)) unchanged — which drops the old
+    # join-back-to-labels third exchange.
+    edges = tracked_checkpoint(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
-        .persist()
+        .repartition("dst")
+        .sortWithinPartitions("dst")
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    labels = tracked_persist(labels)
+
     def one_round(lbls):
-        neighbor_min = (
-            edges.join(lbls, edges["dst"] == lbls["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
+        neighbor = edges.join(lbls, edges["dst"] == lbls["node"]).select(
+            F.col("src").alias("node"), "label"
         )
-        return lbls.join(
-            neighbor_min, lbls["node"] == neighbor_min["src"], "left"
-        ).select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
-                "label"
-            ),
+        return (
+            neighbor.unionByName(lbls)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
         )
 
     # Batch `check_every` propagation rounds between convergence checks:
@@ -333,22 +353,23 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         for _ in range(min(check_every, max_iters - iters_done)):
             stepped = one_round(stepped)
             iters_done += 1
-        new_labels = stepped.localCheckpoint(eager=True)
+        # LAZY checkpoint: the convergence count is the first action on
+        # the new labels and materializes them en route — one driver
+        # action per batch instead of two (r11 job fusion). The old
+        # labels' blocks are read during that materialization, so they
+        # are released only after the count returns.
+        new_labels = stepped.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        # the convergence count above was the last reader of the old
-        # labels — release its superseded checkpoint blocks (no-op on
-        # the non-checkpointed seed frame); bfs_hops footprint
-        # discipline, VERDICT r7 task 6
         release_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
+    release_checkpoint(edges)
     if changed > 0:
         # a component's diameter exceeded max_iters: labels are NOT a
         # fixpoint and clusters would be silently split — surface it

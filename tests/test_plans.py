@@ -382,7 +382,9 @@ def test_pq_encode_and_assign_cells_are_shuffle_free(spark, sf_dir):
     cb = S.pq_fit(emb, m=8, ksub=8, iters=1)
     enc = S.pq_encode(emb, cb, m=8)
     assert count_exchanges(enc) == 0, physical_plan(enc)
-    assert "BroadcastNestedLoopJoin" in physical_plan(enc)
+    # r11: the encode is one vectorized Arrow map stage (codebook rides
+    # the closure) — no join at all, still a pure map plan
+    assert "MapInPandas" in physical_plan(enc), physical_plan(enc)
 
     cents = S.kmeans_cells(emb, ncells=4, iters=1)
     asn = S.assign_cells(emb, cents)
