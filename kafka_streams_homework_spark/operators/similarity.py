@@ -1707,9 +1707,17 @@ def mmr_rerank(
     b = cv.select(
         "query_id", F.col("neighbor_id").alias("b_id"), F.col("v").alias("vb")
     )
+    # repartition BEFORE the pairwise cosine projection: the join's
+    # output is only |Q|·pool² rows so AQE coalesces it to one
+    # partition by BYTES, but each row carries a ~dim-term interpreted
+    # cosine — profiled 1.4 s on a single task at sf0.1. Round-robin
+    # spread makes the compute-dense stage parallel (guide §2.5: AQE
+    # sizes by bytes, not CPU density); row values are unchanged.
+    npart = embeddings.sparkSession.sparkContext.defaultParallelism
     psim = tracked_persist(
         a.join(b, "query_id")
         .filter(F.col("a_id") != F.col("b_id"))
+        .repartition(npart)
         .select(
             "query_id",
             "a_id",

@@ -33,7 +33,11 @@ from kafka_streams_homework_spark.operators import relational as R
 from kafka_streams_homework_spark.operators import similarity as S
 from kafka_streams_homework_spark.operators import sketches as SK
 from kafka_streams_homework_spark.operators import text as T
-from kafka_streams_homework_spark.caching import release_checkpoint, tracked_persist
+from kafka_streams_homework_spark.caching import (
+    release_checkpoint,
+    tracked_checkpoint,
+    tracked_persist,
+)
 from kafka_streams_homework_spark.session import apply_runtime_confs
 from kafka_streams_homework_spark.sources.batch import load_table, spread
 from kafka_streams_homework_spark.sources.sink import (

@@ -1460,9 +1460,13 @@ def _nb_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("lang", F.explode(tokens("text")).alias("tok"))
     # ONE corpus pass: tc feeds class totals, the vocab cap, and the
-    # grid join — persist it (vocab x classes rows) or each consumer
-    # re-runs the explode+groupBy over the full corpus
-    tc = tracked_persist(
+    # grid join. tracked_checkpoint, not persist (r11): the 4-way
+    # referenced cached subtree was re-canonicalized per reference at
+    # planning time and AQE's concurrent leaf stages raced on the
+    # unbuilt cache (~60 s duplicated task time inside the streaming
+    # twin's query-start job); a LogicalRDD leaf plans flat and
+    # materializes once.
+    tc = tracked_checkpoint(
         toks.groupBy("tok", F.col("lang").alias("cl")).agg(
             F.count(F.lit(1)).alias("c")
         )

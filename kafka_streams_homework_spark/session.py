@@ -24,6 +24,20 @@ from pyspark.sql import SparkSession
 # confs.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # r11 root-cause of the in-session stalls (r10 verdict #1, BASELINE
+    # round-10 closing leg): the whole-stage-codegen CLASS CACHE
+    # defaults to 100 entries, while this engine's registry spans
+    # hundreds of distinct operators (and single queries like the BPE
+    # loop emit dozens of codegen units) — in a long bench/oracle
+    # session the cache thrashes, every re-run re-compiles through
+    # Janino + C2 (thread dumps taken MID-STALL show all executor
+    # workers parked and the C2 compiler at 8+ s CPU), and identical
+    # code runs 2-6x slower. Reproduced: interleaving 3 queries at the
+    # default held mmr_rerank at 10-24 s; at 5000 entries it settles at
+    # ~4 s. Sized to the operator surface (not the core count): ~10 KB
+    # of metaspace per generated class, ~50 MB at the cap — negligible
+    # against any driver heap that runs this engine.
+    "spark.sql.codegen.cache.maxEntries": "5000",
     # events.parquet stores ts as TIMESTAMP(NANOS) which Spark's reader
     # rejects; read as long and convert in the loader (sources/batch.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",

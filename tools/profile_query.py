@@ -69,11 +69,11 @@ def main() -> int:
         # gets its own description so the report can show both.
         for r in range(nruns):
             spark.sparkContext.setJobDescription(f"profile:{name}#{r}")
-            t0 = time.perf_counter()
+            t0 = time.time()
             registry[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            marks[f"{name}#{r}"] = (t0, time.perf_counter())
+            marks[f"{name}#{r}"] = (t0, time.time())
             spark.sparkContext.setJobDescription(None)
             release_caches()
     app_start = spark.sparkContext.startTime  # ms epoch
@@ -119,8 +119,13 @@ def main() -> int:
                 )
 
     for name, (t0, t1) in marks.items():
-        desc = f"profile:{name}"
-        js = [j for j in jobs.values() if j.get("desc") == desc and "t1" in j]
+        # attribute by submission time: streaming queries run jobs from
+        # their own threads with their own descriptions
+        js = [
+            j
+            for j in jobs.values()
+            if "t1" in j and t0 <= j["t0"] / 1000.0 <= t1
+        ]
         print(f"\n=== {name}: wall={t1 - t0:.3f}s  jobs={len(js)}")
         js.sort(key=lambda j: j["t0"])
         prev_end = None
