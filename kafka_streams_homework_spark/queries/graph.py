@@ -362,8 +362,10 @@ def _kcore_peel(cur: DataFrame, k: int, cap: int):
     # re-analysis dominates by round 5 (measured 1.7s -> 24.9s/round at
     # sf0.1). Checkpointing truncates lineage; rounds stay flat ~0.5s
     # (r5 task 7: 31s -> ~10s end-to-end, 3x). Same discipline as
-    # ipf_raking.
-    cur = cur.localCheckpoint()
+    # ipf_raking. r11: checkpoints are LAZY — the fixpoint count is the
+    # first action and materializes them en route, one driver action
+    # per round instead of two (dedup_clusters fusion).
+    cur = cur.localCheckpoint(eager=False)
     n_cur = cur.count()
     depth, converged = 0, False
     for _ in range(cap):
@@ -384,12 +386,13 @@ def _kcore_peel(cur: DataFrame, k: int, cap: int):
                 F.col("dst") == F.col("n2"),
                 "left_semi",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # the count materializes nxt (reading cur's blocks), after
+        # which the previous round's checkpoint is superseded — release
+        # per round instead of leaking one edge-set copy per peel
+        # (VERDICT r7 task 6)
         n_nxt = nxt.count()
-        # nxt is materialized (eager by default): the previous round's
-        # checkpoint blocks are superseded — release per round instead
-        # of leaking one edge-set copy per peel (VERDICT r7 task 6)
         release_checkpoint(cur)
         cur = nxt
         depth += 1
@@ -988,7 +991,13 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    e = tracked_persist(
+    # tracked_checkpoint, not persist (r11): e feeds 5 plan branches and
+    # each l1_normalize vector 2 — with persists, AQE's concurrently
+    # materializing stages all blocked on the unbuilt caches' block
+    # locks and starved the 32-thread executor pool (profiled 45 s of
+    # task time in one 1.6 s job); LogicalRDD leaves materialize once in
+    # dependency order and plan flat.
+    e = tracked_checkpoint(
         _copurchase_pairs(li, "lt")
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .groupBy("src", "dst")
@@ -1009,7 +1018,7 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         # released by release_caches() after the action; downstream
         # references to the normalized vector re-run only a cache scan
         # + one-row broadcast join.
-        raw = tracked_persist(df)
+        raw = tracked_checkpoint(df)
         tot = raw.agg(F.sum(col).alias("__tot"))
         return raw.crossJoin(F.broadcast(tot)).select(
             "node", (F.col(col) / F.col("__tot")).alias(col[0])
