@@ -89,6 +89,9 @@ def main() -> int:
             spark.sparkContext.setJobDescription(None)
             release_caches()
         legs.sort()
+        if not legs:
+            print(f"{name}: plan captured (no timing legs)", flush=True)
+            continue
         med = legs[len(legs) // 2]
         print(
             f"{name}: legs={[round(x, 3) for x in legs]} "
