@@ -33,11 +33,15 @@ RUNTIME_CONFS: dict[str, str] = {
     # Janino + C2 (thread dumps taken MID-STALL show all executor
     # workers parked and the C2 compiler at 8+ s CPU), and identical
     # code runs 2-6x slower. Reproduced: interleaving 3 queries at the
-    # default held mmr_rerank at 10-24 s; at 5000 entries it settles at
-    # ~4 s. Sized to the operator surface (not the core count): ~10 KB
-    # of metaspace per generated class, ~50 MB at the cap — negligible
-    # against any driver heap that runs this engine.
-    "spark.sql.codegen.cache.maxEntries": "5000",
+    # default held mmr_rerank at 10-24 s; at 800 entries it settles at
+    # ~4 s. Upper bound matters too: at 5000 a full-registry session
+    # RETAINS thousands of generated classes and their JIT state, and
+    # late-session queries slowed 50-80% (bpe_train 9 -> 16 s,
+    # streaming_* +2 s each, A/B-measured) — 800 is the measured sweet
+    # spot: several adjacent queries' units stay resident, while
+    # eviction still bounds class retention. Sized to the operator
+    # surface (not the core count).
+    "spark.sql.codegen.cache.maxEntries": "800",
     # events.parquet stores ts as TIMESTAMP(NANOS) which Spark's reader
     # rejects; read as long and convert in the loader (sources/batch.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
