@@ -46,8 +46,17 @@ def tracked_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
     LogicalRDD leaf — Catalyst sees a flat plan (r11 measurement:
     1.6 s of driver gap on the dedup pairs plan, mostly canonicalizing
     the 4-way-referenced shingle cache). Lazy by default: the first
-    action materializes the RDD; harnesses release the blocks between
-    sweeps exactly like tracked persists.
+    action materializes the RDD.
+
+    RELEASE CONTRACT (differs from tracked_persist — r11 ADVICE): a
+    released persist RECOMPUTES on next use, but a localCheckpoint has
+    truncated lineage, so after ``release_caches()`` any plan that
+    still references it hard-fails with "checkpoint block not found"
+    instead of recomputing. Therefore: a query's RETURNED DataFrame is
+    only valid until the harness's next ``release_caches()`` call —
+    re-invoke the query function to get a fresh plan (every in-repo
+    harness — bench.py, check_oracle, qtime — already rebuilds plans
+    per leg, which is what makes this trade safe).
     """
     out = df.localCheckpoint(eager=eager)
     _TRACKED_CKPTS.append(out)
@@ -57,8 +66,29 @@ def tracked_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
 _TRACKED_CKPTS: list[DataFrame] = []
 
 
+_ON_RELEASE: list = []
+
+
+def on_release(fn) -> None:
+    """Register a callback run by every ``release_caches()`` — for
+    module-level memos of tracked substrates (operators.dedup's
+    per-run shingle memo) that must not outlive the blocks they point
+    at."""
+    _ON_RELEASE.append(fn)
+
+
 def release_caches() -> int:
-    """Unpersist every tracked intermediate; returns how many."""
+    """Unpersist every tracked intermediate; returns how many.
+
+    NOTE (r11 ADVICE): DataFrames RETURNED by query functions may
+    reference tracked checkpoints; they are invalid after this call
+    (see tracked_checkpoint). Harnesses must rebuild plans per leg.
+    """
+    for fn in _ON_RELEASE:
+        try:
+            fn()
+        except Exception:
+            pass
     n = len(_TRACKED) + len(_TRACKED_CKPTS)
     for df in _TRACKED:
         try:

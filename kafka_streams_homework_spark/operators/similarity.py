@@ -1215,23 +1215,41 @@ def _pq_encode_nested(embeddings: DataFrame, nested: list) -> DataFrame:
     out_schema = "vec_id long, codes array<int>"
 
     def encode(batches):
-        c2 = (cents**2).sum(axis=2)  # (m, ksub)
+        import pandas as pd
+
         for pdf in batches:
-            X = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
+            # r11 ADVICE guards: an empty Arrow batch or a ragged
+            # embedding column would turn the stack into an object
+            # array and crash with AxisError — fail empty batches soft
+            # and ragged input loud.
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": []})
+                continue
+            vecs = [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            dims = {v.shape for v in vecs}
+            if len(dims) != 1 or len(next(iter(dims))) != 1 or next(
+                iter(dims)
+            )[0] < m * dsub:
+                raise ValueError(
+                    f"pq_encode: ragged or undersized embeddings "
+                    f"(shapes={sorted(dims)}, need 1-D length >= {m * dsub})"
+                )
+            X = np.stack(vecs)
+            # zero-norm vectors keep norm 1.0 (encode the raw zero
+            # vector) — documented engine behavior; fixtures contain no
+            # zero embeddings, pinned in pytest.
             nrm = np.sqrt((X**2).sum(axis=1))
             nrm[nrm == 0] = 1.0
             Xn = X / nrm[:, None]
             S = Xn[:, : m * dsub].reshape(len(Xn), m, dsub)  # (n, m, dsub)
-            d2 = (
-                (S**2).sum(axis=2)[:, :, None]
-                - 2.0 * np.einsum("isd,scd->isc", S, cents)
-                + c2[None, :, :]
-            )
-            codes = np.argmin(d2, axis=2).astype("int32")  # (n, m)
-            import pandas as pd
-
+            # exact (x-c)^2 per subspace (r11 ADVICE): the expanded
+            # |s|^2 - 2sc + |c|^2 form rounds differently and can flip
+            # near-tie argmins vs the pre-vectorization join twin; the
+            # per-subspace loop keeps peak memory at n x ksub x dsub.
+            codes = np.empty((len(X), m), dtype="int32")
+            for s_i in range(m):
+                diff = S[:, s_i, None, :] - cents[s_i][None, :, :]
+                codes[:, s_i] = np.argmin((diff * diff).sum(-1), axis=1)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],

@@ -787,6 +787,40 @@ def bpe_train_merges(
     sym_arr = F.expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
     )
+    # r12 (guide §1.2/§7.3): the merge loop is DRIVER-LATENCY bound —
+    # every per-step action runs over the vocabulary-sized segmentation
+    # (a few hundred k rows), but under AQE each action decomposes into
+    # 3-4 sequential stage-jobs with ~0.1-0.15 s of driver coordination
+    # gap each (profiled: 108 jobs, 5 s task time, 7 s of gaps). AQE
+    # buys nothing here (no skew, no join planning, bounded data), so
+    # the loop runs with it off: one job per action, stages pipelined
+    # by the DAG scheduler without re-planning round-trips.
+    # The loop's shuffles move only the vocabulary-sized segmentation
+    # (|vocab| x avg word length rows — a few MB here, a few GB at web
+    # scale): size their partition count to that table, not to the
+    # session default meant for data-sized shuffles. defaultParallelism/4
+    # keeps it proportional to the cluster (local[32] -> 8, measured
+    # equal-or-better than 32 with far fewer tasks to schedule per step).
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    sp_before = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        return _bpe_train_merges_loop(
+            spark, words, n_merges, return_segmentation
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", sp_before)
+
+
+def _bpe_train_merges_loop(
+    spark, words: DataFrame, n_merges: int, return_segmentation: bool
+) -> DataFrame:
+    sym_arr = F.expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    )
     seg = words.select(
         "w",
         "freq",

@@ -30,8 +30,22 @@ def _copurchase_pairs(li, pred: str):
     rows), "ne" keeps pa != pb (directed-both).
     """
     cond = "p.pa < p.pb" if pred == "lt" else "p.pa != p.pb"
-    baskets = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.collect_list("l_partkey").alias("ps")
+    # r12 (guide §2.5): the basket aggregate's exchange carries ~150k
+    # tiny array rows, so AQE coalesces it to a handful of partitions BY
+    # BYTES — and the n² pair expansion then runs on those few tasks
+    # (profiled: a 4-task/4.7 s stage inside every graph query). An
+    # explicit keyed repartition pins the post-shuffle width (AQE never
+    # coalesces a user repartition) and the groupBy reuses the same
+    # exchange (hash(ok) satisfies the agg's clustering), so the plan
+    # still has ONE shuffle — now with the expansion spread across the
+    # cluster. Project to the two needed columns before the exchange
+    # (guide §2.3).
+    dp = li.sparkSession.sparkContext.defaultParallelism
+    baskets = (
+        li.select(F.col("l_orderkey").alias("ok"), "l_partkey")
+        .repartition(dp, "ok")
+        .groupBy("ok")
+        .agg(F.collect_list("l_partkey").alias("ps"))
     )
     return baskets.select(
         F.explode(
@@ -270,8 +284,14 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # partitioned edges checkpointed once.
         .withColumn("ow", F.sum("w").over(Window.partitionBy("pa")))
         .sortWithinPartitions("pa")
-        .localCheckpoint(eager=True)
     )
+    # tracked_checkpoint, not a bare localCheckpoint (r11 ADVICE item):
+    # an untracked eager checkpoint's blocks are freed only when the
+    # JVM GCs the plan, so long sweeps retained one edge-set copy per
+    # invocation; tracked blocks are freed by release_caches() between
+    # harness legs. (Post-release re-execution of the returned plan is
+    # out of contract — see caching.tracked_checkpoint docstring.)
+    pairs = tracked_checkpoint(pairs, eager=True)
     pr = pairs.select(F.col("pa").alias("node")).distinct().withColumn(
         "pr", F.lit(1.0)
     )
@@ -288,9 +308,6 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("node2").alias("node"), "pr")
         )
-    # pairs is the terminal localCheckpoint feeding the returned plan —
-    # its blocks are freed by the ContextCleaner once the frame is
-    # unreferenced (same lifecycle as dedup_clusters' final labels)
     return pr.select(
         F.col("node").alias("part"), F.round("pr", 6).alias("pagerank")
     )
@@ -365,8 +382,27 @@ def _kcore_peel(cur: DataFrame, k: int, cap: int):
     # ipf_raking. r11: checkpoints are LAZY — the fixpoint count is the
     # first action and materializes them en route, one driver action
     # per round instead of two (dedup_clusters fusion).
-    cur = cur.localCheckpoint(eager=False)
+    # r12 (guide §2.4): hash-partition the edge set on src ONCE before
+    # the loop. localCheckpoint preserves outputPartitioning and every
+    # round's operators are partitioning-preserving (broadcast semi
+    # joins + filter), so the per-round degree groupBy("src") needs NO
+    # exchange in ANY round — the peel becomes zero-shuffle after the
+    # one up-front exchange. AQE is off for the loop: with no exchanges
+    # to re-plan it only adds per-action stage-coordination round-trips
+    # (bpe_train finding, ~0.1 s of driver gap per job).
+    spark = cur.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    cur = cur.repartition(dp, "src").localCheckpoint(eager=False)
     n_cur = cur.count()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _kcore_rounds(spark, cur, n_cur, k, cap)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _kcore_rounds(spark, cur: DataFrame, n_cur: int, k: int, cap: int):
     depth, converged = 0, False
     for _ in range(cap):
         # The surviving-node set is bounded by the node dimension (parts
@@ -1282,10 +1318,16 @@ _KATZ_ITERS = 3
 )
 def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    pairs = tracked_persist(
+    # tracked_checkpoint (eager), not persist (r11 global finding 2 /
+    # guide §5): the edge table is read by all three walk frames, whose
+    # AQE leaf stages otherwise materialize concurrently and race on
+    # the unbuilt cache; an eager checkpoint builds it exactly once and
+    # the walks stream the materialized blocks.
+    pairs = tracked_checkpoint(
         _copurchase_pairs(li, "ne")
         .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("w"))
+        .agg(F.count(F.lit(1)).alias("w")),
+        eager=True,
     )
     walks = [
         pairs.groupBy(F.col("pb").alias("node")).agg(

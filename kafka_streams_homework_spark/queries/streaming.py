@@ -78,8 +78,11 @@ def q_streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_streaming_price_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    customer = load_table(spark, sf_dir, "customer")
-    stream = _events_stream(spark, sf_dir)
+    # _stream_session (r12): windowed-sum state ~1e4 (user, window)
+    # groups — see _shared.py rationale
+    qs = _stream_session(spark)
+    customer = load_table(qs, sf_dir, "customer")
+    stream = _events_stream(qs, sf_dir)
     alerts = price_alerts_stream(
         stream, customer, threshold=ALERT_THRESHOLD, mode="update"
     )
@@ -108,7 +111,8 @@ def q_streaming_price_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_streaming_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    ev = _events_stream(spark, sf_dir)
+    qs = _stream_session(spark)  # r12: one state row per user key
+    ev = _events_stream(qs, sf_dir)
     agg = ev.groupBy("user_id").agg(
         F.max_by(
             F.struct("event_id", "ts", "event_type", "value"),
@@ -140,7 +144,8 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_homework_spark.streaming import dedup_stream, run_append
 
     apply_runtime_confs(spark)
-    ev = _events_stream(spark, sf_dir)
+    qs = _stream_session(spark)  # r12: dedup state = distinct key pairs
+    ev = _events_stream(qs, sf_dir)
     out = dedup_stream(ev, ["user_id", "event_type"], ts_col="ts").select(
         "user_id", "event_type"
     )
@@ -184,7 +189,10 @@ def q_streaming_stateful_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     apply_runtime_confs(spark)
-    stream = _events_stream(spark, sf_dir)
+    # _stream_session (r12): ~1.5k live (user, window) groups — 8
+    # state-store instances ample; see _shared.py rationale
+    qs = _stream_session(spark)
+    stream = _events_stream(qs, sf_dir)
     alerts = windowed_sum_stateful(
         stream, threshold=ALERT_THRESHOLD, watermark_delay="2 minutes"
     )
@@ -222,9 +230,12 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     apply_runtime_confs(spark)
+    # _stream_session (r12): stream-stream join buffers both sides in
+    # per-partition state stores — see _shared.py rationale
+    qs = _stream_session(spark)
 
     def src() -> DataFrame:
-        return _events_stream(spark, sf_dir)
+        return _events_stream(qs, sf_dir)
 
     left = (
         src()
@@ -298,8 +309,9 @@ def q_streaming_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     apply_runtime_confs(spark)
+    qs = _stream_session(spark)  # r12: join state, see _shared.py
     left = (
-        _events_stream(spark, sf_dir)
+        _events_stream(qs, sf_dir)
         .filter(F.col("event_id") % 2 == 0)
         .select(
             F.col("event_id").alias("imp_id"),
@@ -308,7 +320,7 @@ def q_streaming_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     right = (
-        _events_stream(spark, sf_dir)
+        _events_stream(qs, sf_dir)
         .filter(F.col("event_id") % 2 == 1)
         .select(
             F.col("event_id").alias("click_id"),
@@ -350,7 +362,8 @@ def q_streaming_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     apply_runtime_confs(spark)
-    stream = _events_stream(spark, sf_dir)
+    qs = _stream_session(spark)  # r12: id-set state per (type, window)
+    stream = _events_stream(qs, sf_dir)
     out = windowed_distinct_stream(stream)
     return run_upsert(spark, out, ["event_type", "window_start"], mode="update")
 
@@ -387,7 +400,8 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_homework_spark.streaming.price_alerts import run_replace
 
     apply_runtime_confs(spark)
-    stream = _events_stream(spark, sf_dir)
+    qs = _stream_session(spark)  # r12: ~1e5 session-window state rows
+    stream = _events_stream(qs, sf_dir)
     sess = R.sessionize(
         stream,
         ["user_id"],
@@ -572,7 +586,8 @@ def q_streaming_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    stream = _events_stream(spark, sf_dir)
+    qs = _stream_session(spark)  # r12: one HLL sketch per (type, hour)
+    stream = _events_stream(qs, sf_dir)
     out = (
         stream.groupBy("event_type", F.window("ts", "1 hour"))
         .agg(F.approx_count_distinct("user_id").alias("n_distinct_approx"))
@@ -606,7 +621,12 @@ def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_homework_spark.sources.kafka import decode_kafka_records
 
-    events = _t(spark, sf_dir, "events")
+    # spread first (r12, guide §2.5): the wire-serde map runs the whole
+    # encode+decode on the scan's partitioning, and the fixture's
+    # single-row-group events.parquet scans as ONE task — profiled as a
+    # single-task 2.4 s stage in the avro twin. Round-robin the narrow
+    # projection so the codec parallelizes; no-op at scale.
+    events = spread(_t(spark, sf_dir, "events").select("user_id", "ts", "value"))
     customer = _t(spark, sf_dir, "customer")
     # serialize: the exact frame a kafka source would hand us
     wire = events.select(
@@ -617,6 +637,15 @@ def q_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
         F.col("ts").alias("timestamp"),
     )
+    # tracked_checkpoint (r12, guide §4.4 shape with JVM exprs): the
+    # inner join's null-safety filters are deterministic, so Catalyst
+    # pushes them below the spread exchange where each pushed predicate
+    # RE-DERIVES the whole to_json→from_json chain on the single-split
+    # scan (plan audit: Filter(2) under Exchange(4) evaluating the
+    # round trip twice). A LogicalRDD leaf is a pushdown barrier: the
+    # wire bytes materialize once, 32-way, and every downstream
+    # evaluation runs above the exchange.
+    wire = tracked_checkpoint(wire)
     decoded = decode_kafka_records(
         wire,
         json_value_schema="user_id long, ts timestamp, value double",
@@ -672,7 +701,9 @@ def q_avro_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_homework_spark.sources.avro_codec import avro_encode_column
     from kafka_streams_homework_spark.sources.kafka import decode_kafka_records
 
-    events = _t(spark, sf_dir, "events")
+    # spread first (r12, guide §2.5): see q_kafka_wire_roundtrip — the
+    # Arrow-batched Avro codec otherwise serializes on the one-split scan.
+    events = spread(_t(spark, sf_dir, "events").select("user_id", "ts", "value"))
     customer = _t(spark, sf_dir, "customer")
     wire = events.select(
         F.col("user_id").cast("string").cast("binary").alias("key"),
@@ -731,7 +762,10 @@ def q_avro_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kafka_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_homework_spark.sources.kafka import decode_kafka_records
 
-    events = _t(spark, sf_dir, "events")
+    # spread first (r12, guide §2.5): see q_kafka_wire_roundtrip.
+    events = spread(
+        _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    )
     wire = events.select(
         "event_id",
         F.col("user_id").cast("string").cast("binary").alias("key"),
@@ -794,7 +828,8 @@ def q_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         avro_encode_column,
     )
 
-    events = _t(spark, sf_dir, "events")
+    # spread first (r12, guide §2.5): see q_kafka_wire_roundtrip.
+    events = spread(_t(spark, sf_dir, "events").select("user_id", "ts", "value"))
     customer = _t(spark, sf_dir, "customer")
     wire = events.select(
         avro_encode_column(
@@ -854,7 +889,8 @@ def q_streaming_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_homework_spark.streaming.price_alerts import run_replace
 
     apply_runtime_confs(spark)
-    stream = _events_stream(spark, sf_dir)
+    qs = _stream_session(spark)  # r12: per-user streak session state
+    stream = _events_stream(qs, sf_dir)
     days = stream.select(
         "user_id", F.date_trunc("day", "ts").alias("day_ts")
     )
@@ -911,7 +947,8 @@ def q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_homework_spark.streaming.price_alerts import run_replace
 
     apply_runtime_confs(spark)
-    stream = _events_stream(spark, sf_dir)
+    qs = _stream_session(spark)  # r12: |types| x hours count state
+    stream = _events_stream(qs, sf_dir)
     counts = (
         stream.groupBy(
             F.window(F.col("ts"), "1 hour"), F.col("event_type")
@@ -986,7 +1023,8 @@ def q_streaming_decayed_leaderboard(
     from kafka_streams_homework_spark.streaming.price_alerts import run_replace
 
     apply_runtime_confs(spark)
-    stream = _events_stream(spark, sf_dir)
+    qs = _stream_session(spark)  # r12: one state row per user
+    stream = _events_stream(qs, sf_dir)
     sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")))
     per_user = stream.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -1064,7 +1102,8 @@ def q_streaming_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_homework_spark.streaming.price_alerts import run_replace
 
     apply_runtime_confs(spark)
-    stream = _events_stream(spark, sf_dir)
+    qs = _stream_session(spark)  # r12: (day, bucket) count state
+    stream = _events_stream(qs, sf_dir)
     hist = (
         stream.filter(F.col("value").isNotNull())
         .groupBy(
@@ -1179,7 +1218,8 @@ def _ohlc_stream_agg(stream: DataFrame) -> DataFrame:
 )
 def q_streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    agg = _ohlc_stream_agg(_events_stream(spark, sf_dir))
+    qs = _stream_session(spark)  # r12: (series, hour) OHLC state
+    agg = _ohlc_stream_agg(_events_stream(qs, sf_dir))
     emitted = run_upsert(spark, agg, ["event_type", "bucket"], mode="update")
     return emitted.select(
         "event_type",
@@ -1278,7 +1318,8 @@ def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     apply_runtime_confs(spark)
-    stream = _events_stream(spark, sf_dir)
+    qs = _stream_session(spark)  # r12: one KMV sketch per event type
+    stream = _events_stream(qs, sf_dir)
     sketch = kmv_distinct_stateful(stream, "event_type", "user_id", k=64)
     emitted = run_upsert(spark, sketch, ["g"], mode="update")
     return emitted.select(
@@ -1351,7 +1392,8 @@ def q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_homework_spark.streaming.price_alerts import run_replace
 
     apply_runtime_confs(spark)
-    stream = _events_stream(spark, sf_dir)
+    qs = _stream_session(spark)  # r12: (type, day, bin) count state
+    stream = _events_stream(qs, sf_dir)
     hist = (
         stream.filter(F.col("value").isNotNull())
         .groupBy(
@@ -1442,6 +1484,10 @@ def q_streaming_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_homework_spark.streaming.price_alerts import run_append
 
     apply_runtime_confs(spark)
+    # no _stream_session here (r12): the scored stream is STATELESS
+    # (stream-static join + projection, append mode — no state stores),
+    # and the model-training aggregations behind the static side want
+    # the full session parallelism.
     out = _nb_scored_stream(spark, sf_dir)
     return run_append(spark, out)
 
@@ -1696,7 +1742,8 @@ def q_streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     apply_runtime_confs(spark)
-    stream = _events_stream(spark, sf_dir)
+    qs = _stream_session(spark)  # r12: one PH state row per type
+    stream = _events_stream(qs, sf_dir)
     ph = page_hinkley_stateful(stream, "event_type", "ts", "value")
     emitted = run_upsert(spark, ph, ["g"], mode="update")
     return emitted.select(
@@ -1823,7 +1870,8 @@ def q_streaming_rate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     apply_runtime_confs(spark)
-    stream = _events_stream(spark, sf_dir)
+    qs = _stream_session(spark)  # r12: K=3 timestamps state per user
+    stream = _events_stream(qs, sf_dir)
     out = rate_gate_stateful(stream)
     return run_append(spark, out)
 
@@ -1855,7 +1903,8 @@ def q_streaming_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     apply_runtime_confs(spark)
-    stream = _events_stream(spark, sf_dir)
+    qs = _stream_session(spark)  # r12: 3 scalars of state per user
+    stream = _events_stream(qs, sf_dir)
     pos = run_upsert(spark, funnel_stateful(stream), ["user_id"], mode="update")
     counts = pos.agg(
         *[
@@ -2056,8 +2105,11 @@ def q_streaming_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_homework_spark.streaming.price_alerts import run_upsert
 
     apply_runtime_confs(spark)
-    stream = _events_stream(spark, sf_dir)
-    js = spark.createDataFrame(
+    # _stream_session (r12): state here is the 2048-cell counter
+    # matrix — 8 state-store instances ample; see _shared.py rationale
+    qs = _stream_session(spark)
+    stream = _events_stream(qs, sf_dir)
+    js = qs.createDataFrame(
         [(i,) for i in range(SCMS_D)], "j int"
     )
 

@@ -2571,17 +2571,38 @@ def q_rouge_n_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_homework_spark.functions import shingles, tokens
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, 3, NGRAM_JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b"
+    # r12 (guide §8 "decide with small rows" + §5): the pair table is
+    # tiny (threshold-filtered near-dups) but its plan is the WHOLE LSH
+    # pipeline, and it used to be referenced three times — the plan
+    # re-ran candidate generation + verify per reference. Checkpoint it
+    # eagerly once; every later join reads the materialized rows.
+    pairs = tracked_checkpoint(
+        D.ngram_jaccard_pairs(docs, 3, NGRAM_JACCARD_THRESHOLD).select(
+            "doc_a", "doc_b"
+        ),
+        eager=True,
     )
-    tk = docs.select("doc_id", tokens("text").alias("tok"))
-    uni = tracked_persist(
+    # Only documents that appear in some pair contribute to any output
+    # row (every output column comes from an inner join against pairs),
+    # so restrict the unigram/bigram count tables to those docs BEFORE
+    # tokenizing — the corpus-sized explode+groupBy collapses to the
+    # pair-doc subset and the old persists become unnecessary. Counts
+    # are per-doc, so the filter cannot change any retained value.
+    pdocs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    tk = docs.join(F.broadcast(pdocs), "doc_id", "left_semi").select(
+        "doc_id", tokens("text").alias("tok")
+    )
+    uni = (
         tk.select("doc_id", F.explode("tok").alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
     un = uni.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
-    bi = tracked_persist(
+    bi = (
         tk.filter(F.size("tok") >= 2)
         .select(
             "doc_id",

@@ -19,11 +19,15 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Configs that are safe (and desirable) to apply to an externally
-# provided session at runtime. Keys here must be runtime-settable SQL
-# confs.
-RUNTIME_CONFS: dict[str, str] = {
-    "spark.sql.session.timeZone": "UTC",
+# STATIC SQL confs: must be set on the builder BEFORE the first
+# session is created; spark.conf.set on a live session throws
+# CANNOT_MODIFY_CONFIG for these. get_spark applies them; an
+# EXTERNALLY provided session (the driver's own bench/correctness
+# path) cannot receive them at runtime — set them at launch there.
+# (r11 ADVICE: this key previously sat in RUNTIME_CONFS, whose
+# apply_runtime_confs silently swallowed the failure, so external
+# sessions never got the stall fix.)
+STATIC_CONFS: dict[str, str] = {
     # r11 root-cause of the in-session stalls (r10 verdict #1, BASELINE
     # round-10 closing leg): the whole-stage-codegen CLASS CACHE
     # defaults to 100 entries, while this engine's registry spans
@@ -42,6 +46,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # eviction still bounds class retention. Sized to the operator
     # surface (not the core count).
     "spark.sql.codegen.cache.maxEntries": "800",
+}
+
+# Configs that are safe (and desirable) to apply to an externally
+# provided session at runtime. Keys here must be runtime-settable SQL
+# confs — static confs go in STATIC_CONFS above.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
     # events.parquet stores ts as TIMESTAMP(NANOS) which Spark's reader
     # rejects; read as long and convert in the loader (sources/batch.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
@@ -99,7 +110,7 @@ def get_spark(app_name: str = "kafka-streams-homework-spark") -> SparkSession:
         .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.ui.enabled", "false")
     )
-    for k, v in RUNTIME_CONFS.items():
+    for k, v in {**STATIC_CONFS, **RUNTIME_CONFS}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     return spark
@@ -110,6 +121,9 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
 
     The driver hands us its own SparkSession; timezone + AQE + Arrow
     are runtime-settable and required for correct/fast results.
+    STATIC_CONFS (the codegen-cache stall fix) can NOT be applied here
+    — a session built outside get_spark must set them at launch (the
+    try/except below tolerates any conf a particular build rejects).
 
     shuffle.partitions: when the session still carries Spark's default
     (200), fit it to the actual core count — a vanilla local session

@@ -263,7 +263,13 @@ def avro_encode_column(struct_col, schema_json: str):
             [encode_record(fields, r) for r in recs], index=batch.index, dtype=object
         )
 
-    return _encode(struct_col)
+    # asNondeterministic (guide §4.4): without it the optimizer pushes
+    # the encode projection BELOW a caller's spread/repartition, so the
+    # whole Arrow codec runs on the scan's (single-split) partitioning —
+    # profiled as a 1-task 1.8 s stage in avro_schema_evolution. The
+    # function is in fact deterministic; the flag only pins its plan
+    # position.
+    return _encode.asNondeterministic()(struct_col)
 
 
 def make_decoder(schema_json: str) -> Callable[[bytes], dict[str, Any]]:

@@ -306,14 +306,23 @@ def run_batch_transform(spark, stream, transform, sink=None):
     is then an empty typed DataFrame and the sink owns the output.
     """
     schema = transform(spark.createDataFrame([], stream.schema)).schema
-    rows: list = []
+    # Batches move as ARROW tables (r12, guide §6 "Arrow for driver
+    # transfers"): collect() walked every transformed row through the
+    # Row/verify path on the driver (~1-2 s of pure driver CPU for a
+    # 100k-row batch); toArrow() is one vectorized transfer per
+    # micro-batch — the same fix run_append got in r9.
+    import pyarrow as pa
+
+    tables: list[pa.Table] = []
 
     def body(batch_df: DataFrame, _batch_id: int) -> None:
         out = transform(batch_df)
         if sink is not None:
             sink(out)
         else:
-            rows.extend(out.collect())
+            t = out.toArrow()
+            if t.num_rows:
+                tables.append(t)
 
     q = (
         stream.writeStream.foreachBatch(body)
@@ -322,4 +331,6 @@ def run_batch_transform(spark, stream, transform, sink=None):
         .start()
     )
     q.awaitTermination()
-    return spark.createDataFrame(rows, schema=schema)
+    if not tables:
+        return spark.createDataFrame([], schema=schema)
+    return spark.createDataFrame(pa.concat_tables(tables), schema=schema)

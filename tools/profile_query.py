@@ -50,7 +50,7 @@ def main() -> int:
         .config("spark.eventLog.compress", "false")
         .config("spark.eventLog.rolling.enabled", "false")
     )
-    for k, v in S.RUNTIME_CONFS.items():
+    for k, v in {**S.STATIC_CONFS, **S.RUNTIME_CONFS}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
