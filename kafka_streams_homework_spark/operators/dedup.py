@@ -382,27 +382,38 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     check_every = 2
     changed = 0
     iters_done = 0
-    while iters_done < max_iters:
-        stepped = labels
-        for _ in range(min(check_every, max_iters - iters_done)):
-            stepped = one_round(stepped)
-            iters_done += 1
-        # LAZY checkpoint: the convergence count is the first action on
-        # the new labels and materializes them en route — one driver
-        # action per batch instead of two (r11 job fusion). The old
-        # labels' blocks are read during that materialization, so they
-        # are released only after the count returns.
-        new_labels = stepped.localCheckpoint(eager=False)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        release_checkpoint(labels)
-        labels = new_labels
-        if changed == 0:
-            break
+    # AQE off for the loop (r12, bpe_train/kcore finding): the rounds
+    # run over bounded edge/label tables through pre-partitioned
+    # checkpoints — AQE only decomposes each convergence count into
+    # sequential stage-jobs with ~0.1 s driver gaps each.
+    spark = pairs.sparkSession
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        while iters_done < max_iters:
+            stepped = labels
+            for _ in range(min(check_every, max_iters - iters_done)):
+                stepped = one_round(stepped)
+                iters_done += 1
+            # LAZY checkpoint: the convergence count is the first action
+            # on the new labels and materializes them en route — one
+            # driver action per batch instead of two (r11 job fusion).
+            # The old labels' blocks are read during that
+            # materialization, so they are released only after the
+            # count returns.
+            new_labels = stepped.localCheckpoint(eager=False)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            release_checkpoint(labels)
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     release_checkpoint(edges)
     if changed > 0:
         # a component's diameter exceeded max_iters: labels are NOT a

@@ -209,6 +209,19 @@ def bfs_hops(
     def _ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint() if reliable else df.localCheckpoint()
 
+    # AQE off for the hop loop (r12, bpe_train/kcore finding): every
+    # hop's joins are broadcasts over node-bounded frames — AQE only
+    # adds per-action stage-job decomposition and driver gaps.
+    spark = edges.sparkSession
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _bfs_loop(_ckpt, edges, seed, max_hops, release_checkpoint)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _bfs_loop(_ckpt, edges: DataFrame, seed: DataFrame, max_hops: int, release_checkpoint):
     visited = _ckpt(seed.select("node", F.lit(0).cast("long").alias("hops")))
     frontier = visited
     for h in range(1, max_hops + 1):

@@ -1462,6 +1462,12 @@ def knn_ivfpq(
         _query_luts(queries, nested, m), "query_id bigint, lut array<array<double>>"
     )
 
+    # NOTE (r12): a repartition-before-the-ADC-fold was tried here (the
+    # mmr/psim idiom) and REVERTED — the probed candidate rows carry the
+    # broadcast LUT/code arrays, so the pinning exchange moves more
+    # bytes than the single-task fold costs, and the fold already
+    # overlaps the other AQE stage jobs (A/B: 3.6 s without, 4.3-4.8 s
+    # with, either placement).
     shortlist = _topk(
         codes.join(F.broadcast(qcells), "cell")  # cell pruning
         .join(F.broadcast(ldf), "query_id")
@@ -1748,6 +1754,30 @@ def mmr_rerank(
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
+    # r12 (bpe_train/kcore finding): every frame from here on is
+    # (|queries| x pool)-bounded — a few hundred rows — so the greedy
+    # loop runs with AQE off (no stage-job decomposition per action)
+    # and bounded-table shuffle partitions; the data-sized candidate
+    # scan is unaffected (its exchanges happen under psim's explicit
+    # repartition / the broadcast scan).
+    spark_ = embeddings.sparkSession
+    aqe_before = spark_.conf.get("spark.sql.adaptive.enabled", "true")
+    sp_before = spark_.conf.get("spark.sql.shuffle.partitions")
+    spark_.conf.set("spark.sql.adaptive.enabled", "false")
+    spark_.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(8, spark_.sparkContext.defaultParallelism // 4)),
+    )
+    try:
+        return _mmr_greedy(cand, psim, w1, k, lam)
+    finally:
+        spark_.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark_.conf.set("spark.sql.shuffle.partitions", sp_before)
+
+
+def _mmr_greedy(cand, psim, w1, k: int, lam: float):
+    from kafka_streams_homework_spark.caching import release_checkpoint
+
     # ITERATIVE-LOOP RULE: each greedy step references the selected
     # set THREE times (anti-join + penalty join + union), so without a
     # per-step localCheckpoint the plan branches 3^k ways and the

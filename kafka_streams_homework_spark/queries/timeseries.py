@@ -1457,6 +1457,33 @@ def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n"), F.countDistinct("i"), F.countDistinct("j")
     ).collect()[0]
     total, ni, nj = float(agg[0]), float(agg[1]), float(agg[2])
+    # AQE off + bounded-table partitions for the raking loop (r12,
+    # bpe_train/kcore finding): the cell table is |types| x |dows| (~35
+    # rows) — the data-sized events aggregate above already
+    # materialized under the full session confs via the collect.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    sp_before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(8, spark.sparkContext.defaultParallelism // 4)),
+    )
+    try:
+        cells = _ipf_loop(cells, total, ni, nj)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", sp_before)
+    wd = F.col("w").cast("double")
+    return cells.select(
+        F.col("i").alias("event_type"),
+        F.col("j").alias("dow"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(wd + F.lit(1e-9), 6).alias("raked_mass"),
+        F.round(wd / F.col("n") + F.lit(1e-9), 6).alias("row_weight"),
+    )
+
+
+def _ipf_loop(cells, total: float, ni: float, nj: float):
     for step in range(IPF_STEPS):
         key, k = ("i", ni) if step % 2 == 0 else ("j", nj)
         r = cells.groupBy(key).agg(F.sum("w").alias("r"))
@@ -1480,14 +1507,7 @@ def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         # superseded step state released per iteration (VERDICT r7
         # task 6 footprint discipline; no-op on the initial frame)
         release_checkpoint(prev_cells)
-    wd = F.col("w").cast("double")
-    return cells.select(
-        F.col("i").alias("event_type"),
-        F.col("j").alias("dow"),
-        F.col("n").cast("bigint").alias("n"),
-        F.round(wd + F.lit(1e-9), 6).alias("raked_mass"),
-        F.round(wd / F.col("n") + F.lit(1e-9), 6).alias("row_weight"),
-    )
+    return cells
 
 
 @register(
